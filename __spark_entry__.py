@@ -1,38 +1,41 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  -- flagship query: full CDC pipeline (serialize Debezium
+                 envelopes -> parse -> DLQ split -> unwrap -> last-write-wins
+                 materialize) + warehouse rollup, at sf0.001.
+queries()     -- one entry per implemented operator from SURVEY.md §2.
+oracle_sql()  -- DuckDB twins (ANSI SQL over the pre-registered views);
+                 hash-family ops (MinHash/SimHash) are rows-only by design.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_debezium_kafka_airflow_spark.queries.registry import get_oracles, get_queries
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: CDC materialization + per-table warehouse rollup at sf0.001."""
+    from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import (
+        upsert_materialize_q,
+    )
+
+    state = upsert_materialize_q(spark, SF0001)
+    return state.groupBy("table_name").agg(
+        F.count("*").alias("n_live_rows"),
+        F.max("last_offset").alias("max_offset"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return get_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return get_oracles()

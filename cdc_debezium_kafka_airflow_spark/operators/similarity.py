@@ -1,0 +1,150 @@
+"""Vector similarity search over an embedding column (``array<float>``).
+
+Two tiers (BASELINE.json:6 extension surface):
+  brute_force_topk  exact cosine top-k — the correctness baseline. The small
+                    query set is broadcast; the corpus streams through a
+                    map-side join, so the only shuffle is the final per-query
+                    top-k aggregation over n_queries*k candidate rows.
+  bucketed_ann_topk IVF/LSH-style scale path: deterministic sign-bit bucketing
+                    of the first B dimensions prunes the corpus ~2^B-fold;
+                    same join shape but the equi-join on bucket id lets Spark
+                    hash-partition instead of broadcasting a full cross
+                    product. At 100 TB the bucket id becomes the partition /
+                    cluster key of the stored corpus, so a query touches only
+                    its bucket's files (partition pruning).
+
+All arithmetic is JVM-side (`zip_with`/`aggregate` higher-order functions —
+no Python UDF). Floats are cast to double *element-wise before* any product
+so Spark and the DuckDB oracle accumulate identically; results round to 6
+decimals for hash-stable comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(vec: Column) -> Column:
+    return F.sqrt(dot(vec, vec))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sign_bucket(vec: Column, bits: int = 4) -> Column:
+    """Deterministic LSH bucket: bit j set iff vec[j] > 0 (first `bits` dims).
+
+    A fixed-hyperplane random-projection hash (hyperplanes = axis planes).
+    """
+    acc = F.lit(0)
+    for j in range(bits):
+        acc = acc + F.when(F.element_at(vec, j + 1) > 0, F.lit(1 << j)).otherwise(0)
+    return acc
+
+
+def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
+    """rank candidates per query: cosine desc, vec_id asc tie-break."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine_sim", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k of each query vector against the corpus.
+
+    queries: (query_id long, qvec array<float>); corpus: (neighbor_id, cvec).
+    """
+    q = queries.select("query_id", as_double("qvec").alias("qvec"))
+    c = corpus.select("neighbor_id", as_double("cvec").alias("cvec"))
+    scored = (
+        c.join(F.broadcast(q))  # map-side: corpus streams, queries broadcast
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+        )
+    )
+    return _topk_per_query(scored, k)
+
+
+def bucketed_ann_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 10, bits: int = 4
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's sign bucket."""
+    q = queries.select(
+        "query_id",
+        as_double("qvec").alias("qvec"),
+        sign_bucket(F.col("qvec"), bits).alias("bucket"),
+    )
+    c = corpus.select(
+        "neighbor_id",
+        as_double("cvec").alias("cvec"),
+        sign_bucket(F.col("cvec"), bits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+        )
+    )
+    return _topk_per_query(scored, k)
+
+
+def embedding_near_dups(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    bits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b) within sign
+    buckets — the blocked/pruned shape that survives large corpora."""
+    v = vectors.select(
+        F.col(id_col).alias("vid"),
+        as_double(F.col(vec_col)).alias("vec"),
+        sign_bucket(as_double(F.col(vec_col)), bits).alias("bucket"),
+    )
+    a = v.select(
+        F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"), "bucket"
+    )
+    b = v.select(
+        F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"), "bucket"
+    )
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -1,0 +1,129 @@
+"""Text-analysis operators for LLM-training-data pipelines (BASELINE.json:6
+extension surface): token counting, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+Everything is built from JVM-side `pyspark.sql.functions` (no Python UDFs):
+at 100 TB these run inside whole-stage codegen as map-only stages — the only
+shuffles in this module's callers are the aggregations they choose to add.
+
+Determinism contract (shared with the DuckDB oracles in queries/ext_queries):
+every derived metric uses only regexes valid in both Java regex and RE2, and
+md5 (identical across engines) for fingerprints.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Shared spec constants (referenced by oracle SQL builders).
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on"]
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+FINGERPRINT_CHUNK = 64
+
+
+def normalize_text(col: Column) -> Column:
+    """lower + trim + collapse runs of whitespace to single spaces."""
+    return F.lower(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def ws_tokens(col: Column) -> Column:
+    """Whitespace tokenization of already-normalized text."""
+    return F.split(col, r" ")
+
+
+def text_metrics(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token/char/punctuation/stopword metrics + quality score.
+
+    quality_score = 0.5 * min(n_tokens/200, 1)        (length credit)
+                  + 0.3 * min(stopword_ratio * 5, 1)  (natural-language-ness)
+                  + 0.2 * (1 - punct_ratio)           (noise penalty)
+    rounded to 6 decimals (oracle hash stability).
+    """
+    norm = normalize_text(F.col(text_col))
+    toks = ws_tokens(norm)
+    n_tokens = F.size(toks)
+    n_chars = F.length(norm)
+    n_alnum_ws = F.length(F.regexp_replace(norm, r"[^a-z0-9 ]", ""))
+    punct_ratio = (n_chars - n_alnum_ws) / F.greatest(n_chars, F.lit(1))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = n_stop / F.greatest(n_tokens, F.lit(1))
+    bpe_count = F.size(F.regexp_extract_all(norm, F.lit(BPE_ISH_PATTERN), 0))
+    quality = (
+        F.lit(0.5) * F.least(n_tokens / F.lit(200.0), F.lit(1.0))
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.2) * (F.lit(1.0) - punct_ratio)
+    )
+    return documents.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        bpe_count.alias("n_bpe_tokens"),
+        n_chars.alias("n_chars_norm"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        n_stop.alias("n_stopwords"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+# Marker words per language for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "a"],
+    "es": ["el", "la", "los", "que", "y"],
+    "fr": ["le", "les", "des", "est", "et"],
+    "de": ["der", "die", "das", "und", "ist"],
+}
+
+
+def lang_id(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count per-language marker tokens, predict the
+    argmax (ties broken by fixed language order), 'und' when no marker hits.
+    """
+    norm = normalize_text(F.col(text_col))
+    toks = ws_tokens(norm)
+    def _marker_count(markers: list[str]):
+        def pred(tok):
+            return tok.isin(*markers)
+
+        return F.size(F.filter(toks, pred))
+
+    counts = {lang: _marker_count(markers) for lang, markers in LANG_MARKERS.items()}
+    out = documents.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[counts[lang].alias(f"n_{lang}") for lang in LANG_MARKERS],
+    )
+    return out.withColumns(
+        {
+            "predicted_lang": _argmax_expr([(l, F.col(f"n_{l}")) for l in LANG_MARKERS]),
+        }
+    ).withColumn("agree", F.col("predicted_lang") == F.col("labeled_lang"))
+
+
+def _argmax_expr(pairs: list[tuple[str, Column]]) -> Column:
+    best = F.lit("und")
+    best_n = F.lit(0)
+    for lang, cnt in pairs:
+        take = cnt > best_n
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_n = F.when(take, cnt).otherwise(best_n)
+    return best
+
+
+def fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprinting: md5 of normalized text, plus fixed-width
+    chunk fingerprints (a deterministic rolling-hash analog for shift-robust
+    near-dup blocking).
+    """
+    norm = normalize_text(F.col(text_col))
+    n_chunks = F.ceil(F.length(norm) / F.lit(FINGERPRINT_CHUNK)).cast("int")
+    chunk_fps = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0))),
+        lambda i: F.md5(F.substring(norm, (i * FINGERPRINT_CHUNK + 1).cast("int"), FINGERPRINT_CHUNK)),
+    )
+    return documents.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        F.md5(F.substring(norm, 1, 100)).alias("fp_prefix"),
+        n_chunks.alias("n_chunks"),
+        F.element_at(chunk_fps, 1).alias("fp_chunk0"),
+    )

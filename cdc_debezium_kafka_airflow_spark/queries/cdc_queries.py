@@ -1,0 +1,338 @@
+"""CDC-semantics queries (SURVEY.md §2.A/§2.B) + monitoring dataflow (§2.C).
+
+Every query here runs the REAL pipeline (events -> serialized Debezium
+envelopes -> from_json parse -> DLQ split -> unwrap -> materialize); the
+DuckDB oracles reproduce the *results* through the deterministic changelog
+spec (sources/cdc_fixture.py docstring) without the JSON round-trip — so a
+hash match also proves the Spark ser/de round-trip is lossless.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_debezium_kafka_airflow_spark.queries.common import t
+from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import (
+    SQL_IS_MALFORMED,
+    SQL_IS_TOMBSTONE,
+    SQL_OP_CASE,
+    SQL_TABLE_CASE,
+    build_changelog,
+)
+from cdc_debezium_kafka_airflow_spark.sources.monitor_fixture import (
+    build_connector_status,
+    build_topic_offsets,
+)
+from cdc_debezium_kafka_airflow_spark.operators.cdc import (
+    hoist_field,
+    parse_envelope,
+    route_topic,
+    schema_evolve,
+    split_dlq,
+    unwrap,
+    upsert_materialize,
+)
+from cdc_debezium_kafka_airflow_spark.operators.monitoring import (
+    any_failed,
+    integrity_compare,
+    lag_metrics,
+    status_health,
+)
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Shared oracle CTE: the parsed+DLQ-filtered changelog (valid records only).
+CH_CTE = f"""
+ch AS (
+  SELECT event_id AS off,
+         user_id  AS key_id,
+         {SQL_TABLE_CASE} AS table_name,
+         {SQL_OP_CASE}    AS op,
+         event_id, ts, user_id, event_type, value, props
+  FROM events
+  WHERE NOT {SQL_IS_MALFORMED}
+)
+"""
+
+# Materialized warehouse state (the upsert_materialize oracle shape).
+MAT_CTE = f"""
+{CH_CTE},
+latest AS (
+  SELECT *, row_number() OVER (PARTITION BY table_name, key_id
+                               ORDER BY off DESC) AS rn
+  FROM ch
+),
+mat AS (
+  SELECT table_name, off AS last_offset, event_id, ts, user_id, event_type,
+         value, props
+  FROM latest WHERE rn = 1 AND op <> 'd'
+)
+"""
+
+
+def _unwrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = build_changelog(t(spark, sf_dir, "events"))
+    main, _ = split_dlq(parse_envelope(ch))
+    return unwrap(main)
+
+
+@q(
+    "ser_json_schema",
+    f"""
+    SELECT event_id AS offset,
+           'mysql-server.pos_bi_db.' || {SQL_TABLE_CASE} AS topic,
+           CAST(0 AS INT) AS partition,
+           '{{"payload":{{"id":' || CAST(user_id AS VARCHAR) || '}}}}' AS key,
+           {SQL_IS_TOMBSTONE} AS is_tombstone,
+           ({SQL_IS_MALFORMED} AND NOT {SQL_IS_TOMBSTONE}) AS is_malformed
+    FROM events
+    """,
+)
+def ser_json_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-record projection of the serialized changelog; the oracle
+    reconstructs the to_json key byte-for-byte."""
+    ch = build_changelog(t(spark, sf_dir, "events"))
+    return ch.select(
+        "offset",
+        "topic",
+        "partition",
+        "key",
+        F.col("value").isNull().alias("is_tombstone"),
+        F.coalesce(F.col("value").startswith('{"malformed'), F.lit(False)).alias(
+            "is_malformed"
+        ),
+    )
+
+
+@q(
+    "de_json_schema_unwrap",
+    f"""
+    WITH {CH_CTE}
+    SELECT off AS offset, table_name, op, (op = 'd') AS is_delete,
+           user_id AS key_id,
+           CASE WHEN op = 'd' THEN NULL ELSE event_id END AS event_id,
+           CASE WHEN op = 'd' THEN NULL ELSE ts END AS ts,
+           CASE WHEN op = 'd' THEN NULL ELSE user_id END AS user_id,
+           CASE WHEN op = 'd' THEN NULL ELSE event_type END AS event_type,
+           CASE WHEN op = 'd' THEN NULL ELSE value END AS value,
+           CASE WHEN op = 'd' THEN NULL ELSE props END AS props
+    FROM ch
+    """,
+)
+def de_json_schema_unwrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json parse + ExtractNewRecordState unwrap + tombstone handling:
+    a hash match here proves the JSON round-trip (incl. timestamps) is
+    lossless."""
+    u = _unwrapped(spark, sf_dir)
+    return u.select(
+        "offset", "table_name", "op", "is_delete", "key_id", "after.*"
+    )
+
+
+@q(
+    "upsert_materialize",
+    f"""
+    WITH {MAT_CTE}
+    SELECT * FROM mat
+    """,
+)
+def upsert_materialize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core CDC operator: changelog -> current warehouse state
+    (last-write-wins by offset, deletes/tombstones drop keys)."""
+    return upsert_materialize(_unwrapped(spark, sf_dir))
+
+
+@q(
+    "snk_dlq_audit",
+    f"""
+    SELECT '{{"malformed":' || CAST(event_id AS VARCHAR) AS payload_json
+    FROM events
+    WHERE {SQL_IS_MALFORMED} AND NOT {SQL_IS_TOMBSTONE}
+    """,
+)
+def snk_dlq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """errors.tolerance=all split + HoistField -> kafka_dlq audit rows."""
+    ch = build_changelog(t(spark, sf_dir, "events"))
+    _, dlq = split_dlq(parse_envelope(ch))
+    return hoist_field(dlq)
+
+
+@q(
+    "xf_regexrouter",
+    f"""
+    SELECT {SQL_TABLE_CASE} AS table_name, count(*) AS n_records
+    FROM events
+    GROUP BY 1
+    """,
+)
+def xf_regexrouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RegexRouter topic -> destination table, applied with a real regex on
+    the real topic strings."""
+    ch = build_changelog(t(spark, sf_dir, "events"))
+    return (
+        ch.select(route_topic(ch).alias("table_name"))
+        .groupBy("table_name")
+        .agg(F.count("*").alias("n_records"))
+    )
+
+
+@q(
+    "xf_schema_evolve",
+    """
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority,
+           CAST(1 + o_orderkey % 2 AS INT) AS schema_version
+    FROM orders
+    """,
+)
+def xf_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """auto.evolve additive evolution: pre-DDL rows (v1, no priority column)
+    unioned with post-DDL rows (v2) -> widened with NULLs."""
+    o = t(spark, sf_dir, "orders")
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit(1).alias("schema_version")
+    )
+    v2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", F.lit(2).alias("schema_version")
+    )
+    return schema_evolve(v1, v2)
+
+
+@q(
+    "cdc_integrity_check",
+    f"""
+    WITH {MAT_CTE},
+    src AS (
+      SELECT {SQL_TABLE_CASE} AS table_name,
+             coalesce(max(event_id), 0) AS src_max,
+             count(*) AS src_count
+      FROM events GROUP BY 1
+    ),
+    dst AS (
+      SELECT table_name, coalesce(max(last_offset), 0) AS dst_max,
+             count(*) AS dst_count
+      FROM mat GROUP BY 1
+    )
+    SELECT s.table_name, s.src_max,
+           coalesce(d.dst_max, 0) AS dst_max,
+           s.src_count,
+           coalesce(d.dst_count, 0) AS dst_count,
+           (s.src_max = coalesce(d.dst_max, 0)) AS max_match,
+           (s.src_count = coalesce(d.dst_count, 0)) AS count_match
+    FROM src s LEFT JOIN dst d USING (table_name)
+    """,
+)
+def cdc_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's only 'query': per-table MAX(id) + COUNT(*) parity
+    between source and the CDC-materialized sink
+    (dags/cdc_data_integrity_dynamic_dag.py:48-62; readme.md:41). Deletes
+    legitimately make the sink lag — exactly what it alerts on."""
+    from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import _table_col
+
+    events = t(spark, sf_dir, "events")
+    src_keyed = events.select(
+        _table_col().alias("table_name"), F.col("event_id").alias("key")
+    )
+    sink_keyed = upsert_materialize(_unwrapped(spark, sf_dir)).select(
+        "table_name", F.col("last_offset").alias("key")
+    )
+    return integrity_compare(src_keyed, sink_keyed, "key")
+
+
+# --- monitoring (§2.C) -------------------------------------------------------
+
+@q(
+    "monitor_status_health",
+    """
+    SELECT 'connector_' || n_name AS connector_name,
+           CASE WHEN n_nationkey % 7 = 3 THEN 'FAILED'
+                WHEN n_nationkey % 7 = 5 THEN 'PAUSED'
+                ELSE 'RUNNING' END AS connector_state,
+           (n_nationkey % 4) AS n_tasks,
+           (CASE WHEN n_nationkey % 7 IN (3, 5) THEN FALSE
+                 ELSE (n_nationkey % 4 > 0 AND NOT (n_nationkey % 11 = 2)) END)
+             AS healthy_simple,
+           (CASE WHEN n_nationkey % 7 IN (3, 5) THEN FALSE
+                 ELSE (n_nationkey % 4 > 0 AND
+                       len(list_filter(range(0, n_nationkey % 4),
+                                       i -> (n_nationkey + i) % 11 = 2)) = 0) END)
+             AS healthy_strict
+    FROM nation
+    """,
+)
+def monitor_status_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both reference health predicates (simple task[0] check vs ∀-tasks
+    array check) over the deterministic status-document fixture."""
+    status = build_connector_status(t(spark, sf_dir, "nation"))
+    return status_health(status)
+
+
+LAG_CTE = f"""
+per_topic AS (
+  SELECT 'mysql-server.pos_bi_db.' || {SQL_TABLE_CASE} AS topic,
+         CAST(0 AS INT) AS partition,
+         count(*) AS latest_offset,
+         greatest(count(*) - (length(event_type) * 137) % 700, 0)
+           AS committed_offset
+  FROM events GROUP BY event_type
+),
+offs AS (
+  SELECT * FROM per_topic
+  UNION ALL
+  SELECT 'mysql-server.pos_bi_db.empty_topic', CAST(0 AS INT),
+         CAST(0 AS BIGINT), NULL
+  UNION ALL
+  SELECT 'mysql-server.pos_bi_db.idle_topic', CAST(0 AS INT),
+         CAST(42 AS BIGINT), CAST(42 AS BIGINT)
+),
+lagged AS (
+  SELECT topic, partition, latest_offset, committed_offset,
+         CAST(CASE WHEN latest_offset = 0 THEN 0
+              ELSE latest_offset - coalesce(committed_offset, 0) END AS BIGINT)
+           AS lag
+  FROM offs
+)
+"""
+
+
+@q(
+    "monitor_lag",
+    f"""
+    WITH {LAG_CTE}
+    SELECT topic, partition, latest_offset, committed_offset, lag,
+           (lag > 500) AS is_critical
+    FROM lagged
+    """,
+)
+def monitor_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-lag metrics: latest vs committed offsets, NULL/empty guards,
+    500-message alert threshold (dags/kafka_latency_monitor.py:60-84)."""
+    offsets = build_topic_offsets(t(spark, sf_dir, "events"))
+    return lag_metrics(offsets)
+
+
+@q(
+    "monitor_any_failed",
+    f"""
+    WITH {LAG_CTE}
+    SELECT count(*) FILTER (WHERE lag > 500) AS n_failed,
+           count(*) FILTER (WHERE lag > 500) > 0 AS any_failed
+    FROM lagged
+    """,
+)
+def monitor_any_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE_FAILED fan-in: any critical topic raises the alert flag."""
+    offsets = build_topic_offsets(t(spark, sf_dir, "events"))
+    return any_failed(lag_metrics(offsets), "is_critical")

@@ -1,0 +1,344 @@
+"""Extension surface (BASELINE.json:6): dedup, similarity search, multimodal
+columns, text analysis over the documents/embeddings fixtures.
+
+SQL-expressible variants carry exact DuckDB oracles; hash-family variants
+(MinHash LSH, SimHash — engine-specific hash functions) are rows-only and are
+additionally invariant-tested in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_debezium_kafka_airflow_spark.queries.common import t
+from cdc_debezium_kafka_airflow_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+    brute_force_topk,
+    bucketed_ann_topk,
+    embedding_near_dups,
+)
+from cdc_debezium_kafka_airflow_spark.operators.text import (
+    fingerprints,
+    lang_id,
+    text_metrics,
+)
+from cdc_debezium_kafka_airflow_spark.operators.multimodal import (
+    attach_media,
+    extract_media_features,
+)
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# normalized text, as a DuckDB expression (mirror of text.normalize_text)
+NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+
+@q(
+    "ext_dedup_exact",
+    f"""
+    SELECT min(doc_id) AS doc_id, md5({NORM}) AS fp, count(*) AS n_dups
+    FROM documents
+    GROUP BY md5({NORM})
+    """,
+)
+def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on md5(normalized text): lowest doc_id survives."""
+    return exact_dedup(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "ext_dedup_ngram_jaccard",
+    f"""
+    WITH d AS (SELECT doc_id, source, {NORM} AS t FROM documents),
+    sh AS (SELECT doc_id, source,
+                  list_distinct(list_transform(
+                      range(1, greatest(length(t) - 2, 1) + 1),
+                      i -> substr(t, CAST(i AS INT), 3))) AS s
+           FROM d),
+    sz AS (SELECT doc_id, len(s) AS set_size FROM sh),
+    ex AS (SELECT doc_id, source, unnest(s) AS shingle FROM sh),
+    inter AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_inter
+      FROM ex x JOIN ex y
+        ON x.source = y.source AND x.shingle = y.shingle
+       AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON id_a = sa.doc_id
+    JOIN sz sb ON id_b = sb.doc_id
+    WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= 0.7
+    """,
+)
+def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-char-shingle Jaccard near-dup pairs, source-blocked inverted-index
+    join (the sub-quadratic candidate-generation shape)."""
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), threshold=0.7
+    )
+
+
+@q("ext_dedup_minhash", None)  # engine-specific hashes: rows-only check
+def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join)
+    via Spark ML, fixed seed."""
+    return minhash_lsh_pairs(t(spark, sf_dir, "documents"))
+
+
+@q("ext_dedup_simhash", None)  # xxhash64 not reproducible in DuckDB
+def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit token-vote fingerprint, 16-bit band
+    blocking, hamming<=3."""
+    return simhash_near_pairs(t(spark, sf_dir, "documents"))
+
+
+SIM_CTE = """
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+"""
+
+
+@q(
+    "ext_sim_topk",
+    f"""
+    WITH {SIM_CTE},
+    q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id % 50 = 0),
+    s AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_inner_product(q.e, c.e) /
+               (sqrt(list_inner_product(q.e, q.e)) *
+                sqrt(list_inner_product(c.e, c.e))) AS sim
+      FROM q JOIN v c ON c.vec_id <> q.query_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id ASC) AS rn
+          FROM s)
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim,
+           CAST(rn AS INT) AS rank
+    FROM r WHERE rn <= 10
+    """,
+)
+def ext_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for every 50th vector as query."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    return brute_force_topk(queries, corpus, k=10)
+
+
+@q(
+    "ext_sim_ann_bucketed",
+    f"""
+    WITH {SIM_CTE},
+    vb AS (SELECT vec_id, e,
+                  (CASE WHEN e[1] > 0 THEN 1 ELSE 0 END) +
+                  (CASE WHEN e[2] > 0 THEN 2 ELSE 0 END) +
+                  (CASE WHEN e[3] > 0 THEN 4 ELSE 0 END) +
+                  (CASE WHEN e[4] > 0 THEN 8 ELSE 0 END) AS bucket
+           FROM v),
+    q AS (SELECT vec_id AS query_id, e, bucket FROM vb WHERE vec_id % 50 = 0),
+    s AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_inner_product(q.e, c.e) /
+               (sqrt(list_inner_product(q.e, q.e)) *
+                sqrt(list_inner_product(c.e, c.e))) AS sim
+      FROM q JOIN vb c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim DESC, neighbor_id ASC) AS rn
+          FROM s)
+    SELECT query_id, neighbor_id, round(sim, 6) AS cosine_sim,
+           CAST(rn AS INT) AS rank
+    FROM r WHERE rn <= 10
+    """,
+)
+def ext_sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF/LSH-style ANN: sign-bit bucketing prunes candidates ~16x; at scale
+    the bucket is the corpus partition key (partition pruning per query)."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    return bucketed_ann_topk(queries, corpus, k=10, bits=4)
+
+
+@q(
+    "ext_embedding_near_dup",
+    f"""
+    WITH {SIM_CTE},
+    vb AS (SELECT vec_id, e,
+                  (CASE WHEN e[1] > 0 THEN 1 ELSE 0 END) +
+                  (CASE WHEN e[2] > 0 THEN 2 ELSE 0 END) +
+                  (CASE WHEN e[3] > 0 THEN 4 ELSE 0 END) +
+                  (CASE WHEN e[4] > 0 THEN 8 ELSE 0 END) AS bucket
+           FROM v)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_inner_product(a.e, b.e) /
+             (sqrt(list_inner_product(a.e, a.e)) *
+              sqrt(list_inner_product(b.e, b.e))), 6) AS cosine_sim
+    FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_inner_product(a.e, b.e) /
+             (sqrt(list_inner_product(a.e, a.e)) *
+              sqrt(list_inner_product(b.e, b.e))), 6) >= 0.35
+    """,
+)
+def ext_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within sign buckets."""
+    return embedding_near_dups(
+        t(spark, sf_dir, "embeddings"), threshold=0.35, bits=4
+    )
+
+
+@q(
+    "ext_text_quality",
+    f"""
+    WITH d AS (SELECT doc_id, {NORM} AS t FROM documents),
+    m AS (
+      SELECT doc_id, t,
+             CAST(len(string_split(t, ' ')) AS INT) AS n_tokens,
+             CAST(len(regexp_extract_all(t, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))
+                  AS INT) AS n_bpe_tokens,
+             CAST(length(t) AS INT) AS n_chars_norm,
+             (length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')))
+               / greatest(length(t), 1) AS punct_ratio,
+             CAST(len(list_filter(string_split(t, ' '),
+                  w -> w IN ('the','a','of','and','to','in','is','on'))) AS INT)
+               AS n_stopwords
+      FROM d
+    )
+    SELECT doc_id, n_tokens, n_bpe_tokens, n_chars_norm,
+           round(punct_ratio, 6) AS punct_ratio,
+           n_stopwords,
+           round(n_stopwords / greatest(n_tokens, 1), 6) AS stopword_ratio,
+           round(0.5 * least(n_tokens / 200.0, 1.0)
+                 + 0.3 * least(n_stopwords / greatest(n_tokens, 1) * 5, 1.0)
+                 + 0.2 * (1.0 - punct_ratio), 6) AS quality_score
+    FROM m
+    """,
+)
+def ext_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring (length/punct/stopword signals)."""
+    return text_metrics(t(spark, sf_dir, "documents"))
+
+
+_MARKER_SQL = {
+    "en": "('the','and','of','is','a')",
+    "es": "('el','la','los','que','y')",
+    "fr": "('le','les','des','est','et')",
+    "de": "('der','die','das','und','ist')",
+}
+_COUNTS = ",\n             ".join(
+    f"CAST(len(list_filter(string_split(t, ' '), w -> w IN {m})) AS INT) AS n_{l}"
+    for l, m in _MARKER_SQL.items()
+)
+
+
+@q(
+    "ext_lang_id",
+    f"""
+    WITH d AS (SELECT doc_id, lang AS labeled_lang, {NORM} AS t FROM documents),
+    m AS (
+      SELECT doc_id, labeled_lang,
+             {_COUNTS}
+      FROM d
+    ),
+    p AS (
+      SELECT *, greatest(n_en, n_es, n_fr, n_de) AS mx FROM m
+    )
+    SELECT doc_id, labeled_lang, n_en, n_es, n_fr, n_de,
+           CASE WHEN mx <= 0 THEN 'und'
+                WHEN n_en = mx THEN 'en'
+                WHEN n_es = mx THEN 'es'
+                WHEN n_fr = mx THEN 'fr'
+                ELSE 'de' END AS predicted_lang,
+           (CASE WHEN mx <= 0 THEN 'und'
+                 WHEN n_en = mx THEN 'en'
+                 WHEN n_es = mx THEN 'es'
+                 WHEN n_fr = mx THEN 'fr'
+                 ELSE 'de' END) = labeled_lang AS agree
+    FROM p
+    """,
+)
+def ext_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic; first-language-wins tie-break."""
+    return lang_id(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "ext_fingerprint",
+    f"""
+    WITH d AS (SELECT doc_id, {NORM} AS t FROM documents)
+    SELECT doc_id,
+           md5(t) AS fp,
+           md5(substr(t, 1, 100)) AS fp_prefix,
+           CAST(ceil(length(t) / 64.0) AS INT) AS n_chunks,
+           md5(substr(t, 1, 64)) AS fp_chunk0
+    FROM d
+    """,
+)
+def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole/prefix/chunk md5 fingerprints."""
+    return fingerprints(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "ext_multimodal_cols",
+    """
+    SELECT d.doc_id,
+           ['image', 'audio', 'video'][CAST(d.doc_id % 3 AS INT) + 1] AS media_type,
+           octet_length(encode(d.text)) AS n_bytes,
+           list_aggregate(list_transform(
+               range(1, least(length(d.text), 64) + 1),
+               i -> ascii(substr(d.text, CAST(i AS INT), 1))), 'sum') % 997
+             AS checksum_mod,
+           round(sqrt(list_aggregate(list_transform(e.embedding::DOUBLE[],
+               x -> x * x), 'sum')), 6) AS emb_l2_norm
+    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    """,
+)
+def ext_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal row: opaque media bytes -> Arrow-batched feature stub,
+    joined with the doc's embedding (text + vector + media side by side)."""
+    docs = t(spark, sf_dir, "documents")
+    feats = extract_media_features(attach_media(docs))
+    emb = t(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    norms = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.transform(vec, lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        ).alias("emb_l2_norm"),
+    )
+    return feats.join(norms, on="doc_id")

@@ -1,0 +1,71 @@
+"""Structured Streaming queries (SURVEY.md §2 M3) — real streaming jobs
+(file-source replay, availableNow trigger, memory sink) whose final results
+are batch-comparable, so the tumbling-window and stateful-upsert paths get
+full DuckDB oracles despite executing through the streaming engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cdc_debezium_kafka_airflow_spark.queries.common import t
+from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import MAT_CTE
+from cdc_debezium_kafka_airflow_spark.streaming import jobs
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@q(
+    "stream_tumbling",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling-window aggregation executed by a streaming query."""
+    t(spark, sf_dir, "events")  # applies session confs (UTC window alignment)
+    return jobs.windowed_event_counts(spark, sf_dir)
+
+
+@q(
+    "stream_upsert_state",
+    f"""
+    WITH {MAT_CTE}
+    SELECT * FROM mat
+    """,
+)
+def stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed latest-state CDC materialization in the streaming state store;
+    must equal the batch upsert_materialize result."""
+    t(spark, sf_dir, "events")
+    return jobs.streaming_upsert_state(spark, sf_dir)
+
+
+@q(
+    "stream_foreachbatch_upsert",
+    f"""
+    WITH {MAT_CTE}
+    SELECT * FROM mat
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snk_jdbc_upsert analog: per-micro-batch MERGE accumulation via
+    foreachBatch (the reference's JDBC upsert sink shape)."""
+    t(spark, sf_dir, "events")
+    return jobs.foreach_batch_upsert(spark, sf_dir)

@@ -1,0 +1,149 @@
+"""Deterministic Debezium-style changelog derived from the ``events`` table.
+
+This is the engine's stand-in for the reference's Kafka CDC topics
+(one topic per table, ``mysql-server.pos_bi_db.<table>``, reference
+register-mysql-connector.json:10,12). Every derivation rule below is pure
+arithmetic on ``event_id`` so a DuckDB oracle can reproduce the *results* of
+downstream operators without re-implementing the JSON round-trip.
+
+THE CHANGELOG SPEC (shared contract with queries/oracles — keep in sync):
+
+  offset     = event_id                       (total order; the reference
+                                               assumes single-partition order,
+                                               dags/kafka_latency_monitor.py:49)
+  table      = CASE event_type                (maps onto 5 of the reference's 9
+                 'click'    -> 'ventas'        replicated tables,
+                 'view'     -> 'productos'     register-mysql-connector.json:12)
+                 'purchase' -> 'detalle_ventas'
+                 'signup'   -> 'entidades'
+                 else       -> 'pagos_clientes'
+  topic      = 'mysql-server.pos_bi_db.' || table
+  op         = event_id % 10 in 0..4 -> 'c'   (create)
+               event_id % 10 in 5..7 -> 'u'   (update)
+               event_id % 10 == 8    -> 'd'   (delete)
+               event_id % 10 == 9    -> 'r'   (snapshot read)
+  tombstone  = (event_id % 20 == 8)           -> value IS NULL, key kept
+               (drop.tombstones=false, reference register-postgres-sink.json:24;
+                the other half of the deletes, event_id % 20 == 18, carry a
+                full op='d' envelope with after=NULL)
+  malformed  = (event_id % 97 == 0 AND event_id % 10 < 8)
+               -> value = '{"malformed":' || event_id   (unparseable JSON ->
+               DLQ path, errors.tolerance=all, register-postgres-sink.json:18-20)
+  key        = '{"payload":{"id":' || user_id || '}}'   (pk.mode=record_key,
+               register-postgres-sink.json:17)
+  value      = JSON envelope {"schema":{...},"payload":{before,after,source,
+               op,ts_ms}} (JsonConverter schemas.enable=true,
+               register-mysql-connector.json:22-25)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from cdc_debezium_kafka_airflow_spark.schemas import EVENTS_SCHEMA
+
+TOPIC_PREFIX = "mysql-server.pos_bi_db."
+
+# Microsecond-precision JSON timestamps so the ser/de round-trip is lossless
+# against the microsecond source data. (The reference narrows temporals to
+# millis — time.precision.mode=connect, register-mysql-connector.json:16 —
+# we deliberately keep source precision instead of loss.)
+JSON_TS_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+
+# event_type -> reference table (register-mysql-connector.json:12 names)
+EVENT_TYPE_TO_TABLE = {
+    "click": "ventas",
+    "view": "productos",
+    "purchase": "detalle_ventas",
+    "signup": "entidades",
+    # 'error' and anything else:
+}
+DEFAULT_TABLE = "pagos_clientes"
+
+# SQL fragments reused by the DuckDB oracles (single source of truth).
+SQL_TABLE_CASE = (
+    "CASE event_type WHEN 'click' THEN 'ventas' WHEN 'view' THEN 'productos' "
+    "WHEN 'purchase' THEN 'detalle_ventas' WHEN 'signup' THEN 'entidades' "
+    "ELSE 'pagos_clientes' END"
+)
+SQL_OP_CASE = (
+    "CASE WHEN event_id % 10 <= 4 THEN 'c' WHEN event_id % 10 <= 7 THEN 'u' "
+    "WHEN event_id % 10 = 8 THEN 'd' ELSE 'r' END"
+)
+SQL_IS_MALFORMED = "(event_id % 97 = 0 AND event_id % 10 < 8)"
+SQL_IS_TOMBSTONE = "(event_id % 20 = 8)"
+
+
+def _table_col() -> F.Column:
+    expr = None
+    for etype, table in EVENT_TYPE_TO_TABLE.items():
+        cond = F.col("event_type") == etype
+        expr = F.when(cond, table) if expr is None else expr.when(cond, table)
+    return expr.otherwise(DEFAULT_TABLE)
+
+
+def _op_col() -> F.Column:
+    m = F.col("event_id") % 10
+    return (
+        F.when(m <= 4, "c").when(m <= 7, "u").when(m == 8, "d").otherwise("r")
+    )
+
+
+def build_changelog(events: DataFrame) -> DataFrame:
+    """events -> Kafka-record-shaped changelog.
+
+    Output columns mirror Spark's Kafka batch source projection:
+      (offset long, topic string, partition int, key string, value string,
+       timestamp timestamp)
+    ``value`` is the serialized Debezium envelope (``ser_json_schema``),
+    NULL for tombstones, deliberately-broken JSON for the DLQ fraction.
+
+    Scale: narrow, stateless projection — no shuffle; at 100 TB this is a
+    map-only stage fused into whole-stage codegen.
+    """
+    row_image = F.struct(*[F.col(f.name) for f in EVENTS_SCHEMA.fields])
+    table = _table_col()
+    op = _op_col()
+    ts_ms = (F.unix_micros(F.col("ts")) / F.lit(1000)).cast("long")
+
+    envelope = F.struct(
+        F.struct(
+            F.lit("struct").alias("type"),
+            F.concat(F.lit(TOPIC_PREFIX), table, F.lit(".Envelope")).alias("name"),
+        ).alias("schema"),
+        F.struct(
+            F.when(op.isin("u", "d"), row_image).alias("before"),
+            F.when(op != "d", row_image).alias("after"),
+            F.struct(
+                F.lit("pos_bi_db").alias("db"),
+                table.alias("table"),
+                ts_ms.alias("ts_ms"),
+            ).alias("source"),
+            op.alias("op"),
+            ts_ms.alias("ts_ms"),
+        ).alias("payload"),
+    )
+
+    is_tombstone = (F.col("event_id") % 20) == 8
+    is_malformed = ((F.col("event_id") % 97) == 0) & ((F.col("event_id") % 10) < 8)
+
+    value = (
+        F.when(is_tombstone, F.lit(None).cast("string"))
+        .when(
+            is_malformed,
+            F.concat(F.lit('{"malformed":'), F.col("event_id").cast("string")),
+        )
+        .otherwise(F.to_json(envelope, JSON_TS_OPTS))
+    )
+    key = F.to_json(
+        F.struct(F.struct(F.col("user_id").alias("id")).alias("payload"))
+    )
+
+    return events.select(
+        F.col("event_id").alias("offset"),
+        F.concat(F.lit(TOPIC_PREFIX), table).alias("topic"),
+        F.lit(0).alias("partition"),
+        key.alias("key"),
+        value.alias("value"),
+        F.col("ts").alias("timestamp"),
+    )

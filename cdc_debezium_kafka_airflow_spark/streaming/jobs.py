@@ -1,0 +1,197 @@
+"""Structured Streaming twins of the batch CDC path.
+
+The reference's streaming plane is Debezium -> Kafka -> JDBC sink with
+micro-batching (batch.size=3000 / linger.ms=500 / max buffered 20000,
+reference register-postgres-sink.json:6-8). Here:
+
+  - the Kafka topic is replayed from the deterministic changelog fixture via
+    the file stream source (same record shape as Spark's Kafka source), and
+    `kafka_changelog_stream` shows the real-Kafka wiring (gated: no broker in
+    this environment);
+  - micro-batching maps to `trigger(processingTime='500 milliseconds')` /
+    `availableNow` + `maxOffsetsPerTrigger`-style file limits;
+  - the keyed upsert-with-deletes state lives in Spark's state store
+    (streaming max_by aggregation) or in `foreachBatch` MERGE for an external
+    JDBC warehouse — both included.
+
+State-store scale: the streaming aggregation is keyed on (table_name, key_id),
+i.e. state size = live keys, not events seen; RocksDB state store + watermark
+TTL bound it on unbounded streams.
+"""
+
+from __future__ import annotations
+
+import os
+from itertools import count
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_debezium_kafka_airflow_spark.schemas import EVENTS_RAW_NANOS_SCHEMA
+from cdc_debezium_kafka_airflow_spark.sources.tables import _nanos_to_timestamp
+from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import build_changelog
+from cdc_debezium_kafka_airflow_spark.operators.cdc import (
+    parse_envelope,
+    split_dlq,
+    unwrap,
+)
+
+_MEMSINK_IDS = count()
+
+# Reference micro-batch cadence (register-postgres-sink.json:7).
+LINGER = "500 milliseconds"
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source replay of the events table as a stream (nanos ts fixed
+    up to microsecond timestamps, same as the batch loader)."""
+    # glob (not a bare file path) so FileStreamSource doesn't inject a
+    # file-valued basePath option into the per-batch read
+    raw = spark.readStream.schema(EVENTS_RAW_NANOS_SCHEMA).parquet(
+        os.path.join(sf_dir, "events.parqu*")
+    )
+    return _nanos_to_timestamp(raw)
+
+
+def changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC changelog (same stateless projection as batch)."""
+    return build_changelog(events_stream(spark, sf_dir))
+
+
+def kafka_changelog_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic_pattern: str = "mysql-server.pos_bi_db.*",
+) -> DataFrame:
+    """Real-Kafka source wiring (no broker in this harness — not exercised by
+    tests, kept import-safe). Mirrors the reference's consumed topic list
+    (register-postgres-sink.json:9)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribePattern", topic_pattern)
+        .option("startingOffsets", "earliest")
+        .load()
+        .select(
+            F.col("offset"),
+            F.col("topic"),
+            F.col("partition"),
+            F.col("key").cast("string").alias("key"),
+            F.col("value").cast("string").alias("value"),
+            F.col("timestamp"),
+        )
+    )
+
+
+def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
+    """Run an availableNow streaming query into a memory sink; return result."""
+    name = f"memsink_{next(_MEMSINK_IDS)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
+
+
+def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_tumbling``: 1-day tumbling-window counts/sums per event type,
+    computed by a real streaming query (complete mode, availableNow)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 day").alias("win"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+    out = _run_to_memory(agg, "complete")
+    return out.select(
+        F.col("win.start").alias("day_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def windowed_event_counts_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_watermark``: same window agg under a 1-day watermark in append
+    mode — only closed windows are emitted (late-data bound)."""
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _run_to_memory(agg, "append")
+    return out.select(
+        F.col("win.start").alias("day_start"), "event_type", "n_events"
+    )
+
+
+def streaming_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_dedup_state``: keyed latest-state CDC materialization running
+    in the streaming state store (complete-mode max_by aggregation), then the
+    delete filter applied to the materialized result.
+
+    Equivalent to batch ``upsert_materialize`` — the state store holds one
+    struct per live (table, key)."""
+    unwrapped = unwrap(split_dlq(parse_envelope(changelog_stream(spark, sf_dir)))[0])
+    latest = unwrapped.groupBy("table_name", "key_id").agg(
+        F.max_by(F.struct("is_delete", "after"), "offset").alias("last"),
+        F.max("offset").alias("last_offset"),
+    )
+    out = _run_to_memory(latest, "complete")
+    return out.filter(~F.col("last.is_delete")).select(
+        "table_name", "last_offset", "last.after.*"
+    )
+
+
+def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``snk_jdbc_upsert`` analog: micro-batch MERGE via foreachBatch.
+
+    Each micro-batch's per-key latest image is merged into an accumulated
+    state table (what the JDBC sink does with INSERT ... ON CONFLICT,
+    reference register-postgres-sink.json:15-17). The merge is expressed as a
+    DataFrame full-outer combine so the same code would back a Delta MERGE or
+    JDBC upsert loop.
+    """
+    state: dict[str, DataFrame] = {}
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch.groupBy("table_name", "key_id")
+            .agg(
+                F.max_by(F.struct("is_delete", "after"), "offset").alias("last"),
+                F.max("offset").alias("last_offset"),
+            )
+        )
+        prev = state.get("t")
+        if prev is None:
+            merged = latest
+        else:
+            merged = (
+                prev.unionByName(latest)
+                .groupBy("table_name", "key_id")
+                .agg(
+                    F.max_by(F.struct("last", "last_offset"), "last_offset").alias("m")
+                )
+                .select("table_name", "key_id", F.col("m.last").alias("last"),
+                        F.col("m.last_offset").alias("last_offset"))
+            )
+        state["t"] = merged.localCheckpoint(eager=True)
+
+    unwrapped = unwrap(split_dlq(parse_envelope(changelog_stream(spark, sf_dir)))[0])
+    q = (
+        unwrapped.writeStream.foreachBatch(merge_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = state["t"]
+    return final.filter(~F.col("last.is_delete")).select(
+        "table_name", "last_offset", "last.after.*"
+    )
