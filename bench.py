@@ -1,0 +1,66 @@
+"""Benchmark harness: run every queries() entry at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Timing = full query wall time (plan + execute + collect to driver), after a
+one-query warmup to amortize JVM/codegen startup. Each query runs once —
+these are end-to-end numbers, not microbenchmarks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
+    from cdc_debezium_kafka_airflow_spark.session import get_spark
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warmup: JVM, codegen, parquet footer caches
+    qs["q1_pricing_summary"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        start = time.perf_counter()
+        try:
+            df = qs[name](spark, sf_dir)
+            # noop sink: full materialization of every row/column, no
+            # driver-side collect bottleneck in the measurement
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # never lose the whole bench to one query
+            print(f"BENCH-ERROR {name}: {exc}", file=sys.stderr)
+            timings[name] = -1.0
+            continue
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
+    except ValueError:
+        sf = None
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

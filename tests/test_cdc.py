@@ -1,0 +1,87 @@
+"""CDC operator invariants beyond the oracle comparison."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import build_changelog
+from cdc_debezium_kafka_airflow_spark.operators.cdc import (
+    parse_envelope,
+    schema_evolve,
+    split_dlq,
+    unwrap,
+    upsert_materialize,
+)
+
+
+def _changelog(spark, sf_dir):
+    return build_changelog(load_table(spark, sf_dir, "events"))
+
+
+def test_changelog_spec_counts(spark, sf_dir):
+    events = load_table(spark, sf_dir, "events")
+    ch = _changelog(spark, sf_dir)
+    n = events.count()
+    assert ch.count() == n
+    n_tomb = ch.filter(F.col("value").isNull()).count()
+    assert n_tomb == events.filter(F.col("event_id") % 20 == 8).count()
+    n_bad = ch.filter(F.col("value").startswith('{"malformed')).count()
+    assert n_bad == events.filter(
+        (F.col("event_id") % 97 == 0) & (F.col("event_id") % 10 < 8)
+    ).count()
+
+
+def test_envelope_roundtrip_lossless(spark, sf_dir):
+    """ser -> de -> unwrap must reproduce the exact source rows for creates."""
+    events = load_table(spark, sf_dir, "events")
+    main, _ = split_dlq(parse_envelope(_changelog(spark, sf_dir)))
+    u = unwrap(main).filter(F.col("op").isin("c", "u", "r"))
+    back = u.select("after.*")
+    assert back.schema == events.schema
+    # symmetric difference empty <=> lossless round-trip (minus DLQ'd rows)
+    kept = events.filter(
+        ~((F.col("event_id") % 97 == 0) & (F.col("event_id") % 10 < 8))
+        & ~(F.col("event_id") % 10 == 8)
+    )
+    assert back.exceptAll(kept).count() == 0
+    assert kept.exceptAll(back).count() == 0
+
+
+def test_split_dlq_is_partition(spark, sf_dir):
+    parsed = parse_envelope(_changelog(spark, sf_dir))
+    main, dlq = split_dlq(parsed)
+    assert main.count() + dlq.count() == parsed.count()
+    # tombstones stay on main
+    assert main.filter(F.col("value").isNull()).count() > 0
+    assert dlq.filter(F.col("value").isNull()).count() == 0
+
+
+def test_upsert_deletes_drop_keys(spark, sf_dir):
+    u = unwrap(split_dlq(parse_envelope(_changelog(spark, sf_dir)))[0])
+    state = upsert_materialize(u)
+    # every (table, key) whose LAST valid record is a delete must be absent
+    last = (
+        u.groupBy("table_name", "key_id")
+        .agg(F.max_by("is_delete", "offset").alias("last_del"))
+    )
+    deleted = last.filter(F.col("last_del"))
+    joined = state.join(
+        deleted,
+        on=[
+            state.table_name == deleted.table_name,
+            state.user_id == deleted.key_id,
+        ],
+    )
+    assert joined.count() == 0
+    # and state has exactly one row per surviving key
+    assert state.groupBy("table_name", "user_id").count().filter("count > 1").count() == 0
+
+
+def test_schema_evolve_widens_with_nulls(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    v1 = o.limit(10).select("o_orderkey")
+    v2 = o.limit(5).select("o_orderkey", "o_orderpriority")
+    widened = schema_evolve(v1, v2)
+    assert set(widened.columns) == {"o_orderkey", "o_orderpriority"}
+    assert widened.filter(F.col("o_orderpriority").isNull()).count() == 10

@@ -1,0 +1,112 @@
+"""Invariant tests for the hash-family dedup ops (no SQL oracle) and the
+similarity search tiers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+from cdc_debezium_kafka_airflow_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+    brute_force_topk,
+    bucketed_ann_topk,
+)
+
+
+def _docs_with_planted_dups(spark, sf_dir, n=20):
+    """documents ∪ exact copies with doc_id shifted by +1_000_000."""
+    d = load_table(spark, sf_dir, "documents")
+    dups = d.limit(n).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    return d.unionByName(dups)
+
+
+def test_exact_dedup_finds_planted_dups(spark, sf_dir):
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    out = exact_dedup(docs)
+    assert out.filter(F.col("n_dups") == 2).count() == 20
+    # survivor is always the lowest doc_id (the original)
+    assert out.filter(F.col("doc_id") >= 1_000_000).count() == 0
+
+
+def test_minhash_lsh_finds_planted_dups(spark, sf_dir):
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    pairs = minhash_lsh_pairs(docs, max_jaccard_distance=0.2)
+    found = {
+        (r.id_a, r.id_b)
+        for r in pairs.collect()
+        if r.id_b == r.id_a + 1_000_000
+    }
+    # identical docs have jaccard distance 0 -> LSH must surface them all
+    assert len(found) == 20
+
+
+def test_simhash_identical_docs_hamming_zero(spark, sf_dir):
+    docs = _docs_with_planted_dups(spark, sf_dir)
+    pairs = simhash_near_pairs(docs).filter(
+        F.col("id_b") == F.col("id_a") + 1_000_000
+    )
+    got = pairs.collect()
+    assert len(got) == 20
+    assert all(r.hamming == 0 for r in got)
+
+
+def test_simhash_is_64bit_stable(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    a = {r.doc_id: r.simhash for r in simhash(d).collect()}
+    b = {r.doc_id: r.simhash for r in simhash(d).collect()}
+    assert a == b
+
+
+def test_ngram_jaccard_planted_dups_score_one(spark, sf_dir):
+    docs = _docs_with_planted_dups(spark, sf_dir, n=5)
+    pairs = ngram_jaccard_pairs(docs, threshold=0.99)
+    planted = pairs.filter(F.col("id_b") == F.col("id_a") + 1_000_000)
+    assert planted.count() == 5
+    assert all(r.jaccard == 1.0 for r in planted.collect())
+
+
+def test_brute_topk_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    got = brute_force_topk(queries, corpus, k=5).collect()
+
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in e.collect()}
+    for qid in {r.query_id for r in got}:
+        q = vecs[qid]
+        sims = {
+            vid: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+            for vid, v in vecs.items()
+            if vid != qid
+        }
+        expect = sorted(sims, key=lambda v: (-sims[v], v))[:5]
+        mine = [r.neighbor_id for r in sorted(got, key=lambda r: r.rank) if r.query_id == qid]
+        assert mine == expect
+
+
+def test_bucketed_ann_subset_of_bucket(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    ann = bucketed_ann_topk(queries, corpus, k=5).collect()
+    assert len(ann) > 0
+    # every ANN hit must also be a real vector with rank<=5 within its bucket
+    assert all(1 <= r.rank <= 5 for r in ann)
+    assert all(-1.0 <= r.cosine_sim <= 1.0 for r in ann)

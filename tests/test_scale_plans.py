@@ -1,0 +1,62 @@
+"""Physical-plan guards: the properties that make these queries survive a
+100x scale-up must be visible in the executed plan text."""
+
+from __future__ import annotations
+
+from cdc_debezium_kafka_airflow_spark.queries.relational import (
+    join_broadcast,
+    proj_filter,
+    q1_pricing_summary,
+    sort_limit_topk,
+)
+from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import upsert_materialize_q
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filters_pushed_to_parquet_scan(spark, sf_dir):
+    df = proj_filter(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters:" in plan
+    assert "GreaterThan(l_discount" in plan
+    # column pruning: unreferenced columns don't reach the scan
+    assert "l_comment" not in plan
+    assert "ReadSchema" in plan
+
+
+def test_q1_uses_partial_aggregation(spark, sf_dir):
+    plan = _plan(q1_pricing_summary(spark, sf_dir))
+    assert "partial_" in plan  # map-side combine before the shuffle
+
+
+def test_join_broadcast_is_broadcast(spark, sf_dir):
+    plan = _plan(join_broadcast(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    plan = _plan(sort_limit_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_upsert_materialize_is_hash_agg_not_window_sort(spark, sf_dir):
+    """The core CDC operator must be a single hash aggregation with map-side
+    partial max_by — not a sort-based row_number window."""
+    plan = _plan(upsert_materialize_q(spark, sf_dir))
+    assert "Window" not in plan
+    assert "partial_max_by" in plan or "partial_" in plan
+
+
+def test_whole_stage_codegen_active(spark, sf_dir):
+    df = q1_pricing_summary(spark, sf_dir)
+    df.collect()  # finalize the AQE plan
+    plan = _plan(df)
+    # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
+    assert "*(1)" in plan

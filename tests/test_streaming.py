@@ -1,0 +1,37 @@
+"""Streaming twins: state-store upsert == batch materialize; watermarked
+append mode emits only closed windows."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_debezium_kafka_airflow_spark.streaming import jobs
+from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import upsert_materialize_q
+
+
+def test_streaming_upsert_equals_batch(spark, sf_dir):
+    stream_state = jobs.streaming_upsert_state(spark, sf_dir)
+    batch_state = upsert_materialize_q(spark, sf_dir)
+    assert stream_state.exceptAll(batch_state).count() == 0
+    assert batch_state.exceptAll(stream_state).count() == 0
+
+
+def test_foreachbatch_upsert_equals_batch(spark, sf_dir):
+    fb_state = jobs.foreach_batch_upsert(spark, sf_dir)
+    batch_state = upsert_materialize_q(spark, sf_dir)
+    assert fb_state.exceptAll(batch_state).count() == 0
+    assert batch_state.exceptAll(fb_state).count() == 0
+
+
+def test_watermarked_append_emits_closed_windows(spark, sf_dir):
+    out = jobs.windowed_event_counts_watermarked(spark, sf_dir)
+    rows = out.collect()
+    # all-but-the-last day's windows close under a 1-day watermark
+    complete = jobs.windowed_event_counts(spark, sf_dir)
+    assert 0 < len(rows) <= complete.count()
+    # emitted counts must agree with the complete-mode result
+    comp = {
+        (r.day_start, r.event_type): r.n_events for r in complete.collect()
+    }
+    for r in rows:
+        assert comp[(r.day_start, r.event_type)] == r.n_events
