@@ -69,8 +69,8 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (SELECT doc_id, source, {NORM} AS t FROM documents),
     sh AS (SELECT doc_id, source,
                   list_distinct(list_transform(
-                      range(1, greatest(length(t) - 2, 1) + 1),
-                      i -> substr(t, CAST(i AS INT), 3))) AS s
+                      range(1, greatest(length(t) - 9, 1) + 1),
+                      i -> substr(t, CAST(i AS INT), 10))) AS s
            FROM d),
     sz AS (SELECT doc_id, len(s) AS set_size FROM sh),
     ex AS (SELECT doc_id, source, unnest(s) AS shingle FROM sh),
@@ -86,14 +86,16 @@ def ext_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM inter
     JOIN sz sa ON id_a = sa.doc_id
     JOIN sz sb ON id_b = sb.doc_id
-    WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= 0.7
+    WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5
     """,
 )
 def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-char-shingle Jaccard near-dup pairs, source-blocked inverted-index
-    join (the sub-quadratic candidate-generation shape)."""
+    """10-char-shingle Jaccard near-dup pairs via prefix-filtered exact
+    set-similarity join. k=10 because this corpus's vocabulary saturates
+    short shingle spaces (377 distinct 3-grams vs ~50k 10-grams) — short
+    shingles make every pair ~0.6-similar and any algorithm quadratic."""
     return ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), threshold=0.7
+        t(spark, sf_dir, "documents"), k=10, threshold=0.5
     )
 
 

@@ -11,9 +11,10 @@ from cdc_debezium_kafka_airflow_spark.queries import (
     ext_queries,
     relational,
     streaming_queries,
+    surface_queries,
 )
 
-_MODULES = [relational, cdc_queries, ext_queries, streaming_queries]
+_MODULES = [relational, cdc_queries, ext_queries, streaming_queries, surface_queries]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

@@ -1,0 +1,153 @@
+"""Remaining SURVEY.md §2 surface ops: snapshot source, schema-history sink,
+raw-SQL passthrough, the (Pandas) UDF surface, watermarked streaming."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_debezium_kafka_airflow_spark.queries.common import t
+from cdc_debezium_kafka_airflow_spark.operators.cdc import parse_envelope, unwrap
+from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import JSON_TS_OPTS
+from cdc_debezium_kafka_airflow_spark.streaming import jobs
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@q(
+    "src_cdc_snapshot",
+    """
+    SELECT 'r' AS op, o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           o_orderdate, o_orderpriority
+    FROM orders
+    """,
+)
+def src_cdc_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial consistent snapshot (Debezium emits every existing row as an
+    op='r' envelope before streaming the binlog, reference
+    register-mysql-connector.json:4,11-12). The real serialize->parse round
+    trip runs here; a hash match proves snapshot fidelity for a second table
+    schema (orders, incl. its timestamp column)."""
+    o = t(spark, sf_dir, "orders")
+    row = F.struct(*[F.col(c) for c in o.columns])
+    # serialize minimal snapshot envelope {payload:{after,op:'r'}}
+    ser = o.select(
+        F.to_json(
+            F.struct(
+                F.struct(
+                    row.alias("after"),
+                    F.lit("r").alias("op"),
+                ).alias("payload")
+            ),
+            JSON_TS_OPTS,
+        ).alias("value")
+    )
+    schema = (
+        "payload struct<after:struct<o_orderkey:bigint,o_custkey:bigint,"
+        "o_orderstatus:string,o_totalprice:double,o_orderdate:timestamp_ntz,"
+        "o_orderpriority:string>,op:string>"
+    )
+    parsed = ser.select(
+        F.from_json(F.col("value"), schema, JSON_TS_OPTS).alias("p")
+    )
+    return parsed.select(F.col("p.payload.op").alias("op"), "p.payload.after.*")
+
+
+@q(
+    "snk_schema_history",
+    """
+    SELECT DISTINCT 'orders' AS table_name,
+           CAST(1 + o_orderkey % 2 AS INT) AS schema_version,
+           CASE WHEN o_orderkey % 2 = 0
+                THEN 'CREATE TABLE orders (o_orderkey BIGINT, o_totalprice DOUBLE)'
+                ELSE 'ALTER TABLE orders ADD COLUMN o_orderpriority STRING'
+           END AS ddl
+    FROM orders
+    """,
+)
+def snk_schema_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-history topic analog: the DDL-change log the reference persists
+    to `dbhistory.pos` (register-mysql-connector.json:13,19-21), derived from
+    the observed schema versions of the evolving orders stream."""
+    o = t(spark, sf_dir, "orders")
+    version = (1 + F.col("o_orderkey") % 2).cast("int")
+    ddl = F.when(
+        F.col("o_orderkey") % 2 == 0,
+        "CREATE TABLE orders (o_orderkey BIGINT, o_totalprice DOUBLE)",
+    ).otherwise("ALTER TABLE orders ADD COLUMN o_orderpriority STRING")
+    return (
+        o.select(
+            F.lit("orders").alias("table_name"),
+            version.alias("schema_version"),
+            ddl.alias("ddl"),
+        )
+        .distinct()
+    )
+
+
+@q(
+    "src_sql_passthrough",
+    """
+    SELECT 'events' AS table_name,
+           coalesce(max(event_id), 0) AS max_id,
+           count(*) AS n_rows
+    FROM events
+    """,
+)
+def src_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-SQL passthrough: the reference's query idiom is SQL strings pushed
+    through DB hooks (dags/cdc_data_integrity_dynamic_dag.py:50-55); our
+    engine IS the executor, so the same string runs via spark.sql."""
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        "SELECT 'events' AS table_name, coalesce(max(event_id), 0) AS max_id, "
+        "count(*) AS n_rows FROM events_v"
+    )
+
+
+@q(
+    "udf_surface",
+    """
+    SELECT event_id,
+           round(value * (1 + CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+                                   AS INT) / 100.0), 6) AS boosted_value
+    FROM events
+    """,
+)
+def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The user-defined-function surface (the reference's response_check
+    callables are user-defined predicates, dags/cdc_health_check_dag.py:17-34)
+    as an Arrow-vectorized pandas_udf — the only sanctioned way to run custom
+    Python per-row at scale (batched columnar transfer, no per-row pickling).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def boost(value: pd.Series, k: pd.Series) -> pd.Series:
+        return (value * (1 + k / 100.0)).round(6)
+
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.select(
+        "event_id", boost(F.col("value"), k).alias("boosted_value")
+    )
+
+
+@q("stream_watermark", None)  # emission set depends on file-arrival order
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked append-mode tumbling windows: only windows closed by the
+    1-day watermark are emitted (the engine's late-data bound)."""
+    t(spark, sf_dir, "events")
+    return jobs.windowed_event_counts_watermarked(spark, sf_dir)

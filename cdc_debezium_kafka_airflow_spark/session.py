@@ -58,6 +58,7 @@ def get_spark(app_name: str = "cdc-spark-engine") -> SparkSession:
         .master(f"local[{cpus}]")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.shuffle.partitions", "32")
     )
     spark = builder.getOrCreate()

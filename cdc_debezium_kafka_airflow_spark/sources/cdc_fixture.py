@@ -48,7 +48,11 @@ TOPIC_PREFIX = "mysql-server.pos_bi_db."
 # against the microsecond source data. (The reference narrows temporals to
 # millis — time.precision.mode=connect, register-mysql-connector.json:16 —
 # we deliberately keep source precision instead of loss.)
-JSON_TS_OPTS = {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"}
+JSON_TS_OPTS = {
+    "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+    # base-table timestamps (orders/lineitem) surface as TIMESTAMP_NTZ
+    "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+}
 
 # event_type -> reference table (register-mysql-connector.json:12 names)
 EVENT_TYPE_TO_TABLE = {
@@ -101,6 +105,12 @@ def build_changelog(events: DataFrame) -> DataFrame:
     Scale: narrow, stateless projection — no shuffle; at 100 TB this is a
     map-only stage fused into whole-stage codegen.
     """
+    # the fixture arrives as one parquet file = one input split; spread the
+    # JSON serialize/parse work across cores (a real Kafka source is already
+    # partitioned, so this shuffle exists only in the replay path)
+    events = events.repartition(
+        events.sparkSession.sparkContext.defaultParallelism
+    )
     row_image = F.struct(*[F.col(f.name) for f in EVENTS_SCHEMA.fields])
     table = _table_col()
     op = _op_col()
