@@ -10,11 +10,19 @@ from cdc_debezium_kafka_airflow_spark.queries import (
     cdc_queries,
     ext_queries,
     relational,
+    relational2,
     streaming_queries,
     surface_queries,
 )
 
-_MODULES = [relational, cdc_queries, ext_queries, streaming_queries, surface_queries]
+_MODULES = [
+    relational,
+    relational2,
+    cdc_queries,
+    ext_queries,
+    streaming_queries,
+    surface_queries,
+]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}

@@ -1,0 +1,217 @@
+"""Second wave of warehouse surface: grouping sets, exact percentiles,
+sessionization, TF-IDF, full-outer join, approximate distinct (HLL)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from cdc_debezium_kafka_airflow_spark.queries.common import t
+from cdc_debezium_kafka_airflow_spark.operators.text import normalize_text, ws_tokens
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@q(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                            (o_orderstatus, o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS through the SQL surface (one pass, expanded by the
+    planner into a single shuffle)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                (o_orderstatus, o_orderpriority))
+        """
+    )
+
+
+@q(
+    "agg_percentile",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous percentiles (interpolated), per group."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@q("agg_approx_distinct", None)  # HLL sketch: engine-specific estimates
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the constant-memory distinct
+    estimator used when exact distinct shuffles are too expensive at scale.
+    Rows-only (sketch estimates are engine-specific); pytest bounds the
+    relative error against the exact count."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )
+
+
+@q(
+    "stream_session_window",
+    """
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 1 HOUR
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 1 HOUR AS session_end,
+           count(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (1-hour inactivity gap) via the native session_window
+    operator — the streaming-capable sessionization primitive; the oracle
+    reproduces it with the classic gaps-and-islands SQL."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.session_window("ts", "1 hour").alias("w"), F.col("user_id")
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@q(
+    "join_full_outer",
+    """
+    WITH active AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    big AS (SELECT DISTINCT o_custkey % 150 AS user_id FROM orders
+            WHERE o_totalprice > 400000)
+    SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           (a.user_id IS NOT NULL) AS has_purchase_event,
+           (b.user_id IS NOT NULL) AS has_big_order
+    FROM active a FULL OUTER JOIN big b ON a.user_id = b.user_id
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = t(spark, sf_dir, "events")
+    o = t(spark, sf_dir, "orders")
+    active = (
+        e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    big = (
+        o.filter(F.col("o_totalprice") > 400000)
+        .select((F.col("o_custkey") % 150).alias("user_id"))
+        .distinct()
+    )
+    a = active.alias("a")
+    b = big.alias("b")
+    return a.join(b, F.col("a.user_id") == F.col("b.user_id"), "full_outer").select(
+        F.coalesce(F.col("a.user_id"), F.col("b.user_id")).alias("user_id"),
+        F.col("a.user_id").isNotNull().alias("has_purchase_event"),
+        F.col("b.user_id").isNotNull().alias("has_big_order"),
+    )
+
+
+@q(
+    "ext_tfidf_top_terms",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT source, doc_id, unnest(string_split(
+          lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT source, term, count(*) AS term_docs FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT source) AS n_sources FROM toks GROUP BY 1),
+    scored AS (
+      SELECT tf.source, tf.term,
+             round(tf.term_docs * ln(20.0 / df.n_sources), 6) AS tfidf
+      FROM tf JOIN df USING (term)
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY source
+                                   ORDER BY tfidf DESC, term ASC) AS rnk
+      FROM scored
+    )
+    SELECT source, term, tfidf, CAST(rnk AS INT) AS rnk
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def ext_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-5 characteristic terms per source (tf = docs in source
+    containing the term; idf = ln(n_sources_total / n_sources_with_term))."""
+    d = t(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "source",
+            "doc_id",
+            F.explode(
+                F.array_distinct(ws_tokens(normalize_text(F.col("text"))))
+            ).alias("term"),
+        )
+        .distinct()
+    )
+    tf = toks.groupBy("source", "term").agg(F.count("*").alias("term_docs"))
+    df = toks.groupBy("term").agg(
+        F.countDistinct("source").alias("n_sources")
+    )
+    scored = tf.join(df, "term").select(
+        "source",
+        "term",
+        F.round(
+            F.col("term_docs") * F.log(F.lit(20.0) / F.col("n_sources")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "term", "tfidf", "rnk")
+    )

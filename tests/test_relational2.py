@@ -1,0 +1,32 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_debezium_kafka_airflow_spark.queries.relational2 import (
+    agg_approx_distinct,
+    stream_session_window,
+)
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    rows = agg_approx_distinct(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r.approx_orders - r.exact_orders) / max(r.exact_orders, 1)
+        assert rel_err < 0.1, (r.l_returnflag, r.approx_orders, r.exact_orders)
+
+
+def test_session_windows_respect_gap(spark, sf_dir):
+    sessions = stream_session_window(spark, sf_dir)
+    # no two sessions of the same user may overlap (end = last ts + gap)
+    a = sessions.alias("a")
+    b = sessions.alias("b")
+    overlaps = a.join(
+        b,
+        on=[
+            F.col("a.user_id") == F.col("b.user_id"),
+            F.col("a.session_start") < F.col("b.session_start"),
+            F.col("b.session_start") < F.col("a.session_end"),
+        ],
+    )
+    assert overlaps.count() == 0
