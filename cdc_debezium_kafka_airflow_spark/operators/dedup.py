@@ -140,8 +140,8 @@ def ngram_jaccard_pairs(
     )
     n_inter = F.size(F.array_intersect("shingles_a", "shingles_b"))
     return (
-        candidates.join(sa, "id_a")
-        .join(sb, "id_b")
+        candidates.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -175,46 +175,99 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     num_hash_tables: int = 5,
     max_jaccard_distance: float = 0.4,
-    num_features: int = 1 << 18,
     seed: int = 42,
 ) -> DataFrame:
-    """MinHash+LSH near-dup pairs via Spark ML (shingle -> minhash -> band ->
-    bucket-join). Deterministic for a fixed seed. Returns
-    (id_a, id_b, jaccard_distance) with id_a < id_b.
+    """MinHash+LSH near-dup pairs (shingle -> minhash -> band -> bucket-join
+    -> exact verify), entirely in JVM expressions (no ML sparse vectors, no
+    Python): per band b, signature = min(xxhash64(b, seed, shingle)) over the
+    doc's word-3-shingles; docs colliding on any band signature become
+    candidates; candidates are verified with the EXACT jaccard via
+    array_intersect, so the cutoff is exact and only recall is approximate
+    (P[collision] = 1-(1-j)^bands for true jaccard j; identical docs always
+    collide).
 
-    Scale note: candidate volume is governed by shingle distinctiveness and
-    the distance cutoff, not corpus size — word-level shingles + a tight
-    cutoff keep ``approxSimilarityJoin`` near-linear; char-3 shingles on a
-    shared-vocabulary corpus make it quadratic (measured: >590 s at 5k docs
-    vs seconds with word shingles)."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
+    Scale shape: signatures are a map-only stage; the band join is an
+    equi-join on (band, min_hash) whose bucket sizes are bounded by shingle
+    distinctiveness (word-level shingles keep them small — char-3 shingles
+    on a shared-vocabulary corpus saturate and go quadratic); verification
+    touches candidates only.
+    """
     # project tokens first — see ngram_jaccard_pairs on lambda re-evaluation
     tokenized = df.select(
         F.col(id_col).alias("doc_id"),
         ws_tokens(normalize_text(F.col(text_col))).alias("toks"),
     )
+    # no size()>0 guard: word_shingles_from_tokens always yields >=1 element,
+    # and a post-select filter would be pushed below the projection, doubling
+    # the whole shingling expression per row (visible in .explain)
     shingled = tokenized.select(
         "doc_id", word_shingles_from_tokens(F.col("toks"), 3).alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    tf = HashingTF(
-        inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
+    ).persist()
+
+    def band_sig(b: int) -> Column:
+        return F.array_min(
+            F.transform(
+                F.col("shingles"),
+                lambda s: F.xxhash64(F.lit(b), F.lit(seed), s),
+            )
+        )
+
+    sigs = shingled.select(
+        "doc_id",
+        F.size("shingles").alias("set_size"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_sig(b).alias("sig")
+                    )
+                    for b in range(num_hash_tables)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "set_size", "bs.band", "bs.sig")
+
+    candidates = (
+        sigs.alias("x")
+        .join(
+            sigs.alias("y"),
+            on=[
+                F.col("x.band") == F.col("y.band"),
+                F.col("x.sig") == F.col("y.sig"),
+                F.col("x.doc_id") < F.col("y.doc_id"),
+                # length prune: jaccard <= min/max set size
+                F.least(F.col("x.set_size"), F.col("y.set_size"))
+                >= F.lit(1.0 - max_jaccard_distance)
+                * F.greatest(F.col("x.set_size"), F.col("y.set_size")),
+            ],
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.col("x.set_size").alias("size_a"),
+            F.col("y.set_size").alias("size_b"),
+        )
+        .distinct()
     )
-    feats = tf.transform(shingled)
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=seed
+    # broadcast the packed shingle arrays: joining them shuffled would move
+    # ~candidates x array_size bytes (the dominant cost, measured); the doc
+    # side is small. At corpus sizes where it no longer broadcasts, insert a
+    # signature-vector estimate prune before this exact verification.
+    sa = shingled.select(
+        F.col("doc_id").alias("id_a"), F.col("shingles").alias("shingles_a")
     )
-    model = lsh.fit(feats)
-    pairs = model.approxSimilarityJoin(
-        feats, feats, max_jaccard_distance, distCol="jaccard_distance"
+    sb = shingled.select(
+        F.col("doc_id").alias("id_b"), F.col("shingles").alias("shingles_b")
+    )
+    n_inter = F.size(F.array_intersect("shingles_a", "shingles_b"))
+    jd = F.lit(1.0) - n_inter / (
+        F.col("size_a") + F.col("size_b") - n_inter
     )
     return (
-        pairs.select(
-            F.col("datasetA.doc_id").alias("id_a"),
-            F.col("datasetB.doc_id").alias("id_b"),
-            F.round("jaccard_distance", 6).alias("jaccard_distance"),
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
+        candidates.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .select("id_a", "id_b", F.round(jd, 6).alias("jaccard_distance"))
+        .filter(F.col("jaccard_distance") <= max_jaccard_distance)
     )
 
 

@@ -58,6 +58,20 @@ def stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_stateful_pandas_upsert",
+    f"""
+    WITH {MAT_CTE}
+    SELECT * FROM mat
+    """,
+)
+def stream_stateful_pandas_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): keyed last-write-
+    wins with deletes in user-managed state — must equal upsert_materialize."""
+    t(spark, sf_dir, "events")
+    return jobs.stateful_upsert_apply_in_pandas(spark, sf_dir)
+
+
+@q(
     "stream_foreachbatch_upsert",
     f"""
     WITH {MAT_CTE}

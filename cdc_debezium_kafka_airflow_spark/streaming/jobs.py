@@ -149,6 +149,100 @@ def streaming_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stateful_upsert_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    keyed last-write-wins upsert with delete semantics, state = one row image
+    per live (table, key).
+
+    This is the escape hatch for stateful semantics Spark's built-in
+    operators can't express; here it intentionally re-implements
+    upsert_materialize so the result is oracle-checkable. Arrow moves each
+    key-group batch to Python; state is a single flat tuple per key, so
+    state-store size is bounded by live keys, not stream length.
+    """
+    import pandas as pd  # noqa: F401 (arrow batches arrive as pandas)
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    unwrapped = unwrap(
+        split_dlq(parse_envelope(changelog_stream(spark, sf_dir)))[0]
+    )
+    flat = unwrapped.select(
+        "table_name", "key_id", "offset", "is_delete",
+        F.col("after.event_id").alias("event_id"),
+        F.col("after.ts").alias("ts"),
+        F.col("after.user_id").alias("user_id"),
+        F.col("after.event_type").alias("event_type"),
+        F.col("after.value").alias("value"),
+        F.col("after.props").alias("props"),
+    )
+    out_schema = (
+        "table_name string, key_id long, last_offset long, is_delete boolean, "
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    state_schema = (
+        "last_offset long, is_delete boolean, event_id long, ts timestamp, "
+        "user_id long, event_type string, value double, props string"
+    )
+
+    def update(key, pdfs, state: "GroupState"):
+        import pandas as pd
+
+        best = None  # (offset, is_delete, event_id, ts, user_id, etype, value, props)
+        if state.exists:
+            best = tuple(state.get)
+        for pdf in pdfs:
+            for row in pdf.itertuples(index=False):
+                cand = (
+                    int(row.offset),
+                    bool(row.is_delete),
+                    None if pd.isna(row.event_id) else int(row.event_id),
+                    None if pd.isna(row.ts) else row.ts,
+                    None if pd.isna(row.user_id) else int(row.user_id),
+                    None if row.event_type is None else str(row.event_type),
+                    None if pd.isna(row.value) else float(row.value),
+                    None if row.props is None else str(row.props),
+                )
+                if best is None or cand[0] > best[0]:
+                    best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            [(key[0], key[1]) + best],
+            columns=[
+                "table_name", "key_id", "last_offset", "is_delete",
+                "event_id", "ts", "user_id", "event_type", "value", "props",
+            ],
+        )
+
+    latest = flat.groupBy("table_name", "key_id").applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    out = _run_to_memory(latest, "update")
+    # update-mode sink may hold one row per key per micro-batch: reduce to
+    # the final image, then apply delete semantics
+    final = out.groupBy("table_name", "key_id").agg(
+        F.max_by(
+            F.struct(
+                "is_delete", "event_id", "ts", "user_id", "event_type",
+                "value", "props",
+            ),
+            "last_offset",
+        ).alias("last"),
+        F.max("last_offset").alias("last_offset"),
+    )
+    return final.filter(~F.col("last.is_delete")).select(
+        "table_name",
+        "last_offset",
+        F.col("last.event_id").alias("event_id"),
+        F.col("last.ts").alias("ts"),
+        F.col("last.user_id").alias("user_id"),
+        F.col("last.event_type").alias("event_type"),
+        F.col("last.value").alias("value"),
+        F.col("last.props").alias("props"),
+    )
+
+
 def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``snk_jdbc_upsert`` analog: micro-batch MERGE via foreachBatch.
 
