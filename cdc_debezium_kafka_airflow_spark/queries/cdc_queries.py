@@ -82,9 +82,19 @@ mat AS (
 """
 
 
-def _unwrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serialized+parsed changelog, persisted: the DLQ split filters on the
+    parse result, and without a materialization boundary Catalyst pushes that
+    filter below the projection and re-evaluates the whole
+    to_json->from_json round-trip three times (visible in .explain).
+    A real pipeline has the same boundary — Kafka holds the serialized
+    stream; the engine parses each record once."""
     ch = build_changelog(t(spark, sf_dir, "events"))
-    main, _ = split_dlq(parse_envelope(ch))
+    return parse_envelope(ch).persist()
+
+
+def _unwrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    main, _ = split_dlq(_parsed(spark, sf_dir))
     return unwrap(main)
 
 
@@ -164,8 +174,7 @@ def upsert_materialize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def snk_dlq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """errors.tolerance=all split + HoistField -> kafka_dlq audit rows."""
-    ch = build_changelog(t(spark, sf_dir, "events"))
-    _, dlq = split_dlq(parse_envelope(ch))
+    _, dlq = split_dlq(_parsed(spark, sf_dir))
     return hoist_field(dlq)
 
 

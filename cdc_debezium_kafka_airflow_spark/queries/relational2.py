@@ -159,6 +159,37 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "agg_pivot",
+    """
+    SELECT c_mktsegment,
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0), 2) AS rev_O,
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0), 2) AS rev_F,
+           round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 0), 2) AS rev_P
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long -> wide) on order status: single-pass pivoted hash
+    aggregation with explicit pivot values (no extra pass to discover them).
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    pivoted = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .sum("o_totalprice")
+    )
+    return pivoted.select(
+        "c_mktsegment",
+        F.round(F.coalesce(F.col("O"), F.lit(0)), 2).alias("rev_O"),
+        F.round(F.coalesce(F.col("F"), F.lit(0)), 2).alias("rev_F"),
+        F.round(F.coalesce(F.col("P"), F.lit(0)), 2).alias("rev_P"),
+    )
+
+
+@q(
     "ext_tfidf_top_terms",
     f"""
     WITH toks AS (
