@@ -13,6 +13,7 @@ from cdc_debezium_kafka_airflow_spark.queries import (
     relational2,
     streaming_queries,
     surface_queries,
+    surface2_queries,
 )
 
 _MODULES = [
@@ -22,6 +23,7 @@ _MODULES = [
     ext_queries,
     streaming_queries,
     surface_queries,
+    surface2_queries,
 ]
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -1,0 +1,173 @@
+"""Third surface wave: theta (non-equi) join, Python UDTF via LATERAL,
+grouped-map UDAF (applyInPandas), and SCD2 history — the versioned-table
+derivative every CDC warehouse materializes besides latest-state."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from cdc_debezium_kafka_airflow_spark.queries.common import t
+from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import CH_CTE, _unwrapped
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@q(
+    "join_theta",
+    """
+    WITH mx AS (SELECT o_orderstatus AS s, max(o_totalprice) AS mx
+                FROM orders GROUP BY 1)
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           round(0.21 * mx, 4) AS cutoff
+    FROM orders JOIN mx ON o_orderstatus = s AND o_totalprice < 0.21 * mx
+    """,
+)
+def join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join: equi key + inequality condition against a per-group
+    aggregate (max is exact in doubles, so the boundary is deterministic
+    across engines — never use avg in a cross-engine float comparison)."""
+    o = t(spark, sf_dir, "orders")
+    mx = o.groupBy(F.col("o_orderstatus").alias("s")).agg(
+        F.max("o_totalprice").alias("mx")
+    )
+    return (
+        o.join(
+            F.broadcast(mx),
+            on=[
+                F.col("o_orderstatus") == F.col("s"),
+                F.col("o_totalprice") < 0.21 * F.col("mx"),
+            ],
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            "o_totalprice",
+            F.round(0.21 * F.col("mx"), 4).alias("cutoff"),
+        )
+    )
+
+
+@q(
+    "udtf_surface",
+    """
+    SELECT event_id,
+           'k' AS prop_key,
+           CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS prop_val
+    FROM events
+    """,
+)
+def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF applied laterally per input row — the table-function
+    surface (one input row -> N output rows), Spark 4's sanctioned custom
+    flatMap in Python."""
+    import json
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="prop_key string, prop_val int")
+    class ParseProps:
+        def eval(self, props: str):
+            try:
+                for k, v in json.loads(props).items():
+                    yield k, int(v)
+            except (ValueError, TypeError):
+                return
+
+    spark.udtf.register("parse_props", ParseProps)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events_udtf_v")
+    return spark.sql(
+        "SELECT e.event_id, p.prop_key, p.prop_val "
+        "FROM events_udtf_v e, LATERAL parse_props(e.props) p"
+    )
+
+
+@q(
+    "udaf_grouped_pandas",
+    """
+    SELECT event_type,
+           round(sum(value * CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT))
+                 / sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)), 6)
+             AS weighted_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate over full groups via applyInPandas (grouped-map):
+    the UDAF surface for logic Spark's built-in aggregates can't express.
+    Arrow moves each group as one pandas frame."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+    def weighted(pdf: pd.DataFrame) -> pd.DataFrame:
+        w = float((pdf["value"] * pdf["k"]).sum() / pdf["k"].sum())
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "weighted_value": [round(w, 6)],
+                "n_events": [len(pdf)],
+            }
+        )
+
+    return e.groupBy("event_type").applyInPandas(
+        weighted, "event_type string, weighted_value double, n_events long"
+    )
+
+
+@q(
+    "cdc_scd2_history",
+    f"""
+    WITH {CH_CTE},
+    led AS (
+      SELECT *, lead(off) OVER (PARTITION BY table_name, key_id
+                                ORDER BY off) AS next_off
+      FROM ch
+    )
+    SELECT table_name, key_id,
+           off AS valid_from_offset,
+           next_off - 1 AS valid_to_offset,
+           (next_off IS NULL) AS is_current,
+           event_id, ts, user_id, event_type, value, props
+    FROM led WHERE op <> 'd'
+    """,
+)
+def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 version history from the changelog: every non-delete image
+    becomes a version row with [valid_from, valid_to) offset bounds; deletes
+    and newer versions close the interval; open intervals are current.
+
+    One window over the same (table, key) partitioning the upsert uses —
+    at scale both materializations share a single shuffle of the changelog.
+    """
+    u = _unwrapped(spark, sf_dir)
+    w = Window.partitionBy("table_name", "key_id").orderBy("offset")
+    led = u.withColumn("next_off", F.lead("offset").over(w))
+    return (
+        led.filter(F.col("op") != "d")
+        .select(
+            "table_name",
+            "key_id",
+            F.col("offset").alias("valid_from_offset"),
+            (F.col("next_off") - 1).alias("valid_to_offset"),
+            F.col("next_off").isNull().alias("is_current"),
+            "after.*",
+        )
+    )
