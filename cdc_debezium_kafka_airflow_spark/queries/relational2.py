@@ -159,6 +159,119 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "agg_hier_rollup",
+    """
+    WITH hourly AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+             event_type, count(*) AS n_events,
+             round(sum(value), 4) AS sum_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(date_trunc('day', hour_start) AS TIMESTAMP) AS day_start,
+           event_type,
+           sum(n_events) AS n_events,
+           round(sum(sum_value), 4) AS sum_value,
+           count(*) AS n_hours_active
+    FROM hourly GROUP BY 1, 2
+    """,
+)
+def agg_hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hierarchical rollup: daily aggregates REAGGREGATED
+    from the hourly level (the continuous-aggregate pattern — at scale the
+    hourly table is materialized once and coarser resolutions derive from it
+    instead of rescanning raw events). Re-summing pre-rounded hourly sums is
+    deliberate: it matches how a real cascade materializes.
+    """
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return hourly.groupBy(
+        F.date_trunc("day", "hour_start").alias("day_start"), "event_type"
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.round(F.sum("sum_value"), 4).alias("sum_value"),
+        F.count("*").alias("n_hours_active"),
+    )
+
+
+@q(
+    "join_range_interval",
+    """
+    WITH err AS (SELECT event_id AS err_id, user_id, ts AS err_ts
+                 FROM events WHERE event_type = 'error')
+    SELECT err_id, count(e.event_id) AS n_following
+    FROM err JOIN events e
+      ON e.user_id = err.user_id
+     AND e.ts > err.err_ts
+     AND e.ts <= err.err_ts + INTERVAL 1 HOUR
+    GROUP BY err_id
+    """,
+)
+def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: events within 1 hour after each error event of
+    the same user — implemented scale-aware as an equi-join on
+    (user_id, hour_bucket) with each probe exploded to its 2 candidate
+    buckets, then the exact range filter. Bounded ~2x blowup instead of the
+    naive per-user cross product (which is what the sf0.01 oracle does)."""
+    e = t(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+    )
+    # probe side: each error event looks in its own hour bucket and the next
+    probes = err.select(
+        "err_id",
+        "err_user",
+        "err_ts",
+        F.explode(
+            F.array(
+                F.date_trunc("hour", "err_ts"),
+                F.date_trunc("hour", F.col("err_ts") + F.expr("INTERVAL 1 HOUR")),
+            )
+        ).alias("bucket"),
+    )  # the two buckets are always distinct (t and t+1h)
+    build = e.select(
+        "user_id",
+        F.col("event_id").alias("ev_id"),
+        F.col("ts").alias("ev_ts"),
+        F.date_trunc("hour", "ts").alias("bucket"),
+    )
+    return (
+        probes.join(
+            build,
+            on=[
+                probes.err_user == build.user_id,
+                probes.bucket == build.bucket,
+            ],
+        )
+        .filter(
+            (F.col("ev_ts") > F.col("err_ts"))
+            & (F.col("ev_ts") <= F.col("err_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("err_id")
+        .agg(F.count("ev_id").alias("n_following"))
+    )
+
+
+@q("agg_approx_percentile", None)  # sketch-based: engine-specific estimates
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (quantile sketch): the constant-memory quantile
+    estimator for 100TB-scale distributions; rows-only (estimates are
+    engine-specific), error-bounded against exact percentiles in pytest."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50_exact"),
+    )
+
+
+@q(
     "agg_pivot",
     """
     SELECT c_mktsegment,

@@ -16,6 +16,15 @@ def test_approx_distinct_within_rsd(spark, sf_dir):
         assert rel_err < 0.1, (r.l_returnflag, r.approx_orders, r.exact_orders)
 
 
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.queries.relational2 import (
+        agg_approx_percentile,
+    )
+
+    for r in agg_approx_percentile(spark, sf_dir).collect():
+        assert abs(r.p50_approx - r.p50_exact) / max(abs(r.p50_exact), 1) < 0.05
+
+
 def test_session_windows_respect_gap(spark, sf_dir):
     sessions = stream_session_window(spark, sf_dir)
     # no two sessions of the same user may overlap (end = last ts + gap)
