@@ -52,7 +52,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _nanos_to_timestamp(raw)
 
 
-def changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def changelog_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Streaming CDC changelog, replayed from a materialized serialized log.
 
     The serialized records are written to disk ONCE (deterministic content)
@@ -74,7 +76,14 @@ def changelog_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "offset long, topic string, partition int, key string, value string, "
         "timestamp timestamp"
     )
-    return spark.readStream.schema(schema).parquet(replay_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        # micro-batch cap — the analog of the reference sink's batch.size
+        # (register-postgres-sink.json:6) / Kafka's maxOffsetsPerTrigger;
+        # with the replay log's 32 files this forces a multi-batch run that
+        # exercises cross-batch state merging
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(replay_dir)
 
 
 def kafka_changelog_stream(
@@ -151,14 +160,16 @@ def windowed_event_counts_watermarked(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
-def streaming_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+def streaming_upsert_state(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """``stream_dedup_state``: keyed latest-state CDC materialization running
     in the streaming state store (complete-mode max_by aggregation), then the
     delete filter applied to the materialized result.
 
     Equivalent to batch ``upsert_materialize`` — the state store holds one
     struct per live (table, key)."""
-    unwrapped = unwrap(split_dlq(parse_envelope(changelog_stream(spark, sf_dir)))[0])
+    unwrapped = unwrap(split_dlq(parse_envelope(changelog_stream(spark, sf_dir, max_files_per_trigger)))[0])
     latest = unwrapped.groupBy("table_name", "key_id").agg(
         F.max_by(F.struct("is_delete", "after"), "offset").alias("last"),
         F.max("offset").alias("last_offset"),
@@ -169,7 +180,9 @@ def streaming_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stateful_upsert_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stateful_upsert_apply_in_pandas(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """Custom stateful streaming operator via ``applyInPandasWithState``:
     keyed last-write-wins upsert with delete semantics, state = one row image
     per live (table, key).
@@ -185,7 +198,7 @@ def stateful_upsert_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFra
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     unwrapped = unwrap(
-        split_dlq(parse_envelope(changelog_stream(spark, sf_dir)))[0]
+        split_dlq(parse_envelope(changelog_stream(spark, sf_dir, max_files_per_trigger)))[0]
     )
     flat = unwrapped.select(
         "table_name", "key_id", "offset", "is_delete",
@@ -266,7 +279,9 @@ def stateful_upsert_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def foreach_batch_upsert(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """``snk_jdbc_upsert`` analog: micro-batch MERGE via foreachBatch.
 
     Each micro-batch's per-key latest image is merged into an accumulated
@@ -300,7 +315,7 @@ def foreach_batch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         state["t"] = merged.localCheckpoint(eager=True)
 
-    unwrapped = unwrap(split_dlq(parse_envelope(changelog_stream(spark, sf_dir)))[0])
+    unwrapped = unwrap(split_dlq(parse_envelope(changelog_stream(spark, sf_dir, max_files_per_trigger)))[0])
     q = (
         unwrapped.writeStream.foreachBatch(merge_batch)
         .outputMode("append")

@@ -23,6 +23,29 @@ def test_foreachbatch_upsert_equals_batch(spark, sf_dir):
     assert batch_state.exceptAll(fb_state).count() == 0
 
 
+def test_multibatch_state_store_upsert_equals_batch(spark, sf_dir):
+    """maxFilesPerTrigger forces many micro-batches over the 32-file replay
+    log — cross-batch state merging must still converge to the batch result."""
+    stream_state = jobs.streaming_upsert_state(spark, sf_dir, max_files_per_trigger=5)
+    batch_state = upsert_materialize_q(spark, sf_dir)
+    assert stream_state.exceptAll(batch_state).count() == 0
+    assert batch_state.exceptAll(stream_state).count() == 0
+
+
+def test_multibatch_foreachbatch_upsert_equals_batch(spark, sf_dir):
+    fb = jobs.foreach_batch_upsert(spark, sf_dir, max_files_per_trigger=5)
+    batch_state = upsert_materialize_q(spark, sf_dir)
+    assert fb.exceptAll(batch_state).count() == 0
+    assert batch_state.exceptAll(fb).count() == 0
+
+
+def test_multibatch_stateful_pandas_upsert_equals_batch(spark, sf_dir):
+    st = jobs.stateful_upsert_apply_in_pandas(spark, sf_dir, max_files_per_trigger=5)
+    batch_state = upsert_materialize_q(spark, sf_dir)
+    assert st.exceptAll(batch_state).count() == 0
+    assert batch_state.exceptAll(st).count() == 0
+
+
 def test_watermarked_append_emits_closed_windows(spark, sf_dir):
     out = jobs.windowed_event_counts_watermarked(spark, sf_dir)
     rows = out.collect()
