@@ -10,7 +10,19 @@ oracle_sql()  -- DuckDB twins (ANSI SQL over the pre-registered views);
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+# Ensure the engine package resolves regardless of the harness cwd, for this
+# process and for executor Python workers (pandas UDF / mapInPandas paths).
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+if _REPO not in os.environ.get("PYTHONPATH", ""):
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ.get("PYTHONPATH", "")
+    ).rstrip(os.pathsep)
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 

@@ -16,8 +16,48 @@ Scale posture (100 TB design, tested on local[32]):
 from __future__ import annotations
 
 import os
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_PYFILES_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the engine package importable on executor Python workers.
+
+    A driver-owned session may have been created before this repo was on
+    PYTHONPATH; pandas-UDF / mapInPandas / applyInPandas functions that
+    reference module-level symbols then fail to unpickle on workers. Shipping
+    the package via addPyFile fixes that for any session, local or cluster.
+    """
+    key = id(spark)
+    if key in _PYFILES_SHIPPED:
+        return
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg_dir = os.path.join(pkg_root, "cdc_debezium_kafka_airflow_spark")
+    cache_dir = os.path.join(pkg_root, ".cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    zip_path = os.path.join(cache_dir, "engine_pkg.zip")
+    src_mtime = max(
+        os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(pkg_dir)
+        for f in fs
+        if f.endswith(".py")
+    )
+    if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
+        with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
+            for dp, _, fs in os.walk(pkg_dir):
+                for f in fs:
+                    if f.endswith(".py"):
+                        full = os.path.join(dp, f)
+                        zf.write(full, os.path.relpath(full, pkg_root))
+        os.replace(zip_path + ".tmp", zip_path)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # e.g. spark-connect sessions without an accessible context
+    _PYFILES_SHIPPED.add(key)
 
 # Runtime-settable confs applied to ANY session that runs our queries --
 # including the driver-owned session passed into __spark_entry__ callables.
@@ -40,6 +80,7 @@ RUNTIME_CONFS: dict[str, str] = {
 
 def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable tuning to an existing session (driver-owned)."""
+    _ship_package(spark)
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
