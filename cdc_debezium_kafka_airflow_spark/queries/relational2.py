@@ -159,6 +159,43 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "agg_skew_salted",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           round(max(value), 4) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant aggregation: 5 distinct keys over the whole table is
+    the pathological case where a plain groupBy sends each key's entire
+    volume to one reducer. Two-stage salting — partial agg on
+    (key, hash%N salt), final agg on key — spreads each hot key over N
+    reducers; only N rows per key cross the second shuffle. (AQE skew
+    handling covers joins; aggregation skew is handled by this pattern.)
+    """
+    e = t(spark, sf_dir, "events")
+    n_salts = 16
+    salted = (
+        e.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(n_salts)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("value").alias("sv"),
+            F.max("value").alias("mv"),
+        )
+    )
+    return salted.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_events"),
+        F.round(F.sum("sv"), 4).alias("sum_value"),
+        F.round(F.max("mv"), 4).alias("max_value"),
+    )
+
+
+@q(
     "agg_hier_rollup",
     """
     WITH hourly AS (

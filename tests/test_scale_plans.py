@@ -54,6 +54,35 @@ def test_upsert_materialize_is_hash_agg_not_window_sort(spark, sf_dir):
     assert "partial_max_by" in plan or "partial_" in plan
 
 
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Co-located joins: both sides bucketed by the join key -> the join
+    plan has NO Exchange (the 100 TB strategy for recurring fact-fact
+    joins; bucket layout replaces per-query shuffles)."""
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    try:
+        load_table(spark, sf_dir, "orders").write.mode("overwrite").bucketBy(
+            8, "o_orderkey"
+        ).sortBy("o_orderkey").saveAsTable("orders_bkt")
+        load_table(spark, sf_dir, "lineitem").write.mode("overwrite").bucketBy(
+            8, "l_orderkey"
+        ).sortBy("l_orderkey").saveAsTable("lineitem_bkt")
+        joined = spark.table("lineitem_bkt").join(
+            spark.table("orders_bkt"),
+            spark.table("lineitem_bkt").l_orderkey
+            == spark.table("orders_bkt").o_orderkey,
+        )
+        joined.collect()
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS orders_bkt")
+        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     df = q1_pricing_summary(spark, sf_dir)
     df.collect()  # finalize the AQE plan
