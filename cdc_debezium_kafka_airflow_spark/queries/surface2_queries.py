@@ -133,6 +133,73 @@ def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_diff_snapshots",
+    f"""
+    WITH {CH_CTE},
+    s1 AS (
+      SELECT table_name, key_id, event_id, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY table_name, key_id
+                                     ORDER BY off DESC) AS rn
+        FROM ch WHERE off <= 5000
+      ) WHERE rn = 1 AND op <> 'd'
+    ),
+    s2 AS (
+      SELECT table_name, key_id, event_id, value FROM (
+        SELECT *, row_number() OVER (PARTITION BY table_name, key_id
+                                     ORDER BY off DESC) AS rn
+        FROM ch
+      ) WHERE rn = 1 AND op <> 'd'
+    )
+    SELECT coalesce(s2.table_name, s1.table_name) AS table_name,
+           coalesce(s2.key_id, s1.key_id) AS key_id,
+           CASE WHEN s1.key_id IS NULL THEN 'c'
+                WHEN s2.key_id IS NULL THEN 'd'
+                ELSE 'u' END AS change_op,
+           s1.event_id AS old_event_id,
+           s2.event_id AS new_event_id
+    FROM s1 FULL OUTER JOIN s2
+      ON s1.table_name = s2.table_name AND s1.key_id = s2.key_id
+    WHERE s1.key_id IS NULL OR s2.key_id IS NULL
+       OR s1.event_id <> s2.event_id
+    """,
+)
+def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff: the change feed between the warehouse state as of
+    offset 5000 and the final state — emitted as c/u/d rows (what you'd
+    publish to re-seed a downstream consumer from two snapshots when the log
+    between them is gone). Two shared-shuffle aggregations + one key-aligned
+    full-outer join."""
+    from cdc_debezium_kafka_airflow_spark.operators.cdc import upsert_materialize
+
+    u = _unwrapped(spark, sf_dir)
+    s1 = upsert_materialize(u.filter(F.col("offset") <= 5000)).select(
+        "table_name",
+        F.col("user_id").alias("key_id"),
+        F.col("event_id").alias("old_event_id"),
+    )
+    s2 = upsert_materialize(u).select(
+        "table_name",
+        F.col("user_id").alias("key_id"),
+        F.col("event_id").alias("new_event_id"),
+    )
+    j = s1.join(s2, on=["table_name", "key_id"], how="full_outer")
+    return (
+        j.withColumn(
+            "change_op",
+            F.when(F.col("old_event_id").isNull(), "c")
+            .when(F.col("new_event_id").isNull(), "d")
+            .otherwise("u"),
+        )
+        .filter(
+            F.col("old_event_id").isNull()
+            | F.col("new_event_id").isNull()
+            | (F.col("old_event_id") != F.col("new_event_id"))
+        )
+        .select("table_name", "key_id", "change_op", "old_event_id", "new_event_id")
+    )
+
+
+@q(
     "cdc_scd2_history",
     f"""
     WITH {CH_CTE},
