@@ -25,6 +25,7 @@ from cdc_debezium_kafka_airflow_spark.operators.similarity import (
 from cdc_debezium_kafka_airflow_spark.operators.text import (
     fingerprints,
     lang_id,
+    normalize_text,
     text_metrics,
 )
 from cdc_debezium_kafka_airflow_spark.operators.multimodal import (
@@ -96,6 +97,67 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles make every pair ~0.6-similar and any algorithm quadratic."""
     return ngram_jaccard_pairs(
         t(spark, sf_dir, "documents"), k=10, threshold=0.5
+    )
+
+
+@q("ext_dedup_clusters", None)  # iterative algorithm: rows-only check
+def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: connected components (iterative label
+    propagation) over the n-gram-jaccard near-dup pair graph; each doc maps
+    to the min doc_id of its duplicate cluster."""
+    from cdc_debezium_kafka_airflow_spark.operators.dedup import dup_clusters
+
+    pairs = ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), k=10, threshold=0.5
+    )
+    return dup_clusters(pairs)
+
+
+@q(
+    "ext_corpus_curation",
+    f"""
+    WITH m AS (
+      SELECT doc_id, lang, source,
+             CAST(len(string_split({NORM}, ' ')) AS INT) AS n_tokens,
+             md5({NORM}) AS fp
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM m WHERE n_tokens >= 20 AND lang IN ('en', 'es')
+      ) WHERE rn = 1
+    )
+    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+           count(DISTINCT source) AS n_sources
+    FROM kept GROUP BY lang
+    """,
+)
+def ext_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation: language filter + minimum-length
+    filter + exact dedup (lowest doc_id survives) -> per-language corpus
+    stats. The composition a 100 TB data pipeline runs nightly."""
+    d = t(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    m = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split(norm, " ")).alias("n_tokens"),
+        F.md5(norm).alias("fp"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        m.filter((F.col("n_tokens") >= 20) & F.col("lang").isin("en", "es"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
     )
 
 

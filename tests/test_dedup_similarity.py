@@ -72,6 +72,24 @@ def test_ngram_jaccard_planted_dups_score_one(spark, sf_dir):
     assert all(r.jaccard == 1.0 for r in planted.collect())
 
 
+def test_dup_clusters_label_propagation(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.operators.dedup import dup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    # plant clusters of size 3: doc, doc+1M, doc+2M (identical text)
+    first5 = d.filter(F.col("doc_id") < 5)
+    docs = (
+        d.unionByName(first5.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+        .unionByName(first5.withColumn("doc_id", F.col("doc_id") + 2_000_000))
+    )
+    pairs = ngram_jaccard_pairs(docs, k=10, threshold=0.9)
+    clusters = {r.doc_id: r.cluster_id for r in dup_clusters(pairs).collect()}
+    for base in range(5):
+        assert clusters.get(base + 1_000_000) == clusters.get(base + 2_000_000)
+        # cluster label is the minimum member id (the original doc)
+        assert clusters.get(base + 1_000_000) == base
+
+
 def test_brute_topk_matches_numpy(spark, sf_dir):
     import numpy as np
 
