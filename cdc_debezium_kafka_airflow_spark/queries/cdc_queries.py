@@ -333,6 +333,53 @@ def monitor_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "monitor_fanout_config",
+    f"""
+    WITH {LAG_CTE},
+    cfg AS (
+      SELECT * FROM (VALUES
+        ('mysql-server.pos_bi_db.ventas',          CAST(500 AS BIGINT)),
+        ('mysql-server.pos_bi_db.productos',       CAST(500 AS BIGINT)),
+        ('mysql-server.pos_bi_db.detalle_ventas',  CAST(200 AS BIGINT)),
+        ('mysql-server.pos_bi_db.entidades',       CAST(50  AS BIGINT)),
+        ('mysql-server.pos_bi_db.pagos_clientes',  CAST(1000 AS BIGINT))
+      ) AS t(topic, max_lag)
+    )
+    SELECT cfg.topic, cfg.max_lag,
+           coalesce(l.lag, 0) AS lag,
+           (coalesce(l.lag, 0) > cfg.max_lag) AS is_critical
+    FROM cfg LEFT JOIN lagged l USING (topic)
+    """,
+)
+def monitor_fanout_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``fan_out_dynamic`` made explicit: the reference fans out one Airflow
+    task per element of a JSON config Variable
+    (dags/cdc_health_check_dynamic_dag.py:55-63); here the config IS a tiny
+    DataFrame with per-topic thresholds, joined against live lag metrics —
+    one declarative program whatever the fan-out width."""
+    cfg = spark.createDataFrame(
+        [
+            ("mysql-server.pos_bi_db.ventas", 500),
+            ("mysql-server.pos_bi_db.productos", 500),
+            ("mysql-server.pos_bi_db.detalle_ventas", 200),
+            ("mysql-server.pos_bi_db.entidades", 50),
+            ("mysql-server.pos_bi_db.pagos_clientes", 1000),
+        ],
+        "topic string, max_lag long",
+    )
+    lags = lag_metrics(build_topic_offsets(t(spark, sf_dir, "events")))
+    return (
+        cfg.join(lags.select("topic", "lag"), on="topic", how="left")
+        .select(
+            "topic",
+            "max_lag",
+            F.coalesce("lag", F.lit(0)).alias("lag"),
+            (F.coalesce("lag", F.lit(0)) > F.col("max_lag")).alias("is_critical"),
+        )
+    )
+
+
+@q(
     "monitor_any_failed",
     f"""
     WITH {LAG_CTE}
