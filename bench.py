@@ -43,6 +43,9 @@ def main() -> None:
             timings[name] = -1.0
             continue
         timings[name] = round(time.perf_counter() - start, 3)
+        # isolate queries: drop persisted intermediates so long-tail GC from
+        # one query's caches doesn't pollute the next query's timing
+        spark.catalog.clearCache()
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     try:

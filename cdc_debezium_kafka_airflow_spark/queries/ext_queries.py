@@ -103,13 +103,11 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q("ext_dedup_clusters", None)  # iterative algorithm: rows-only check
 def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering: connected components (iterative label
-    propagation) over the n-gram-jaccard near-dup pair graph; each doc maps
-    to the min doc_id of its duplicate cluster."""
+    propagation) over the MinHash near-dup pair graph; each doc maps to the
+    min doc_id of its duplicate cluster."""
     from cdc_debezium_kafka_airflow_spark.operators.dedup import dup_clusters
 
-    pairs = ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), k=10, threshold=0.5
-    )
+    pairs = minhash_lsh_pairs(t(spark, sf_dir, "documents"))
     return dup_clusters(pairs)
 
 
