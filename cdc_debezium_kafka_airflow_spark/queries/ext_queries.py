@@ -277,6 +277,70 @@ def ext_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_embedding_quantize",
+    f"""
+    WITH {SIM_CTE},
+    stats AS (
+      SELECT vec_id, e,
+             greatest(list_aggregate(list_transform(e, x -> abs(x)), 'max'),
+                      1e-12) AS max_abs
+      FROM v
+    ),
+    quant AS (
+      SELECT vec_id, e, max_abs,
+             list_transform(e, x -> CAST(round(x * 127.0 / max_abs, 0) AS INT))
+               AS q
+      FROM stats
+    )
+    SELECT vec_id,
+           round(max_abs, 6) AS scale_max_abs,
+           list_aggregate(q, 'min') AS q_min,
+           list_aggregate(q, 'max') AS q_max,
+           round(sqrt(list_aggregate(list_transform(
+               list_zip(e, q),
+               p -> pow(p[1] - p[2] * max_abs / 127.0, 2)), 'sum')
+             / len(e)), 6) AS rmse
+    FROM quant
+    """,
+)
+def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of embeddings (per-vector absmax scale)
+    plus reconstruction RMSE — the storage transform that shrinks a 100 TB
+    float32 embedding corpus 4x. All JVM array expressions."""
+    e = t(spark, sf_dir, "embeddings")
+    vec = F.transform("embedding", lambda x: x.cast("double"))
+    base = e.select("vec_id", vec.alias("e"))
+    stats = base.withColumn(
+        "max_abs",
+        F.greatest(
+            F.array_max(F.transform("e", lambda x: F.abs(x))), F.lit(1e-12)
+        ),
+    )
+    quant = stats.withColumn(
+        "q",
+        F.transform(
+            "e", lambda x: F.round(x * 127.0 / F.col("max_abs"), 0).cast("int")
+        ),
+    )
+    err_sq = F.aggregate(
+        F.zip_with(
+            "e",
+            "q",
+            lambda x, qv: F.pow(x - qv * F.col("max_abs") / F.lit(127.0), 2),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return quant.select(
+        "vec_id",
+        F.round("max_abs", 6).alias("scale_max_abs"),
+        F.array_min("q").alias("q_min"),
+        F.array_max("q").alias("q_max"),
+        F.round(F.sqrt(err_sq / F.size("e")), 6).alias("rmse"),
+    )
+
+
+@q(
     "ext_text_quality",
     f"""
     WITH d AS (SELECT doc_id, {NORM} AS t FROM documents),

@@ -46,6 +46,32 @@ def test_multibatch_stateful_pandas_upsert_equals_batch(spark, sf_dir):
     assert batch_state.exceptAll(st).count() == 0
 
 
+def test_streaming_dlq_split_matches_batch(spark, sf_dir):
+    """The errors-tolerant DLQ side output must quarantine exactly the same
+    records in streaming as in batch."""
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.operators.cdc import (
+        hoist_field,
+        parse_envelope,
+        split_dlq,
+    )
+
+    stream_dlq = hoist_field(
+        split_dlq(parse_envelope(jobs.changelog_stream(spark, sf_dir)))[1]
+    )
+    got = jobs._run_to_memory(stream_dlq, "append")
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .filter((F.col("event_id") % 97 == 0) & (F.col("event_id") % 10 < 8))
+        .count()
+    )
+    assert got.count() == expected
+    assert got.filter(~F.col("payload_json").startswith('{"malformed')).count() == 0
+
+
 def test_watermarked_append_emits_closed_windows(spark, sf_dir):
     out = jobs.windowed_event_counts_watermarked(spark, sf_dir)
     rows = out.collect()
