@@ -118,6 +118,131 @@ def bucketed_ann_topk(
     return _topk_per_query(scored, k)
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "neighbor_id",
+    vec_col: str = "cvec",
+    k: int = 8,
+    iters: int = 3,
+) -> DataFrame:
+    """Deterministic mini k-means (Lloyd) over DataFrame ops -> centroids.
+
+    Init: the k vectors with id % (n/k-ish stride) == 0 — no randomness.
+    Each iteration: assign to nearest centroid (broadcast k centroids),
+    recompute means. Centroids are ROUNDED to 6 decimals each iteration so
+    float summation order can't make assignments flicker between runs —
+    iterative algorithms on doubles must quantize shared state to stay
+    reproducible. Returns (centroid_id, centroid array<double>).
+    """
+    v = corpus.select(
+        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec")
+    )
+    n = v.count()
+    stride = max(n // k, 1)
+    centroids = (
+        v.filter((F.col("vid") % stride == 0) & (F.col("vid") < stride * k))
+        .select((F.col("vid") / stride).cast("int").alias("cid"), F.col("vec").alias("cvec_c"))
+    )
+    for _ in range(iters):
+        assigned = _assign_to_centroids(v, centroids)
+        # per-dimension mean: explode positions once, average, re-collect
+        assigned_pos = assigned.select(
+            "cid", F.posexplode("vec").alias("pos", "x")
+        )
+        centroids = (
+            assigned_pos.groupBy("cid", "pos")
+            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "cid",
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec_c"),
+            )
+        )
+        centroids = centroids.localCheckpoint(eager=True)
+    return centroids.select(
+        F.col("cid").alias("centroid_id"), F.col("cvec_c").alias("centroid")
+    )
+
+
+def _assign_to_centroids(v: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (broadcast centroids; ties -> lowest id)."""
+    joined = v.join(F.broadcast(centroids))
+    d2 = F.aggregate(
+        F.zip_with("vec", "cvec_c", lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = joined.select("vid", "vec", "cid", d2.alias("d2"))
+    return (
+        scored.groupBy("vid")
+        .agg(
+            F.min_by(F.struct("cid", "vec"), F.struct("d2", "cid")).alias("b")
+        )
+        .select("vid", F.col("b.cid").alias("cid"), F.col("b.vec").alias("vec"))
+    )
+
+
+def ivf_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 10, n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Trained-IVF ANN: assign corpus to k-means cells; each query probes its
+    `n_probe` nearest cells only. The production shape: cells are the
+    corpus's storage partition key, probes prune the scan ~(k/n_probe)-fold.
+    """
+    c = corpus.select("neighbor_id", as_double(F.col("cvec")).alias("cvec"))
+    cents = train_ivf_centroids(corpus, k=n_centroids)
+    # corpus cell assignment
+    cv = c.join(F.broadcast(cents))
+    d2c = F.aggregate(
+        F.zip_with("cvec", "centroid", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    corpus_cells = (
+        cv.select("neighbor_id", "cvec", "centroid_id", d2c.alias("d2"))
+        .groupBy("neighbor_id")
+        .agg(
+            F.min_by(
+                F.struct("centroid_id", "cvec"), F.struct("d2", "centroid_id")
+            ).alias("b")
+        )
+        .select(
+            "neighbor_id",
+            F.col("b.centroid_id").alias("cell"),
+            F.col("b.cvec").alias("cvec"),
+        )
+    )
+    # query probes: n_probe nearest cells
+    q = queries.select("query_id", as_double(F.col("qvec")).alias("qvec"))
+    qv = q.join(F.broadcast(cents))
+    d2q = F.aggregate(
+        F.zip_with("qvec", "centroid", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("d2").asc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qv.select("query_id", "qvec", "centroid_id", d2q.alias("d2"))
+        .withColumn("pr", F.row_number().over(w))
+        .filter(F.col("pr") <= n_probe)
+        .select("query_id", "qvec", F.col("centroid_id").alias("cell"))
+    )
+    scored = (
+        corpus_cells.join(F.broadcast(probes), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("cosine_sim"),
+        )
+    )
+    return _topk_per_query(scored, k)
+
+
 def embedding_near_dups(
     vectors: DataFrame,
     id_col: str = "vec_id",

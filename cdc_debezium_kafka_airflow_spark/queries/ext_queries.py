@@ -21,6 +21,7 @@ from cdc_debezium_kafka_airflow_spark.operators.similarity import (
     brute_force_topk,
     bucketed_ann_topk,
     embedding_near_dups,
+    ivf_topk,
 )
 from cdc_debezium_kafka_airflow_spark.operators.text import (
     fingerprints,
@@ -247,6 +248,22 @@ def ext_sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
     )
     return bucketed_ann_topk(queries, corpus, k=10, bits=4)
+
+
+@q("ext_sim_ivf_topk", None)  # trained cells: iterative float means -> rows-only
+def ext_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-IVF ANN top-k: deterministic mini-k-means cells (quantized
+    centroids), queries probe their 2 nearest of 8 cells — the production
+    ANN shape where cells are the corpus partition key. Recall vs exact
+    brute force is bounded in pytest."""
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    return ivf_topk(queries, corpus, k=10, n_centroids=8, n_probe=2)
 
 
 @q(

@@ -159,6 +159,66 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "dataset_statistics",
+    """
+    SELECT 'lineitem' AS table_name, 'l_extendedprice' AS column_name,
+           count(*) AS n_rows,
+           count(l_extendedprice) AS n_non_null,
+           count(DISTINCT l_extendedprice) AS n_distinct,
+           round(min(l_extendedprice), 4) AS min_value,
+           round(max(l_extendedprice), 4) AS max_value,
+           round(avg(l_extendedprice), 4) AS avg_value
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders', 'o_totalprice',
+           count(*), count(o_totalprice), count(DISTINCT o_totalprice),
+           round(min(o_totalprice), 4), round(max(o_totalprice), 4),
+           round(avg(o_totalprice), 4)
+    FROM orders
+    UNION ALL
+    SELECT 'events', 'value',
+           count(*), count(value), count(DISTINCT value),
+           round(min(value), 4), round(max(value), 4), round(avg(value), 4)
+    FROM events
+    """,
+)
+def dataset_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profiling (row/null/distinct counts, min/max/avg)
+    across tables — the stats pass a pipeline runs before planning a 100 TB
+    job (and what feeds CBO statistics)."""
+    parts = []
+    for table, col in [
+        ("lineitem", "l_extendedprice"),
+        ("orders", "o_totalprice"),
+        ("events", "value"),
+    ]:
+        df = t(spark, sf_dir, table)
+        parts.append(
+            df.agg(
+                F.count("*").alias("n_rows"),
+                F.count(col).alias("n_non_null"),
+                F.countDistinct(col).alias("n_distinct"),
+                F.round(F.min(col), 4).alias("min_value"),
+                F.round(F.max(col), 4).alias("max_value"),
+                F.round(F.avg(col), 4).alias("avg_value"),
+            ).select(
+                F.lit(table).alias("table_name"),
+                F.lit(col).alias("column_name"),
+                "n_rows",
+                "n_non_null",
+                "n_distinct",
+                "min_value",
+                "max_value",
+                "avg_value",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@q(
     "agg_skew_salted",
     """
     SELECT event_type,

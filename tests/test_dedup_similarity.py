@@ -115,6 +115,35 @@ def test_brute_topk_matches_numpy(spark, sf_dir):
         assert mine == expect
 
 
+def test_ivf_topk_recall_against_exact(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    exact = brute_force_topk(queries, corpus, k=10).collect()
+    approx = ivf_topk(queries, corpus, k=10, n_centroids=8, n_probe=2).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    # with near-random embeddings IVF recall is modest; require it to be a
+    # working index: same queries answered, >= 20% overall recall, and
+    # deterministic across two runs
+    assert set(approx_sets) == set(exact_sets)
+    hits = sum(len(exact_sets[q] & approx_sets[q]) for q in exact_sets)
+    total = sum(len(exact_sets[q]) for q in exact_sets)
+    assert hits / total >= 0.2, (hits, total)
+    again = ivf_topk(queries, corpus, k=10, n_centroids=8, n_probe=2).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, approx))
+
+
 def test_bucketed_ann_subset_of_bucket(spark, sf_dir):
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 100 == 0).select(
