@@ -1,0 +1,125 @@
+"""Source/sink format coverage: JSON-lines and CSV sources, partitioned
+parquet sink. Each query materializes the format once into `.cache/`
+(deterministic content) and reads it back through the real reader, so the
+format codepath — schema application, type coercion, partition layout — is
+what's verified against the oracle."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_debezium_kafka_airflow_spark.queries.common import t
+from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import MAT_CTE, _unwrapped
+from cdc_debezium_kafka_airflow_spark.operators.cdc import upsert_materialize
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _cache_dir(sf_dir: str, kind: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join("/root/repo/.cache", f"{kind}_{tag}")
+
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+@q(
+    "src_json_lines",
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           max(ts) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def src_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source: events written once as .jsonl (µs timestamps),
+    read back with an explicit schema — schema-on-read typed parsing, the
+    second-most-common lake format after parquet."""
+    path = _cache_dir(sf_dir, "events_jsonl")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t(spark, sf_dir, "events").write.mode("overwrite").option(
+            "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+        ).json(path)
+    df = (
+        spark.read.schema(EVENTS_DDL)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
+        .json(path)
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.max("ts").alias("max_ts"),
+    )
+
+
+@q(
+    "src_csv",
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           coalesce(max(event_id), 0) AS max_id
+    FROM events GROUP BY event_type
+    """,
+)
+def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with header + explicit schema + µs timestamp format —
+    the quoting/escaping round-trip is exercised by the JSON `props` column
+    (embedded quotes and commas)."""
+    path = _cache_dir(sf_dir, "events_csv")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        t(spark, sf_dir, "events").write.mode("overwrite").option(
+            "header", "true"
+        ).option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").csv(path)
+    df = (
+        spark.read.schema(EVENTS_DDL)
+        .option("header", "true")
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .csv(path)
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.coalesce(F.max("event_id"), F.lit(0)).alias("max_id"),
+    )
+
+
+@q(
+    "snk_partitioned_parquet",
+    f"""
+    WITH {MAT_CTE}
+    SELECT table_name, count(*) AS n_rows,
+           coalesce(max(last_offset), 0) AS max_offset
+    FROM mat GROUP BY table_name
+    """,
+)
+def snk_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned warehouse sink: the CDC-materialized state written
+    `partitionBy(table_name)` (one directory per destination table — the
+    lake analog of the reference's per-table Postgres mirrors), then read
+    back and profiled per partition. Reading a single partition later is a
+    directory prune, not a scan+filter."""
+    path = _cache_dir(sf_dir, "warehouse")
+    state = upsert_materialize(_unwrapped(spark, sf_dir))
+    state.write.mode("overwrite").partitionBy("table_name").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy("table_name").agg(
+        F.count("*").alias("n_rows"),
+        F.coalesce(F.max("last_offset"), F.lit(0)).alias("max_offset"),
+    )

@@ -11,6 +11,7 @@ from cdc_debezium_kafka_airflow_spark.queries import (
     ext_queries,
     relational,
     relational2,
+    format_queries,
     streaming_queries,
     surface_queries,
     surface2_queries,
@@ -21,6 +22,7 @@ _MODULES = [
     relational2,
     cdc_queries,
     ext_queries,
+    format_queries,
     streaming_queries,
     surface_queries,
     surface2_queries,
