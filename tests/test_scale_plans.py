@@ -83,6 +83,27 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
 
 
+def test_partitioned_warehouse_prunes_partitions(spark, sf_dir):
+    """Reading one table from the partitioned warehouse sink must be a
+    directory prune (PartitionFilters), not a full scan + filter."""
+    from cdc_debezium_kafka_airflow_spark.queries.format_queries import (
+        snk_partitioned_parquet,
+        _cache_dir,
+    )
+
+    snk_partitioned_parquet(spark, sf_dir).collect()  # ensure written
+    back = spark.read.parquet(_cache_dir(sf_dir, "warehouse")).filter(
+        "table_name = 'ventas'"
+    )
+    back.collect()
+    plan = _plan(back)
+    assert "PartitionFilters: [isnotnull(table_name" in plan or (
+        "PartitionFilters" in plan and "table_name" in plan.split("PartitionFilters")[1][:200]
+    ), plan
+    # the data filter must NOT appear as a post-scan Filter on table_name
+    assert "PushedFilters: [IsNotNull(table_name)" not in plan
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     df = q1_pricing_summary(spark, sf_dir)
     df.collect()  # finalize the AQE plan
