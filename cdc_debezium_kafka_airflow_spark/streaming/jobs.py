@@ -254,7 +254,15 @@ def stateful_upsert_apply_in_pandas(
     latest = flat.groupBy("table_name", "key_id").applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
-    out = _run_to_memory(latest, "update")
+    # few hundred keys: 32 state partitions would spawn 32 python state
+    # workers per micro-batch for a handful of groups each — cap the state
+    # shuffle width for this query (restored after)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _run_to_memory(latest, "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # update-mode sink may hold one row per key per micro-batch: reduce to
     # the final image, then apply delete semantics
     final = out.groupBy("table_name", "key_id").agg(
