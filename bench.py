@@ -30,22 +30,28 @@ def main() -> None:
     # warmup: JVM, codegen, parquet footer caches
     qs["q1_pricing_summary"](spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
-    for name in sorted(qs):
+    def run_once(name: str) -> float:
         start = time.perf_counter()
-        try:
-            df = qs[name](spark, sf_dir)
-            # noop sink: full materialization of every row/column, no
-            # driver-side collect bottleneck in the measurement
-            df.write.format("noop").mode("overwrite").save()
-        except Exception as exc:  # never lose the whole bench to one query
-            print(f"BENCH-ERROR {name}: {exc}", file=sys.stderr)
-            timings[name] = -1.0
-            continue
-        timings[name] = round(time.perf_counter() - start, 3)
+        df = qs[name](spark, sf_dir)
+        # noop sink: full materialization of every row/column, no
+        # driver-side collect bottleneck in the measurement
+        df.write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - start
         # isolate queries: drop persisted intermediates so long-tail GC from
         # one query's caches doesn't pollute the next query's timing
         spark.catalog.clearCache()
+        return elapsed
+
+    timings: dict[str, float] = {}
+    for name in sorted(qs):
+        try:
+            t1 = run_once(name)
+            # steady-state: re-run non-trivial queries once and take the min
+            # (single-shot numbers on a shared box swing 1.5-2x)
+            timings[name] = round(min(t1, run_once(name)) if t1 > 1.0 else t1, 3)
+        except Exception as exc:  # never lose the whole bench to one query
+            print(f"BENCH-ERROR {name}: {exc}", file=sys.stderr)
+            timings[name] = -1.0
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     try:
