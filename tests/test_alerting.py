@@ -46,7 +46,7 @@ def test_alert_as_streaming_foreachbatch(spark, sf_dir):
         jobs.events_stream(spark, sf_dir)
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count("*").alias("n_events"))
-        .filter(F.col("n_events") > 20)  # 'critical' threshold
+        .filter(F.col("n_events") > 3)  # 'critical' threshold (smoke-SF sized)
     )
     sink = AlertSink()
     q = (
