@@ -109,20 +109,24 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (1-hour inactivity gap) via the native session_window
-    operator — the streaming-capable sessionization primitive; the oracle
-    reproduces it with the classic gaps-and-islands SQL."""
-    e = t(spark, sf_dir, "events")
-    return (
-        e.groupBy(
-            F.session_window("ts", "1 hour").alias("w"), F.col("user_id")
-        )
+    operator, executed as a REAL streaming query (merging session state in
+    the state store); the oracle reproduces it with the classic
+    gaps-and-islands SQL."""
+    from cdc_debezium_kafka_airflow_spark.streaming import jobs
+
+    t(spark, sf_dir, "events")  # session confs
+    agg = (
+        jobs.events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.session_window("ts", "1 hour").alias("w"), F.col("user_id"))
         .agg(F.count("*").alias("n_events"))
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-        )
+    )
+    out = jobs._run_to_memory(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "n_events",
     )
 
 
@@ -396,6 +400,97 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.coalesce(F.col("O"), F.lit(0)), 2).alias("rev_O"),
         F.round(F.coalesce(F.col("F"), F.lit(0)), 2).alias("rev_F"),
         F.round(F.coalesce(F.col("P"), F.lit(0)), 2).alias("rev_P"),
+    )
+
+
+@q(
+    "funnel_conversion",
+    """
+    WITH s AS (SELECT user_id, min(ts) AS first_signup FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS first_purchase
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > s.first_signup
+          GROUP BY e.user_id)
+    SELECT s.user_id, s.first_signup, p.first_purchase,
+           (p.user_id IS NOT NULL) AS converted,
+           CAST(CASE WHEN p.user_id IS NOT NULL
+                THEN floor((epoch_us(p.first_purchase)
+                            - epoch_us(s.first_signup)) / 1000000.0)
+                END AS BIGINT) AS seconds_to_convert
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: first signup -> first subsequent purchase per user,
+    conversion flag + latency. Two keyed aggregations and one key-aligned
+    join — no per-event sequence scan."""
+    e = t(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_signup"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("first_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    j = s.join(p, "user_id", "left")
+    return j.select(
+        "user_id",
+        "first_signup",
+        "first_purchase",
+        F.col("first_purchase").isNotNull().alias("converted"),
+        F.when(
+            F.col("first_purchase").isNotNull(),
+            (
+                F.unix_micros("first_purchase") - F.unix_micros("first_signup")
+            ) / F.lit(1_000_000),
+        )
+        .cast("long")
+        .alias("seconds_to_convert"),
+    )
+
+
+@q(
+    "ext_unigram_logprob",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(
+          lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS term
+      FROM documents
+    ),
+    freq AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+    tot AS (SELECT sum(n) AS total FROM freq)
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(freq.n / tot.total)), 6) AS avg_logprob
+    FROM toks JOIN freq USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def ext_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: average token log-probability under
+    the corpus's own unigram distribution — a classic quality/outlier signal
+    for training-data filtering (low avg_logprob = rare-token-heavy doc)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(ws_tokens(normalize_text(F.col("text")))).alias("term"),
+    )
+    freq = toks.groupBy("term").agg(F.count("*").alias("n"))
+    total = freq.agg(F.sum("n").alias("total"))
+    scored = toks.join(F.broadcast(freq), "term").crossJoin(
+        F.broadcast(total)
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.avg(F.log(F.col("n") / F.col("total"))), 6).alias(
+            "avg_logprob"
+        ),
     )
 
 

@@ -8,8 +8,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import functions as F
+
 from cdc_debezium_kafka_airflow_spark.queries.common import t
 from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import MAT_CTE
+from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import (
+    SQL_IS_MALFORMED,
+    SQL_IS_TOMBSTONE,
+)
+from cdc_debezium_kafka_airflow_spark.operators.cdc import (
+    hoist_field,
+    parse_envelope,
+    split_dlq,
+)
 from cdc_debezium_kafka_airflow_spark.streaming import jobs
 
 QUERIES = {}
@@ -55,6 +66,26 @@ def stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the batch upsert_materialize result."""
     t(spark, sf_dir, "events")
     return jobs.streaming_upsert_state(spark, sf_dir)
+
+
+@q(
+    "stream_dlq_audit",
+    f"""
+    SELECT '{{"malformed":' || CAST(event_id AS VARCHAR) AS payload_json
+    FROM events
+    WHERE {SQL_IS_MALFORMED} AND NOT {SQL_IS_TOMBSTONE}
+    """,
+)
+def stream_dlq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming DLQ side output: parse-failing records quarantined mid-
+    stream and hoisted to the audit shape — must quarantine exactly the same
+    records as the batch path."""
+    t(spark, sf_dir, "events")
+    with jobs._cdc_stream_planning(spark):
+        dlq = hoist_field(
+            split_dlq(parse_envelope(jobs.changelog_stream(spark, sf_dir)))[1]
+        )
+        return jobs._run_to_memory(dlq, "append")
 
 
 @q(
