@@ -69,6 +69,31 @@ def stream_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_dedup_exact",
+    """
+    SELECT event_type, count(*) AS n_unique_events
+    FROM (SELECT DISTINCT event_id, event_type FROM events)
+    GROUP BY event_type
+    """,
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication by key within the watermark horizon
+    (dropDuplicatesWithinWatermark): at-least-once sources (Kafka redelivery)
+    dedupe in bounded state — state TTL = the watermark, so it survives
+    unbounded streams."""
+    t(spark, sf_dir, "events")
+    deduped = (
+        jobs.events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_unique_events"))
+    )
+    out = jobs._run_to_memory(deduped, "complete")
+    return out
+
+
+@q(
     "stream_dlq_audit",
     f"""
     SELECT '{{"malformed":' || CAST(event_id AS VARCHAR) AS payload_json

@@ -72,6 +72,40 @@ def test_streaming_dlq_split_matches_batch(spark, sf_dir):
     assert got.filter(~F.col("payload_json").startswith('{"malformed')).count() == 0
 
 
+def test_foreachbatch_upsert_with_mid_stream_schema_evolution(spark, sf_dir):
+    """Schema evolution INSIDE a stream: later micro-batches carry an extra
+    column; the foreachBatch merge widens earlier state with NULLs
+    (auto.evolve semantics applied per batch)."""
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.operators.cdc import schema_evolve
+
+    state = {}
+
+    def merge(batch, batch_id):
+        prev = state.get("t")
+        cur = batch
+        if prev is not None:
+            cur = schema_evolve(prev, cur)
+        state["t"] = (
+            cur.groupBy("key")
+            .agg(F.max_by(F.struct(*[c for c in cur.columns if c != "key"]), "off").alias("m"))
+            .select("key", "m.*")
+            .localCheckpoint(eager=True)
+        )
+
+    # batch 1: v1 schema; batch 2: adds column `extra`
+    b1 = spark.createDataFrame([(1, 10, "a"), (2, 11, "b")], "key long, off long, val string")
+    b2 = spark.createDataFrame(
+        [(2, 20, "b2", "x"), (3, 21, "c", "y")],
+        "key long, off long, val string, extra string",
+    )
+    merge(b1, 0)
+    merge(b2, 1)
+    rows = {r.key: (r.val, r.extra) for r in state["t"].collect()}
+    assert rows == {1: ("a", None), 2: ("b2", "x"), 3: ("c", "y")}
+
+
 def test_watermarked_append_emits_closed_windows(spark, sf_dir):
     out = jobs.windowed_event_counts_watermarked(spark, sf_dir)
     rows = out.collect()
