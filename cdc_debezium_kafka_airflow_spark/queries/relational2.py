@@ -404,6 +404,75 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "join_cross",
+    """
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    WHERE n.n_regionkey <> r.r_regionkey
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product (small dims only — anything larger is a
+    bug, which is why Spark requires crossJoin to be explicit)."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(n)
+        .filter(F.col("n_regionkey") != F.col("r_regionkey"))
+        .select("r_name", "n_name")
+    )
+
+
+@q(
+    "fn_levenshtein",
+    """
+    SELECT p_partkey,
+           levenshtein(p_type, p_brand) AS type_brand_dist,
+           levenshtein(substr(p_name, 1, 15), substr(p_name, 16, 15)) AS halves_dist
+    FROM part
+    """,
+)
+def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (Levenshtein) — fuzzy string matching for entity
+    resolution; JVM built-in on both engines with identical semantics."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_type", "p_brand").alias("type_brand_dist"),
+        F.levenshtein(
+            F.substring("p_name", 1, 15), F.substring("p_name", 16, 15)
+        ).alias("halves_dist"),
+    )
+
+
+@q(
+    "win_distribution",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(ntile(4) OVER w AS INT) AS price_quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice ASC, o_orderkey ASC)
+    """,
+)
+def win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@q(
     "funnel_conversion",
     """
     WITH s AS (SELECT user_id, min(ts) AS first_signup FROM events
