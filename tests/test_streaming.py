@@ -72,6 +72,67 @@ def test_streaming_dlq_split_matches_batch(spark, sf_dir):
     assert got.filter(~F.col("payload_json").startswith('{"malformed')).count() == 0
 
 
+def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
+    """Checkpointed restart: a sink crash mid-stream must not reprocess
+    committed micro-batches after restart — every record lands exactly once
+    across the two runs (the reference's Connect offset-topic semantics,
+    carried by Spark's checkpointLocation)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    ckpt = str(tmp_path / "ckpt")
+    processed: list[tuple[int, list[int]]] = []
+
+    class Boom(Exception):
+        pass
+
+    def make_sink(fail_after_batch: int):
+        def sink(batch, batch_id):
+            ids = [r.offset for r in batch.select("offset").collect()]
+            processed.append((batch_id, ids))
+            if batch_id >= fail_after_batch:
+                raise Boom(f"injected failure at batch {batch_id}")
+
+        return sink
+
+    def run(fail_after_batch: int):
+        src = jobs.changelog_stream(spark, sf_dir, max_files_per_trigger=8)
+        q = (
+            src.writeStream.foreachBatch(make_sink(fail_after_batch))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except Exception:
+            pass  # injected crash
+
+    run(fail_after_batch=1)   # commits batch 0, dies in batch 1
+    n_after_crash = len(processed)
+    assert n_after_crash >= 2
+    run(fail_after_batch=10**9)  # restart: must resume, not replay batch 0
+
+    # batch 1 was attempted twice (crashed before commit) — dedupe attempts,
+    # then every changelog record must appear exactly once
+    seen: dict[int, set[int]] = {}
+    for batch_id, ids in processed:
+        if batch_id in seen:
+            # reprocessed batch must be byte-identical (same offsets)
+            assert seen[batch_id] == set(ids)
+        seen[batch_id] = set(ids)
+    all_ids = [i for ids in seen.values() for i in ids]
+    assert len(all_ids) == len(set(all_ids))  # no overlap between batches
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    assert len(all_ids) == load_table(spark, sf_dir, "events").count()
+    # batch 0 must NOT have been re-run after restart
+    batch0_runs = [b for b, _ in processed if b == 0]
+    assert len(batch0_runs) == 1
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def test_foreachbatch_upsert_with_mid_stream_schema_evolution(spark, sf_dir):
     """Schema evolution INSIDE a stream: later micro-batches carry an extra
     column; the foreachBatch merge widens earlier state with NULLs
