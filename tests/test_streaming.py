@@ -72,6 +72,29 @@ def test_streaming_dlq_split_matches_batch(spark, sf_dir):
     assert got.filter(~F.col("payload_json").startswith('{"malformed')).count() == 0
 
 
+def test_rocksdb_state_store_upsert_equals_batch(spark, sf_dir):
+    """The SCALE.md prescription for unbounded key spaces: RocksDB-backed
+    state store — must produce the identical materialization."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream_state = jobs.streaming_upsert_state(
+            spark, sf_dir, max_files_per_trigger=8
+        )
+        batch_state = upsert_materialize_q(spark, sf_dir)
+        assert stream_state.exceptAll(batch_state).count() == 0
+        assert batch_state.exceptAll(stream_state).count() == 0
+    finally:
+        if prev:
+            spark.conf.set(key, prev)
+        else:
+            spark.conf.unset(key)
+
+
 def test_checkpoint_restart_exactly_once(spark, sf_dir, tmp_path):
     """Checkpointed restart: a sink crash mid-stream must not reprocess
     committed micro-batches after restart — every record lands exactly once
