@@ -1,7 +1,11 @@
 """Benchmark harness: run every queries() entry at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
-"sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract: the LAST stdout line is ONE compact JSON headline
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...} small enough to survive a tail-buffered log capture. The full
+per-query timing map is written to BENCH_local.json next to this script
+(and echoed to stderr for humans).
 
 Timing = full query wall time (plan + execute + collect to driver), after a
 one-query warmup to amortize JVM/codegen startup. Each query runs once —
@@ -58,17 +62,31 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    full = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
     )
+    with open(detail_path, "w") as fh:
+        json.dump(full, fh, indent=1, sort_keys=True)
+    print(json.dumps(full), file=sys.stderr)
+    # keep the machine-read line tiny: a tail-buffered log capture must never
+    # truncate it mid-JSON (the per-query map alone is ~2 KB for 83 queries)
+    headline = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": sum(1 for v in timings.values() if v < 0),
+        "queries_file": "BENCH_local.json",
+    }
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":
