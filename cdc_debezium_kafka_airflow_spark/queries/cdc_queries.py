@@ -289,13 +289,16 @@ def monitor_status_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LAG_CTE = f"""
+topics AS (
+  SELECT 'mysql-server.pos_bi_db.' || {SQL_TABLE_CASE} AS topic FROM events
+),
 per_topic AS (
-  SELECT 'mysql-server.pos_bi_db.' || {SQL_TABLE_CASE} AS topic,
+  SELECT topic,
          CAST(0 AS INT) AS partition,
          count(*) AS latest_offset,
-         greatest(count(*) - (length(event_type) * 137) % 700, 0)
+         greatest(count(*) - (length(topic) * 137) % 700, 0)
            AS committed_offset
-  FROM events GROUP BY event_type
+  FROM topics GROUP BY topic
 ),
 offs AS (
   SELECT * FROM per_topic

@@ -71,16 +71,35 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("agg_approx_distinct", None)  # HLL sketch: engine-specific estimates
+@q(
+    "agg_approx_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS approx_within_10pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++): the constant-memory distinct
     estimator used when exact distinct shuffles are too expensive at scale.
-    Rows-only (sketch estimates are engine-specific); pytest bounds the
-    relative error against the exact count."""
+
+    Sketch estimates are engine-specific, so the oracle-comparable output is
+    the exact count plus a Spark-verified error-bound flag (rsd=0.02 sketch
+    must land within 10%); the raw estimate's tightness is asserted in
+    pytest (tests/test_relational2.py)."""
     li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    agg = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_approx"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("_approx") - F.col("exact_orders"))
+            <= 0.1 * F.col("exact_orders")
+        ).alias("approx_within_10pct"),
     )
 
 
@@ -265,13 +284,13 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
              event_type, count(*) AS n_events,
-             round(sum(value), 4) AS sum_value
+             CAST(round(sum(value) * 10000) AS BIGINT) AS sum_scaled
       FROM events GROUP BY 1, 2
     )
     SELECT CAST(date_trunc('day', hour_start) AS TIMESTAMP) AS day_start,
            event_type,
            sum(n_events) AS n_events,
-           round(sum(sum_value), 4) AS sum_value,
+           sum(sum_scaled) / 10000.0 AS sum_value,
            count(*) AS n_hours_active
     FROM hourly GROUP BY 1, 2
     """,
@@ -280,8 +299,13 @@ def agg_hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style hierarchical rollup: daily aggregates REAGGREGATED
     from the hourly level (the continuous-aggregate pattern — at scale the
     hourly table is materialized once and coarser resolutions derive from it
-    instead of rescanning raw events). Re-summing pre-rounded hourly sums is
-    deliberate: it matches how a real cascade materializes.
+    instead of rescanning raw events).
+
+    The hourly sums are stored integer-scaled (4 implied decimals): the
+    daily re-sum is then exact integer arithmetic, bit-identical under any
+    summation/partition order — re-summing rounded DOUBLES is not, because
+    float addition order perturbs the last ulp and a final round() can flip
+    a boundary value between engines.
     """
     e = t(spark, sf_dir, "events")
     hourly = e.groupBy(
@@ -289,13 +313,13 @@ def agg_hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.round(F.sum("value") * 10000).cast("long").alias("sum_scaled"),
     )
     return hourly.groupBy(
         F.date_trunc("day", "hour_start").alias("day_start"), "event_type"
     ).agg(
         F.sum("n_events").alias("n_events"),
-        F.round(F.sum("sum_value"), 4).alias("sum_value"),
+        (F.sum("sum_scaled") / F.lit(10000.0)).alias("sum_value"),
         F.count("*").alias("n_hours_active"),
     )
 
@@ -360,15 +384,35 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("agg_approx_percentile", None)  # sketch-based: engine-specific estimates
+@q(
+    "agg_approx_percentile",
+    """
+    SELECT o_orderstatus,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+           TRUE AS approx_within_5pct
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
 def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (quantile sketch): the constant-memory quantile
-    estimator for 100TB-scale distributions; rows-only (estimates are
-    engine-specific), error-bounded against exact percentiles in pytest."""
+    estimator for 100TB-scale distributions.
+
+    Sketch estimates are engine-specific, so the oracle-comparable output is
+    the exact interpolated median plus a Spark-verified error-bound flag
+    (accuracy=10000 sketch must land within 5%); the raw estimate's
+    tightness is asserted in pytest (tests/test_relational2.py)."""
     o = t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+    agg = o.groupBy("o_orderstatus").agg(
         F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50_exact"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("_approx"),
+    )
+    return agg.select(
+        "o_orderstatus",
+        "p50_exact",
+        (
+            F.abs(F.col("_approx") - F.col("p50_exact"))
+            <= 0.05 * F.abs(F.col("p50_exact"))
+        ).alias("approx_within_5pct"),
     )
 
 

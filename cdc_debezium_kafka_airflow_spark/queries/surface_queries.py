@@ -145,9 +145,25 @@ def udf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("stream_watermark", None)  # emission set depends on file-arrival order
+@q(
+    "stream_watermark",
+    """
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           event_type, count(*) AS n_events
+    FROM events
+    WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY
+          <= (SELECT max(ts) FROM events) - INTERVAL 1 DAY
+    GROUP BY 1, 2
+    """,
+)
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked append-mode tumbling windows: only windows closed by the
-    1-day watermark are emitted (the engine's late-data bound)."""
+    1-day watermark are emitted (the engine's late-data bound).
+
+    Deterministic under availableNow replay regardless of file/batch split:
+    every window whose end is <= the FINAL watermark (max event ts - 1 day)
+    is emitted exactly once by stream end (the final no-data micro-batch
+    flushes state), and no other window is — which is exactly the set the
+    oracle derives in closed form."""
     t(spark, sf_dir, "events")
     return jobs.windowed_event_counts_watermarked(spark, sf_dir)

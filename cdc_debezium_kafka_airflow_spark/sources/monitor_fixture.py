@@ -60,19 +60,19 @@ def build_connector_status(nation: DataFrame) -> DataFrame:
 def build_topic_offsets(events: DataFrame) -> DataFrame:
     """events -> per-topic (latest, committed) offset pairs + edge-case rows."""
     spark = events.sparkSession
+    # lag_raw derives from the grouping key itself (topic string), so the
+    # value is deterministic even when several event_types route to one topic
+    # (first(event_type) would be partition-order dependent there)
     per_topic = (
         events.groupBy(F.concat(F.lit(TOPIC_PREFIX), _table_col()).alias("topic"))
-        .agg(
-            F.count("*").alias("latest_offset"),
-            (F.length(F.first("event_type")) * 137 % 700).alias("lag_raw"),
-        )
+        .agg(F.count("*").alias("latest_offset"))
         .select(
             "topic",
             F.lit(0).alias("partition"),
             "latest_offset",
-            F.greatest(F.col("latest_offset") - F.col("lag_raw"), F.lit(0)).alias(
-                "committed_offset"
-            ),
+            F.greatest(
+                F.col("latest_offset") - F.length("topic") * 137 % 700, F.lit(0)
+            ).alias("committed_offset"),
         )
     )
     edges = spark.createDataFrame(
