@@ -82,15 +82,36 @@ mat AS (
 """
 
 
+_PARSED_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serialized+parsed changelog, persisted: the DLQ split filters on the
     parse result, and without a materialization boundary Catalyst pushes that
     filter below the projection and re-evaluates the whole
     to_json->from_json round-trip three times (visible in .explain).
     A real pipeline has the same boundary — Kafka holds the serialized
-    stream; the engine parses each record once."""
-    ch = build_changelog(t(spark, sf_dir, "events"))
-    return parse_envelope(ch).persist()
+    stream; the engine parses each record once.
+
+    Memoized per (session, sf_dir): every CDC query shares ONE persisted
+    parse instead of leaking a fresh cached copy per invocation across a
+    full oracle/bench sweep. If an external ``clearCache`` evicted the
+    entry (the bench isolates queries that way), it is re-registered."""
+    import os
+
+    from cdc_debezium_kafka_airflow_spark.session import session_key
+
+    key = (session_key(spark), os.path.abspath(sf_dir))
+    df = _PARSED_CACHE.get(key)
+    if df is None:
+        ch = build_changelog(t(spark, sf_dir, "events"))
+        df = parse_envelope(ch).persist()
+        _PARSED_CACHE[key] = df
+    else:
+        lvl = df.storageLevel
+        if not (lvl.useMemory or lvl.useDisk):
+            df.persist()
+    return df
 
 
 def _unwrapped(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,6 +13,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from cdc_debezium_kafka_airflow_spark.queries.common import t
 from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import MAT_CTE, _unwrapped
 from cdc_debezium_kafka_airflow_spark.operators.cdc import upsert_materialize
+from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+    cache_is_fresh,
+    source_fingerprint,
+    write_fingerprint,
+)
 
 QUERIES = {}
 ORACLES = {}
@@ -53,10 +58,12 @@ def src_json_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     read back with an explicit schema — schema-on-read typed parsing, the
     second-most-common lake format after parquet."""
     path = _cache_dir(sf_dir, "events_jsonl")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    fp = source_fingerprint(sf_dir, "events")
+    if not cache_is_fresh(path, fp):
         t(spark, sf_dir, "events").write.mode("overwrite").option(
             "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
         ).json(path)
+        write_fingerprint(path, fp)
     df = (
         spark.read.schema(EVENTS_DDL)
         .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
@@ -83,10 +90,12 @@ def src_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quoting/escaping round-trip is exercised by the JSON `props` column
     (embedded quotes and commas)."""
     path = _cache_dir(sf_dir, "events_csv")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    fp = source_fingerprint(sf_dir, "events")
+    if not cache_is_fresh(path, fp):
         t(spark, sf_dir, "events").write.mode("overwrite").option(
             "header", "true"
         ).option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").csv(path)
+        write_fingerprint(path, fp)
     df = (
         spark.read.schema(EVENTS_DDL)
         .option("header", "true")

@@ -20,7 +20,18 @@ import zipfile
 
 from pyspark.sql import SparkSession
 
-_PYFILES_SHIPPED: set[int] = set()
+_PYFILES_SHIPPED: set[str] = set()
+
+
+def session_key(spark: SparkSession) -> str:
+    """Stable identity for a live session. id(spark) is NOT stable: after a
+    session is stopped and garbage-collected a new SparkSession can reuse the
+    same CPython object address, which would silently skip per-session setup
+    (addPyFile) and reintroduce executor unpickle failures."""
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # spark-connect sessions have no accessible context
+        return f"id-{id(spark)}"
 
 
 def _ship_package(spark: SparkSession) -> None:
@@ -31,7 +42,7 @@ def _ship_package(spark: SparkSession) -> None:
     reference module-level symbols then fail to unpickle on workers. Shipping
     the package via addPyFile fixes that for any session, local or cluster.
     """
-    key = id(spark)
+    key = session_key(spark)
     if key in _PYFILES_SHIPPED:
         return
     pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

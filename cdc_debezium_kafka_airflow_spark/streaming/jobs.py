@@ -64,14 +64,21 @@ def changelog_stream(
     re-inline the to_json into every downstream from_json/filter (the
     serialize would run up to 4x per record — no cache boundary exists in a
     streaming plan to stop it)."""
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        cache_is_fresh,
+        source_fingerprint,
+        write_fingerprint,
+    )
+
     tag = os.path.basename(os.path.normpath(sf_dir))
     replay_dir = os.path.join("/root/repo/.cache", f"changelog_{tag}")
-    marker = os.path.join(replay_dir, "_SUCCESS")
-    if not os.path.exists(marker):
+    fp = source_fingerprint(sf_dir, "events")
+    if not cache_is_fresh(replay_dir, fp):
         from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
 
         batch = build_changelog(load_table(spark, sf_dir, "events"))
         batch.write.mode("overwrite").parquet(replay_dir)
+        write_fingerprint(replay_dir, fp)
     schema = (
         "offset long, topic string, partition int, key string, value string, "
         "timestamp timestamp"
