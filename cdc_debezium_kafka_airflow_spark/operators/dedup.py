@@ -178,21 +178,34 @@ def minhash_lsh_pairs(
     num_hash_tables: int = 5,
     max_jaccard_distance: float = 0.4,
     seed: int = 42,
+    est_hashes: int = 12,
+    est_margin: float = 0.3,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs (shingle -> minhash -> band -> bucket-join
-    -> exact verify), entirely in JVM expressions (no ML sparse vectors, no
-    Python): per band b, signature = min(xxhash64(b, seed, shingle)) over the
-    doc's word-3-shingles; docs colliding on any band signature become
-    candidates; candidates are verified with the EXACT jaccard via
-    array_intersect, so the cutoff is exact and only recall is approximate
-    (P[collision] = 1-(1-j)^bands for true jaccard j; identical docs always
-    collide).
+    -> estimate-prune -> exact verify), entirely in JVM expressions (no ML
+    sparse vectors, no Python): per band b, signature = min(xxhash64(b, seed,
+    shingle)) over the doc's word-3-shingles; docs colliding on any band
+    signature become candidates; candidates are verified with the EXACT
+    jaccard via array_intersect, so the cutoff is exact and only recall is
+    approximate (P[collision] = 1-(1-j)^bands for true jaccard j; identical
+    docs always collide).
 
     Scale shape: signatures are a map-only stage; the band join is an
     equi-join on (band, min_hash) whose bucket sizes are bounded by shingle
     distinctiveness (word-level shingles keep them small — char-3 shingles
-    on a shared-vocabulary corpus saturate and go quadratic); verification
-    touches candidates only.
+    on a shared-vocabulary corpus saturate and go quadratic).
+
+    The verify stage has NO broadcast ceiling: each doc carries an
+    ``est_hashes``-wide minhash vector (~8B each) through the band join, and
+    a candidate pair survives only if its estimated jaccard (fraction of
+    matching vector components, an unbiased estimator) is within
+    ``est_margin`` of the cutoff — for the defaults (k=12, margin=0.3) a
+    doc pair AT the jaccard cutoff is wrongly pruned with probability ~2%
+    (binomial tail), true near-dups well above it essentially never, while
+    saturated non-dup pairs are dropped BEFORE any shingle array moves. The surviving ~output-sized candidate set then
+    joins the packed shingle arrays as ordinary shuffle equi-joins (AQE
+    broadcasts them when small), so the plan stays hash-partitioned at any
+    corpus size.
     """
     # project tokens first — see ngram_jaccard_pairs on lambda re-evaluation
     tokenized = df.select(
@@ -214,9 +227,42 @@ def minhash_lsh_pairs(
             )
         )
 
-    sigs = shingled.select(
+    # k minhashes for the jaccard ESTIMATE vector, from the standard
+    # two-base-hash linear family h_i = h1 + i*h2 (pairwise independent,
+    # seed-space disjoint from the band hashes via the "est" salts): 2
+    # xxhash64 passes over the shingles instead of k. Bases are masked to
+    # 31 bits so h1 + i*h2 can never overflow a long under ANSI arithmetic;
+    # a 31-bit minhash only perturbs the match probability by ~2^-31.
+    # hp is projected to a COLUMN first: Catalyst re-inlines expressions
+    # referenced inside HOF lambdas per element, and CollapseProject leaves
+    # non-cheap multiply-referenced aliases in their own Project.
+    based = shingled.select(
         "doc_id",
         F.size("shingles").alias("set_size"),
+        "shingles",
+        F.transform(
+            F.col("shingles"),
+            lambda s: F.struct(
+                F.xxhash64(F.lit("est1"), F.lit(seed), s)
+                .bitwiseAND(F.lit(0x7FFFFFFF))
+                .alias("h1"),
+                F.xxhash64(F.lit("est2"), F.lit(seed), s)
+                .bitwiseAND(F.lit(0x7FFFFFFF))
+                .alias("h2"),
+            ),
+        ).alias("hp"),
+    )
+    est_vec = F.transform(
+        F.sequence(F.lit(0), F.lit(est_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(F.col("hp"), lambda p: p["h1"] + i * p["h2"])
+        ),
+    )
+
+    sigs = based.select(
+        "doc_id",
+        "set_size",
+        est_vec.alias("vec"),
         F.explode(
             F.array(
                 *[
@@ -227,8 +273,17 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bs"),
-    ).select("doc_id", "set_size", "bs.band", "bs.sig")
+    ).select("doc_id", "set_size", "vec", "bs.band", "bs.sig")
+    # the signature map stage (HOFs are interpreted, the expensive part of
+    # this plan) feeds BOTH sides of the self-join: persist so it runs once
+    sigs = sigs.persist()
 
+    est_matches = F.size(
+        F.filter(
+            F.zip_with(F.col("x.vec"), F.col("y.vec"), lambda a, b: a == b),
+            lambda m: m,
+        )
+    )
     candidates = (
         sigs.alias("x")
         .join(
@@ -241,6 +296,12 @@ def minhash_lsh_pairs(
                 F.least(F.col("x.set_size"), F.col("y.set_size"))
                 >= F.lit(1.0 - max_jaccard_distance)
                 * F.greatest(F.col("x.set_size"), F.col("y.set_size")),
+                # estimate prune: drop pairs whose estimated jaccard is
+                # margin-below the cutoff (evaluated inside the band join —
+                # no extra shuffle, no shingle bytes moved)
+                est_matches
+                >= (F.lit(1.0 - max_jaccard_distance - est_margin))
+                * F.lit(est_hashes),
             ],
         )
         .select(
@@ -251,10 +312,9 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # broadcast the packed shingle arrays: joining them shuffled would move
-    # ~candidates x array_size bytes (the dominant cost, measured); the doc
-    # side is small. At corpus sizes where it no longer broadcasts, insert a
-    # signature-vector estimate prune before this exact verification.
+    # exact verify over the pruned (~output-sized) candidate set: ordinary
+    # shuffle equi-joins on doc id — AQE turns them into broadcasts when the
+    # corpus is small, and they stay hash-partitioned (linear) when it isn't
     sa = shingled.select(
         F.col("doc_id").alias("id_a"), F.col("shingles").alias("shingles_a")
     )
@@ -266,8 +326,8 @@ def minhash_lsh_pairs(
         F.col("size_a") + F.col("size_b") - n_inter
     )
     return (
-        candidates.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
         .select("id_a", "id_b", F.round(jd, 6).alias("jaccard_distance"))
         .filter(F.col("jaccard_distance") <= max_jaccard_distance)
     )

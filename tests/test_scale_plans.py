@@ -104,6 +104,29 @@ def test_partitioned_warehouse_prunes_partitions(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(table_name)" not in plan
 
 
+def test_minhash_verify_survives_no_broadcast(spark, sf_dir):
+    """The minhash verify join must stay a hash-partitioned equi-join when
+    broadcasting is impossible (the >10M-doc regime): with the broadcast
+    threshold off, the plan may contain NO nested-loop or cartesian join,
+    and the estimate prune must run inside the band join (before any
+    shingle array is shuffled), visible as the zip_with over the signature
+    vectors in the join condition."""
+    from cdc_debezium_kafka_airflow_spark.operators.dedup import minhash_lsh_pairs
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+        pairs.collect()
+        plan = _plan(pairs)
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        opt = _optimized(pairs)
+        assert "zip_with" in opt, opt
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     df = q1_pricing_summary(spark, sf_dir)
     df.collect()  # finalize the AQE plan
