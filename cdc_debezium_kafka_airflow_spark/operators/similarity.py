@@ -54,6 +54,34 @@ def sign_bucket(vec: Column, bits: int = 4) -> Column:
     return acc
 
 
+def auto_bits(
+    n_rows: int, dim: int, target_bucket: int = 64, min_bits: int = 2
+) -> int:
+    """Bucket width scaled to corpus size: smallest ``bits`` whose expected
+    bucket holds ~``target_bucket`` vectors (2^bits grows linearly with the
+    corpus, so within-bucket all-pairs work stays ~linear in n — a FIXED
+    bits goes quadratic at 2^bits times the corpus the default was tuned
+    for). Capped at the embedding dim: past that, sign-bucket blocking is
+    exhausted and blocking must move to trained IVF cells (``ivf_topk``).
+
+    The DuckDB oracles mirror this formula in SQL — keep them identical:
+    least(dim, greatest(2, ceil(log2(n/64.0)))).
+    """
+    import math
+
+    if n_rows <= target_bucket:
+        bits = min_bits
+    else:
+        bits = math.ceil(math.log2(n_rows / target_bucket))
+    return max(min_bits, min(bits, dim))
+
+
+def _corpus_bits(corpus: DataFrame, vec_col: str) -> int:
+    n = corpus.count()
+    dim = corpus.select(F.size(vec_col).alias("d")).first()["d"]
+    return auto_bits(n, dim)
+
+
 def _topk_per_query(scored: DataFrame, k: int) -> DataFrame:
     """rank candidates per query: cosine desc, vec_id asc tie-break."""
     w = Window.partitionBy("query_id").orderBy(
@@ -93,9 +121,15 @@ def brute_force_topk(
 
 
 def bucketed_ann_topk(
-    queries: DataFrame, corpus: DataFrame, k: int = 10, bits: int = 4
+    queries: DataFrame, corpus: DataFrame, k: int = 10, bits: int | None = None
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's sign bucket."""
+    """Approximate top-k: candidates restricted to the query's sign bucket.
+
+    ``bits=None`` derives the bucket width from the corpus size
+    (see ``auto_bits``) so candidate volume stays ~linear as the corpus
+    grows instead of quadratic past a fixed 2^bits."""
+    if bits is None:
+        bits = _corpus_bits(corpus, "cvec")
     q = queries.select(
         "query_id",
         as_double("qvec").alias("qvec"),
@@ -248,10 +282,16 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    bits: int = 4,
+    bits: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b) within sign
-    buckets — the blocked/pruned shape that survives large corpora."""
+    buckets — the blocked/pruned shape that survives large corpora.
+
+    ``bits=None`` derives the bucket width from the corpus size
+    (see ``auto_bits``): within-bucket all-pairs is O(n²/2^bits), so 2^bits
+    must track n to keep total candidate work ~linear."""
+    if bits is None:
+        bits = _corpus_bits(vectors, vec_col)
     v = vectors.select(
         F.col(id_col).alias("vid"),
         as_double(F.col(vec_col)).alias("vec"),

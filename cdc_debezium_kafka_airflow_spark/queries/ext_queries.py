@@ -178,6 +178,21 @@ SIM_CTE = """
 v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
 """
 
+# corpus-size-derived sign-bucket width — MUST stay formula-identical to
+# operators/similarity.auto_bits (target bucket 64, floor 2, cap dim)
+BITS_CTE = """
+bw AS (SELECT least(CAST(max(len(e)) AS INT),
+                    greatest(2, CAST(ceil(log2(count(*) / 64.0)) AS INT)))
+                 AS bits
+       FROM v),
+vb AS (SELECT vec_id, e,
+              list_sum(list_transform(range(1, (SELECT bits FROM bw) + 1),
+                       j -> CASE WHEN e[CAST(j AS INT)] > 0
+                                 THEN 1 << (CAST(j AS INT) - 1)
+                                 ELSE 0 END)) AS bucket
+       FROM v)
+"""
+
 
 @q(
     "ext_sim_topk",
@@ -215,12 +230,7 @@ def ext_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_sim_ann_bucketed",
     f"""
     WITH {SIM_CTE},
-    vb AS (SELECT vec_id, e,
-                  (CASE WHEN e[1] > 0 THEN 1 ELSE 0 END) +
-                  (CASE WHEN e[2] > 0 THEN 2 ELSE 0 END) +
-                  (CASE WHEN e[3] > 0 THEN 4 ELSE 0 END) +
-                  (CASE WHEN e[4] > 0 THEN 8 ELSE 0 END) AS bucket
-           FROM v),
+    {BITS_CTE},
     q AS (SELECT vec_id AS query_id, e, bucket FROM vb WHERE vec_id % 50 = 0),
     s AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -238,8 +248,10 @@ def ext_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF/LSH-style ANN: sign-bit bucketing prunes candidates ~16x; at scale
-    the bucket is the corpus partition key (partition pruning per query)."""
+    """IVF/LSH-style ANN: sign-bit bucketing prunes candidates ~2^bits-fold,
+    with bits derived from corpus size (auto_bits) so candidate volume stays
+    ~linear as the corpus grows; at scale the bucket is the corpus partition
+    key (partition pruning per query)."""
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
@@ -247,7 +259,7 @@ def ext_sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
     )
-    return bucketed_ann_topk(queries, corpus, k=10, bits=4)
+    return bucketed_ann_topk(queries, corpus, k=10)
 
 
 @q("ext_sim_ivf_topk", None)  # trained cells: iterative float means -> rows-only
@@ -270,12 +282,7 @@ def ext_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ext_embedding_near_dup",
     f"""
     WITH {SIM_CTE},
-    vb AS (SELECT vec_id, e,
-                  (CASE WHEN e[1] > 0 THEN 1 ELSE 0 END) +
-                  (CASE WHEN e[2] > 0 THEN 2 ELSE 0 END) +
-                  (CASE WHEN e[3] > 0 THEN 4 ELSE 0 END) +
-                  (CASE WHEN e[4] > 0 THEN 8 ELSE 0 END) AS bucket
-           FROM v)
+    {BITS_CTE}
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_inner_product(a.e, b.e) /
              (sqrt(list_inner_product(a.e, a.e)) *
@@ -287,10 +294,9 @@ def ext_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ext_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within sign buckets."""
-    return embedding_near_dups(
-        t(spark, sf_dir, "embeddings"), threshold=0.35, bits=4
-    )
+    """Embedding-cosine near-duplicate pairs within sign buckets
+    (corpus-size-derived bucket width keeps candidate volume ~linear)."""
+    return embedding_near_dups(t(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
 @q(

@@ -157,3 +157,49 @@ def test_bucketed_ann_subset_of_bucket(spark, sf_dir):
     # every ANN hit must also be a real vector with rank<=5 within its bucket
     assert all(1 <= r.rank <= 5 for r in ann)
     assert all(-1.0 <= r.cosine_sim <= 1.0 for r in ann)
+
+
+def test_auto_bits_keeps_candidates_linear(spark):
+    """The sign-bucket width must track corpus size: within-bucket all-pairs
+    candidate volume at sf0.1 may grow at most ~linearly over sf0.001 (a
+    fixed bits would grow it quadratically)."""
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+        auto_bits,
+        sign_bucket,
+        as_double,
+    )
+
+    def candidate_pairs(sf_dir: str) -> tuple[int, int]:
+        e = load_table(spark, sf_dir, "embeddings")
+        n = e.count()
+        dim = e.select(F.size("embedding").alias("d")).first()["d"]
+        bits = auto_bits(n, dim)
+        per_bucket = (
+            e.select(
+                sign_bucket(as_double(F.col("embedding")), bits).alias("b")
+            )
+            .groupBy("b")
+            .count()
+            .collect()
+        )
+        return n, sum(r["count"] * (r["count"] - 1) // 2 for r in per_bucket)
+
+    n_small, cand_small = candidate_pairs("/root/testdata/sf0.001")
+    n_big, cand_big = candidate_pairs("/root/testdata/sf0.1")
+    assert n_big > n_small
+    growth = cand_big / max(cand_small, 1)
+    scale = n_big / n_small
+    # linear-with-slack: 2x covers sign-skew unevenness across buckets;
+    # a fixed 2^4 bucketing would give growth ≈ scale² ≈ 16 here
+    assert growth <= 2.0 * scale, (cand_small, cand_big, growth, scale)
+
+
+def test_auto_bits_formula_bounds():
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import auto_bits
+
+    assert auto_bits(10, 64) == 2          # tiny corpus -> floor
+    assert auto_bits(64, 64) == 2
+    assert auto_bits(500, 64) == 3
+    assert auto_bits(2000, 64) == 5
+    assert auto_bits(10**9, 64) == 24      # 1B vectors -> ~64-vector buckets
+    assert auto_bits(10**30, 64) == 64     # capped at the embedding dim
