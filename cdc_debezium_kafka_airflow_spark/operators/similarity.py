@@ -152,6 +152,53 @@ def bucketed_ann_topk(
     return _topk_per_query(scored, k)
 
 
+def normalized(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Unit-normalize an array<double> column. The norm is projected to its
+    own column FIRST: an expression referenced inside a HOF lambda is
+    re-evaluated per element, so dividing by an inline sqrt(aggregate(...))
+    would recompute the norm dim times per row."""
+    with_norm = df.withColumn(
+        "_nrm", F.greatest(l2_norm(F.col(vec_col)), F.lit(1e-12))
+    )
+    return with_norm.withColumn(
+        out_col, F.transform(F.col(vec_col), lambda x: x / F.col("_nrm"))
+    ).drop("_nrm")
+
+
+def _greedy_seeds(
+    v: DataFrame, k: int, sample_cap: int = 256
+) -> list[list[float]]:
+    """Deterministic kmeans++-style init: farthest-point traversal (the
+    deterministic analog of kmeans++ D² sampling) over a bounded
+    deterministic sample — every stride-th vid, <= ~sample_cap rows — pulled
+    to the driver, where the k greedy max-min rounds are numpy arithmetic
+    instead of k full-corpus jobs. This is the k-means|| shape: sample
+    distributed, solve the tiny seeding problem locally; the sample is
+    O(sample_cap*dim) bytes regardless of corpus size, and Lloyd refinement
+    stays fully distributed."""
+    import numpy as np
+
+    n = v.count()
+    stride = max(n // sample_cap, 1)
+    sample = (
+        v.filter(F.col("vid") % stride == 0)
+        .orderBy("vid")
+        .limit(sample_cap * 2)
+        .collect()
+    )
+    pts = np.array([list(r["nvec"]) for r in sample], dtype=np.float64)
+    chosen = [0]  # lowest vid
+    d2 = ((pts - pts[0]) ** 2).sum(axis=1)
+    for _ in range(min(k, len(pts)) - 1):
+        nxt = int(np.argmax(d2))  # np.argmax: first (lowest-vid) on ties
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((pts - pts[nxt]) ** 2).sum(axis=1))
+    seeds = [[float(x) for x in pts[i]] for i in chosen]
+    while len(seeds) < k:  # degenerate corpora smaller than k
+        seeds.append(seeds[len(seeds) % len(chosen)])
+    return seeds
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     id_col: str = "neighbor_id",
@@ -159,38 +206,60 @@ def train_ivf_centroids(
     k: int = 8,
     iters: int = 3,
 ) -> DataFrame:
-    """Deterministic mini k-means (Lloyd) over DataFrame ops -> centroids.
+    """Deterministic SPHERICAL mini k-means (Lloyd on the unit sphere) ->
+    centroids, over DataFrame ops.
 
-    Init: the k vectors with id % (n/k-ish stride) == 0 — no randomness.
-    Each iteration: assign to nearest centroid (broadcast k centroids),
-    recompute means. Centroids are ROUNDED to 6 decimals each iteration so
-    float summation order can't make assignments flicker between runs —
-    iterative algorithms on doubles must quantize shared state to stay
-    reproducible. Returns (centroid_id, centroid array<double>).
+    Spherical: vectors are unit-normalized before training and centroid
+    means are re-normalized each iteration, so cell assignment minimizes
+    ANGULAR distance — the same metric the cosine retrieval ranks by
+    (euclidean cells on unnormalized vectors split by magnitude, which
+    cosine ignores: that mismatch is what kills recall).
+
+    Init: greedy farthest-point (see _greedy_seeds) — deterministic, spreads
+    seeds across the sphere so distinct natural clusters get distinct seeds
+    (stride-by-id init can land several seeds in one dense cluster).
+
+    Centroids are ROUNDED to 6 decimals each iteration so float summation
+    order can't make assignments flicker between runs — iterative algorithms
+    on doubles must quantize shared state to stay reproducible.
+    Returns (centroid_id, centroid array<double>), unit-normalized.
     """
-    v = corpus.select(
-        F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec")
+    v = normalized(
+        corpus.select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec")
+        ),
+        "vec",
+        "nvec",
+    ).select("vid", "nvec")
+    seeds = _greedy_seeds(v, k)
+    centroids = v.sparkSession.createDataFrame(
+        [(i, s) for i, s in enumerate(seeds)], "cid int, cvec_c array<double>"
     )
-    n = v.count()
-    stride = max(n // k, 1)
-    centroids = (
-        v.filter((F.col("vid") % stride == 0) & (F.col("vid") < stride * k))
-        .select((F.col("vid") / stride).cast("int").alias("cid"), F.col("vec").alias("cvec_c"))
-    )
+    vv = v.select("vid", F.col("nvec").alias("vec"))
     for _ in range(iters):
-        assigned = _assign_to_centroids(v, centroids)
-        # per-dimension mean: explode positions once, average, re-collect
+        assigned = _assign_to_centroids(vv, centroids)
+        # per-dimension mean: explode positions once, average, re-collect,
+        # then re-normalize onto the unit sphere (spherical k-means step)
         assigned_pos = assigned.select(
             "cid", F.posexplode("vec").alias("pos", "x")
         )
         centroids = (
             assigned_pos.groupBy("cid", "pos")
-            .agg(F.round(F.avg("x"), 6).alias("m"))
+            .agg(F.avg("x").alias("m"))
             .groupBy("cid")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
             .select(
                 "cid",
-                F.transform(F.col("pm"), lambda s: s["m"]).alias("cvec_c"),
+                F.transform(F.col("pm"), lambda s: s["m"]).alias("mvec"),
+            )
+        )
+        centroids = (
+            normalized(centroids, "mvec", "nm")
+            .select(
+                "cid",
+                F.transform(F.col("nm"), lambda x: F.round(x, 6)).alias(
+                    "cvec_c"
+                ),
             )
         )
         centroids = centroids.localCheckpoint(eager=True)
@@ -221,16 +290,23 @@ def ivf_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 10, n_centroids: int = 8,
     n_probe: int = 2,
 ) -> DataFrame:
-    """Trained-IVF ANN: assign corpus to k-means cells; each query probes its
-    `n_probe` nearest cells only. The production shape: cells are the
+    """Trained-IVF ANN: assign corpus to SPHERICAL k-means cells; each query
+    probes its `n_probe` nearest cells only. Assignment and probing both run
+    in unit-normalized space — the centroids live on the unit sphere, so
+    euclidean-to-centroid ordering there equals angular ordering, the same
+    metric the cosine ranking uses. The production shape: cells are the
     corpus's storage partition key, probes prune the scan ~(k/n_probe)-fold.
     """
-    c = corpus.select("neighbor_id", as_double(F.col("cvec")).alias("cvec"))
+    c = normalized(
+        corpus.select("neighbor_id", as_double(F.col("cvec")).alias("cvec")),
+        "cvec",
+        "ncvec",
+    )
     cents = train_ivf_centroids(corpus, k=n_centroids)
-    # corpus cell assignment
+    # corpus cell assignment (normalized space)
     cv = c.join(F.broadcast(cents))
     d2c = F.aggregate(
-        F.zip_with("cvec", "centroid", lambda x, y: (x - y) * (x - y)),
+        F.zip_with("ncvec", "centroid", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
@@ -248,11 +324,15 @@ def ivf_topk(
             F.col("b.cvec").alias("cvec"),
         )
     )
-    # query probes: n_probe nearest cells
-    q = queries.select("query_id", as_double(F.col("qvec")).alias("qvec"))
+    # query probes: n_probe nearest cells (normalized space)
+    q = normalized(
+        queries.select("query_id", as_double(F.col("qvec")).alias("qvec")),
+        "qvec",
+        "nqvec",
+    )
     qv = q.join(F.broadcast(cents))
     d2q = F.aggregate(
-        F.zip_with("qvec", "centroid", lambda x, y: (x - y) * (x - y)),
+        F.zip_with("nqvec", "centroid", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )

@@ -126,22 +126,74 @@ def test_ivf_topk_recall_against_exact(spark, sf_dir):
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
     )
     exact = brute_force_topk(queries, corpus, k=10).collect()
-    approx = ivf_topk(queries, corpus, k=10, n_centroids=8, n_probe=2).collect()
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
-    approx_sets = {}
-    for r in approx:
-        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
-    # with near-random embeddings IVF recall is modest; require it to be a
-    # working index: same queries answered, >= 20% overall recall, and
-    # deterministic across two runs
-    assert set(approx_sets) == set(exact_sets)
-    hits = sum(len(exact_sets[q] & approx_sets[q]) for q in exact_sets)
-    total = sum(len(exact_sets[q]) for q in exact_sets)
-    assert hits / total >= 0.2, (hits, total)
+
+    def recall(n_probe: int) -> tuple[float, list]:
+        approx = ivf_topk(
+            queries, corpus, k=10, n_centroids=8, n_probe=n_probe
+        ).collect()
+        approx_sets = {}
+        for r in approx:
+            approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+        assert set(approx_sets) == set(exact_sets)
+        hits = sum(len(exact_sets[q] & approx_sets[q]) for q in exact_sets)
+        total = sum(len(exact_sets[q]) for q in exact_sets)
+        return hits / total, approx
+
+    # the fixture embeddings are near-random (no cluster structure), which
+    # caps IVF recall at roughly the probed-cell fraction plus the angular
+    # correlation the spherical cells capture — measured 0.47-0.48 at
+    # n_probe=2 and 0.67-0.72 at n_probe=4 across sfs. The ≥0.9 regime on
+    # genuinely clustered data is proven by
+    # test_ivf_recall_on_clustered_corpus below.
+    r2, approx2 = recall(2)
+    assert r2 >= 0.35, r2
+    r4, _ = recall(4)
+    assert r4 >= 0.55, r4
+    assert r4 >= r2  # more probes can only widen the candidate set
+    # deterministic across runs
     again = ivf_topk(queries, corpus, k=10, n_centroids=8, n_probe=2).collect()
-    assert sorted(map(tuple, again)) == sorted(map(tuple, approx))
+    assert sorted(map(tuple, again)) == sorted(map(tuple, approx2))
+
+
+def test_ivf_recall_on_clustered_corpus(spark):
+    """On data with real cluster structure (the regime IVF exists for),
+    spherical k-means cells + greedy farthest-point seeding must recover
+    near-perfect recall at n_probe=2."""
+    import numpy as np
+
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(7)
+    dim, n_clusters, per_cluster = 64, 8, 100
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for ci in range(n_clusters):
+        pts = centers[ci] + 0.15 * rng.normal(size=(per_cluster, dim))
+        for p in pts:
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = df.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    exact_sets, approx_sets = {}, {}
+    for r in brute_force_topk(queries, corpus, k=10).collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ivf_topk(
+        queries, corpus, k=10, n_centroids=n_clusters, n_probe=2
+    ).collect():
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(exact_sets[q]) for q in exact_sets)
+    assert hits / total >= 0.9, (hits, total)
 
 
 def test_bucketed_ann_subset_of_bucket(spark, sf_dir):
