@@ -1,11 +1,14 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The image/audio decode libraries are NOT available in this container, so the
-actual decode step is STUBBED behind ``_decode_stub`` (clearly marked, raises
-``NotImplementedError`` when a real decode is requested); the Spark-side
-plumbing — binary column schema, metadata struct, Arrow batch shape, UDF
-signature, partition-preserving mapInPandas — is real and tested.
+The IMAGE path is real end-to-end with no external libraries: image-typed
+docs carry an actual 24-bpp BMP payload (rendered deterministically from the
+doc id at attach time) and the feature stage PARSES the BMP — file header,
+BITMAPINFOHEADER, bottom-up padded pixel rows — to recover width/height and
+the mean pixel value. Audio/video decode libraries are NOT available in this
+container, so those two types keep deterministic byte-level features
+(``_decode_stub``, clearly marked; raises only when a true codec decode is
+explicitly requested — never on the default path).
 
 Scale notes: media bytes stay opaque until the last possible stage (no JVM<->
 Python crossing for rows that filters drop earlier); `mapInPandas` streams
@@ -16,6 +19,7 @@ away from every query that doesn't touch it.
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -24,65 +28,168 @@ from pyspark.sql import DataFrame, functions as F
 
 MEDIA_TYPES = ["image", "audio", "video"]
 
+MEDIA_SCHEMA = (
+    "doc_id long, media_type string, media_bytes binary, "
+    "media_meta struct<width:int, height:int, duration_s:double>"
+)
+
 FEATURE_SCHEMA = (
-    "doc_id long, media_type string, n_bytes long, checksum_mod long"
+    "doc_id long, media_type string, n_bytes long, checksum_mod long, "
+    "width int, height int, mean_pixel double"
 )
 
 
-def attach_media(documents: DataFrame) -> DataFrame:
-    """Attach a synthetic opaque media column + typed metadata to documents.
+def bmp_dims(doc_id: int) -> tuple[int, int]:
+    """Deterministic tiny image dims per doc (4..8 x 3..6)."""
+    return 4 + doc_id % 5, 3 + doc_id % 4
 
-    media_bytes = utf-8 bytes of the text (deterministic stand-in for real
-    image/audio payloads); media_type cycles by doc_id; metadata mirrors the
-    (width, height, duration) style sidecar a real pipeline carries.
+
+def _pixel(doc_id: int, x: int, y: int) -> int:
+    return (doc_id * 31 + 7 * x + 13 * y) % 256
+
+
+def render_bmp(doc_id: int) -> bytes:
+    """A real, spec-conformant 24-bpp BMP (BITMAPINFOHEADER, bottom-up rows,
+    4-byte row padding), with pixel (x, y) = (doc_id*31 + 7x + 13y) % 256 in
+    all three channels — closed-form content the SQL oracle can predict."""
+    w, h = bmp_dims(doc_id)
+    row_size = (3 * w + 3) // 4 * 4
+    data_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + data_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(w):
+            v = _pixel(doc_id, x, y)
+            row += bytes((v, v, v))  # B, G, R
+        row += b"\x00" * (row_size - len(row))
+        rows += row
+    return header + info + bytes(rows)
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, float]:
+    """REAL BMP decode (no external libs): parse the file header and
+    BITMAPINFOHEADER, walk the bottom-up padded pixel rows, return
+    (width, height, mean pixel value over all channel bytes)."""
+    magic, _file_size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", data, 0)
+    if magic != b"BM":
+        raise ValueError("not a BMP payload")
+    hdr_size, w, h, _planes, bpp = struct.unpack_from("<IiiHH", data, 14)
+    if hdr_size < 40 or bpp != 24:
+        raise ValueError(f"unsupported BMP variant (hdr={hdr_size}, bpp={bpp})")
+    flipped = h < 0  # negative height = top-down storage
+    h = abs(h)
+    row_size = (3 * w + 3) // 4 * 4
+    total = 0
+    for row_i in range(h):
+        base = offset + row_i * row_size
+        px = data[base : base + 3 * w]
+        total += sum(px)
+    _ = flipped  # mean is row-order invariant; kept for parity with spec
+    return w, h, total / (3 * w * h)
+
+
+def attach_media(documents: DataFrame) -> DataFrame:
+    """Attach an opaque media column + typed metadata to documents.
+
+    image-typed docs (doc_id % 3 == 0) get a REAL rendered BMP payload;
+    audio/video get utf-8 text bytes (deterministic stand-ins — no
+    audio/video encoder exists in this container). Rendering happens in an
+    Arrow-batched mapInPandas stage, the same ingest-side shape a real
+    pipeline uses to attach binary payloads.
     """
-    mt = F.element_at(
-        F.array(*[F.lit(m) for m in MEDIA_TYPES]),
-        (F.col("doc_id") % 3 + 1).cast("int"),
-    )
-    return documents.select(
-        "doc_id",
-        mt.alias("media_type"),
-        F.encode(F.col("text"), "UTF-8").alias("media_bytes"),
-        F.struct(
-            (F.col("n_chars") % 1920).cast("int").alias("width"),
-            (F.col("n_chars") % 1080).cast("int").alias("height"),
-            (F.col("n_chars") / 100.0).alias("duration_s"),
-        ).alias("media_meta"),
-    )
+    src = documents.select("doc_id", "text", "n_chars")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [],
+                "media_type": [],
+                "media_bytes": [],
+                "media_meta": [],
+            }
+            for doc_id, text, n_chars in zip(
+                pdf["doc_id"], pdf["text"], pdf["n_chars"]
+            ):
+                doc_id = int(doc_id)
+                mtype = MEDIA_TYPES[doc_id % 3]
+                if mtype == "image":
+                    payload = render_bmp(doc_id)
+                    w, h = bmp_dims(doc_id)
+                    meta = {
+                        "width": w,
+                        "height": h,
+                        "duration_s": 0.0,
+                    }
+                else:
+                    payload = str(text).encode("utf-8")
+                    meta = {
+                        "width": int(n_chars) % 1920,
+                        "height": int(n_chars) % 1080,
+                        "duration_s": int(n_chars) / 100.0,
+                    }
+                out["doc_id"].append(doc_id)
+                out["media_type"].append(mtype)
+                out["media_bytes"].append(payload)
+                out["media_meta"].append(meta)
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def _decode_stub(media_type: str, data: bytes, real_decode: bool = False):
-    """STUB for the real decoder (PIL/librosa/ffmpeg are not installed).
+    """STUB for the audio/video decoders (librosa/ffmpeg are not installed).
 
-    Returns deterministic fake features: (n_bytes, checksum_mod). A real
-    deployment replaces this body with the actual decode + feature extract.
-    """
+    Returns deterministic byte-level features: (n_bytes, checksum_mod). A
+    real deployment replaces this body with the actual codec decode +
+    feature extract. Never raises on the default path — only when a true
+    codec decode is explicitly requested."""
     if real_decode:
         raise NotImplementedError(
-            "media decode libraries are not available in this environment; "
-            "plug a real decoder in here"
+            "audio/video decode libraries are not available in this "
+            "environment; plug a real decoder in here"
         )
     return len(data), sum(data[:64]) % 997
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over the opaque media column."""
+    """Arrow-batched feature extraction over the opaque media column.
+
+    image rows: REAL BMP parse -> (width, height, mean_pixel), checksum NULL.
+    audio/video rows: byte-level stub features, image fields NULL.
+    """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [
-                _decode_stub(mt, bytes(data))
-                for mt, data in zip(pdf["media_type"], pdf["media_bytes"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": [f[0] for f in feats],
-                    "checksum_mod": [f[1] for f in feats],
-                }
-            )
+            rows = {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": [],
+                "checksum_mod": [],
+                "width": [],
+                "height": [],
+                "mean_pixel": [],
+            }
+            for mt, data in zip(pdf["media_type"], pdf["media_bytes"]):
+                data = bytes(data)
+                rows["n_bytes"].append(len(data))
+                if mt == "image":
+                    # mean left unrounded: the division operands (exact ints)
+                    # are identical in the SQL oracle, so the IEEE result is
+                    # bit-identical with no rounding convention involved
+                    w, h, mean = decode_bmp(data)
+                    rows["checksum_mod"].append(None)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["mean_pixel"].append(mean)
+                else:
+                    n, chk = _decode_stub(mt, data)
+                    rows["checksum_mod"].append(chk)
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["mean_pixel"].append(None)
+            yield pd.DataFrame(rows)
 
     return media.select("doc_id", "media_type", "media_bytes").mapInPandas(
         batches, FEATURE_SCHEMA

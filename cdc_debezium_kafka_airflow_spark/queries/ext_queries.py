@@ -458,21 +458,44 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "ext_multimodal_cols",
     """
-    SELECT d.doc_id,
-           ['image', 'audio', 'video'][CAST(d.doc_id % 3 AS INT) + 1] AS media_type,
-           octet_length(encode(d.text)) AS n_bytes,
-           list_aggregate(list_transform(
-               range(1, least(length(d.text), 64) + 1),
-               i -> ascii(substr(d.text, CAST(i AS INT), 1))), 'sum') % 997
-             AS checksum_mod,
+    WITH m AS (
+      SELECT doc_id, text,
+             ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]
+               AS media_type,
+             CAST(4 + doc_id % 5 AS INT) AS w,
+             CAST(3 + doc_id % 4 AS INT) AS h
+      FROM documents
+    )
+    SELECT m.doc_id, m.media_type,
+           CAST(CASE WHEN m.media_type = 'image'
+                THEN 54 + m.h * ((3 * m.w + 3) // 4 * 4)
+                ELSE octet_length(encode(m.text)) END AS BIGINT) AS n_bytes,
+           CASE WHEN m.media_type = 'image' THEN NULL
+                ELSE list_aggregate(list_transform(
+                       range(1, least(length(m.text), 64) + 1),
+                       i -> ascii(substr(m.text, CAST(i AS INT), 1))), 'sum')
+                     % 997 END AS checksum_mod,
+           CASE WHEN m.media_type = 'image' THEN m.w ELSE NULL END AS width,
+           CASE WHEN m.media_type = 'image' THEN m.h ELSE NULL END AS height,
+           CASE WHEN m.media_type = 'image'
+                THEN 3 * list_aggregate(flatten(list_transform(
+                       range(0, m.h), y -> list_transform(range(0, m.w),
+                         x -> (m.doc_id * 31 + 7 * x + 13 * y) % 256))),
+                       'sum')
+                     / (3 * m.w * m.h)
+                ELSE NULL END AS mean_pixel,
            round(sqrt(list_aggregate(list_transform(e.embedding::DOUBLE[],
                x -> x * x), 'sum')), 6) AS emb_l2_norm
-    FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    FROM m JOIN embeddings e ON e.vec_id = m.doc_id
     """,
 )
 def ext_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal row: opaque media bytes -> Arrow-batched feature stub,
-    joined with the doc's embedding (text + vector + media side by side)."""
+    """Multimodal row: image docs carry a REAL rendered BMP payload that the
+    Arrow-batched feature stage actually parses (header + bottom-up padded
+    pixel rows -> width/height/mean_pixel); audio/video docs keep byte-level
+    stub features; joined with the doc's embedding (text + vector + media
+    side by side). The oracle predicts the decoded features in closed form
+    from the deterministic pixel function."""
     docs = t(spark, sf_dir, "documents")
     feats = extract_media_features(attach_media(docs))
     emb = t(spark, sf_dir, "embeddings")
