@@ -106,11 +106,10 @@ def stream_dlq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream and hoisted to the audit shape — must quarantine exactly the same
     records as the batch path."""
     t(spark, sf_dir, "events")
-    with jobs._cdc_stream_planning(spark):
-        dlq = hoist_field(
-            split_dlq(parse_envelope(jobs.changelog_stream(spark, sf_dir)))[1]
-        )
-        return jobs._run_to_memory(dlq, "append")
+    dlq = hoist_field(
+        split_dlq(parse_envelope(jobs.changelog_stream(spark, sf_dir)))[1]
+    )
+    return jobs._run_to_memory(dlq, "append")
 
 
 @q(

@@ -118,31 +118,15 @@ def kafka_changelog_stream(
     )
 
 
-from contextlib import contextmanager
-
-# Streaming plans have no cache boundary, so PushDownPredicates +
-# CollapseProject re-inline the expensive from_json into the DLQ-split
-# filter and every projection — measured 4x wall-clock on the CDC parse.
-# Excluded ONLY while a CDC streaming query runs; the only filter in those
-# plans is the DLQ split itself, so no useful pushdown is lost.
-_CDC_STREAM_EXCLUDED_RULES = (
-    "org.apache.spark.sql.catalyst.optimizer.PushDownPredicates,"
-    "org.apache.spark.sql.catalyst.optimizer.CollapseProject"
-)
-
-
-@contextmanager
-def _cdc_stream_planning(spark: SparkSession):
-    key = "spark.sql.optimizer.excludedRules"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, _CDC_STREAM_EXCLUDED_RULES)
-    try:
-        yield
-    finally:
-        if prev:
-            spark.conf.set(key, prev)
-        else:
-            spark.conf.unset(key)
+# Historical note: when the CDC stream built its changelog inline
+# (to_json -> from_json in ONE streaming plan), PushDownPredicates +
+# CollapseProject re-inlined the serialize into every downstream filter and
+# projection (measured 4x wall-clock), worked around by a scoped
+# excludedRules override. The STRUCTURAL fix is the materialized replay log
+# (changelog_stream): the stream reads already-serialized records — exactly
+# Kafka's role — so each record is parsed once and there is nothing for the
+# optimizer to re-inline. Measured with default rules: identical timings and
+# results across all three upsert variants; no planner knobs remain.
 
 
 def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
@@ -208,8 +192,7 @@ def streaming_upsert_state(
         F.max_by(F.struct("is_delete", "after"), "offset").alias("last"),
         F.max("offset").alias("last_offset"),
     )
-    with _cdc_stream_planning(spark):
-        out = _run_to_memory(latest, "complete")
+    out = _run_to_memory(latest, "complete")
     return out.filter(~F.col("last.is_delete")).select(
         "table_name", "last_offset", "last.after.*"
     )
@@ -295,8 +278,7 @@ def stateful_upsert_apply_in_pandas(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        with _cdc_stream_planning(spark):
-            out = _run_to_memory(latest, "update")
+        out = _run_to_memory(latest, "update")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # update-mode sink may hold one row per key per micro-batch: reduce to
@@ -360,14 +342,13 @@ def foreach_batch_upsert(
         state["t"] = merged.localCheckpoint(eager=True)
 
     unwrapped = unwrap(split_dlq(parse_envelope(changelog_stream(spark, sf_dir, max_files_per_trigger)))[0])
-    with _cdc_stream_planning(spark):
-        q = (
-            unwrapped.writeStream.foreachBatch(merge_batch)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+    q = (
+        unwrapped.writeStream.foreachBatch(merge_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
     final = state["t"]
     return final.filter(~F.col("last.is_delete")).select(
         "table_name", "last_offset", "last.after.*"
