@@ -132,3 +132,45 @@ def snk_partitioned_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.coalesce(F.max("last_offset"), F.lit(0)).alias("max_offset"),
     )
+
+
+@q(
+    "src_jdbc_federated",
+    """
+    SELECT n.n_name, count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def src_jdbc_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE external-JDBC federation through Spark's real JDBC source: the
+    nation dim is written to an EXTERNAL relational database over
+    ``DataFrameWriter.jdbc`` (embedded Apache Derby — the one JDBC engine
+    shipped in every Spark distribution), read back over
+    ``spark.read.jdbc``, and joined with the parquet fact table.
+
+    This is the reference's external-integrity shape — its dynamic DAG reads
+    MySQL/Postgres over connections (reference
+    dags/cdc_data_integrity_dynamic_dag.py:48-55) — exercised through the
+    genuine Spark JDBC codepath: DriverManager on executors, dialect DDL,
+    scan-time column pruning. In production the URL points at a served
+    MySQL/Postgres and everything else is identical; embedded Derby is the
+    sandbox stand-in (single-JVM — fine under local[*], where executors
+    share the driver JVM).
+    """
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    url = f"jdbc:derby:/root/repo/.cache/derby_fed_{tag};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    nation.write.jdbc(url, "NATION_DIM", mode="overwrite", properties=props)
+    dim = spark.read.jdbc(url, "NATION_DIM", properties=props)
+    cust = t(spark, sf_dir, "customer")
+    return (
+        cust.join(F.broadcast(dim), cust.c_nationkey == dim.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )

@@ -79,6 +79,7 @@ _PRIORITY = [
     "src_cdc_snapshot",
     "snk_schema_history",
     "src_sql_passthrough",
+    "src_jdbc_federated",
     # §2.D structured streaming (window, watermark, state, jdbc-merge sink)
     "stream_tumbling",
     "stream_watermark",
@@ -92,8 +93,10 @@ _PRIORITY = [
     "ext_sim_topk",
     "ext_sim_ann_bucketed",
     "ext_text_quality",
-    "ext_lang_id",
     "ext_multimodal_cols",
+    # next in line (position 51+): ext_lang_id, ext_fingerprint, tfidf,
+    # unigram LM — same §2.D ext_text_analysis op id as ext_text_quality
+    "ext_lang_id",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

@@ -22,6 +22,7 @@ REQUIRED_IN_WINDOW = {
     "snk_schema_history",
     "monitor_status_health",  # src_http_status fixture
     "src_sql_passthrough",
+    "src_jdbc_federated",  # true external-JDBC federation (embedded Derby)
     # §2.B row transforms + CDC stateful semantics
     "xf_regexrouter",
     "upsert_materialize",
@@ -64,7 +65,6 @@ REQUIRED_IN_WINDOW = {
     "ext_sim_topk",
     "ext_sim_ann_bucketed",
     "ext_text_quality",
-    "ext_lang_id",
     "ext_multimodal_cols",
 }
 
