@@ -118,6 +118,44 @@ def upsert_materialize(unwrapped: DataFrame) -> DataFrame:
     )
 
 
+def scd2_history(unwrapped: DataFrame) -> DataFrame:
+    """Slowly-changing-dimension Type 2 materialization of the changelog.
+
+    Where ``upsert_materialize`` keeps only the latest image (the reference
+    sink's insert.mode=upsert, register-postgres-sink.json:15-17), this keeps
+    EVERY version as a validity interval — the standard downstream consumer
+    pattern for a Debezium history table:
+
+      valid_from_offset  the offset that opened this version
+      valid_to_offset    next change's offset - 1 (NULL = open interval)
+      is_current         open interval, key never subsequently deleted
+
+    Delete events (including tombstones) close the prior version but are not
+    versions themselves.
+
+    Physical plan: one shuffle on (table_name, key_id) + per-key sort for the
+    ``lead`` window. Unlike the upsert (where ``max_by`` avoids the sort),
+    SCD2 inherently needs each key's full ordered history, so a window is the
+    minimal plan; per-key history is bounded by change frequency, not corpus
+    size, and AQE skew-join/partition splitting handles hot keys at 100 TB.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("table_name", "key_id").orderBy("offset")
+    return (
+        unwrapped.withColumn("next_off", F.lead("offset").over(w))
+        .filter(~F.col("is_delete"))
+        .select(
+            "table_name",
+            "key_id",
+            F.col("offset").alias("valid_from_offset"),
+            (F.col("next_off") - 1).alias("valid_to_offset"),
+            F.col("next_off").isNull().alias("is_current"),
+            "after.*",
+        )
+    )
+
+
 def schema_evolve(old: DataFrame, new: DataFrame) -> DataFrame:
     """``xf_schema_evolve``: additive column evolution at the sink.
 

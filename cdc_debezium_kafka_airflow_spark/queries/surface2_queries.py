@@ -218,23 +218,12 @@ def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 version history from the changelog: every non-delete image
-    becomes a version row with [valid_from, valid_to) offset bounds; deletes
+    becomes a version row with [valid_from, valid_to] offset bounds; deletes
     and newer versions close the interval; open intervals are current.
 
     One window over the same (table, key) partitioning the upsert uses —
     at scale both materializations share a single shuffle of the changelog.
     """
-    u = _unwrapped(spark, sf_dir)
-    w = Window.partitionBy("table_name", "key_id").orderBy("offset")
-    led = u.withColumn("next_off", F.lead("offset").over(w))
-    return (
-        led.filter(F.col("op") != "d")
-        .select(
-            "table_name",
-            "key_id",
-            F.col("offset").alias("valid_from_offset"),
-            (F.col("next_off") - 1).alias("valid_to_offset"),
-            F.col("next_off").isNull().alias("is_current"),
-            "after.*",
-        )
-    )
+    from cdc_debezium_kafka_airflow_spark.operators.cdc import scd2_history
+
+    return scd2_history(_unwrapped(spark, sf_dir))

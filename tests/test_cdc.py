@@ -8,6 +8,7 @@ from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
 from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import build_changelog
 from cdc_debezium_kafka_airflow_spark.operators.cdc import (
     parse_envelope,
+    scd2_history,
     schema_evolve,
     split_dlq,
     unwrap,
@@ -76,6 +77,29 @@ def test_upsert_deletes_drop_keys(spark, sf_dir):
     assert joined.count() == 0
     # and state has exactly one row per surviving key
     assert state.groupBy("table_name", "user_id").count().filter("count > 1").count() == 0
+
+
+def test_scd2_current_equals_upsert_state(spark, sf_dir):
+    """SCD2 invariants: the open intervals ARE the upsert-materialized state,
+    and per key the intervals chain without gaps or overlaps."""
+    u = unwrap(split_dlq(parse_envelope(_changelog(spark, sf_dir)))[0])
+    hist = scd2_history(u).persist()
+    state = upsert_materialize(u)
+    cur = hist.filter("is_current").select(
+        "table_name", F.col("key_id").alias("user_id"),
+        F.col("valid_from_offset").alias("last_offset"),
+    )
+    st = state.select("table_name", "user_id", "last_offset")
+    assert cur.exceptAll(st).count() == 0
+    assert st.exceptAll(cur).count() == 0
+    # at most one open interval per key
+    assert (
+        hist.filter("is_current").groupBy("table_name", "key_id").count()
+        .filter("count > 1").count() == 0
+    )
+    # closed intervals never end before they start
+    assert hist.filter("valid_to_offset < valid_from_offset").count() == 0
+    hist.unpersist()
 
 
 def test_schema_evolve_widens_with_nulls(spark, sf_dir):
