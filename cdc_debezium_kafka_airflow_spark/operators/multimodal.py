@@ -1,14 +1,17 @@
 """Multimodal columns: image/audio/video as opaque ``binary`` columns with
 typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The IMAGE path is real end-to-end with no external libraries: image-typed
-docs carry an actual 24-bpp BMP payload (rendered deterministically from the
-doc id at attach time) and the feature stage PARSES the BMP — file header,
-BITMAPINFOHEADER, bottom-up padded pixel rows — to recover width/height and
-the mean pixel value. Audio/video decode libraries are NOT available in this
-container, so those two types keep deterministic byte-level features
-(``_decode_stub``, clearly marked; raises only when a true codec decode is
-explicitly requested — never on the default path).
+The IMAGE and AUDIO paths are real end-to-end with no external libraries:
+image-typed docs carry an actual 24-bpp BMP payload (rendered
+deterministically from the doc id at attach time) and the feature stage
+PARSES the BMP — file header, BITMAPINFOHEADER, bottom-up padded pixel rows —
+to recover width/height and the mean pixel value; audio-typed docs carry a
+real RIFF/WAVE 16-bit mono PCM payload and the feature stage walks the RIFF
+chunk list (fmt + data) to recover sample rate, sample count, and mean
+absolute amplitude. Video codecs are NOT available in this container, so
+video keeps deterministic byte-level features (``_decode_stub``, clearly
+marked; raises only when a true codec decode is explicitly requested — never
+on the default path).
 
 Scale notes: media bytes stay opaque until the last possible stage (no JVM<->
 Python crossing for rows that filters drop earlier); `mapInPandas` streams
@@ -35,7 +38,8 @@ MEDIA_SCHEMA = (
 
 FEATURE_SCHEMA = (
     "doc_id long, media_type string, n_bytes long, checksum_mod long, "
-    "width int, height int, mean_pixel double"
+    "width int, height int, mean_pixel double, "
+    "sample_rate int, n_samples int, mean_abs_amp double"
 )
 
 
@@ -90,14 +94,64 @@ def decode_bmp(data: bytes) -> tuple[int, int, float]:
     return w, h, total / (3 * w * h)
 
 
+def wav_spec(doc_id: int) -> tuple[int, int]:
+    """Deterministic (sample_rate, n_samples) per audio doc."""
+    return (8000, 16000)[doc_id % 2], 40 + doc_id % 57
+
+
+def _wav_sample(doc_id: int, i: int) -> int:
+    """Closed-form int16 PCM sample the SQL oracle can predict."""
+    return (doc_id * 37 + 17 * i) % 4096 - 2048
+
+
+def render_wav(doc_id: int) -> bytes:
+    """A real, spec-conformant RIFF/WAVE file: 'fmt ' chunk declaring 16-bit
+    mono PCM, then a 'data' chunk of little-endian int16 samples."""
+    rate, n = wav_spec(doc_id)
+    data = struct.pack(f"<{n}h", *(_wav_sample(doc_id, i) for i in range(n)))
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(data: bytes) -> tuple[int, int, float]:
+    """REAL WAV decode (no external libs): verify the RIFF/WAVE magic, walk
+    the chunk list to the 'fmt ' and 'data' chunks, require 16-bit mono PCM,
+    return (sample_rate, n_samples, mean absolute sample amplitude)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid, size = data[pos : pos + 4], struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"unsupported WAV variant (fmt={audio_fmt}, "
+                    f"ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            samples = struct.unpack(f"<{size // 2}h", body[: size // 2 * 2])
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    n = len(samples)
+    return rate, n, sum(abs(s) for s in samples) / n
+
+
 def attach_media(documents: DataFrame) -> DataFrame:
     """Attach an opaque media column + typed metadata to documents.
 
     image-typed docs (doc_id % 3 == 0) get a REAL rendered BMP payload;
-    audio/video get utf-8 text bytes (deterministic stand-ins — no
-    audio/video encoder exists in this container). Rendering happens in an
-    Arrow-batched mapInPandas stage, the same ingest-side shape a real
-    pipeline uses to attach binary payloads.
+    audio-typed docs (doc_id % 3 == 1) a REAL RIFF/WAVE 16-bit PCM payload;
+    video gets utf-8 text bytes (deterministic stand-in — no video encoder
+    exists in this container). Rendering happens in an Arrow-batched
+    mapInPandas stage, the same ingest-side shape a real pipeline uses to
+    attach binary payloads.
     """
     src = documents.select("doc_id", "text", "n_chars")
 
@@ -122,6 +176,14 @@ def attach_media(documents: DataFrame) -> DataFrame:
                         "height": h,
                         "duration_s": 0.0,
                     }
+                elif mtype == "audio":
+                    payload = render_wav(doc_id)
+                    rate, n = wav_spec(doc_id)
+                    meta = {
+                        "width": 0,
+                        "height": 0,
+                        "duration_s": n / rate,
+                    }
                 else:
                     payload = str(text).encode("utf-8")
                     meta = {
@@ -139,7 +201,7 @@ def attach_media(documents: DataFrame) -> DataFrame:
 
 
 def _decode_stub(media_type: str, data: bytes, real_decode: bool = False):
-    """STUB for the audio/video decoders (librosa/ffmpeg are not installed).
+    """STUB for the video decoder (ffmpeg is not installed).
 
     Returns deterministic byte-level features: (n_bytes, checksum_mod). A
     real deployment replaces this body with the actual codec decode +
@@ -147,7 +209,7 @@ def _decode_stub(media_type: str, data: bytes, real_decode: bool = False):
     codec decode is explicitly requested."""
     if real_decode:
         raise NotImplementedError(
-            "audio/video decode libraries are not available in this "
+            "video decode libraries are not available in this "
             "environment; plug a real decoder in here"
         )
     return len(data), sum(data[:64]) % 997
@@ -156,8 +218,9 @@ def _decode_stub(media_type: str, data: bytes, real_decode: bool = False):
 def extract_media_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the opaque media column.
 
-    image rows: REAL BMP parse -> (width, height, mean_pixel), checksum NULL.
-    audio/video rows: byte-level stub features, image fields NULL.
+    image rows: REAL BMP parse -> (width, height, mean_pixel).
+    audio rows: REAL WAV parse -> (sample_rate, n_samples, mean_abs_amp).
+    video rows: byte-level stub features; other modality fields NULL.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -170,25 +233,30 @@ def extract_media_features(media: DataFrame) -> DataFrame:
                 "width": [],
                 "height": [],
                 "mean_pixel": [],
+                "sample_rate": [],
+                "n_samples": [],
+                "mean_abs_amp": [],
             }
             for mt, data in zip(pdf["media_type"], pdf["media_bytes"]):
                 data = bytes(data)
                 rows["n_bytes"].append(len(data))
+                # means left unrounded: the division operands (exact ints)
+                # are identical in the SQL oracle, so the IEEE results are
+                # bit-identical with no rounding convention involved
+                chk = w = h = mean = rate = n = amp = None
                 if mt == "image":
-                    # mean left unrounded: the division operands (exact ints)
-                    # are identical in the SQL oracle, so the IEEE result is
-                    # bit-identical with no rounding convention involved
                     w, h, mean = decode_bmp(data)
-                    rows["checksum_mod"].append(None)
-                    rows["width"].append(w)
-                    rows["height"].append(h)
-                    rows["mean_pixel"].append(mean)
+                elif mt == "audio":
+                    rate, n, amp = decode_wav(data)
                 else:
-                    n, chk = _decode_stub(mt, data)
-                    rows["checksum_mod"].append(chk)
-                    rows["width"].append(None)
-                    rows["height"].append(None)
-                    rows["mean_pixel"].append(None)
+                    _, chk = _decode_stub(mt, data)
+                rows["checksum_mod"].append(chk)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["mean_pixel"].append(mean)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["mean_abs_amp"].append(amp)
             yield pd.DataFrame(rows)
 
     return media.select("doc_id", "media_type", "media_bytes").mapInPandas(

@@ -463,18 +463,24 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1]
                AS media_type,
              CAST(4 + doc_id % 5 AS INT) AS w,
-             CAST(3 + doc_id % 4 AS INT) AS h
+             CAST(3 + doc_id % 4 AS INT) AS h,
+             CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS INT)
+               AS rate,
+             CAST(40 + doc_id % 57 AS INT) AS n_samp
       FROM documents
     )
     SELECT m.doc_id, m.media_type,
            CAST(CASE WHEN m.media_type = 'image'
                 THEN 54 + m.h * ((3 * m.w + 3) // 4 * 4)
+                WHEN m.media_type = 'audio'
+                THEN 44 + 2 * m.n_samp
                 ELSE octet_length(encode(m.text)) END AS BIGINT) AS n_bytes,
-           CASE WHEN m.media_type = 'image' THEN NULL
-                ELSE list_aggregate(list_transform(
+           CASE WHEN m.media_type = 'video'
+                THEN list_aggregate(list_transform(
                        range(1, least(length(m.text), 64) + 1),
                        i -> ascii(substr(m.text, CAST(i AS INT), 1))), 'sum')
-                     % 997 END AS checksum_mod,
+                     % 997
+                ELSE NULL END AS checksum_mod,
            CASE WHEN m.media_type = 'image' THEN m.w ELSE NULL END AS width,
            CASE WHEN m.media_type = 'image' THEN m.h ELSE NULL END AS height,
            CASE WHEN m.media_type = 'image'
@@ -484,6 +490,16 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                        'sum')
                      / (3 * m.w * m.h)
                 ELSE NULL END AS mean_pixel,
+           CASE WHEN m.media_type = 'audio' THEN m.rate
+                ELSE NULL END AS sample_rate,
+           CASE WHEN m.media_type = 'audio' THEN m.n_samp
+                ELSE NULL END AS n_samples,
+           CASE WHEN m.media_type = 'audio'
+                THEN list_aggregate(list_transform(range(0, m.n_samp),
+                       i -> abs((m.doc_id * 37 + 17 * i) % 4096 - 2048)),
+                       'sum')
+                     / m.n_samp
+                ELSE NULL END AS mean_abs_amp,
            round(sqrt(list_aggregate(list_transform(e.embedding::DOUBLE[],
                x -> x * x), 'sum')), 6) AS emb_l2_norm
     FROM m JOIN embeddings e ON e.vec_id = m.doc_id
@@ -492,10 +508,12 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal row: image docs carry a REAL rendered BMP payload that the
     Arrow-batched feature stage actually parses (header + bottom-up padded
-    pixel rows -> width/height/mean_pixel); audio/video docs keep byte-level
-    stub features; joined with the doc's embedding (text + vector + media
-    side by side). The oracle predicts the decoded features in closed form
-    from the deterministic pixel function."""
+    pixel rows -> width/height/mean_pixel); audio docs carry a REAL
+    RIFF/WAVE 16-bit PCM payload parsed back chunk-by-chunk
+    (-> sample_rate/n_samples/mean_abs_amp); video docs keep byte-level stub
+    features; joined with the doc's embedding (text + vector + media side by
+    side). The oracle predicts the decoded features in closed form from the
+    deterministic pixel/sample functions."""
     docs = t(spark, sf_dir, "documents")
     feats = extract_media_features(attach_media(docs))
     emb = t(spark, sf_dir, "embeddings")

@@ -1,9 +1,9 @@
 """Multimodal plumbing: binary columns, metadata, Arrow-batched decode.
 
-The image path is REAL: a spec-conformant 24-bpp BMP is rendered at attach
-time and the feature stage parses it back (header, bottom-up padded rows).
-Audio/video features remain deterministic byte-level stubs (no codecs in
-this container).
+The image and audio paths are REAL: a spec-conformant 24-bpp BMP / RIFF-WAVE
+16-bit PCM file is rendered at attach time and the feature stage parses it
+back (BMP header + bottom-up padded rows; RIFF chunk walk). Video features
+remain deterministic byte-level stubs (no codecs in this container).
 """
 
 from __future__ import annotations
@@ -15,11 +15,15 @@ from pyspark.sql import types as T
 from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
 from cdc_debezium_kafka_airflow_spark.operators.multimodal import (
     _decode_stub,
+    _wav_sample,
     attach_media,
     bmp_dims,
     decode_bmp,
+    decode_wav,
     extract_media_features,
     render_bmp,
+    render_wav,
+    wav_spec,
 )
 
 
@@ -58,6 +62,28 @@ def test_decode_bmp_rejects_non_bmp():
         decode_bmp(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
 
 
+def test_wav_roundtrip_local():
+    """Pure-python render -> decode roundtrip across both sample rates and
+    the word-alignment edge (odd data sizes can't occur with int16, but odd
+    n keeps the chunk walk honest)."""
+    for doc_id in range(1, 40, 3):  # audio-typed ids
+        data = render_wav(doc_id)
+        rate, n = wav_spec(doc_id)
+        assert len(data) == 44 + 2 * n
+        drate, dn, amp = decode_wav(data)
+        assert (drate, dn) == (rate, n)
+        expect = sum(abs(_wav_sample(doc_id, i)) for i in range(n)) / n
+        assert amp == expect
+
+
+def test_decode_wav_rejects_non_wav():
+    with pytest.raises(ValueError):
+        decode_wav(b"OggS" + b"\x00" * 64)
+    with pytest.raises(ValueError):
+        # RIFF but not WAVE
+        decode_wav(b"RIFF\x04\x00\x00\x00AVI " + b"\x00" * 16)
+
+
 def test_feature_extraction_real_image_decode(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_media_features(attach_media(docs)).cache()
@@ -72,11 +98,23 @@ def test_feature_extraction_real_image_decode(spark, sf_dir):
         | (F.col("mean_pixel") > 255)
     )
     assert imgs.count() > 0 and bad.count() == 0
-    # non-image rows keep byte-level features; ASCII fixture: n_bytes==len
-    joined = others.join(docs, on="doc_id")
+    # audio rows decoded from the real WAV payload
+    auds = feats.filter(F.col("media_type") == "audio")
+    bad_aud = auds.filter(
+        (F.col("sample_rate") != F.when(F.col("doc_id") % 2 == 0, 8000).otherwise(16000))
+        | (F.col("n_samples") != (F.col("doc_id") % 57 + 40))
+        | (F.col("n_bytes") != 44 + 2 * (F.col("doc_id") % 57 + 40))
+        | F.col("mean_abs_amp").isNull()
+        | (F.col("mean_abs_amp") < 0)
+        | (F.col("mean_abs_amp") > 2048)
+    )
+    assert auds.count() > 0 and bad_aud.count() == 0
+    # video rows keep byte-level features; ASCII fixture: n_bytes==len
+    vids = others.filter(F.col("media_type") == "video")
+    joined = vids.join(docs, on="doc_id")
     assert joined.filter(F.col("n_bytes") != F.length("text")).count() == 0
     assert (
-        others.filter(
+        vids.filter(
             (F.col("checksum_mod") < 0) | (F.col("checksum_mod") >= 997)
         ).count()
         == 0
@@ -84,6 +122,6 @@ def test_feature_extraction_real_image_decode(spark, sf_dir):
     feats.unpersist()
 
 
-def test_real_codec_decode_is_stubbed_for_audio_video():
+def test_real_codec_decode_is_stubbed_for_video():
     with pytest.raises(NotImplementedError):
-        _decode_stub("audio", b"RIFF", real_decode=True)
+        _decode_stub("video", b"\x00\x00\x00\x18ftyp", real_decode=True)
