@@ -279,6 +279,53 @@ def agg_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "join_skew_salted",
+    """
+    WITH avg_by_type AS (
+      SELECT event_type, avg(value) AS avg_value
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_above_avg,
+           round(sum(e.value - a.avg_value), 2) AS excess_value
+    FROM events e JOIN avg_by_type a ON e.event_type = a.event_type
+    WHERE e.value > a.avg_value
+    GROUP BY e.event_type
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant JOIN: the join-back-aggregate pattern (fact joined to
+    per-key aggregates) on a 5-distinct-key fact table is the pathological
+    skew case — a plain shuffle join sends each key's entire volume to one
+    reducer. Salting spreads it: the fact side gets salt = hash(row) % N,
+    the (tiny-per-key, huge-per-volume) dim side is exploded N ways, and the
+    join runs on (key, salt) so each hot key occupies N reducers.
+
+    The ``merge`` hint forces a real shuffle join — with a 5-row dim Spark
+    would otherwise broadcast (the right call; at 100 TB this same pattern
+    applies when the dim side is too big to broadcast and AQE's skew split
+    cannot help because one key IS one partition). The aggregation twin is
+    ``agg_skew_salted``.
+    """
+    e = t(spark, sf_dir, "events")
+    n_salts = 16
+    dim = e.groupBy("event_type").agg(F.avg("value").alias("avg_value"))
+    dim_salted = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    fact = e.withColumn("salt", F.pmod(F.hash("event_id"), F.lit(n_salts)))
+    joined = fact.join(
+        dim_salted.hint("merge"), on=["event_type", "salt"]
+    ).filter(F.col("value") > F.col("avg_value"))
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_above_avg"),
+        F.round(F.sum(F.col("value") - F.col("avg_value")), 2).alias(
+            "excess_value"
+        ),
+    )
+
+
+@q(
     "agg_hier_rollup",
     """
     WITH hourly AS (

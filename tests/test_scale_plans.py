@@ -46,6 +46,20 @@ def test_topk_avoids_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_skew_salted_join_spreads_hot_keys(spark, sf_dir):
+    """The salted join must be a real shuffle join keyed on (key, salt) —
+    not a broadcast (which would hide the technique) and not keyed on the
+    bare skewed key (which would keep one reducer per hot key)."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational2 import (
+        join_skew_salted,
+    )
+
+    plan = _plan(join_skew_salted(spark, sf_dir))
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "salt" in plan
+
+
 def test_upsert_materialize_is_hash_agg_not_window_sort(spark, sf_dir):
     """The core CDC operator must be a single hash aggregation with map-side
     partial max_by — not a sort-based row_number window."""
