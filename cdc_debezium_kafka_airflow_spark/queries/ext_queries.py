@@ -101,14 +101,56 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("ext_dedup_clusters", None)  # iterative algorithm: rows-only check
+@q(
+    "ext_dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, source, {NORM} AS t FROM documents),
+    sh AS (SELECT doc_id, source,
+                  list_distinct(list_transform(
+                      range(1, greatest(length(t) - 9, 1) + 1),
+                      i -> substr(t, CAST(i AS INT), 10))) AS s
+           FROM d),
+    sz AS (SELECT doc_id, len(s) AS set_size FROM sh),
+    ex AS (SELECT doc_id, source, unnest(s) AS shingle FROM sh),
+    inter AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_inter
+      FROM ex x JOIN ex y
+        ON x.source = y.source AND x.shingle = y.shingle
+       AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sz sa ON id_a = sa.doc_id
+      JOIN sz sb ON id_b = sb.doc_id
+      WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    )
+    SELECT node AS doc_id, min(label) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
 def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate clustering: connected components (iterative label
-    propagation) over the MinHash near-dup pair graph; each doc maps to the
-    min doc_id of its duplicate cluster."""
+    propagation, O(diameter) join+agg rounds) over the exact n-gram-Jaccard
+    near-dup pair graph; each doc maps to the min doc_id of its duplicate
+    cluster. The oracle recomputes the same components by a DIFFERENT
+    algorithm (recursive-CTE transitive closure), so a hash match
+    cross-validates both the pair graph and the clustering."""
     from cdc_debezium_kafka_airflow_spark.operators.dedup import dup_clusters
 
-    pairs = minhash_lsh_pairs(t(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(t(spark, sf_dir, "documents"), k=10, threshold=0.5)
     return dup_clusters(pairs)
 
 
