@@ -48,6 +48,23 @@ def char_shingles(col: Column, k: int = 3) -> Column:
     )
 
 
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles of normalized text. ~5x fewer set elements
+    than char-10 shingles on prose (one per word vs one per char), so the
+    set-similarity join moves ~5x less data for the same exactness; use when
+    token-level (not spelling-level) duplication is the target."""
+    words = F.split(col, " ")
+    n = F.greatest(F.size(words) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j) for j in range(k)]
+            ),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -55,12 +72,14 @@ def ngram_jaccard_pairs(
     block_col: str = "source",
     k: int = 3,
     threshold: float = 0.5,
+    unit: str = "char",
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs (id_a < id_b) within a blocking key.
 
     jaccard = |A∩B| / (|A| + |B| - |A∪B| complement) over distinct k-char
-    shingles — EXACT result for the given threshold, computed with **prefix
-    filtering** (the standard exact set-similarity join):
+    (``unit="char"``) or k-word (``unit="word"``) shingles — EXACT result
+    for the given threshold, computed with **prefix filtering** (the
+    standard exact set-similarity join):
 
       1. order each doc's shingles by ascending global frequency;
       2. index only the first floor((1-t)*|S|)+1 of them — two sets with
@@ -87,8 +106,9 @@ def ngram_jaccard_pairs(
     # consumed by four subtrees (frequency, prefix, verification a+b) —
     # persist one materialization instead of recomputing the shingling per
     # consumer (at cluster scale this would be a checkpoint/cached table)
+    shingle_fn = word_shingles if unit == "word" else char_shingles
     shingled = normed.select(
-        "doc_id", "block", char_shingles(F.col("t"), k).alias("shingles")
+        "doc_id", "block", shingle_fn(F.col("t"), k).alias("shingles")
     ).persist()
     exploded = shingled.select(
         "doc_id", "block", F.size("shingles").alias("set_size"),
@@ -345,35 +365,29 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     equivalent): each round is one join + one aggregation, checkpointed to
     keep the plan from growing unboundedly.
     """
+    # undirected edge list + a self-loop per node: min over the self-loop's
+    # neighborhood IS least(own label, neighbor minimum), folding the
+    # propagate-and-keep-own step into ONE join + ONE aggregation per round
+    half = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(
-                F.col("id_b").alias("src"), F.col("id_a").alias("dst")
-            )
+        half.unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
         )
+        .unionByName(half.select(F.col("src"), F.col("src").alias("dst")))
+        .unionByName(half.select(F.col("dst").alias("src"), F.col("dst")))
         .distinct()
         .localCheckpoint(eager=True)
     )
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        edges.filter(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
     )
     for _ in range(max_iters):
-        neighbor_min = (
+        new_labels = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
+            .agg(F.min("label").alias("label"))
+            .withColumnRenamed("src", "node")
             .localCheckpoint(eager=True)
         )
         changed = (
