@@ -55,6 +55,27 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_stream_join",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n_lineitems,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate >= o.o_orderdate
+     AND l.l_shipdate <= o.o_orderdate + INTERVAL 120 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: orders and lineitem as two independent
+    watermarked streams, joined on key + event-time window (state evictable
+    once the other side's watermark passes the window end)."""
+    t(spark, sf_dir, "orders")
+    return jobs.stream_stream_interval_join(spark, sf_dir)
+
+
+@q(
     "stream_upsert_state",
     f"""
     WITH {MAT_CTE}

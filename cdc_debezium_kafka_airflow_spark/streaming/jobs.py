@@ -178,6 +178,65 @@ def windowed_event_counts_watermarked(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def stream_stream_interval_join(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Stream-stream INNER join with event-time interval bounds: orders and
+    lineitem replayed as two independent file streams, joined on key AND
+    ``l_shipdate`` within [o_orderdate, o_orderdate + 120 days].
+
+    The interval condition + both-side watermarks are what make this
+    tractable on unbounded streams: each side's state store can evict a row
+    once the other side's watermark passes its join-window end, so state
+    size is bounded by the 120-day window × arrival rate, not by stream
+    length. The watermark here is sized to the replay (nothing may drop —
+    the fixture is replayed history, not late data), which keeps the result
+    deterministic and oracle-comparable; a live deployment would tighten it
+    to its real out-of-orderness bound.
+
+    Returns the streamed join rows aggregated per order priority (the
+    aggregation runs as a batch query over the sink — one stateful operator
+    per streaming query keeps the append-mode semantics exact).
+    """
+    o_schema = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
+    l_schema = spark.read.parquet(
+        os.path.join(sf_dir, "lineitem.parquet")
+    ).schema
+    reader_o = spark.readStream.schema(o_schema)
+    reader_l = spark.readStream.schema(l_schema)
+    if max_files_per_trigger is not None:
+        reader_o = reader_o.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        reader_l = reader_l.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    # watermarks require zoned TIMESTAMP; the NTZ source columns are UTC by
+    # fixture convention (session tz is pinned UTC in apply_runtime_confs)
+    orders = reader_o.parquet(os.path.join(sf_dir, "orders.parqu*")).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    ).withWatermark("o_orderdate", "3650 days")
+    lineitem = reader_l.parquet(os.path.join(sf_dir, "lineitem.parqu*")).select(
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+        F.col("l_shipdate").cast("timestamp").alias("l_shipdate"),
+    ).withWatermark("l_shipdate", "3650 days")
+    joined = lineitem.join(
+        orders,
+        F.expr(
+            "l_orderkey = o_orderkey"
+            " AND l_shipdate >= o_orderdate"
+            " AND l_shipdate <= o_orderdate + INTERVAL 120 DAYS"
+        ),
+    ).select("o_orderpriority", "l_extendedprice", "l_discount")
+    out = _run_to_memory(joined, "append")
+    return out.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lineitems"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
 def streaming_upsert_state(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

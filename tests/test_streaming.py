@@ -46,6 +46,35 @@ def test_multibatch_stateful_pandas_upsert_equals_batch(spark, sf_dir):
     assert batch_state.exceptAll(st).count() == 0
 
 
+def test_stream_stream_join_equals_batch_join(spark, sf_dir):
+    """The watermarked stream-stream interval join must produce exactly the
+    batch interval-join aggregate (replayed history: nothing is late, so the
+    watermark drops nothing)."""
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    streamed = jobs.stream_stream_interval_join(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    batch = (
+        li.join(
+            o,
+            F.expr(
+                "l_orderkey = o_orderkey AND l_shipdate >= o_orderdate"
+                " AND l_shipdate <= o_orderdate + INTERVAL 120 DAYS"
+            ),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
 def test_streaming_dlq_split_matches_batch(spark, sf_dir):
     """The errors-tolerant DLQ side output must quarantine exactly the same
     records in streaming as in batch."""
