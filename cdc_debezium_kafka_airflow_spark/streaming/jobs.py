@@ -257,27 +257,32 @@ def streaming_upsert_state(
     )
 
 
-def stateful_upsert_apply_in_pandas(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
-) -> DataFrame:
-    """Custom stateful streaming operator via ``applyInPandasWithState``:
-    keyed last-write-wins upsert with delete semantics, state = one row image
-    per live (table, key).
+# Shared by the two Python-stateful upsert variants (applyInPandasWithState
+# and transformWithStateInPandas): flat input projection, output/state
+# schemas, and the update-mode sink reduction to the final image.
+_UPSERT_OUT_SCHEMA = (
+    "table_name string, key_id long, last_offset long, is_delete boolean, "
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+_UPSERT_STATE_SCHEMA = (
+    "last_offset long, is_delete boolean, event_id long, ts timestamp, "
+    "user_id long, event_type string, value double, props string"
+)
+_UPSERT_OUT_COLS = [
+    "table_name", "key_id", "last_offset", "is_delete",
+    "event_id", "ts", "user_id", "event_type", "value", "props",
+]
 
-    This is the escape hatch for stateful semantics Spark's built-in
-    operators can't express; here it intentionally re-implements
-    upsert_materialize so the result is oracle-checkable. Arrow moves each
-    key-group batch to Python; state is a single flat tuple per key, so
-    state-store size is bounded by live keys, not stream length.
-    """
-    import pandas as pd  # noqa: F401 (arrow batches arrive as pandas)
 
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
+def _flat_unwrapped(spark: SparkSession, sf_dir: str,
+                    max_files_per_trigger: int | None) -> DataFrame:
     unwrapped = unwrap(
-        split_dlq(parse_envelope(changelog_stream(spark, sf_dir, max_files_per_trigger)))[0]
+        split_dlq(
+            parse_envelope(changelog_stream(spark, sf_dir, max_files_per_trigger))
+        )[0]
     )
-    flat = unwrapped.select(
+    return unwrapped.select(
         "table_name", "key_id", "offset", "is_delete",
         F.col("after.event_id").alias("event_id"),
         F.col("after.ts").alias("ts"),
@@ -286,62 +291,34 @@ def stateful_upsert_apply_in_pandas(
         F.col("after.value").alias("value"),
         F.col("after.props").alias("props"),
     )
-    out_schema = (
-        "table_name string, key_id long, last_offset long, is_delete boolean, "
-        "event_id long, ts timestamp, user_id long, event_type string, "
-        "value double, props string"
-    )
-    state_schema = (
-        "last_offset long, is_delete boolean, event_id long, ts timestamp, "
-        "user_id long, event_type string, value double, props string"
-    )
 
-    def update(key, pdfs, state: "GroupState"):
-        import pandas as pd
 
-        best = None  # (offset, is_delete, event_id, ts, user_id, etype, value, props)
-        if state.exists:
-            best = tuple(state.get)
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            # vectorized: only the batch's max-offset row can win
-            row = pdf.loc[pdf["offset"].idxmax()]
-            cand = (
-                int(row["offset"]),
-                bool(row["is_delete"]),
-                None if pd.isna(row["event_id"]) else int(row["event_id"]),
-                None if pd.isna(row["ts"]) else row["ts"],
-                None if pd.isna(row["user_id"]) else int(row["user_id"]),
-                None if row["event_type"] is None else str(row["event_type"]),
-                None if pd.isna(row["value"]) else float(row["value"]),
-                None if row["props"] is None else str(row["props"]),
-            )
-            if best is None or cand[0] > best[0]:
-                best = cand
-        state.update(best)
-        yield pd.DataFrame(
-            [(key[0], key[1]) + best],
-            columns=[
-                "table_name", "key_id", "last_offset", "is_delete",
-                "event_id", "ts", "user_id", "event_type", "value", "props",
-            ],
+def _best_of_batches(best, pdfs):
+    """Fold arrow batches into the winning (max-offset) image tuple."""
+    import pandas as pd
+
+    for pdf in pdfs:
+        if len(pdf) == 0:
+            continue
+        row = pdf.loc[pdf["offset"].idxmax()]
+        cand = (
+            int(row["offset"]),
+            bool(row["is_delete"]),
+            None if pd.isna(row["event_id"]) else int(row["event_id"]),
+            None if pd.isna(row["ts"]) else row["ts"],
+            None if pd.isna(row["user_id"]) else int(row["user_id"]),
+            None if row["event_type"] is None else str(row["event_type"]),
+            None if pd.isna(row["value"]) else float(row["value"]),
+            None if row["props"] is None else str(row["props"]),
         )
+        if best is None or cand[0] > best[0]:
+            best = cand
+    return best
 
-    latest = flat.groupBy("table_name", "key_id").applyInPandasWithState(
-        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
-    )
-    # few hundred keys: 32 state partitions would spawn 32 python state
-    # workers per micro-batch for a handful of groups each — cap the state
-    # shuffle width for this query (restored after)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        out = _run_to_memory(latest, "update")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    # update-mode sink may hold one row per key per micro-batch: reduce to
-    # the final image, then apply delete semantics
+
+def _final_upsert_image(out: DataFrame) -> DataFrame:
+    """update-mode sink holds one row per key per micro-batch: reduce to the
+    final image, then apply delete semantics."""
     final = out.groupBy("table_name", "key_id").agg(
         F.max_by(
             F.struct(
@@ -362,6 +339,134 @@ def stateful_upsert_apply_in_pandas(
         F.col("last.value").alias("value"),
         F.col("last.props").alias("props"),
     )
+
+
+def stateful_upsert_transform_with_state(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Custom stateful streaming operator via ``transformWithStateInPandas``
+    (Spark 4's arbitrary-state API, the successor to
+    ``applyInPandasWithState``): keyed last-write-wins upsert with delete
+    semantics held in a typed ``ValueState`` handle.
+
+    Differences from the older API that matter at scale: state is addressed
+    through named typed handles (value/list/map) instead of one opaque
+    tuple, TTL is per-state-handle, timers are first-class, and the runtime
+    requires the RocksDB state-store provider — the one that keeps state
+    off-heap and incrementally checkpointable, i.e. the provider a 100 TB
+    deployment runs anyway.
+
+    GATED (like sources/kafka.py): the transformWithState state protocol
+    talks protobuf to the JVM state server, and ``google.protobuf`` is not
+    installed in this container (no pip) — the wiring is correct and the
+    equality test runs wherever protobuf exists
+    (tests/test_streaming.py::test_transform_with_state_upsert_equals_batch
+    skips cleanly here).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas requires the protobuf package "
+            "(pip install protobuf) for its state-server protocol"
+        ) from e
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    flat = _flat_unwrapped(spark, sf_dir, max_files_per_trigger)
+    state_schema = _UPSERT_STATE_SCHEMA
+    out_cols = _UPSERT_OUT_COLS
+
+    class UpsertProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._last = handle.getValueState("last", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            best = tuple(self._last.get()) if self._last.exists() else None
+            best = _best_of_batches(best, rows)
+            self._last.update(best)
+            yield pd.DataFrame([(key[0], key[1]) + best], columns=out_cols)
+
+        def close(self) -> None:
+            pass
+
+    latest = flat.groupBy("table_name", "key_id").transformWithStateInPandas(
+        statefulProcessor=UpsertProcessor(),
+        outputStructType=_UPSERT_OUT_SCHEMA,
+        outputMode="update",
+        timeMode="none",
+    )
+    # transformWithState requires RocksDB; cap the state shuffle width like
+    # the applyInPandasWithState variant (few hundred keys). Both confs are
+    # restored after the run (single-threaded harness assumption, see
+    # ADVICE: scope via spark.newSession() if ever run concurrently).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = _run_to_memory(latest, "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", prev_provider
+        )
+    return _final_upsert_image(out)
+
+
+def stateful_upsert_apply_in_pandas(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    keyed last-write-wins upsert with delete semantics, state = one row image
+    per live (table, key).
+
+    This is the escape hatch for stateful semantics Spark's built-in
+    operators can't express; here it intentionally re-implements
+    upsert_materialize so the result is oracle-checkable. Arrow moves each
+    key-group batch to Python; state is a single flat tuple per key, so
+    state-store size is bounded by live keys, not stream length.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    flat = _flat_unwrapped(spark, sf_dir, max_files_per_trigger)
+
+    def update(key, pdfs, state: "GroupState"):
+        best = tuple(state.get) if state.exists else None
+        best = _best_of_batches(best, pdfs)
+        state.update(best)
+        yield pd.DataFrame([(key[0], key[1]) + best], columns=_UPSERT_OUT_COLS)
+
+    latest = flat.groupBy("table_name", "key_id").applyInPandasWithState(
+        update,
+        _UPSERT_OUT_SCHEMA,
+        _UPSERT_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+    # few hundred keys: 32 state partitions would spawn 32 python state
+    # workers per micro-batch for a handful of groups each — cap the state
+    # shuffle width for this query (restored after)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _run_to_memory(latest, "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return _final_upsert_image(out)
 
 
 def foreach_batch_upsert(

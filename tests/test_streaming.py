@@ -46,6 +46,19 @@ def test_multibatch_stateful_pandas_upsert_equals_batch(spark, sf_dir):
     assert batch_state.exceptAll(st).count() == 0
 
 
+def test_transform_with_state_upsert_equals_batch(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas variant (typed ValueState handle,
+    RocksDB provider) must equal the batch materialization. Skips where the
+    protobuf package (the TWS state-server protocol) is unavailable."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    tws_state = jobs.stateful_upsert_transform_with_state(spark, sf_dir)
+    batch_state = upsert_materialize_q(spark, sf_dir)
+    assert tws_state.exceptAll(batch_state).count() == 0
+    assert batch_state.exceptAll(tws_state).count() == 0
+
+
 def test_stream_stream_join_equals_batch_join(spark, sf_dir):
     """The watermarked stream-stream interval join must produce exactly the
     batch interval-join aggregate (replayed history: nothing is late, so the
