@@ -200,6 +200,49 @@ def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "src_pydatasource",
+    f"""
+    WITH {CH_CTE}
+    SELECT table_name, op, count(*) AS n_records,
+           round(sum(CASE WHEN op = 'd' THEN NULL ELSE value END), 4)
+             AS sum_value,
+           max(user_id) AS max_key
+    FROM ch GROUP BY table_name, op
+    """,
+)
+def src_pydatasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom connector via Spark 4's Python DataSource API: the changelog
+    emitted by ``spark.read.format("cdc_changelog")`` (pyarrow row-group
+    partitions, Arrow RecordBatch yield — sources/pydatasource.py), run
+    through the SAME parse/DLQ/unwrap operators as the native path and
+    profiled per (table, op). A hash match proves the pure-Python connector
+    emits a faithful changelog end-to-end."""
+    import os
+
+    from cdc_debezium_kafka_airflow_spark.operators.cdc import (
+        parse_envelope,
+        split_dlq,
+        unwrap,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.pydatasource import (
+        ChangelogDataSource,
+    )
+
+    spark.dataSource.register(ChangelogDataSource)
+    ch = (
+        spark.read.format("cdc_changelog")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .load()
+    )
+    u = unwrap(split_dlq(parse_envelope(ch))[0])
+    return u.groupBy("table_name", "op").agg(
+        F.count("*").alias("n_records"),
+        F.round(F.sum("after.value"), 4).alias("sum_value"),
+        F.max("key_id").alias("max_key"),
+    )
+
+
+@q(
     "cdc_scd2_history",
     f"""
     WITH {CH_CTE},

@@ -102,6 +102,39 @@ def test_scd2_current_equals_upsert_state(spark, sf_dir):
     hist.unpersist()
 
 
+def test_python_datasource_changelog_matches_native(spark, sf_dir):
+    """The Python DataSource connector must emit a changelog that parses to
+    EXACTLY the native build_changelog rows — full after-image including
+    round-tripped timestamps — and must scan with row-group partitioning."""
+    import os
+
+    from cdc_debezium_kafka_airflow_spark.sources.pydatasource import (
+        ChangelogDataSource,
+        ChangelogReader,
+    )
+
+    spark.dataSource.register(ChangelogDataSource)
+    py_ch = (
+        spark.read.format("cdc_changelog")
+        .option("path", os.path.join(sf_dir, "events.parquet"))
+        .load()
+    )
+    py_rows = unwrap(split_dlq(parse_envelope(py_ch))[0]).select(
+        "offset", "table_name", "op", "is_delete", "key_id", "after.*"
+    )
+    native = unwrap(split_dlq(parse_envelope(_changelog(spark, sf_dir)))[0]).select(
+        "offset", "table_name", "op", "is_delete", "key_id", "after.*"
+    )
+    assert py_rows.exceptAll(native).count() == 0
+    assert native.exceptAll(py_rows).count() == 0
+    # partitions are row-group/slice aligned (scan parallelism is real)
+    parts = ChangelogReader(
+        {"path": os.path.join(sf_dir, "events.parquet")}
+    ).partitions()
+    assert len(parts) >= 1
+    assert all(p.end > p.start for p in parts)
+
+
 def test_schema_evolve_widens_with_nulls(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders")
     v1 = o.limit(10).select("o_orderkey")
