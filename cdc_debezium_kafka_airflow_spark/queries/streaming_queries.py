@@ -148,6 +148,22 @@ def stream_stateful_pandas_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @q(
+    "stream_pydatasource_upsert",
+    f"""
+    WITH {MAT_CTE}
+    SELECT * FROM mat
+    """,
+)
+def stream_pydatasource_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python STREAMING source (DataSourceStreamReader: row-position
+    offsets, bounded per-trigger advance, executor-parallel partitions)
+    feeding the JVM state-store upsert across micro-batches — must equal
+    upsert_materialize."""
+    t(spark, sf_dir, "events")
+    return jobs.pydatasource_stream_upsert(spark, sf_dir)
+
+
+@q(
     "stream_foreachbatch_upsert",
     f"""
     WITH {MAT_CTE}

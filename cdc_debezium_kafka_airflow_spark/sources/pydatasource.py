@@ -24,7 +24,12 @@ from __future__ import annotations
 import datetime as _dt
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import (
     DEFAULT_TABLE,
@@ -50,109 +55,159 @@ class ChangelogPartition(InputPartition):
         self.end = end
 
 
+def _row_group_sizes(path: str) -> list[int]:
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    return [md.row_group(i).num_rows for i in range(md.num_row_groups)]
+
+
+def _partitions_for_rows(
+    rg_sizes: list[int], start_row: int, end_row: int
+) -> list["ChangelogPartition"]:
+    """Map a global row range onto row-group-local slices, further split to
+    ``_ROWS_PER_PARTITION`` so task sizes stay bounded."""
+    parts, rg_base = [], 0
+    for rg, n in enumerate(rg_sizes):
+        lo = max(start_row - rg_base, 0)
+        hi = min(end_row - rg_base, n)
+        for s in range(lo, hi, _ROWS_PER_PARTITION):
+            parts.append(ChangelogPartition(rg, s, min(s + _ROWS_PER_PARTITION, hi)))
+        rg_base += n
+    return parts
+
+
 class ChangelogReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options["path"]
 
     def partitions(self):
-        import pyarrow.parquet as pq
-
-        pf = pq.ParquetFile(self.path)
-        parts = []
-        for rg in range(pf.num_row_groups):
-            n = pf.metadata.row_group(rg).num_rows
-            for start in range(0, n, _ROWS_PER_PARTITION):
-                parts.append(
-                    ChangelogPartition(
-                        rg, start, min(start + _ROWS_PER_PARTITION, n)
-                    )
-                )
-        return parts
+        sizes = _row_group_sizes(self.path)
+        return _partitions_for_rows(sizes, 0, sum(sizes))
 
     def read(self, partition: ChangelogPartition):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
+        return _emit_changelog_batch(self.path, partition)
 
-        tbl = (
-            pq.ParquetFile(self.path)
-            .read_row_group(partition.row_group)
-            .slice(partition.start, partition.end - partition.start)
-        )
-        event_id = tbl["event_id"].to_pylist()
-        # nanos -> micros truncation, the same convention as the batch
-        # loader's nanosAsLong div-1000 path (sub-microsecond digits drop)
-        ts = (
-            tbl["ts"]
-            .cast(pa.timestamp("us"), safe=False)
-            .to_pylist()
-        )
-        user_id = tbl["user_id"].to_pylist()
-        event_type = tbl["event_type"].to_pylist()
-        value = tbl["value"].to_pylist()
-        props = tbl["props"].to_pylist()
 
-        offsets, topics, keys, values = [], [], [], []
-        for eid, t, uid, etype, val, pr in zip(
-            event_id, ts, user_id, event_type, value, props
-        ):
-            table = EVENT_TYPE_TO_TABLE.get(etype, DEFAULT_TABLE)
-            m10 = eid % 10
-            op = "c" if m10 <= 4 else ("u" if m10 <= 7 else ("d" if m10 == 8 else "r"))
-            ts_str = t.strftime("%Y-%m-%dT%H:%M:%S.%f") + "+00:00"
-            ts_ms = (t - _EPOCH) // _MS
-            row_image = {
-                "event_id": eid,
-                "ts": ts_str,
-                "user_id": uid,
-                "event_type": etype,
-                "value": val,
-                "props": pr,
-            }
-            if eid % 20 == 8:  # tombstone: delete marker with no value
-                v = None
-            elif eid % 97 == 0 and m10 < 8:  # DLQ fraction: broken JSON
-                v = '{"malformed":' + str(eid)
-            else:
-                v = json.dumps(
-                    {
-                        "schema": {
-                            "type": "struct",
-                            "name": TOPIC_PREFIX + table + ".Envelope",
-                        },
-                        "payload": {
-                            "before": row_image if op in ("u", "d") else None,
-                            "after": row_image if op != "d" else None,
-                            "source": {
-                                "db": "pos_bi_db",
-                                "table": table,
-                                "ts_ms": ts_ms,
-                            },
-                            "op": op,
+def _emit_changelog_batch(path: str, partition: "ChangelogPartition"):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = (
+        pq.ParquetFile(path)
+        .read_row_group(partition.row_group)
+        .slice(partition.start, partition.end - partition.start)
+    )
+    event_id = tbl["event_id"].to_pylist()
+    # nanos -> micros truncation, the same convention as the batch
+    # loader's nanosAsLong div-1000 path (sub-microsecond digits drop)
+    ts = (
+        tbl["ts"]
+        .cast(pa.timestamp("us"), safe=False)
+        .to_pylist()
+    )
+    user_id = tbl["user_id"].to_pylist()
+    event_type = tbl["event_type"].to_pylist()
+    value = tbl["value"].to_pylist()
+    props = tbl["props"].to_pylist()
+
+    offsets, topics, keys, values = [], [], [], []
+    for eid, t, uid, etype, val, pr in zip(
+        event_id, ts, user_id, event_type, value, props
+    ):
+        table = EVENT_TYPE_TO_TABLE.get(etype, DEFAULT_TABLE)
+        m10 = eid % 10
+        op = "c" if m10 <= 4 else ("u" if m10 <= 7 else ("d" if m10 == 8 else "r"))
+        ts_str = t.strftime("%Y-%m-%dT%H:%M:%S.%f") + "+00:00"
+        ts_ms = (t - _EPOCH) // _MS
+        row_image = {
+            "event_id": eid,
+            "ts": ts_str,
+            "user_id": uid,
+            "event_type": etype,
+            "value": val,
+            "props": pr,
+        }
+        if eid % 20 == 8:  # tombstone: delete marker with no value
+            v = None
+        elif eid % 97 == 0 and m10 < 8:  # DLQ fraction: broken JSON
+            v = '{"malformed":' + str(eid)
+        else:
+            v = json.dumps(
+                {
+                    "schema": {
+                        "type": "struct",
+                        "name": TOPIC_PREFIX + table + ".Envelope",
+                    },
+                    "payload": {
+                        "before": row_image if op in ("u", "d") else None,
+                        "after": row_image if op != "d" else None,
+                        "source": {
+                            "db": "pos_bi_db",
+                            "table": table,
                             "ts_ms": ts_ms,
                         },
+                        "op": op,
+                        "ts_ms": ts_ms,
                     },
-                    separators=(",", ":"),
-                )
-            offsets.append(eid)
-            topics.append(TOPIC_PREFIX + table)
-            keys.append('{"payload":{"id":' + str(uid) + "}}")
-            values.append(v)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(offsets, pa.int64()),
-                pa.array(topics, pa.string()),
-                pa.array([0] * len(offsets), pa.int32()),
-                pa.array(keys, pa.string()),
-                pa.array(values, pa.string()),
-                pa.array(ts, pa.timestamp("us")),
-            ],
-            names=["offset", "topic", "partition", "key", "value", "timestamp"],
+                },
+                separators=(",", ":"),
+            )
+        offsets.append(eid)
+        topics.append(TOPIC_PREFIX + table)
+        keys.append('{"payload":{"id":' + str(uid) + "}}")
+        values.append(v)
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(offsets, pa.int64()),
+            pa.array(topics, pa.string()),
+            pa.array([0] * len(offsets), pa.int32()),
+            pa.array(keys, pa.string()),
+            pa.array(values, pa.string()),
+            pa.array(ts, pa.timestamp("us")),
+        ],
+        names=["offset", "topic", "partition", "key", "value", "timestamp"],
+    )
+
+
+class ChangelogStreamReader(DataSourceStreamReader):
+    """Streaming side of the connector: offsets are global row positions in
+    the backing file (the binlog-position analog), advanced at most
+    ``maxRecordsPerBatch`` rows per micro-batch — the admission-control knob
+    Kafka sources call maxOffsetsPerTrigger. ``partitions(start, end)``
+    carves each micro-batch's row range into row-group-aligned chunks, so
+    every micro-batch scans executor-parallel like the batch reader."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self._sizes = _row_group_sizes(self.path)
+        self._total = sum(self._sizes)
+        self._batch = int(
+            options.get("maxRecordsPerBatch", max(1, -(-self._total // 4)))
         )
+        self._pos = 0
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def latestOffset(self) -> dict:
+        self._pos = min(self._pos + self._batch, self._total)
+        return {"pos": self._pos}
+
+    def partitions(self, start: dict, end: dict):
+        return _partitions_for_rows(self._sizes, start["pos"], end["pos"])
+
+    def read(self, partition: ChangelogPartition):
+        return _emit_changelog_batch(self.path, partition)
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 class ChangelogDataSource(DataSource):
     """``spark.read.format("cdc_changelog").option("path", ...)``: the
-    deterministic Debezium changelog as a custom Python data source."""
+    deterministic Debezium changelog as a custom Python data source —
+    batch scan and micro-batched stream from the same emit path."""
 
     @classmethod
     def name(cls) -> str:
@@ -163,3 +218,6 @@ class ChangelogDataSource(DataSource):
 
     def reader(self, schema) -> ChangelogReader:
         return ChangelogReader(self.options)
+
+    def streamReader(self, schema) -> ChangelogStreamReader:
+        return ChangelogStreamReader(self.options)

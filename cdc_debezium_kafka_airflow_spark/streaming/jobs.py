@@ -247,14 +247,67 @@ def streaming_upsert_state(
     Equivalent to batch ``upsert_materialize`` — the state store holds one
     struct per live (table, key)."""
     unwrapped = unwrap(split_dlq(parse_envelope(changelog_stream(spark, sf_dir, max_files_per_trigger)))[0])
-    latest = unwrapped.groupBy("table_name", "key_id").agg(
+    out = _run_to_memory(_state_upsert_agg(unwrapped), "complete")
+    return _drop_deleted(out)
+
+
+def _state_upsert_agg(unwrapped: DataFrame) -> DataFrame:
+    return unwrapped.groupBy("table_name", "key_id").agg(
         F.max_by(F.struct("is_delete", "after"), "offset").alias("last"),
         F.max("offset").alias("last_offset"),
     )
-    out = _run_to_memory(latest, "complete")
+
+
+def _drop_deleted(out: DataFrame) -> DataFrame:
     return out.filter(~F.col("last.is_delete")).select(
         "table_name", "last_offset", "last.after.*"
     )
+
+
+def pydatasource_stream_upsert(
+    spark: SparkSession,
+    sf_dir: str,
+    max_records_per_batch: int | None = None,
+    progress_sink: list | None = None,
+) -> DataFrame:
+    """The custom Python streaming source driving the JVM state store: the
+    ``cdc_changelog`` connector (sources/pydatasource.py) replays the binlog
+    in bounded micro-batches (its offsets advance at most
+    ``maxRecordsPerBatch`` rows per trigger — by default 4 batches), and the
+    keyed max_by aggregation accumulates cross-batch state exactly like the
+    file-replay variant. ``processAllAvailable`` drains the source to its
+    end before the sink is read (the bounded-advance analog of
+    availableNow, which would stop at the FIRST latestOffset call).
+    """
+    from cdc_debezium_kafka_airflow_spark.sources.pydatasource import (
+        ChangelogDataSource,
+    )
+
+    spark.dataSource.register(ChangelogDataSource)
+    reader = spark.readStream.format("cdc_changelog").option(
+        "path", os.path.join(sf_dir, "events.parquet")
+    )
+    if max_records_per_batch is not None:
+        reader = reader.option("maxRecordsPerBatch", str(max_records_per_batch))
+    ch = reader.load()
+    unwrapped = unwrap(split_dlq(parse_envelope(ch))[0])
+    name = f"memsink_{next(_MEMSINK_IDS)}"
+    q = (
+        _state_upsert_agg(unwrapped)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    q.processAllAvailable()
+    if progress_sink is not None:
+        progress_sink.extend(
+            p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0
+        )
+    q.stop()
+    q.awaitTermination()
+    return _drop_deleted(spark.table(name))
 
 
 # Shared by the two Python-stateful upsert variants (applyInPandasWithState

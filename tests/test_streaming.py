@@ -59,6 +59,20 @@ def test_transform_with_state_upsert_equals_batch(spark, sf_dir):
     assert batch_state.exceptAll(tws_state).count() == 0
 
 
+def test_pydatasource_stream_upsert_multibatch_equals_batch(spark, sf_dir):
+    """The custom Python streaming source must (a) actually deliver the
+    changelog across MULTIPLE micro-batches (bounded offset advance) and
+    (b) leave the state store holding exactly the batch materialization."""
+    progress: list = []
+    streamed = jobs.pydatasource_stream_upsert(
+        spark, sf_dir, progress_sink=progress
+    )
+    batch_state = upsert_materialize_q(spark, sf_dir)
+    assert streamed.exceptAll(batch_state).count() == 0
+    assert batch_state.exceptAll(streamed).count() == 0
+    assert len(progress) >= 2, f"expected multi-batch delivery, got {progress}"
+
+
 def test_stream_stream_join_equals_batch_join(spark, sf_dir):
     """The watermarked stream-stream interval join must produce exactly the
     batch interval-join aggregate (replayed history: nothing is late, so the
