@@ -200,6 +200,46 @@ def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "fn_variant",
+    """
+    SELECT event_type,
+           count(*) AS n_events,
+           sum(CAST(props->>'k' AS INT)) AS sum_k,
+           CAST(max(CAST(props->>'k' AS INT)) AS INT) AS max_k,
+           round(sum(CASE WHEN CAST(props->>'k' AS INT) > 50
+                          THEN value END), 4) AS sum_value_highk
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured surface via Spark 4's VARIANT type: ``parse_json``
+    turns the props JSON into a variant ONCE, then typed path extraction
+    (``variant_get``) feeds filters and aggregates. At scale variant beats
+    per-expression ``get_json_object`` (each of which re-parses the string):
+    one parse, many typed reads, and the binary variant encoding is
+    column-prunable in parquet."""
+    e = t(spark, sf_dir, "events")
+    withv = e.select(
+        "event_type",
+        "value",
+        F.parse_json("props").alias("v"),
+    ).select(
+        "event_type",
+        "value",
+        F.variant_get("v", "$.k", "int").alias("k"),
+    )
+    return withv.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.max("k").alias("max_k"),
+        F.round(F.sum(F.when(F.col("k") > 50, F.col("value"))), 4).alias(
+            "sum_value_highk"
+        ),
+    )
+
+
+@q(
     "src_pydatasource",
     f"""
     WITH {CH_CTE}
