@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cdc_debezium_kafka_airflow_spark.queries.common import t
-from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import MAT_CTE
+from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import CH_CTE, MAT_CTE
 from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import (
     SQL_IS_MALFORMED,
     SQL_IS_TOMBSTONE,
@@ -145,6 +145,27 @@ def stream_stateful_pandas_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
     wins with deletes in user-managed state — must equal upsert_materialize."""
     t(spark, sf_dir, "events")
     return jobs.stateful_upsert_apply_in_pandas(spark, sf_dir)
+
+
+@q(
+    "stream_statestore_audit",
+    f"""
+    WITH {CH_CTE},
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY table_name, key_id
+                                   ORDER BY off DESC) AS rn
+      FROM ch
+    )
+    SELECT table_name, key_id, off AS last_offset, (op = 'd') AS is_delete
+    FROM latest WHERE rn = 1
+    """,
+)
+def stream_statestore_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-state observability: read the upsert job's OWN state store
+    (spark.read.format('statestore') over its checkpoint) — every live
+    (table, key) buffer including delete markers, without touching the job."""
+    t(spark, sf_dir, "events")
+    return jobs.state_store_audit(spark, sf_dir)
 
 
 @q(

@@ -264,6 +264,59 @@ def _drop_deleted(out: DataFrame) -> DataFrame:
     )
 
 
+def state_store_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-state OBSERVABILITY via Spark's state data source: run the
+    checkpointed state-store upsert once (availableNow), then read the
+    state store back with ``spark.read.format("statestore")`` and project
+    the live aggregation buffers.
+
+    This is the engine-native analog of the reference's lag/health probes —
+    instead of polling a Connect REST endpoint, an operator can query the
+    actual keyed state a streaming job holds (every live (table, key) and
+    whether its latest image is a delete) without touching the job. The
+    checkpoint is fingerprint-cached like the changelog replay log, so
+    repeated audits reuse the committed state.
+    """
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        cache_is_fresh,
+        source_fingerprint,
+        write_fingerprint,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    ck = os.path.join("/root/repo/.cache", f"upsert_ck_{tag}")
+    fp = source_fingerprint(sf_dir, "events")
+    if not cache_is_fresh(ck, fp):
+        import shutil
+
+        shutil.rmtree(ck, ignore_errors=True)
+        unwrapped = unwrap(
+            split_dlq(parse_envelope(changelog_stream(spark, sf_dir)))[0]
+        )
+        name = f"memsink_{next(_MEMSINK_IDS)}"
+        q = (
+            _state_upsert_agg(unwrapped)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        write_fingerprint(ck, fp)
+    state = spark.read.format("statestore").load(ck)
+    # the value side is the aggregation BUFFER: max_by keeps
+    # (valueWithExtremumOrdering=the image struct, extremumOrdering=offset)
+    # and the plain max(offset) buffer sits alongside as `max`
+    return state.select(
+        F.col("key.table_name").alias("table_name"),
+        F.col("key.key_id").alias("key_id"),
+        F.col("value.max").alias("last_offset"),
+        F.col("value.valueWithExtremumOrdering.is_delete").alias("is_delete"),
+    )
+
+
 def pydatasource_stream_upsert(
     spark: SparkSession,
     sf_dir: str,
