@@ -127,3 +127,64 @@ def fingerprints(documents: DataFrame, text_col: str = "text") -> DataFrame:
         n_chunks.alias("n_chunks"),
         F.element_at(chunk_fps, 1).alias("fp_chunk0"),
     )
+
+
+def bm25_topk(
+    documents: DataFrame,
+    query_terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """Okapi BM25 retrieval: score every document against a bag of query
+    terms, return the top-k (the ranking half of a retrieval pipeline; the
+    embedding half lives in operators/similarity.py).
+
+      idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+      score   = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Scale shape: term explode -> per-doc length agg (one shuffle, shared by
+    any query), then everything query-specific filters to the query's terms
+    BEFORE aggregating — tf/df are tiny and broadcast; the final top-k is
+    orderBy+limit (TakeOrderedAndProject: per-partition heaps, no global
+    sort). Scores are rounded to 6dp BEFORE ranking so the cross-engine
+    tie-break (score desc, doc_id asc) is bit-stable.
+    """
+    d = documents.select(
+        "doc_id", normalize_text(F.col(text_col)).alias("t")
+    )
+    toks = d.select("doc_id", F.explode(ws_tokens(F.col("t"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.avg("dl").alias("avgdl"), F.count("*").alias("n_docs")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(*query_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            (idf * F.col("tf") * F.lit(k1 + 1.0) / denom).alias("contrib"),
+        )
+    )
+    ranked = (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+    return ranked

@@ -24,6 +24,7 @@ from cdc_debezium_kafka_airflow_spark.operators.similarity import (
     ivf_topk,
 )
 from cdc_debezium_kafka_airflow_spark.operators.text import (
+    bm25_topk,
     fingerprints,
     lang_id,
     normalize_text,
@@ -406,6 +407,47 @@ def ext_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("q").alias("q_min"),
         F.array_max("q").alias("q_max"),
         F.round(F.sqrt(err_sq / F.size("e")), 6).alias("rmse"),
+    )
+
+
+@q(
+    "ext_bm25_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({NORM}, ' ')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM toks WHERE term IN ('join', 'filter', 'merge')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+               AS contrib
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    )
+    SELECT doc_id, round(sum(contrib), 6) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 15
+    """,
+)
+def ext_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-15 for the query bag {join, filter, merge}: the exact
+    lexical-ranking half of a retrieval pipeline (embedding ANN is the other
+    half), scored fully JVM-side with query-term filtering before any
+    aggregation."""
+    return bm25_topk(
+        t(spark, sf_dir, "documents"), ["join", "filter", "merge"], k=15
     )
 
 

@@ -200,6 +200,94 @@ def cdc_diff_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "fn_recursive_cte",
+    f"""
+    WITH {CH_CTE}
+    SELECT table_name, key_id, off,
+           CAST(row_number() OVER (PARTITION BY table_name, key_id
+                                   ORDER BY off) AS INT) AS version_n
+    FROM ch
+    """,
+)
+def fn_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): per-key version numbers
+    computed by RECURSIVELY walking each key's prev-offset chain from its
+    first event — while the oracle computes the same numbers with a
+    row_number window. A hash match cross-validates the recursion against
+    the window (two different algorithms, one answer). Depth is bounded by
+    the longest per-key history (29 at sf0.1), far under the recursion
+    limit."""
+    u = _unwrapped(spark, sf_dir)
+    u.select("table_name", "key_id", "offset").createOrReplaceTempView(
+        "changelog_v"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE
+        base AS (
+          SELECT table_name, key_id, offset,
+                 lag(offset) OVER (PARTITION BY table_name, key_id
+                                   ORDER BY offset) AS prev_off
+          FROM changelog_v
+        ),
+        chain AS (
+          SELECT table_name, key_id, offset, 1 AS version_n
+          FROM base WHERE prev_off IS NULL
+          UNION ALL
+          SELECT b.table_name, b.key_id, b.offset, c.version_n + 1
+          FROM base b JOIN chain c
+            ON b.table_name = c.table_name
+           AND b.key_id = c.key_id
+           AND b.prev_off = c.offset
+        )
+        SELECT table_name, key_id, offset AS off, version_n FROM chain
+        """
+    )
+
+
+@q(
+    "fn_sql_udf",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS net_revenue,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+             AS gross_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar functions (Spark 4 CREATE FUNCTION ... RETURN
+    expr): the discount/tax arithmetic lives in named, catalog-registered
+    SQL UDFs that the optimizer INLINES into the plan — unlike Python UDFs
+    there is no serialization boundary, so whole-stage codegen spans the
+    whole aggregate."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION gross_price"
+        "(p DOUBLE, d DOUBLE, tax DOUBLE) "
+        "RETURNS DOUBLE RETURN net_price(p, d) * (1 + tax)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*) AS n_items,
+               round(sum(net_price(l_extendedprice, l_discount)), 2)
+                 AS net_revenue,
+               round(sum(gross_price(l_extendedprice, l_discount, l_tax)), 2)
+                 AS gross_revenue
+        FROM lineitem_v
+        GROUP BY l_returnflag
+        """
+    )
+
+
+@q(
     "fn_variant",
     """
     SELECT event_type,
