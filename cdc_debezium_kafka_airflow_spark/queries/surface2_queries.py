@@ -371,6 +371,46 @@ def src_pydatasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "snk_pydatasource_dlq",
+    f"""
+    SELECT '{{"malformed":' || CAST(event_id AS VARCHAR) AS payload_json
+    FROM events
+    WHERE (event_id % 97 = 0 AND event_id % 10 < 8)
+      AND NOT (event_id % 20 = 8)
+    """,
+)
+def snk_pydatasource_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write side of the Python DataSource API: the DLQ audit rows go
+    through the custom ``dlq_jsonl`` sink (per-task jsonl part files, a
+    driver-side commit manifest — the two-phase protocol object stores
+    need), then are read back and must round-trip exactly."""
+    import os
+    import shutil
+
+    from cdc_debezium_kafka_airflow_spark.operators.cdc import (
+        hoist_field,
+        parse_envelope,
+        split_dlq,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import (
+        build_changelog,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.pydatasource import DlqJsonSink
+
+    spark.dataSource.register(DlqJsonSink)
+    dlq = hoist_field(
+        split_dlq(parse_envelope(build_changelog(t(spark, sf_dir, "events"))))[1]
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join("/root/repo/.cache", f"dlq_jsonl_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    dlq.write.format("dlq_jsonl").option("path", path).mode("append").save()
+    return spark.read.schema("payload_json string").json(
+        os.path.join(path, "part-*.jsonl")
+    )
+
+
+@q(
     "cdc_scd2_history",
     f"""
     WITH {CH_CTE},

@@ -28,7 +28,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import (
@@ -221,3 +223,66 @@ class ChangelogDataSource(DataSource):
 
     def streamReader(self, schema) -> ChangelogStreamReader:
         return ChangelogStreamReader(self.options)
+
+
+class DlqCommitMessage(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class DlqJsonWriter(DataSourceWriter):
+    """Task-side writer: each task streams its rows to one
+    ``part-<uuid>.jsonl`` file and reports it in its commit message; the
+    driver-side ``commit`` publishes the manifest (``_SUCCESS``) listing
+    exactly the committed files — the same two-phase rename-free protocol
+    cloud object stores need (no file is visible until the manifest names
+    it), and ``abort`` leaves nothing published."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return DlqCommitMessage(name, n)
+
+    def commit(self, messages):
+        import os
+
+        manifest = {
+            "files": sorted(m.filename for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(json.dumps(manifest))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+class DlqJsonSink(DataSource):
+    """``df.write.format("dlq_jsonl").option("path", ...)``: a Python
+    DataSource WRITER — the DLQ audit sink as a custom connector (the
+    write-side twin of ``cdc_changelog``)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "dlq_jsonl"
+
+    def writer(self, schema, overwrite: bool) -> DlqJsonWriter:
+        return DlqJsonWriter(self.options)
