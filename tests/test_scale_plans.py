@@ -60,6 +60,18 @@ def test_skew_salted_join_spreads_hot_keys(spark, sf_dir):
     assert "salt" in plan
 
 
+def test_bm25_topk_uses_heap_not_global_sort(spark, sf_dir):
+    """BM25's final top-k must be TakeOrderedAndProject (per-partition
+    heaps), and the per-term frequency tables must broadcast."""
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import (
+        ext_bm25_search,
+    )
+
+    plan = _plan(ext_bm25_search(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_upsert_materialize_is_hash_agg_not_window_sort(spark, sf_dir):
     """The core CDC operator must be a single hash aggregation with map-side
     partial max_by — not a sort-based row_number window."""
