@@ -288,6 +288,65 @@ def fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "join_lateral",
+    """
+    SELECT o.o_orderkey, o.o_totalprice, t.n_items, t.max_line
+    FROM orders o, LATERAL (
+      SELECT count(*) AS n_items,
+             round(max(l.l_extendedprice), 2) AS max_line
+      FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+    ) t
+    WHERE o.o_totalprice > 400000
+    """,
+)
+def join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: a per-row subquery over another table,
+    decorrelated by Catalyst into an ordinary aggregate + join (no
+    nested-loop re-execution per outer row) — the relational surface the
+    reference leaves to Postgres."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lv")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_lv")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice, t.n_items, t.max_line
+        FROM orders_lv o, LATERAL (
+          SELECT count(*) AS n_items,
+                 round(max(l.l_extendedprice), 2) AS max_line
+          FROM lineitem_lv l WHERE l.l_orderkey = o.o_orderkey
+        ) t
+        WHERE o.o_totalprice > 400000
+        """
+    )
+
+
+@q(
+    "fn_sql_parameterized",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_totalprice >= 250000
+    GROUP BY o_orderpriority
+    """,
+)
+def fn_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named-arg binding + IDENTIFIER clause): values
+    bind as literals and the table name binds through IDENTIFIER — the
+    injection-safe surface for templated production SQL."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_pv")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM IDENTIFIER(:tbl)
+        WHERE o_orderstatus = :status AND o_totalprice >= :floor
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "orders_pv", "status": "F", "floor": 250000},
+    )
+
+
+@q(
     "fn_variant",
     """
     SELECT event_type,
