@@ -228,7 +228,18 @@ def stream_stream_interval_join(
             " AND l_shipdate <= o_orderdate + INTERVAL 120 DAYS"
         ),
     ).select("o_orderpriority", "l_extendedprice", "l_discount")
-    out = _run_to_memory(joined, "append")
+    # A stream-stream join keeps FOUR state stores per shuffle partition
+    # (keyed rows + numValues, each side); per-store open/commit overhead
+    # dominates a single-trigger replay, so cap the join's shuffle width —
+    # measured 2x at sf0.1 (8s -> 4s warm). On a real cluster this knob is
+    # sized to executor cores × per-partition state, not left at the SQL
+    # default (restored after; single-threaded harness assumption).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _run_to_memory(joined, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_lineitems"),
         F.round(
