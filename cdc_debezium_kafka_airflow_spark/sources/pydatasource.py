@@ -65,16 +65,19 @@ def _row_group_sizes(path: str) -> list[int]:
 
 
 def _partitions_for_rows(
-    rg_sizes: list[int], start_row: int, end_row: int
+    rg_sizes: list[int],
+    start_row: int,
+    end_row: int,
+    rows_per_partition: int = _ROWS_PER_PARTITION,
 ) -> list["ChangelogPartition"]:
     """Map a global row range onto row-group-local slices, further split to
-    ``_ROWS_PER_PARTITION`` so task sizes stay bounded."""
+    ``rows_per_partition`` so task sizes stay bounded."""
     parts, rg_base = [], 0
     for rg, n in enumerate(rg_sizes):
         lo = max(start_row - rg_base, 0)
         hi = min(end_row - rg_base, n)
-        for s in range(lo, hi, _ROWS_PER_PARTITION):
-            parts.append(ChangelogPartition(rg, s, min(s + _ROWS_PER_PARTITION, hi)))
+        for s in range(lo, hi, rows_per_partition):
+            parts.append(ChangelogPartition(rg, s, min(s + rows_per_partition, hi)))
         rg_base += n
     return parts
 
@@ -197,7 +200,13 @@ class ChangelogStreamReader(DataSourceStreamReader):
         return {"pos": self._pos}
 
     def partitions(self, start: dict, end: dict):
-        return _partitions_for_rows(self._sizes, start["pos"], end["pos"])
+        # A micro-batch's row range is at most one admission quantum, so a
+        # batch-reader-sized chunk would put the whole trigger on ONE task
+        # (the Python serialize is the per-task cost here). Carve each batch
+        # into ~8 tasks instead, floored so tiny batches stay single-task.
+        span = end["pos"] - start["pos"]
+        chunk = min(_ROWS_PER_PARTITION, max(4096, -(-span // 8)))
+        return _partitions_for_rows(self._sizes, start["pos"], end["pos"], chunk)
 
     def read(self, partition: ChangelogPartition):
         return _emit_changelog_batch(self.path, partition)
