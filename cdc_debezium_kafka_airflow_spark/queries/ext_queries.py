@@ -620,3 +620,75 @@ def ext_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("emb_l2_norm"),
     )
     return feats.join(norms, on="doc_id")
+
+
+# DuckDB mirror of sampling.content_bucket (parity proven by the oracles):
+# int value of the first 8 md5 hex chars, mod 100.
+BUCKET = f"CAST(('0x' || substr(md5({NORM}), 1, 8)) AS BIGINT) % 100"
+
+
+@q(
+    "ext_stratified_sample",
+    f"""
+    SELECT doc_id, lang, source,
+           CAST({BUCKET} AS BIGINT) AS bucket
+    FROM documents
+    WHERE {BUCKET} < CASE lang WHEN 'en' THEN 40 WHEN 'es' THEN 80
+                               ELSE 100 END
+    ORDER BY doc_id
+    """,
+)
+def ext_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (training-corpus rebalancing):
+    keep 40% of English, 80% of Spanish, all other languages, gated on a
+    content hash so membership is reproducible across runs, engines, and
+    re-partitionings (operators/sampling.py rationale). The oracle checks
+    exact per-document membership, not just counts. Map-only: no shuffle
+    at any corpus size."""
+    from cdc_debezium_kafka_airflow_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    sampled = stratified_sample(
+        docs,
+        normalize_text(F.col("text")),
+        F.col("lang"),
+        {"en": 40, "es": 80},
+    )
+    return sampled.select("doc_id", "lang", "source", "bucket").orderBy(
+        "doc_id"
+    )
+
+
+@q(
+    "ext_train_val_split",
+    f"""
+    WITH s AS (
+      SELECT lang, n_chars,
+             CASE WHEN {BUCKET} < 90 THEN 'train'
+                  WHEN {BUCKET} < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY lang, split
+    """,
+)
+def ext_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) by content hash —
+    duplicate texts can never straddle the eval boundary, unlike RNG- or
+    id-based splits (the standard eval-contamination bug). Returns the
+    per-(lang, split) doc and char totals; the split expression itself is
+    a pure map, the only shuffle is the report's own aggregation."""
+    from cdc_debezium_kafka_airflow_spark.operators.sampling import (
+        train_val_test_split,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    labeled = train_val_test_split(docs, normalize_text(F.col("text")))
+    return labeled.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

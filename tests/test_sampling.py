@@ -1,0 +1,81 @@
+"""Deterministic sampling operators (operators/sampling.py): the guarantees
+the docstring claims — partition-independence, split disjointness, and
+duplicate-texts-share-a-split — asserted directly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cdc_debezium_kafka_airflow_spark.operators.sampling import (
+    content_bucket,
+    stratified_sample,
+    train_val_test_split,
+)
+from cdc_debezium_kafka_airflow_spark.operators.text import normalize_text
+from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+
+def _docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_sample_membership_is_partition_independent(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    norm = normalize_text(F.col("text"))
+    a = stratified_sample(docs, norm, F.col("lang"), {"en": 40, "es": 80})
+    b = stratified_sample(
+        docs.repartition(17, "source"), norm, F.col("lang"), {"en": 40, "es": 80}
+    )
+    ids = lambda df: {r.doc_id for r in df.select("doc_id").collect()}
+    assert ids(a) == ids(b) and len(ids(a)) > 0
+
+
+def test_sample_rate_is_roughly_honored(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    norm = normalize_text(F.col("text"))
+    sampled = stratified_sample(docs, norm, F.col("lang"), {"en": 40})
+    n_en = docs.filter(F.col("lang") == "en").count()
+    k_en = sampled.filter(F.col("lang") == "en").count()
+    # 40% Bernoulli on a content hash: loose bound, just not 0%/100%
+    assert 0.15 * n_en <= k_en <= 0.65 * n_en
+    # non-target strata pass through untouched
+    assert (
+        sampled.filter(F.col("lang") != "en").count()
+        == docs.filter(F.col("lang") != "en").count()
+    )
+
+
+def test_split_is_disjoint_exhaustive_and_duplicate_safe(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    # plant an exact duplicate pair with fresh ids: they must co-locate
+    dup = docs.limit(1).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"),
+        "text", "lang", "source", "n_chars",
+    )
+    both = docs.unionByName(dup)
+    labeled = train_val_test_split(both, normalize_text(F.col("text")))
+    assert labeled.count() == both.count()  # exhaustive: every row labeled
+    per_text_splits = (
+        labeled.groupBy(normalize_text(F.col("text")).alias("t"))
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(F.max("n_splits").alias("m"))
+        .collect()[0]
+        .m
+    )
+    assert per_text_splits == 1  # duplicates never straddle a boundary
+    sizes = {r.split: r.n for r in labeled.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) <= {"train", "val", "test"} and sizes["train"] > sizes.get("val", 0)
+
+
+def test_bucket_stays_jvm_side(spark, sf_dir):
+    """The gate must be a pure expression: no Python eval, no exchange."""
+    docs = _docs(spark, sf_dir)
+    plan = (
+        docs.withColumn("bucket", content_bucket(normalize_text(F.col("text"))))
+        .filter(F.col("bucket") < 40)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
