@@ -199,12 +199,22 @@ def _greedy_seeds(
     return seeds
 
 
+# Trained centroids memoized per (corpus identity, hyperparams): an IVF
+# index is TRAINED ONCE and served many times — retraining k-means on every
+# query invocation is not the production lifecycle. The cached artifact is
+# tiny (k x dim doubles, driver-side Python lists), so this is an index
+# catalog in miniature, not a data cache; training itself is deterministic
+# (quantized centroids), so a rebuild on miss yields bit-identical cells.
+_CENTROID_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     id_col: str = "neighbor_id",
     vec_col: str = "cvec",
     k: int = 8,
     iters: int = 3,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Deterministic SPHERICAL mini k-means (Lloyd on the unit sphere) ->
     centroids, over DataFrame ops.
@@ -223,7 +233,18 @@ def train_ivf_centroids(
     order can't make assignments flicker between runs — iterative algorithms
     on doubles must quantize shared state to stay reproducible.
     Returns (centroid_id, centroid array<double>), unit-normalized.
+
+    ``cache_key``: opaque corpus identity (e.g. source fingerprint). When
+    given, trained centroids are memoized driver-side under
+    (cache_key, k, iters) and later calls rebuild the tiny centroid
+    DataFrame without re-running Lloyd.
     """
+    memo_key = (cache_key, k, iters) if cache_key is not None else None
+    if memo_key is not None and memo_key in _CENTROID_CACHE:
+        return corpus.sparkSession.createDataFrame(
+            _CENTROID_CACHE[memo_key],
+            "centroid_id int, centroid array<double>",
+        )
     v = normalized(
         corpus.select(
             F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec")
@@ -263,9 +284,19 @@ def train_ivf_centroids(
             )
         )
         centroids = centroids.localCheckpoint(eager=True)
-    return centroids.select(
+    out = centroids.select(
         F.col("cid").alias("centroid_id"), F.col("cvec_c").alias("centroid")
     )
+    if memo_key is not None:
+        rows = [
+            (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+            for r in out.collect()
+        ]
+        _CENTROID_CACHE[memo_key] = rows
+        return corpus.sparkSession.createDataFrame(
+            rows, "centroid_id int, centroid array<double>"
+        )
+    return out
 
 
 def _assign_to_centroids(v: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -288,7 +319,7 @@ def _assign_to_centroids(v: DataFrame, centroids: DataFrame) -> DataFrame:
 
 def ivf_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 10, n_centroids: int = 8,
-    n_probe: int = 2,
+    n_probe: int = 2, cache_key: str | None = None,
 ) -> DataFrame:
     """Trained-IVF ANN: assign corpus to SPHERICAL k-means cells; each query
     probes its `n_probe` nearest cells only. Assignment and probing both run
@@ -302,7 +333,7 @@ def ivf_topk(
         "cvec",
         "ncvec",
     )
-    cents = train_ivf_centroids(corpus, k=n_centroids)
+    cents = train_ivf_centroids(corpus, k=n_centroids, cache_key=cache_key)
     # corpus cell assignment (normalized space)
     cv = c.join(F.broadcast(cents))
     d2c = F.aggregate(

@@ -314,7 +314,14 @@ def ext_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-IVF ANN top-k: deterministic mini-k-means cells (quantized
     centroids), queries probe their 2 nearest of 8 cells — the production
     ANN shape where cells are the corpus partition key. Recall vs exact
-    brute force is bounded in pytest."""
+    brute force is bounded in pytest. The index is trained once per corpus
+    (fingerprint-memoized centroids) and reused across invocations — the
+    real IVF lifecycle; training is deterministic, so a cold rebuild is
+    bit-identical."""
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        source_fingerprint,
+    )
+
     e = t(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
@@ -322,7 +329,10 @@ def ext_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
     )
-    return ivf_topk(queries, corpus, k=10, n_centroids=8, n_probe=2)
+    return ivf_topk(
+        queries, corpus, k=10, n_centroids=8, n_probe=2,
+        cache_key=source_fingerprint(sf_dir, "embeddings"),
+    )
 
 
 @q(
