@@ -35,7 +35,7 @@ derives from the target workload, like the dedup/similarity operators.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # 8 hex chars = 32 bits: unbiased enough for percent buckets (2^32 % 100
 # leaves a 1-in-43M skew) while staying far inside BIGINT range in both
@@ -64,6 +64,65 @@ def stratified_sample(
         rate = F.when(stratum == value, F.lit(pct)).otherwise(rate)
     return docs.withColumn("bucket", content_bucket(text_norm)).filter(
         F.col("bucket") < rate
+    )
+
+
+def weighted_mix(
+    docs: DataFrame,
+    text_norm: Column,
+    stratum: Column,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+) -> DataFrame:
+    """Weighted corpus mixing: replicate each document ``epochs(stratum)``
+    times, where fractional epochs keep a deterministic content-hash subset
+    (e.g. 2.5 epochs = every doc twice + the half of docs whose bucket
+    falls under 50). This is the domain-mixture step of a training-data
+    pipeline (N epochs of curated sources, a fraction of bulk web) with the
+    same reproducibility contract as ``stratified_sample``: no RNG, no
+    partition dependence. ``n_copies`` is a pure expression and the
+    replication is a JVM-side ``explode(sequence(...))`` — map-only, no
+    shuffle, no Python. Emits ``copy_n`` (1-based) so downstream shuffles
+    can interleave copies instead of colocating them."""
+    whole = F.lit(int(default_epochs))
+    frac = F.lit(int(round(default_epochs % 1 * 100)))
+    for value, ep in sorted(epochs.items()):
+        whole = F.when(stratum == value, F.lit(int(ep))).otherwise(whole)
+        frac = F.when(stratum == value, F.lit(int(round(ep % 1 * 100)))).otherwise(
+            frac
+        )
+    n_copies = whole + (content_bucket(text_norm) < frac).cast("int")
+    return (
+        docs.withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") > 0)
+        .withColumn("copy_n", F.explode(F.sequence(F.lit(1), F.col("n_copies"))))
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    token_count: Column,
+    shard_by: list[Column],
+    order_by: Column,
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Greedy sequence packing: concatenate documents (in a deterministic
+    order) into fixed ``seq_len``-token training windows, assigning each doc
+    the pack where its cumulative token count starts —
+    ``pack_id = floor((cum_tokens - n_tokens) / seq_len)``. One window
+    cumsum per shard; docs longer than ``seq_len`` still get a pack (they
+    would be chunked by the tokenizer downstream).
+
+    Scale: packing is inherently sequential WITHIN an ordering, so the
+    ordering must be sharded — ``shard_by`` keys the window partition (here:
+    stratum + a content-hash shard), giving shards x parallel cumsums and
+    bounded per-shard state instead of one global sort. Pack ids are only
+    unique per shard, which is exactly what a distributed writer wants
+    (shard = output file, pack = row group within it)."""
+    w = Window.partitionBy(*shard_by).orderBy(order_by)
+    cum = F.sum(token_count).over(w)
+    return docs.withColumn("n_tokens", token_count).withColumn(
+        "pack_id", F.floor((cum - F.col("n_tokens")) / F.lit(seq_len))
     )
 
 

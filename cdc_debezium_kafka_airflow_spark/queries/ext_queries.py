@@ -702,3 +702,82 @@ def ext_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@q(
+    "ext_corpus_mix",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 2 ELSE 0 END
+                  + CASE WHEN {BUCKET} <
+                              CASE source WHEN 'src0' THEN 50
+                                          WHEN 'src1' THEN 0 ELSE 50 END
+                         THEN 1 ELSE 0 END AS INT) AS n_copies
+      FROM documents
+    )
+    SELECT doc_id, source, n_copies,
+           CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy_n
+    FROM w WHERE n_copies > 0
+    """,
+)
+def ext_corpus_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain mixing (training-mixture assembly): 2.5 epochs of
+    src0, 2 of src1, 0.5 of everything else — whole epochs replicate every
+    doc, fractional epochs keep a deterministic content-hash subset
+    (operators/sampling.py). The oracle checks exact instance-level output
+    (doc x copy_n). JVM-side explode(sequence(...)), map-only."""
+    from cdc_debezium_kafka_airflow_spark.operators.sampling import (
+        weighted_mix,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    mixed = weighted_mix(
+        docs,
+        normalize_text(F.col("text")),
+        F.col("source"),
+        {"src0": 2.5, "src1": 2.0},
+        default_epochs=0.5,
+    )
+    return mixed.select("doc_id", "source", "n_copies", "copy_n")
+
+
+@q(
+    "ext_seq_packing",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(({BUCKET}) % 8 AS BIGINT) AS shard,
+             CAST(len(string_split({NORM}, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, lang, shard, n_tokens,
+           CAST(floor(CAST(sum(n_tokens) OVER (PARTITION BY lang, shard
+                                               ORDER BY doc_id)
+                           - n_tokens AS DOUBLE) / 256) AS BIGINT) AS pack_id
+    FROM d
+    """,
+)
+def ext_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into 256-token training windows, sharded by
+    (lang, content-hash shard) so the inherently-sequential cumsum runs as
+    parallel bounded-state windows instead of a global sort — shard maps to
+    an output file, pack_id to a row group within it. Exact doc->pack
+    membership is oracle-checked."""
+    from cdc_debezium_kafka_airflow_spark.operators.sampling import (
+        content_bucket,
+        pack_sequences,
+    )
+    from cdc_debezium_kafka_airflow_spark.operators.text import ws_tokens
+
+    docs = t(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    sharded = docs.withColumn("shard", F.pmod(content_bucket(norm), F.lit(8)))
+    packed = pack_sequences(
+        sharded,
+        F.size(ws_tokens(norm)).cast("bigint"),
+        [F.col("lang"), F.col("shard")],
+        F.col("doc_id"),
+        seq_len=256,
+    )
+    return packed.select("doc_id", "lang", "shard", "n_tokens", "pack_id")

@@ -79,3 +79,77 @@ def test_bucket_stays_jvm_side(spark, sf_dir):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_weighted_mix_epochs_and_copy_numbers(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.operators.sampling import weighted_mix
+
+    docs = _docs(spark, sf_dir)
+    mixed = weighted_mix(
+        docs, normalize_text(F.col("text")), F.col("source"),
+        {"src0": 2.5, "src1": 2.0}, default_epochs=0.5,
+    )
+    per_src = {
+        r.source: (r.n_in, r.n_out)
+        for r in mixed.groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n_in"), F.count("*").alias("n_out"))
+        .collect()
+    }
+    n0_in, n0_out = per_src["src0"]
+    assert 2 * n0_in <= n0_out <= 3 * n0_in  # 2.5 epochs: between x2 and x3
+    n1_in, n1_out = per_src["src1"]
+    assert n1_out == 2 * n1_in  # exactly 2 epochs, no fractional part
+    # copy_n is a dense 1..n_copies per doc: max == n_copies, count == n_copies
+    bad = (
+        mixed.groupBy("doc_id", "n_copies")
+        .agg(F.max("copy_n").alias("mx"), F.count("*").alias("n"))
+        .filter((F.col("mx") != F.col("n_copies")) | (F.col("n") != F.col("n_copies")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_pack_sequences_greedy_invariants(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.operators.sampling import (
+        content_bucket,
+        pack_sequences,
+    )
+
+    docs = _docs(spark, sf_dir)
+    norm = normalize_text(F.col("text"))
+    sharded = docs.withColumn("shard", F.pmod(content_bucket(norm), F.lit(8)))
+    packed = pack_sequences(
+        sharded, F.size(F.split(norm, " ")).cast("bigint"),
+        [F.col("lang"), F.col("shard")], F.col("doc_id"), seq_len=256,
+    )
+    assert packed.count() == docs.count()  # every doc lands in a pack
+    # greedy fill: within a shard, pack ids are non-decreasing in doc order
+    # and contiguous from 0 (no empty packs); a doc starts in pack p iff its
+    # cumulative start offset is in [p*256, (p+1)*256)
+    stats = (
+        packed.groupBy("lang", "shard")
+        .agg(
+            F.min("pack_id").alias("lo"),
+            F.max("pack_id").alias("hi"),
+            F.countDistinct("pack_id").alias("n_packs"),
+        )
+        .collect()
+    )
+    for r in stats:
+        assert r.lo == 0 and r.n_packs == r.hi + 1
+    # cross-check the distributed cumsum against a pure-Python greedy replay
+    # of the largest shard: same docs, same order, same fill rule
+    top = (
+        packed.groupBy("lang", "shard").count()
+        .orderBy(F.desc("count"), "lang", "shard").first()
+    )
+    rows = (
+        packed.filter((F.col("lang") == top.lang) & (F.col("shard") == top.shard))
+        .orderBy("doc_id")
+        .select("doc_id", "n_tokens", "pack_id")
+        .collect()
+    )
+    offset = 0
+    for r in rows:
+        assert r.pack_id == offset // 256, (r.doc_id, offset, r.pack_id)
+        offset += r.n_tokens
