@@ -153,3 +153,34 @@ def test_pack_sequences_greedy_invariants(spark, sf_dir):
     for r in rows:
         assert r.pack_id == offset // 256, (r.doc_id, offset, r.pack_id)
         offset += r.n_tokens
+
+
+def test_mix_is_map_only_and_packing_shuffles_once(spark, sf_dir):
+    """Scale guards: weighted_mix must not shuffle at all (pure per-row
+    expressions + explode); pack_sequences must shuffle exactly once, on the
+    shard keys that bound its sequential cumsum."""
+    from cdc_debezium_kafka_airflow_spark.operators.sampling import (
+        content_bucket,
+        pack_sequences,
+        weighted_mix,
+    )
+
+    docs = _docs(spark, sf_dir)
+    norm = normalize_text(F.col("text"))
+    mix_plan = (
+        weighted_mix(docs, norm, F.col("source"), {"src0": 2.5}, 0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in mix_plan
+    assert "Python" not in mix_plan  # explode(sequence) is JVM-side
+
+    sharded = docs.withColumn("shard", F.pmod(content_bucket(norm), F.lit(8)))
+    pack_plan = (
+        pack_sequences(
+            sharded, F.size(F.split(norm, " ")).cast("bigint"),
+            [F.col("lang"), F.col("shard")], F.col("doc_id"), seq_len=256,
+        )
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert pack_plan.count("Exchange hashpartitioning") == 1
+    assert "hashpartitioning(lang" in pack_plan
