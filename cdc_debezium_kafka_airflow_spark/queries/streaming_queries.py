@@ -196,3 +196,40 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     foreachBatch (the reference's JDBC upsert sink shape)."""
     t(spark, sf_dir, "events")
     return jobs.foreach_batch_upsert(spark, sf_dir)
+
+
+@q(
+    "ctl_retry_upsert",
+    f"""
+    WITH {MAT_CTE}
+    SELECT * FROM mat
+    """,
+)
+def ctl_retry_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ctl_retry`` (reference DAG ``retries``/``retry_delay``,
+    dags/cdc_health_check_dag.py default_args), engine-native: the JDBC
+    MERGE sink runs with a fault injector that fails the FIRST attempt of
+    every merge micro-batch mid-protocol (after the stage write, before the
+    MERGE — a real partial side effect), and ``retrying_foreach_batch``
+    absorbs each failure with bounded exponential backoff. The materialized
+    table must be byte-identical to the no-fault run — proving retry +
+    idempotent-MERGE compose into exactly-once under transient sink
+    faults. The oracle is the same upsert materialization SQL."""
+    t(spark, sf_dir, "events")
+    attempt_log: list = []
+
+    def flaky(batch_id: int, attempt: int) -> None:
+        if attempt == 1:
+            raise RuntimeError(f"injected transient sink fault b{batch_id}")
+
+    out = jobs.foreach_batch_upsert(
+        spark,
+        sf_dir,
+        max_files_per_trigger=1,  # several micro-batches => several retries
+        fault_injector=flaky,
+        max_attempts=3,
+        attempt_log=attempt_log,
+        db_suffix="_retry",
+    )
+    assert attempt_log, "fault injector never fired — retry path untested"
+    return out

@@ -596,8 +596,55 @@ def stateful_upsert_apply_in_pandas(
     return _final_upsert_image(out)
 
 
+def retrying_foreach_batch(
+    fn,
+    max_attempts: int = 3,
+    backoff_s: float = 0.05,
+    attempt_log: list | None = None,
+):
+    """``ctl_retry``: bounded per-micro-batch retry with exponential backoff
+    — the engine-native analog of the reference DAGs' task ``retries`` /
+    ``retry_delay`` (reference dags/cdc_health_check_dag.py default_args).
+    Where Airflow re-runs a whole task, Structured Streaming's unit of
+    recovery is the micro-batch: the wrapper re-invokes the foreachBatch
+    body, so the body must be idempotent under replay (the MERGE sink's
+    ``last_offset`` guard provides exactly that — partial side effects from
+    a failed attempt are absorbed, the same reasoning that makes the sink
+    safe under Spark's own at-least-once redelivery). After the final
+    attempt the error propagates and fails the query: retry hides TRANSIENT
+    faults; persistent faults must surface, not loop. ``attempt_log``
+    (driver-side) records each failure for the monitoring surface."""
+    import time as _time
+
+    def wrapped(batch: DataFrame, batch_id: int) -> None:
+        for attempt in range(1, max_attempts + 1):
+            try:
+                fn(batch, batch_id)
+                return
+            except Exception as exc:  # noqa: BLE001 — resilience boundary
+                if attempt_log is not None:
+                    attempt_log.append(
+                        {
+                            "batch_id": batch_id,
+                            "attempt": attempt,
+                            "error": f"{type(exc).__name__}: {exc}"[:200],
+                        }
+                    )
+                if attempt == max_attempts:
+                    raise
+                _time.sleep(backoff_s * (2 ** (attempt - 1)))
+
+    return wrapped
+
+
 def foreach_batch_upsert(
-    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    fault_injector=None,
+    max_attempts: int = 1,
+    attempt_log: list | None = None,
+    db_suffix: str = "",
 ) -> DataFrame:
     """``snk_jdbc_upsert``: micro-batch MERGE into a REAL external JDBC table.
 
@@ -614,8 +661,13 @@ def foreach_batch_upsert(
     proportional to the batch's key count, not to accumulated history. The
     guard ``s.last_offset > t.last_offset`` makes replayed batches (at-least-
     once delivery) idempotent — the exactly-once-sink pattern.
+
+    ``fault_injector(batch_id, attempt)`` (ctl_retry demo/tests) is called
+    mid-protocol — after the stage write, before the MERGE — so an injected
+    failure leaves a REAL partial side effect for the retry to absorb;
+    ``max_attempts > 1`` wraps the batch body in ``retrying_foreach_batch``.
     """
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    tag = os.path.basename(os.path.normpath(sf_dir)) + db_suffix
     url = f"jdbc:derby:/root/repo/.cache/derby_sink_{tag};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     cols = [
@@ -638,6 +690,7 @@ def foreach_batch_upsert(
         + ")"
     )
     created = {"done": False}
+    attempts: dict[int, int] = {}
 
     def _write(df: DataFrame, table: str) -> None:
         df.write.jdbc(url, table, mode="overwrite", properties=props)
@@ -662,6 +715,9 @@ def foreach_batch_upsert(
             created["done"] = True
             return
         _write(flat, "CDC_STAGE")
+        if fault_injector is not None:
+            attempts[batch_id] = attempts.get(batch_id, 0) + 1
+            fault_injector(batch_id, attempts[batch_id])
         conn = spark._jvm.java.sql.DriverManager.getConnection(url)
         try:
             st = conn.createStatement()
@@ -671,8 +727,15 @@ def foreach_batch_upsert(
             conn.close()
 
     unwrapped = unwrap(split_dlq(parse_envelope(changelog_stream(spark, sf_dir, max_files_per_trigger)))[0])
+    body = (
+        merge_batch
+        if max_attempts == 1
+        else retrying_foreach_batch(
+            merge_batch, max_attempts=max_attempts, attempt_log=attempt_log
+        )
+    )
     q = (
-        unwrapped.writeStream.foreachBatch(merge_batch)
+        unwrapped.writeStream.foreachBatch(body)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()

@@ -258,3 +258,54 @@ def test_watermarked_append_emits_closed_windows(spark, sf_dir):
     }
     for r in rows:
         assert comp[(r.day_start, r.event_type)] == r.n_events
+
+
+def test_retry_absorbs_transient_faults_and_matches_batch(spark, sf_dir):
+    """ctl_retry: first attempt of every merge batch fails mid-protocol
+    (after staging, before MERGE); bounded retry must absorb every fault and
+    the sink must equal the batch-mode materialization exactly."""
+    log: list = []
+
+    def flaky(batch_id: int, attempt: int) -> None:
+        if attempt == 1:
+            raise RuntimeError(f"injected b{batch_id}")
+
+    out = jobs.foreach_batch_upsert(
+        spark, sf_dir, max_files_per_trigger=1,
+        fault_injector=flaky, max_attempts=3, attempt_log=log,
+        db_suffix="_retrytest",
+    )
+    assert log and all(e["attempt"] == 1 for e in log)  # one retry per batch
+    batch_ids = [e["batch_id"] for e in log]
+    assert len(batch_ids) == len(set(batch_ids))  # no batch needed a 2nd retry
+    expect = upsert_materialize_q(spark, sf_dir)
+    got = {tuple(r) for r in out.collect()}
+    want = {
+        tuple(r)
+        for r in expect.select(
+            "table_name", "last_offset",
+            "event_id", "ts", "user_id", "event_type", "value", "props",
+        ).collect()
+    }
+    assert got == want
+
+
+def test_retry_exhaustion_propagates(spark, sf_dir):
+    """Persistent faults must surface, not loop: with every attempt failing,
+    the query fails after max_attempts and the log shows the full ladder."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    log: list = []
+
+    def always_fail(batch_id: int, attempt: int) -> None:
+        raise RuntimeError("persistent sink outage")
+
+    with pytest.raises(StreamingQueryException):
+        jobs.foreach_batch_upsert(
+            spark, sf_dir, max_files_per_trigger=1,
+            fault_injector=always_fail, max_attempts=2, attempt_log=log,
+            db_suffix="_retryfail",
+        )
+    failing = [e for e in log if "persistent" in e["error"]]
+    assert len(failing) == 2  # both attempts logged before surfacing
