@@ -126,6 +126,49 @@ def pack_sequences(
     )
 
 
+def decontaminate(
+    labeled: DataFrame,
+    text_norm: Column,
+    k: int = 3,
+    min_shared: int = 2,
+) -> DataFrame:
+    """Eval-set decontamination: flag TRAIN documents that share at least
+    ``min_shared`` distinct word-``k``-gram shingles with any held-out
+    (val/test) document — the overlap check run before training so
+    benchmark text does not leak into the training corpus. Input is a
+    ``train_val_test_split``-labeled frame.
+
+    Note the content-hash split already guarantees EXACT duplicates never
+    straddle the boundary; this catches the rest — near-duplicates and
+    quotations that share n-grams without being byte-identical.
+
+    Scale shape: the held-out side is a few percent of the corpus by
+    construction, and it is collapsed to distinct (shingle, eval-doc-count)
+    BEFORE the join, so the shuffle carries eval-sized data + one exploded
+    pass over train; the train side aggregates straight back to doc grain.
+    No all-pairs comparison anywhere."""
+    from cdc_debezium_kafka_airflow_spark.operators.dedup import word_shingles
+
+    sh = labeled.select(
+        "doc_id", "split", F.explode(word_shingles(text_norm, k)).alias("sg")
+    )
+    eval_sh = (
+        sh.filter(F.col("split") != "train")
+        .groupBy("sg")
+        .agg(F.countDistinct("doc_id").alias("n_eval_docs"))
+    )
+    return (
+        sh.filter(F.col("split") == "train")
+        .join(eval_sh, "sg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shared_shingles"),
+            F.sum("n_eval_docs").alias("eval_doc_hits"),
+        )
+        .filter(F.col("n_shared_shingles") >= min_shared)
+    )
+
+
 def train_val_test_split(
     docs: DataFrame,
     text_norm: Column,

@@ -781,3 +781,51 @@ def ext_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         seq_len=256,
     )
     return packed.select("doc_id", "lang", "shard", "n_tokens", "pack_id")
+
+
+@q(
+    "ext_decontaminate",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN {BUCKET} < 90 THEN 'train'
+                  WHEN {BUCKET} < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             string_split({NORM}, ' ') AS w
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, split,
+             unnest(list_distinct(list_transform(
+                 range(1, greatest(len(w) - 2, 1) + 1),
+                 i -> concat_ws(' ', w[i], w[i+1], w[i+2])))) AS sg
+      FROM d
+    ),
+    ev AS (
+      SELECT sg, count(DISTINCT doc_id) AS n_eval_docs
+      FROM sh WHERE split != 'train' GROUP BY sg
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shared_shingles,
+           CAST(sum(e.n_eval_docs) AS BIGINT) AS eval_doc_hits
+    FROM sh s JOIN ev e USING (sg)
+    WHERE s.split = 'train'
+    GROUP BY s.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: train docs sharing >=2 word-3-gram shingles
+    with the content-hash val/test split (exact dups already can't straddle
+    the split; this catches near-dups and quotations). Held-out side
+    collapses to distinct (shingle, eval-doc-count) before the join — the
+    shuffle carries eval-sized data, never an all-pairs comparison."""
+    from cdc_debezium_kafka_airflow_spark.operators.sampling import (
+        decontaminate,
+        train_val_test_split,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    labeled = train_val_test_split(docs, norm)
+    return decontaminate(labeled, norm)

@@ -184,3 +184,47 @@ def test_mix_is_map_only_and_packing_shuffles_once(spark, sf_dir):
     )
     assert pack_plan.count("Exchange hashpartitioning") == 1
     assert "hashpartitioning(lang" in pack_plan
+
+
+def test_decontaminate_flags_planted_near_copy(spark, sf_dir):
+    """A train doc that is a near-copy of a held-out doc (one word appended)
+    must be flagged; flagged docs are always train-split members."""
+    from cdc_debezium_kafka_airflow_spark.operators.sampling import (
+        decontaminate,
+        train_val_test_split,
+    )
+
+    docs = _docs(spark, sf_dir)
+    norm = normalize_text(F.col("text"))
+    labeled = train_val_test_split(docs, norm)
+    ev = labeled.filter(F.col("split") != "train").select("text").first()
+    assert ev is not None
+    # nudge the copy's hash until it lands in the train split (suffix only
+    # perturbs trailing shingles; the shared prefix keeps the overlap high)
+    plant = None
+    for i in range(40):
+        cand = ev.text + f" zz{i}"
+        lab = train_val_test_split(
+            spark.createDataFrame([(99_000_000 + i, cand)], "doc_id long, text string"),
+            normalize_text(F.col("text")),
+        ).first()
+        if lab.split == "train":
+            plant = (99_000_000 + i, cand)
+            break
+    assert plant is not None, "no suffix landed the planted copy in train"
+    planted = spark.createDataFrame(
+        [(plant[0], plant[1], "en", "srcX", len(plant[1]))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    flagged = decontaminate(
+        train_val_test_split(docs.unionByName(planted), norm), norm
+    )
+    assert flagged.filter(F.col("doc_id") == plant[0]).count() == 1
+    # flagged ids are train members only
+    train_ids = {
+        r.doc_id
+        for r in train_val_test_split(docs.unionByName(planted), norm)
+        .filter(F.col("split") == "train").select("doc_id").collect()
+    }
+    for r in flagged.select("doc_id").collect():
+        assert r.doc_id in train_ids
