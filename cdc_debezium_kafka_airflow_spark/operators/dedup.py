@@ -353,18 +353,56 @@ def minhash_lsh_pairs(
     )
 
 
-def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame,
+    max_iters: int = 20,
+    driver_edge_threshold: int = 2_000_000,
+) -> DataFrame:
     """Connected components over near-dup pairs -> (doc_id, cluster_id).
 
-    cluster_id = min doc_id reachable through the pair graph. Iterative
-    label propagation: each round every node adopts the smallest label among
-    itself and its neighbors; converges in O(graph diameter) rounds (near-dup
-    clusters are tiny, so 2-3 rounds in practice; hard cap max_iters).
+    cluster_id = min doc_id reachable through the pair graph.
 
-    This is the genuinely-iterative class of algorithm (no single SQL
-    equivalent): each round is one join + one aggregation, checkpointed to
-    keep the plan from growing unboundedly.
+    Hybrid by graph size, because the pair graph is the OUTPUT of a
+    sub-quadratic near-dup join — typically a fraction of a percent of the
+    corpus, not corpus-sized:
+
+    - ``<= driver_edge_threshold`` edges: union-find on the driver. Each
+      distributed round costs a join + agg + checkpoint + count action
+      (~1 s of fixed overhead on an empty cluster); path-compressed
+      union-find on 2M edges is milliseconds, so below the threshold the
+      driver is strictly faster AND exact. ~32 MB at the default cap.
+    - larger graphs: iterative label propagation — each round every node
+      adopts the smallest label among itself and its neighbors; converges
+      in O(graph diameter) rounds (near-dup clusters are tiny, so 2-3
+      rounds in practice; hard cap ``max_iters``), one join + one
+      aggregation per round, checkpointed to keep the plan from growing
+      unboundedly. Both paths produce identical labels (pytest-asserted).
     """
+    n_edges = pairs.count()
+    if n_edges <= driver_edge_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in pairs.select("id_a", "id_b").collect():
+            a, b = int(row.id_a), int(row.id_b)
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so the representative is the min doc_id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        return pairs.sparkSession.createDataFrame(
+            rows, "doc_id long, cluster_id long"
+        )
     # undirected edge list + a self-loop per node: min over the self-loop's
     # neighborhood IS least(own label, neighbor minimum), folding the
     # propagate-and-keep-own step into ONE join + ONE aggregation per round

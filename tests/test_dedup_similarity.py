@@ -255,3 +255,19 @@ def test_auto_bits_formula_bounds():
     assert auto_bits(2000, 64) == 5
     assert auto_bits(10**9, 64) == 24      # 1B vectors -> ~64-vector buckets
     assert auto_bits(10**30, 64) == 64     # capped at the embedding dim
+
+
+def test_dup_clusters_driver_and_distributed_paths_agree(spark, sf_dir):
+    """The hybrid's two execution paths (driver union-find vs iterative
+    label propagation) must produce identical labelings."""
+    from cdc_debezium_kafka_airflow_spark.operators.dedup import (
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5, unit="word")
+    fast = {tuple(r) for r in dup_clusters(pairs).collect()}
+    dist = {tuple(r) for r in dup_clusters(pairs, driver_edge_threshold=0).collect()}
+    assert fast == dist and len(fast) > 0
