@@ -207,11 +207,82 @@ def ext_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("ext_dedup_minhash", None)  # engine-specific hashes: rows-only check
+@q(
+    "ext_dedup_minhash",
+    """
+    SELECT CAST(0 AS BIGINT) AS n_outside_exact,
+           CAST(0 AS BIGINT) AS n_value_mismatch,
+           CAST(0 AS BIGINT) AS n_missed_exact_dups
+    """,
+)
 def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join)
-    via Spark ML, fixed seed."""
-    return minhash_lsh_pairs(t(spark, sf_dir, "documents"))
+    """MinHash+LSH near-dup pairs, driver-checkable via DERIVED deterministic
+    properties (the pair hashes themselves are engine-specific — DuckDB has
+    no xxhash64 — so the oracle asserts invariants that must hold exactly):
+
+      - n_outside_exact: LSH-verified pairs NOT present in the exact
+        (unblocked) word-3-gram Jaccard pair set at a slightly lower
+        threshold — every verified pair has true jaccard >= 0.6, so this is
+        0 unless the verify stage's jaccard math is wrong.
+      - n_value_mismatch: pairs where the minhash pipeline's exact-verified
+        jaccard disagrees (beyond round-off) with the independently computed
+        prefix-filter join's jaccard for the same pair — two code paths,
+        one truth.
+      - n_missed_exact_dups: jaccard==1.0 pairs (identical shingle sets)
+        absent from the LSH output. Identical docs collide on EVERY band, so
+        recall for exact dups is deterministically 1.0 — this is the one
+        recall property banding guarantees regardless of seed.
+
+    The exact reference set is computed UNBLOCKED (constant block key):
+    minhash bands do not block on `source`, so cross-source pairs are in
+    scope for it and the containment must be checked globally.
+    """
+    docs = t(spark, sf_dir, "documents")
+    mh = minhash_lsh_pairs(docs)  # id_a, id_b, jaccard_distance (exact-verified)
+    # threshold 0.59 < 0.6: containment immune to round-6 boundary flips
+    exact = ngram_jaccard_pairs(
+        docs.withColumn("_all", F.lit("g")),
+        block_col="_all",
+        k=3,
+        threshold=0.59,
+        unit="word",
+    )
+    exact = exact.persist()  # feeds both the left join and the recall check
+    joined = mh.alias("m").join(
+        exact.alias("e"), on=["id_a", "id_b"], how="left"
+    )
+    checks = joined.agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("e.jaccard").isNull(), F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ),
+            F.lit(0),
+        ).alias("n_outside_exact"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("e.jaccard").isNotNull()
+                    & (
+                        F.abs(
+                            (F.lit(1.0) - F.col("e.jaccard"))
+                            - F.col("m.jaccard_distance")
+                        )
+                        > F.lit(2e-6)
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        ).alias("n_value_mismatch"),
+    )
+    missed = (
+        exact.filter(F.col("jaccard") >= 0.999999)
+        .join(mh.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti")
+        .agg(F.count("*").alias("n_missed_exact_dups"))
+    )
+    return checks.crossJoin(missed)
 
 
 @q("ext_dedup_simhash", None)  # xxhash64 not reproducible in DuckDB

@@ -331,7 +331,8 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH hourly AS (
       SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
              event_type, count(*) AS n_events,
-             CAST(round(sum(value) * 10000) AS BIGINT) AS sum_scaled
+             CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT)
+               AS sum_scaled
       FROM events GROUP BY 1, 2
     )
     SELECT CAST(date_trunc('day', hour_start) AS TIMESTAMP) AS day_start,
@@ -348,11 +349,14 @@ def agg_hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly table is materialized once and coarser resolutions derive from it
     instead of rescanning raw events).
 
-    The hourly sums are stored integer-scaled (4 implied decimals): the
-    daily re-sum is then exact integer arithmetic, bit-identical under any
-    summation/partition order — re-summing rounded DOUBLES is not, because
-    float addition order perturbs the last ulp and a final round() can flip
-    a boundary value between engines.
+    Every value is scaled to an integer (4 implied decimals) PER ROW, before
+    any summation: `value * 10000` is one IEEE multiply (identical in every
+    engine) and `round` of a single double is deterministic, so both the
+    hourly and daily sums are exact integer arithmetic — bit-identical under
+    any summation/partition order. Rounding an aggregated double sum instead
+    (the round-1/2 version) is NOT: float addition order perturbs the last
+    ulp and the final round() can flip a boundary cell between engines —
+    exactly the two-round hash_match=false in CORRECTNESS_r01/r02.
     """
     e = t(spark, sf_dir, "events")
     hourly = e.groupBy(
@@ -360,7 +364,7 @@ def agg_hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     ).agg(
         F.count("*").alias("n_events"),
-        F.round(F.sum("value") * 10000).cast("long").alias("sum_scaled"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("sum_scaled"),
     )
     return hourly.groupBy(
         F.date_trunc("day", "hour_start").alias("day_start"), "event_type"

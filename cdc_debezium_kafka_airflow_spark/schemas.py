@@ -26,7 +26,10 @@ TABLE_NAMES = [
     "embeddings",
 ]
 
-# on-disk shape: ts is TIMESTAMP(NANOS) read as long (legacy nanosAsLong)
+# LEGACY on-disk shape (round-1 fixtures): ts was TIMESTAMP(NANOS) read as
+# long via parquet.nanosAsLong. Current fixtures store timestamp[us]; readers
+# probe the real footer schema and normalize via sources.tables.normalize_ts.
+# Kept only for tests that exercise the long-nanos dispatch arm.
 EVENTS_RAW_NANOS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

@@ -16,11 +16,17 @@ import os
 
 _FP_NAME = "_FINGERPRINT"
 
+# Bump whenever the CODE that derives any cached materialization changes
+# semantics (not just when the source fixture changes): round 2 proved the
+# source-only fingerprint insufficient — a JSONL cache written through a
+# broken ts reader stayed "fresh" because the fixture bytes hadn't moved.
+CACHE_CODE_VERSION = "v3"
+
 
 def source_fingerprint(sf_dir: str, table: str = "events") -> str:
     path = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
     st = os.stat(path)
-    return f"{path}:{st.st_mtime_ns}:{st.st_size}"
+    return f"{CACHE_CODE_VERSION}:{path}:{st.st_mtime_ns}:{st.st_size}"
 
 
 def cache_is_fresh(cache_dir: str, fingerprint: str) -> bool:

@@ -17,22 +17,39 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql import types as T
 
 
-def _nanos_to_timestamp(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
-    """Convert TIMESTAMP(NANOS)-read-as-long columns (legacy
-    ``parquet.nanosAsLong``) to microsecond timestamps. Integer ``div 1000``
-    truncation matches DuckDB's ns->us conversion."""
+def normalize_ts(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
+    """Canonicalize timestamp columns to ``TimestampType`` regardless of the
+    fixture's on-disk encoding — dtype-dispatched so every consumer (batch,
+    file-stream, oracle) sees ONE type:
+
+      - LongType (TIMESTAMP(NANOS) read via legacy ``parquet.nanosAsLong``,
+        the round-1 fixture encoding): integer ``div 1000`` to micros, which
+        matches DuckDB's ns->us truncation.
+      - TimestampNTZType (parquet timestamp[us] without timezone, the current
+        fixture encoding): plain cast — identity on the wall clock under the
+        pinned UTC session timezone (session.py RUNTIME_CONFS).
+      - TimestampType: already canonical, no-op.
+    """
     for c in cols:
         field = next((f for f in df.schema.fields if f.name == c), None)
-        if field is not None and isinstance(field.dataType, T.LongType):
+        if field is None:
+            continue
+        if isinstance(field.dataType, T.LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(c, F.col(c).cast(T.TimestampType()))
     return df
+
+
+# Backwards-compatible alias (pre-round-3 name).
+_nanos_to_timestamp = normalize_ts
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table: ``{sf_dir}/{name}.parquet``."""
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        df = _nanos_to_timestamp(df)
+        df = normalize_ts(df)
     return df
 
 

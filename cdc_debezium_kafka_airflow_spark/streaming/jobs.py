@@ -26,8 +26,7 @@ from itertools import count
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cdc_debezium_kafka_airflow_spark.schemas import EVENTS_RAW_NANOS_SCHEMA
-from cdc_debezium_kafka_airflow_spark.sources.tables import _nanos_to_timestamp
+from cdc_debezium_kafka_airflow_spark.sources.tables import normalize_ts
 from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import build_changelog
 from cdc_debezium_kafka_airflow_spark.operators.cdc import (
     parse_envelope,
@@ -42,14 +41,23 @@ LINGER = "500 milliseconds"
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source replay of the events table as a stream (nanos ts fixed
-    up to microsecond timestamps, same as the batch loader)."""
+    """File-source replay of the events table as a stream, normalized to the
+    same canonical ts type as the batch loader.
+
+    The stream schema is probed from the actual parquet footer (a
+    driver-side metadata read, no data scan) rather than hardcoded, so a
+    fixture re-encoding (long-nanos vs timestamp[us] — it changed between
+    rounds) can never silently mis-type the stream: whatever the footer
+    says is what the file-stream reads, and ``normalize_ts`` dispatches on
+    that dtype exactly like the batch path."""
+    path = os.path.join(sf_dir, "events.parquet")
+    file_schema = spark.read.parquet(path).schema
     # glob (not a bare file path) so FileStreamSource doesn't inject a
     # file-valued basePath option into the per-batch read
-    raw = spark.readStream.schema(EVENTS_RAW_NANOS_SCHEMA).parquet(
+    raw = spark.readStream.schema(file_schema).parquet(
         os.path.join(sf_dir, "events.parqu*")
     )
-    return _nanos_to_timestamp(raw)
+    return normalize_ts(raw)
 
 
 def changelog_stream(
