@@ -66,13 +66,14 @@ def word_shingles(col: Column, k: int = 3) -> Column:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame,
+    df: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     block_col: str = "source",
     k: int = 3,
     threshold: float = 0.5,
     unit: str = "char",
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs (id_a < id_b) within a blocking key.
 
@@ -94,22 +95,28 @@ def ngram_jaccard_pairs(
     construction, so candidate generation stays near-linear while returning
     the identical pair set.
     """
-    # materialize normalized text BEFORE shingling: expressions referenced
-    # inside a higher-order-function lambda are re-evaluated per array
-    # element, so an un-projected normalize would run its regex once per
-    # shingle (measured 25x slowdown)
-    normed = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(block_col).alias("block"),
-        normalize_text(F.col(text_col)).alias("t"),
-    )
+    if shingled is None:
+        # materialize normalized text BEFORE shingling: expressions referenced
+        # inside a higher-order-function lambda are re-evaluated per array
+        # element, so an un-projected normalize would run its regex once per
+        # shingle (measured 25x slowdown)
+        normed = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(block_col).alias("block"),
+            normalize_text(F.col(text_col)).alias("t"),
+        )
+        shingle_fn = word_shingles if unit == "word" else char_shingles
+        shingled = normed.select(
+            "doc_id", "block", shingle_fn(F.col("t"), k).alias("shingles")
+        )
+    else:
+        # pre-shingled input (e.g. the fingerprint-cached shingle table):
+        # must carry (doc_id, block, shingles); k/unit are then descriptive
+        shingled = shingled.select("doc_id", "block", "shingles")
     # consumed by four subtrees (frequency, prefix, verification a+b) —
     # persist one materialization instead of recomputing the shingling per
     # consumer (at cluster scale this would be a checkpoint/cached table)
-    shingle_fn = word_shingles if unit == "word" else char_shingles
-    shingled = normed.select(
-        "doc_id", "block", shingle_fn(F.col("t"), k).alias("shingles")
-    ).persist()
+    shingled = shingled.persist()
     exploded = shingled.select(
         "doc_id", "block", F.size("shingles").alias("set_size"),
         F.explode("shingles").alias("shingle"),
@@ -192,7 +199,7 @@ def word_shingles_from_tokens(toks: Column, k: int = 3) -> Column:
 
 
 def minhash_lsh_pairs(
-    df: DataFrame,
+    df: DataFrame | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hash_tables: int = 5,
@@ -200,6 +207,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     est_hashes: int = 12,
     est_margin: float = 0.3,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs (shingle -> minhash -> band -> bucket-join
     -> estimate-prune -> exact verify), entirely in JVM expressions (no ML
@@ -227,17 +235,24 @@ def minhash_lsh_pairs(
     broadcasts them when small), so the plan stays hash-partitioned at any
     corpus size.
     """
-    # project tokens first — see ngram_jaccard_pairs on lambda re-evaluation
-    tokenized = df.select(
-        F.col(id_col).alias("doc_id"),
-        ws_tokens(normalize_text(F.col(text_col))).alias("toks"),
-    )
-    # no size()>0 guard: word_shingles_from_tokens always yields >=1 element,
-    # and a post-select filter would be pushed below the projection, doubling
-    # the whole shingling expression per row (visible in .explain)
-    shingled = tokenized.select(
-        "doc_id", word_shingles_from_tokens(F.col("toks"), 3).alias("shingles")
-    ).persist()
+    if shingled is None:
+        # project tokens first — see ngram_jaccard_pairs on lambda
+        # re-evaluation
+        tokenized = df.select(
+            F.col(id_col).alias("doc_id"),
+            ws_tokens(normalize_text(F.col(text_col))).alias("toks"),
+        )
+        # no size()>0 guard: word_shingles_from_tokens always yields >=1
+        # element, and a post-select filter would be pushed below the
+        # projection, doubling the whole shingling expression per row
+        shingled = tokenized.select(
+            "doc_id",
+            word_shingles_from_tokens(F.col("toks"), 3).alias("shingles"),
+        )
+    else:
+        # pre-shingled word-3 input (the fingerprint-cached shingle table)
+        shingled = shingled.select("doc_id", "shingles")
+    shingled = shingled.persist()
 
     def band_sig(b: int) -> Column:
         return F.array_min(

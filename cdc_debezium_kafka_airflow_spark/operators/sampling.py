@@ -127,10 +127,11 @@ def pack_sequences(
 
 
 def decontaminate(
-    labeled: DataFrame,
-    text_norm: Column,
+    labeled: DataFrame | None = None,
+    text_norm: Column | None = None,
     k: int = 3,
     min_shared: int = 2,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Eval-set decontamination: flag TRAIN documents that share at least
     ``min_shared`` distinct word-``k``-gram shingles with any held-out
@@ -146,12 +147,23 @@ def decontaminate(
     construction, and it is collapsed to distinct (shingle, eval-doc-count)
     BEFORE the join, so the shuffle carries eval-sized data + one exploded
     pass over train; the train side aggregates straight back to doc grain.
-    No all-pairs comparison anywhere."""
+    No all-pairs comparison anywhere.
+
+    ``shingled``: optional pre-shingled frame (doc_id, split, shingles) —
+    e.g. the fingerprint-cached shingle table — used instead of re-shingling
+    ``labeled``; ``k`` is then descriptive."""
     from cdc_debezium_kafka_airflow_spark.operators.dedup import word_shingles
 
-    sh = labeled.select(
-        "doc_id", "split", F.explode(word_shingles(text_norm, k)).alias("sg")
-    )
+    if shingled is not None:
+        sh = shingled.select(
+            "doc_id", "split", F.explode("shingles").alias("sg")
+        )
+    else:
+        sh = labeled.select(
+            "doc_id",
+            "split",
+            F.explode(word_shingles(text_norm, k)).alias("sg"),
+        )
     eval_sh = (
         sh.filter(F.col("split") != "train")
         .groupBy("sg")

@@ -96,10 +96,17 @@ def ext_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """10-char-shingle Jaccard near-dup pairs via prefix-filtered exact
     set-similarity join. k=10 because this corpus's vocabulary saturates
     short shingle spaces (377 distinct 3-grams vs ~50k 10-grams) — short
-    shingles make every pair ~0.6-similar and any algorithm quadratic."""
-    return ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), k=10, threshold=0.5
+    shingles make every pair ~0.6-similar and any algorithm quadratic.
+    Starts from the fingerprint-cached shingle table (shared with the other
+    shingle-family queries)."""
+    from cdc_debezium_kafka_airflow_spark.sources.shingle_cache import (
+        shingled_documents,
     )
+
+    sh = shingled_documents(spark, sf_dir, unit="char", k=10).select(
+        "doc_id", F.col("source").alias("block"), "shingles"
+    )
+    return ngram_jaccard_pairs(k=10, threshold=0.5, shingled=sh)
 
 
 @q(
@@ -152,10 +159,14 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DIFFERENT algorithm (recursive-CTE transitive closure), so a hash match
     cross-validates both the pair graph and the clustering."""
     from cdc_debezium_kafka_airflow_spark.operators.dedup import dup_clusters
-
-    pairs = ngram_jaccard_pairs(
-        t(spark, sf_dir, "documents"), k=3, threshold=0.5, unit="word"
+    from cdc_debezium_kafka_airflow_spark.sources.shingle_cache import (
+        shingled_documents,
     )
+
+    sh = shingled_documents(spark, sf_dir, unit="word", k=3).select(
+        "doc_id", F.col("source").alias("block"), "shingles"
+    )
+    pairs = ngram_jaccard_pairs(k=3, threshold=0.5, unit="word", shingled=sh)
     return dup_clusters(pairs)
 
 
@@ -237,15 +248,18 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash bands do not block on `source`, so cross-source pairs are in
     scope for it and the containment must be checked globally.
     """
-    docs = t(spark, sf_dir, "documents")
-    mh = minhash_lsh_pairs(docs)  # id_a, id_b, jaccard_distance (exact-verified)
+    from cdc_debezium_kafka_airflow_spark.sources.shingle_cache import (
+        shingled_documents,
+    )
+
+    sh = shingled_documents(spark, sf_dir, unit="word", k=3)
+    mh = minhash_lsh_pairs(shingled=sh)  # id_a/id_b/jaccard_distance (exact)
     # threshold 0.59 < 0.6: containment immune to round-6 boundary flips
     exact = ngram_jaccard_pairs(
-        docs.withColumn("_all", F.lit("g")),
-        block_col="_all",
         k=3,
         threshold=0.59,
         unit="word",
+        shingled=sh.select("doc_id", F.lit("g").alias("block"), "shingles"),
     )
     exact = exact.persist()  # feeds both the left join and the recall check
     joined = mh.alias("m").join(
@@ -893,10 +907,19 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries eval-sized data, never an all-pairs comparison."""
     from cdc_debezium_kafka_airflow_spark.operators.sampling import (
         decontaminate,
-        train_val_test_split,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.shingle_cache import (
+        shingled_documents,
     )
 
-    docs = t(spark, sf_dir, "documents")
-    norm = normalize_text(F.col("text"))
-    labeled = train_val_test_split(docs, norm)
-    return decontaminate(labeled, norm)
+    # split labels derive from the cached content-hash bucket — same md5
+    # expression as train_val_test_split, no second pass over raw text
+    sh = shingled_documents(spark, sf_dir, unit="word", k=3).select(
+        "doc_id",
+        F.when(F.col("bucket") < 90, "train")
+        .when(F.col("bucket") < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+        "shingles",
+    )
+    return decontaminate(shingled=sh)
