@@ -15,6 +15,7 @@ from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import CH_CTE, MAT_CTE
 from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import (
     SQL_IS_MALFORMED,
     SQL_IS_TOMBSTONE,
+    SQL_TABLE_CASE,
 )
 from cdc_debezium_kafka_airflow_spark.operators.cdc import (
     hoist_field,
@@ -236,3 +237,36 @@ def ctl_retry_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert attempt_log, "fault injector never fired — retry path untested"
     return out
+
+
+@q(
+    "stream_schema_evolution",
+    f"""
+    WITH src AS (
+      SELECT event_id, user_id, {SQL_TABLE_CASE} AS table_name
+      FROM events
+      WHERE NOT {SQL_IS_TOMBSTONE} AND NOT {SQL_IS_MALFORMED}
+    ),
+    last AS (
+      SELECT table_name, user_id, max(event_id) AS last_id
+      FROM src GROUP BY 1, 2
+    )
+    SELECT table_name,
+           CAST(count(*) AS BIGINT) AS n_live_keys,
+           CAST(sum(CASE WHEN last_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_v2_images
+    FROM last
+    WHERE last_id % 10 != 8  -- live: the key's final record is not a delete
+    GROUP BY table_name
+    """,
+)
+def stream_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``xf_schema_evolve`` mid-stream (auto.evolve,
+    register-postgres-sink.json:13-14): generation-2 micro-batches widen the
+    envelope with ``after.ingest_region``; the sink's accumulated state
+    widens additively and last-write-wins holds across generations. The
+    oracle recomputes live keys + generation-2 image counts from pure
+    event_id arithmetic (see jobs.schema_evolving_stream_upsert docstring
+    for the shared determinism contract)."""
+    t(spark, sf_dir, "events")
+    return jobs.schema_evolving_stream_upsert(spark, sf_dir)

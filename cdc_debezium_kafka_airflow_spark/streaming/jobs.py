@@ -754,3 +754,158 @@ def foreach_batch_upsert(
         "table_name", "last_offset",
         "event_id", "ts", "user_id", "event_type", "value", "props",
     )
+
+
+def schema_evolving_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution INSIDE a running stream (``auto.evolve=true``,
+    reference register-postgres-sink.json:13-14): a two-generation replay
+    log where later micro-batches carry a WIDER Debezium envelope — payload
+    ``after`` gains an ``ingest_region`` field mid-stream — and the upsert
+    sink widens its accumulated state additively (earlier keys get NULL for
+    the new column), exactly how a JDBC sink ALTER-TABLE-ADDs on a new
+    Connect schema version.
+
+    Mechanics: each micro-batch infers its OWN envelope schema from a sample
+    record (``schema_of_json``) — the per-batch analog of Connect reading
+    the schema registry version stamped on the record — so generation-2
+    batches parse the extra field the fixed v1 StructType would drop. The
+    per-batch images fold into driver-held state via ``schema_evolve``
+    (additive unionByName) + keyed max_by(offset): last-write-wins across
+    generations, union schema at the end.
+
+    Determinism contract (shared with the DuckDB oracle): generation 1 =
+    even event_ids (v1 envelope), generation 2 = odd event_ids (after +=
+    ingest_region, 'eu' for even user_id else 'us'); tombstones and
+    malformed records are dropped by the same rules as the batch path; a
+    key is live iff its max-offset record is not a delete; its image came
+    from generation 2 iff that max offset is odd.
+    """
+    from cdc_debezium_kafka_airflow_spark.operators.cdc import schema_evolve
+    from cdc_debezium_kafka_airflow_spark.schemas import ENVELOPE_SCHEMA
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        cache_is_fresh,
+        source_fingerprint,
+        write_fingerprint,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import (
+        JSON_TS_OPTS,
+        build_changelog,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    replay_dir = os.path.join("/root/repo/.cache", f"changelog_2gen_{tag}")
+    fp = source_fingerprint(sf_dir, "events")
+    if not cache_is_fresh(replay_dir, fp):
+        events = load_table(spark, sf_dir, "events")
+        g1 = build_changelog(events.filter(F.col("event_id") % 2 == 0))
+        g1.coalesce(4).write.mode("overwrite").parquet(replay_dir)
+        # generation 2: widen payload.after with ingest_region, re-serialize.
+        # Tombstones (value null) and malformed (from_json -> null) keep
+        # their original value byte-for-byte.
+        g2 = build_changelog(events.filter(F.col("event_id") % 2 == 1))
+        v = F.from_json("value", ENVELOPE_SCHEMA, JSON_TS_OPTS)
+        region = F.when(
+            F.get_json_object("key", "$.payload.id").cast("long") % 2 == 0,
+            F.lit("eu"),
+        ).otherwise(F.lit("us"))
+        after = v["payload"]["after"]
+        widened = v.withField(
+            "payload.after",
+            F.when(after.isNotNull(), after.withField("ingest_region", region)),
+        )
+        g2 = g2.withColumn(
+            "value",
+            F.when(
+                F.col("value").isNotNull() & v["payload"].isNotNull(),
+                F.to_json(widened, JSON_TS_OPTS),
+            ).otherwise(F.col("value")),
+        )
+        # second write job => later file mtimes => FileStreamSource schedules
+        # generation 2 after generation 1 (the mid-stream part of the demo)
+        g2.coalesce(4).write.mode("append").parquet(replay_dir)
+        write_fingerprint(replay_dir, fp)
+
+    schema = (
+        "offset long, topic string, partition int, key string, value string, "
+        "timestamp timestamp"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(replay_dir)
+    )
+
+    state: dict[str, DataFrame] = {}
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        rows = batch.filter(F.col("value").isNotNull())
+        # per-batch schema version: prefer a sample proving the widest shape
+        cand = rows.select("value").filter(
+            F.col("value").startswith('{"schema"')
+        )
+        sample = (
+            cand.filter(F.col("value").contains('"ingest_region"'))
+            .limit(1)
+            .collect()
+            or cand.filter(F.col("value").contains('"after"')).limit(1).collect()
+            or cand.limit(1).collect()
+        )
+        if not sample:
+            return
+        ddl = (
+            batch.sparkSession.range(1)
+            .select(F.schema_of_json(F.lit(sample[0][0])).alias("s"))
+            .first()["s"]
+        )
+        parsed = rows.withColumn(
+            "v", F.from_json("value", ddl, JSON_TS_OPTS)
+        ).filter(F.col("v.payload").isNotNull())
+        payload_fields = [
+            f.name
+            for f in parsed.schema["v"].dataType["payload"].dataType.fields
+        ]
+        sel = [
+            F.substring_index("topic", ".", -1).alias("table_name"),
+            F.get_json_object("key", "$.payload.id")
+            .cast("long")
+            .alias("key_id"),
+            F.col("offset"),
+            F.col("v.payload.op").alias("op"),
+        ]
+        if "after" in payload_fields:
+            sel.append(F.col("v.payload.after.*"))
+        cur = parsed.select(*sel).drop("event_id")
+        prev = state.get("t")
+        if prev is not None:
+            cur = schema_evolve(prev, cur)
+        state["t"] = (
+            cur.groupBy("table_name", "key_id")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        *[
+                            c
+                            for c in cur.columns
+                            if c not in ("table_name", "key_id")
+                        ]
+                    ),
+                    "offset",
+                ).alias("m")
+            )
+            .select("table_name", "key_id", "m.*")
+            .localCheckpoint(eager=True)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = state["t"].filter(F.col("op") != "d")
+    return final.groupBy("table_name").agg(
+        F.count("*").alias("n_live_keys"),
+        F.count("ingest_region").alias("n_v2_images"),
+    )

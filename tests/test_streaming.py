@@ -309,3 +309,40 @@ def test_retry_exhaustion_propagates(spark, sf_dir):
         )
     failing = [e for e in log if "persistent" in e["error"]]
     assert len(failing) == 2  # both attempts logged before surfacing
+
+
+def test_schema_evolving_stream_upsert_widens_additively(spark, sf_dir):
+    """Mid-stream schema evolution: generation-2 batches add after.ingest_region;
+    state widens additively and last-write-wins holds across generations.
+    Expectation recomputed from the shared event_id-arithmetic contract."""
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import _table_col
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    got = {
+        r.table_name: (r.n_live_keys, r.n_v2_images)
+        for r in jobs.schema_evolving_stream_upsert(spark, sf_dir).collect()
+    }
+
+    e = load_table(spark, sf_dir, "events")
+    src = e.filter(
+        ~((F.col("event_id") % 20) == 8)
+        & ~(((F.col("event_id") % 97) == 0) & ((F.col("event_id") % 10) < 8))
+    ).select(_table_col().alias("table_name"), "user_id", "event_id")
+    last = src.groupBy("table_name", "user_id").agg(
+        F.max("event_id").alias("last_id")
+    )
+    want = {
+        r.table_name: (r.n, r.v2)
+        for r in last.filter(F.col("last_id") % 10 != 8)
+        .groupBy("table_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("last_id") % 2 == 1).cast("long")).alias("v2"),
+        )
+        .collect()
+    }
+    assert got == want
+    # both generations genuinely present in the final image
+    assert all(0 < v2 < n for n, v2 in got.values())
