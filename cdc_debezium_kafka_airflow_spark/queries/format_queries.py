@@ -174,3 +174,29 @@ def src_jdbc_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+@q(
+    "src_orc",
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           max(ts) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source: events written once as ORC (vectorized columnar like
+    parquet, with its own predicate-pushdown/indexes), read back through
+    Spark's native ORC reader — the third lake format after parquet/JSON."""
+    path = _cache_dir(sf_dir, "events_orc")
+    fp = source_fingerprint(sf_dir, "events")
+    if not cache_is_fresh(path, fp):
+        t(spark, sf_dir, "events").write.mode("overwrite").orc(path)
+        write_fingerprint(path, fp)
+    df = spark.read.orc(path)
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.max("ts").alias("max_ts"),
+    )

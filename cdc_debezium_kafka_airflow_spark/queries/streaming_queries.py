@@ -270,3 +270,44 @@ def stream_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the shared determinism contract)."""
     t(spark, sf_dir, "events")
     return jobs.schema_evolving_stream_upsert(spark, sf_dir)
+
+
+@q(
+    "stream_sliding",
+    """
+    WITH w AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) - g * INTERVAL 1 DAY
+               AS win_start,
+             event_type, value
+      FROM events, range(2) AS t(g)
+    )
+    SELECT win_start, event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (2-day window, 1-day slide) as a real
+    streaming query: each event lands in exactly duration/slide = 2
+    overlapping windows. The oracle expands the same assignment relationally
+    (event x range(2) -> shifted day buckets). State note: sliding windows
+    multiply state rows by duration/slide — watermark TTL is what bounds it
+    on unbounded streams."""
+    t(spark, sf_dir, "events")
+    agg = (
+        jobs.events_stream(spark, sf_dir)
+        .groupBy(
+            F.window("ts", "2 days", "1 day").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    out = jobs._run_to_memory(agg, "complete")
+    return out.select(
+        F.col("win.start").alias("win_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )

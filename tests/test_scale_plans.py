@@ -159,3 +159,16 @@ def test_whole_stage_codegen_active(spark, sf_dir):
     plan = _plan(df)
     # '*(n)' prefixes mark whole-stage-codegen spans in the plan string
     assert "*(1)" in plan
+
+def test_join_bucketed_registered_query_joins_without_shuffle(spark, sf_dir):
+    """The REGISTERED join_bucketed query (cached bucket layout + re-attach
+    DDL): the only Exchange allowed is the post-join aggregation's — the
+    join inputs read bucket files directly."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational2 import join_bucketed
+
+    df = join_bucketed(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan, plan
+    join_part = plan.split("SortMergeJoin")[-1]
+    assert "Exchange" not in join_part, plan
