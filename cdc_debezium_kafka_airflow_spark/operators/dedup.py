@@ -393,6 +393,9 @@ def dup_clusters(
       aggregation per round, checkpointed to keep the plan from growing
       unboundedly. Both paths produce identical labels (pytest-asserted).
     """
+    # the pair graph feeds two actions (count, then collect or edge build) —
+    # persist so the sub-quadratic join underneath runs ONCE, not per action
+    pairs = pairs.persist()
     n_edges = pairs.count()
     if n_edges <= driver_edge_threshold:
         parent: dict[int, int] = {}
@@ -415,6 +418,7 @@ def dup_clusters(
                 lo, hi = (ra, rb) if ra < rb else (rb, ra)
                 parent[hi] = lo
         rows = [(n, find(n)) for n in parent]
+        pairs.unpersist()
         return pairs.sparkSession.createDataFrame(
             rows, "doc_id long, cluster_id long"
         )
@@ -431,6 +435,7 @@ def dup_clusters(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    pairs.unpersist()  # edges materialized; the pair join is done
     labels = (
         edges.filter(F.col("src") == F.col("dst"))
         .select(F.col("src").alias("node"), F.col("src").alias("label"))

@@ -198,3 +198,49 @@ def train_val_test_split(
         .when(b < train_hi + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def pack_sequences_split(
+    docs: DataFrame,
+    token_count: Column,
+    shard_by: list[Column],
+    order_by: Column,
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Length-aware sequence packing: documents are split AT WINDOW
+    BOUNDARIES, so every pack in a shard (except the last) is exactly
+    ``seq_len`` tokens full — the no-padding-waste packing a training run
+    wants, where a document may straddle two (or, if longer than
+    ``seq_len``, several) consecutive windows.
+
+    Within a shard ordering, a doc occupies the half-open token interval
+    [start, start + n) where start = cumsum - n. It contributes one chunk to
+    every pack window [p*seq_len, (p+1)*seq_len) it overlaps:
+    p in [floor(start/seq_len), floor((start+n-1)/seq_len)], with
+    chunk_tokens = overlap length. One window cumsum + a bounded explode
+    (ceil(n/seq_len)+1 chunks per doc) — same shard-parallel shape as
+    pack_sequences, still no global sort.
+    """
+    w = Window.partitionBy(*shard_by).orderBy(order_by)
+    n = token_count.cast("bigint")
+    start = (F.sum(token_count).over(w) - n).cast("bigint")
+    # materialize the window cumsum BEFORE the explode references it — an
+    # explode over sequence bounds containing a raw window expression is
+    # unresolvable in one projection
+    based = docs.withColumn("n_tokens", n).withColumn("tok_start", start)
+    first = F.floor(F.col("tok_start") / F.lit(seq_len))
+    last = F.floor(
+        (F.col("tok_start") + F.col("n_tokens") - F.lit(1)) / F.lit(seq_len)
+    )
+    out = based.withColumn("pack_id", F.explode(F.sequence(first, last)))
+    pack_lo = F.col("pack_id") * seq_len
+    pack_hi = pack_lo + seq_len
+    chunk = F.least(pack_hi, F.col("tok_start") + F.col("n_tokens")) - F.greatest(
+        pack_lo, F.col("tok_start")
+    )
+    return out.withColumn(
+        "chunk_n",
+        (F.col("pack_id") - F.floor(F.col("tok_start") / F.lit(seq_len)) + 1).cast(
+            "int"
+        ),
+    ).withColumn("chunk_tokens", chunk)

@@ -923,3 +923,60 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shingles",
     )
     return decontaminate(shingled=sh)
+
+
+@q(
+    "ext_seq_packing_split",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(({BUCKET}) % 8 AS BIGINT) AS shard,
+             CAST(len(string_split({NORM}, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT *,
+             CAST(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id)
+                  - n_tokens AS BIGINT) AS tok_start
+      FROM d
+    ),
+    e AS (
+      SELECT doc_id, lang, shard, n_tokens, tok_start,
+             unnest(range(tok_start // 256,
+                          (tok_start + n_tokens - 1) // 256 + 1)) AS p
+      FROM c
+    )
+    SELECT doc_id, lang, shard, n_tokens,
+           CAST(p AS BIGINT) AS pack_id,
+           CAST(p - (tok_start // 256) + 1 AS INT) AS chunk_n,
+           CAST(least((p + 1) * 256, tok_start + n_tokens)
+                - greatest(p * 256, tok_start) AS BIGINT) AS chunk_tokens
+    FROM e
+    """,
+)
+def ext_seq_packing_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-aware packing (ROADMAP 11a closed): docs split at 256-token
+    window boundaries so every non-final pack per shard is exactly full —
+    chunk-level doc->pack->chunk_tokens membership is oracle-exact. Same
+    sharded-cumsum scale shape as ext_seq_packing (no global sort; the
+    explode is bounded by ceil(n_tokens/seq_len)+1 chunks per doc)."""
+    from cdc_debezium_kafka_airflow_spark.operators.sampling import (
+        content_bucket,
+        pack_sequences_split,
+    )
+    from cdc_debezium_kafka_airflow_spark.operators.text import ws_tokens
+
+    docs = t(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    sharded = docs.withColumn("shard", F.pmod(content_bucket(norm), F.lit(8)))
+    packed = pack_sequences_split(
+        sharded,
+        F.size(ws_tokens(norm)).cast("bigint"),
+        [F.col("lang"), F.col("shard")],
+        F.col("doc_id"),
+        seq_len=256,
+    )
+    return packed.select(
+        "doc_id", "lang", "shard", "n_tokens", "pack_id", "chunk_n",
+        "chunk_tokens",
+    )

@@ -682,28 +682,54 @@ def foreach_batch_upsert(
         "table_name", "key_id", "last_offset", "is_delete",
         "event_id", "ts", "user_id", "event_type", "value", "props",
     ]
-    qcols = ", ".join(f'"{c}"' for c in cols)  # Spark JDBC writes quoted ids
-    # Spark's Derby dialect maps StringType to CLOB (and binds string NULLs
-    # as CLOB, so VARCHAR columns can't be written at all); CLOB values are
-    # not directly comparable in a MERGE ON clause — cast the join key, the
-    # fix Derby's own error text prescribes
+    # Spark's Derby dialect maps StringType to CLOB (and binds string values
+    # as CLOB, so VARCHAR columns can't be written at all). A CLOB join key
+    # forces the MERGE into a per-row-cast nested loop (measured ~4-5s per
+    # micro-batch at sf0.1). Fix: a numeric surrogate join key
+    # xxhash64(table_name, key_id) — BIGINT, indexable — drives the join;
+    # the CLOB-cast equality stays only as a RESIDUAL predicate evaluated on
+    # index-matched candidates, so hash collisions cannot corrupt the sink
+    # and Derby never cross-compares CLOBs. This is the generic
+    # surrogate-hash-key pattern for warehouse MERGEs over wide/string keys.
+    wcols = ["join_hash", *cols]
+    qcols = ", ".join(f'"{c}"' for c in wcols)
     merge_sql = (
         'MERGE INTO CDC_TARGET t USING CDC_STAGE s '
-        'ON CAST(t."table_name" AS VARCHAR(128)) = '
-        'CAST(s."table_name" AS VARCHAR(128)) AND t."key_id" = s."key_id" '
+        'ON t."join_hash" = s."join_hash" AND t."key_id" = s."key_id" '
+        'AND CAST(t."table_name" AS VARCHAR(128)) = '
+        'CAST(s."table_name" AS VARCHAR(128)) '
         'WHEN MATCHED AND s."last_offset" > t."last_offset" THEN UPDATE SET '
         + ", ".join(f'"{c}" = s."{c}"' for c in cols[2:])
         + f" WHEN NOT MATCHED THEN INSERT ({qcols}) VALUES ("
-        + ", ".join(f's."{c}"' for c in cols)
+        + ", ".join(f's."{c}"' for c in wcols)
         + ")"
     )
     created = {"done": False}
     attempts: dict[int, int] = {}
 
     def _write(df: DataFrame, table: str) -> None:
-        df.write.jdbc(url, table, mode="overwrite", properties=props)
+        # truncate=true: Spark TRUNCATEs an existing stage table instead of
+        # DROP+CREATE per micro-batch (ROADMAP item 9's persistent-stage-
+        # table pattern)
+        df.write.option("truncate", "true").jdbc(
+            url, table, mode="overwrite", properties=props
+        )
+
+    def _exec_sql(sql: str) -> None:
+        conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            st = conn.createStatement()
+            st.executeUpdate(sql)
+            st.close()
+        finally:
+            conn.close()
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        # persist the per-batch image: the stage write consumes it, and a
+        # RETRY attempt (ctl_retry) rebuilds the same canonical plan, so the
+        # cache serves attempt 2+ instead of re-running the parse lineage.
+        # Deliberately NOT unpersisted on the failure path — that cache is
+        # exactly what makes the retry cheap; success unpersists below.
         flat = (
             batch.groupBy("table_name", "key_id")
             .agg(
@@ -711,28 +737,37 @@ def foreach_batch_upsert(
                 F.max("offset").alias("last_offset"),
             )
             .select(
+                F.xxhash64("table_name", "key_id").alias("join_hash"),
                 "table_name",
                 "key_id",
                 "last_offset",
                 F.col("last.is_delete").alias("is_delete"),
                 F.col("last.after.*"),
             )
+            .persist()
         )
-        if not created["done"]:
-            _write(flat, "CDC_TARGET")
-            created["done"] = True
-            return
-        _write(flat, "CDC_STAGE")
-        if fault_injector is not None:
-            attempts[batch_id] = attempts.get(batch_id, 0) + 1
-            fault_injector(batch_id, attempts[batch_id])
-        conn = spark._jvm.java.sql.DriverManager.getConnection(url)
         try:
-            st = conn.createStatement()
-            st.executeUpdate(merge_sql)
-            st.close()
-        finally:
-            conn.close()
+            if not created["done"]:
+                _write(flat, "CDC_TARGET")
+                try:
+                    _exec_sql(
+                        'CREATE INDEX CDC_TARGET_KEY ON CDC_TARGET '
+                        '("join_hash", "key_id")'
+                    )
+                except Exception:
+                    pass  # pre-existing index from a truncated prior run
+                created["done"] = True
+                flat.unpersist()
+                return
+            _write(flat, "CDC_STAGE")
+            if fault_injector is not None:
+                attempts[batch_id] = attempts.get(batch_id, 0) + 1
+                fault_injector(batch_id, attempts[batch_id])
+            _exec_sql(merge_sql)
+        except Exception:
+            raise  # keep the cache for the retry attempt
+        else:
+            flat.unpersist()
 
     unwrapped = unwrap(split_dlq(parse_envelope(changelog_stream(spark, sf_dir, max_files_per_trigger)))[0])
     body = (
