@@ -980,3 +980,55 @@ def ext_seq_packing_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "shard", "n_tokens", "pack_id", "chunk_n",
         "chunk_tokens",
     )
+
+
+def _sim_inputs(spark: SparkSession, sf_dir: str):
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    return queries, corpus
+
+
+@q("ext_sim_pq_topk", None)  # trained codebooks: engine-specific -> rows-only
+def ext_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k + exact re-rank: 64-dim vectors
+    compress to 16 subspace codes against driver-trained (deterministic,
+    fingerprint-memoized) codebooks; candidate scoring is m table lookups
+    instead of a 64-wide dot product, and only the top-4k ADC shortlist
+    touches true vectors — the memory tier of a trillion-vector index.
+    Recall vs exact brute force is bounded in pytest."""
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import pq_topk
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        source_fingerprint,
+    )
+
+    queries, corpus = _sim_inputs(spark, sf_dir)
+    return pq_topk(
+        queries, corpus, k=10,
+        cache_key=source_fingerprint(sf_dir, "embeddings"),
+    )
+
+
+@q("ext_sim_ivfpq_topk", None)  # trained cells+codebooks -> rows-only
+def ext_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with residual encoding + exact re-rank — the full production
+    ANN layout (cells prune the scan, residual PQ codes are the in-memory
+    tier, the refine stage touches true vectors for 4k candidates per
+    query). Cells, codebooks, and re-rank are all deterministic and
+    fingerprint-memoized; recall floors are pinned in pytest."""
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        source_fingerprint,
+    )
+
+    queries, corpus = _sim_inputs(spark, sf_dir)
+    return ivf_pq_topk(
+        queries, corpus, k=10, n_probe=4,
+        cache_key=source_fingerprint(sf_dir, "embeddings"),
+    )

@@ -271,3 +271,75 @@ def test_dup_clusters_driver_and_distributed_paths_agree(spark, sf_dir):
     fast = {tuple(r) for r in dup_clusters(pairs).collect()}
     dist = {tuple(r) for r in dup_clusters(pairs, driver_edge_threshold=0).collect()}
     assert fast == dist and len(fast) > 0
+
+
+def test_pq_topk_recall_and_determinism(spark, sf_dir):
+    """Flat PQ + exact re-rank: recall floor on the near-random fixture,
+    and bit-identical output across invocations (deterministic codebooks)."""
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import pq_topk
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    exact_sets: dict = {}
+    for r in brute_force_topk(queries, corpus, k=10).collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    out1 = sorted(
+        (r.query_id, r.neighbor_id, r.cosine_sim)
+        for r in pq_topk(queries, corpus, k=10).collect()
+    )
+    out2 = sorted(
+        (r.query_id, r.neighbor_id, r.cosine_sim)
+        for r in pq_topk(queries, corpus, k=10).collect()
+    )
+    assert out1 == out2  # deterministic training + encode + rerank
+    approx_sets: dict = {}
+    for qid, nid, _ in out1:
+        approx_sets.setdefault(qid, set()).add(nid)
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(exact_sets[q]) for q in exact_sets)
+    assert hits / total >= 0.6, (hits, total)
+
+
+def test_ivfpq_recall_on_clustered_corpus(spark):
+    """Residual IVF-PQ + refine on clustered data (the regime it exists
+    for): cells prune, codes rank coarsely, exact re-rank restores
+    near-exact top-k."""
+    import numpy as np
+
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, n_clusters, per_cluster = 64, 8, 100
+    centers = rng.normal(size=(n_clusters, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for ci in range(n_clusters):
+        for p in centers[ci] + 0.15 * rng.normal(size=(per_cluster, dim)):
+            rows.append((vid, [float(x) for x in p]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") % 40 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = df.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    exact_sets, approx_sets = {}, {}
+    for r in brute_force_topk(queries, corpus, k=10).collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ivf_pq_topk(
+        queries, corpus, k=10, n_centroids=n_clusters, n_probe=2
+    ).collect():
+        approx_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
+    total = sum(len(exact_sets[q]) for q in exact_sets)
+    assert hits / total >= 0.85, (hits, total)
