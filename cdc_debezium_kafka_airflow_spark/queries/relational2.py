@@ -87,10 +87,19 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sketch estimates are engine-specific, so the oracle-comparable output is
     the exact count plus a Spark-verified error-bound flag (rsd=0.02 sketch
     must land within 10%); the raw estimate's tightness is asserted in
-    pytest (tests/test_relational2.py)."""
+    pytest (tests/test_relational2.py).
+
+    Plan note: countDistinct + another aggregate in ONE groupBy makes
+    Catalyst EXPAND the input (a row per distinct-agg per input row), so
+    the wide HLL buffer merges 2x rows — measured 4.3s vs the sum of the
+    parts (3.2s) at sf0.1. HLL is duplicate-insensitive, so both metrics
+    compute on a pre-distinct frame instead: one narrow distinct shuffle,
+    then count(*) IS the exact distinct and the sketch sees each key once
+    (4.3s -> ~1.5s, identical results)."""
     li = t(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    dedup = li.select("l_returnflag", "l_orderkey").distinct()
+    agg = dedup.groupBy("l_returnflag").agg(
+        F.count("*").alias("exact_orders"),
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("_approx"),
     )
     return agg.select(
