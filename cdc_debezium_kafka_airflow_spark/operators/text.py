@@ -188,3 +188,76 @@ def bm25_topk(
         .limit(k)
     )
     return ranked
+
+
+# PII patterns shared (verbatim) with the DuckDB oracles — both engines run
+# RE2-compatible subsets so the same string means the same automaton.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_PHONE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+def scrub_pii(col: Column) -> Column:
+    """Mask emails / IPv4s / phone numbers — the redaction pass every
+    training-data pipeline runs before text leaves the trust boundary.
+    Order matters: emails first (an address can contain digits that the
+    phone pattern would otherwise clip), then phones, then IPs."""
+    out = F.regexp_replace(col, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4, "<IP>")
+
+
+def pii_counts(col: Column) -> tuple[Column, Column, Column]:
+    """(n_emails, n_phones, n_ips) found in ``col`` — audit counts that
+    accompany the scrub (what was removed, not just that something was)."""
+    return (
+        F.size(F.regexp_extract_all(col, F.lit(PII_EMAIL), 0)),
+        F.size(F.regexp_extract_all(col, F.lit(PII_PHONE), 0)),
+        F.size(F.regexp_extract_all(col, F.lit(PII_IPV4), 0)),
+    )
+
+
+def repetition_metrics(
+    documents: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Intra-document repetition metrics (the Gopher/RefinedWeb repetition
+    rule): fraction of duplicated word k-grams per document and the count
+    of the single most-repeated k-gram. Highly repetitive documents
+    (boilerplate, keyword stuffing, degenerate generations) are flagged for
+    removal before training. Map-only except one doc_id-keyed aggregation
+    for the top-gram count."""
+    norm = normalize_text(F.col(text_col))
+    words = F.split(norm, " ")
+    n = F.greatest(F.size(words) - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(k)]
+        ),
+    )
+    base = documents.select(
+        "doc_id",
+        F.size(grams).alias("n_grams"),
+        F.size(F.array_distinct(grams)).alias("n_distinct"),
+        grams.alias("_grams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("_grams").alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.max("count").alias("top_gram_count"))
+    )
+    return (
+        base.drop("_grams")
+        .join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            F.round(
+                F.lit(1.0) - F.col("n_distinct") / F.col("n_grams"), 6
+            ).alias("dup_gram_fraction"),
+            "top_gram_count",
+        )
+    )

@@ -1032,3 +1032,116 @@ def ext_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries, corpus, k=10, n_probe=4,
         cache_key=source_fingerprint(sf_dir, "embeddings"),
     )
+
+
+# PII fixture suffix: deterministic per-doc synthetic identifiers (the
+# corpus itself is PII-free), constructed with the SAME expression in both
+# engines so the scrub regexes are exercised on real matches.
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+    " || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+    " || CAST((doc_id * 7) % 256 AS VARCHAR)"
+)
+
+
+@q(
+    "ext_pii_scrub",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text || {_PII_SUFFIX_SQL}
+                  ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(t, '\\+\\d{{1,2}}-\\d{{3}}-\\d{{4}}'))
+             AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(t,
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b'))
+             AS INT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>',
+             'g'), '\\+\\d{{1,2}}-\\d{{3}}-\\d{{4}}', '<PHONE>', 'g'),
+             '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b',
+             '<IP>', 'g')) AS scrubbed_md5
+    FROM aug
+    """,
+)
+def ext_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass (emails / phones / IPv4s -> typed mask tokens) +
+    per-document audit counts. The corpus is PII-free by construction, so
+    a deterministic synthetic identifier suffix is attached to every third
+    document IN BOTH ENGINES — the oracle compares real redactions
+    (md5 of the scrubbed text), not a no-op. Map-only: scales as a pure
+    projection at any corpus size."""
+    from cdc_debezium_kafka_airflow_spark.operators.text import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    suffix = F.concat(
+        F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."), ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    aug = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.col("text"), suffix))
+        .otherwise(F.col("text"))
+        .alias("t"),
+    )
+    n_emails, n_phones, n_ips = pii_counts(F.col("t"))
+    return aug.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_ips.alias("n_ips"),
+        F.md5(scrub_pii(F.col("t"))).alias("scrubbed_md5"),
+    )
+
+
+@q(
+    "ext_repetition_filter",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split({NORM}, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                            i -> concat_ws(' ', w[i], w[i+1], w[i+2])) AS grams
+      FROM d
+    ),
+    tg AS (
+      SELECT doc_id, max(c) AS top_gram_count FROM (
+        SELECT doc_id, count(*) AS c
+        FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+        GROUP BY doc_id, gram
+      ) GROUP BY doc_id
+    )
+    SELECT g.doc_id,
+           CAST(len(grams) AS INT) AS n_grams,
+           CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+           round(1.0 - len(list_distinct(grams)) / len(grams), 6)
+             AS dup_gram_fraction,
+           CAST(tg.top_gram_count AS BIGINT) AS top_gram_count
+    FROM g JOIN tg ON g.doc_id = tg.doc_id
+    """,
+)
+def ext_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition metrics (Gopher/RefinedWeb repetition
+    rule): duplicated word-3-gram fraction + most-repeated-gram count per
+    document — the filter that drops boilerplate / keyword-stuffed /
+    degenerate-generation documents before training."""
+    from cdc_debezium_kafka_airflow_spark.operators.text import (
+        repetition_metrics,
+    )
+
+    return repetition_metrics(t(spark, sf_dir, "documents"))
