@@ -200,3 +200,50 @@ def src_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("sum_value"),
         F.max("ts").alias("max_ts"),
     )
+
+
+@q(
+    "snk_compacted_warehouse",
+    f"""
+    WITH {MAT_CTE}
+    SELECT table_name, count(*) AS n_rows, CAST(1 AS INT) AS n_files
+    FROM mat GROUP BY table_name
+    """,
+)
+def snk_compacted_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the table-maintenance pass every lake needs:
+    the CDC-materialized warehouse is rewritten with ONE file per
+    table_name partition (`repartition(partition_col)` pre-shuffles so each
+    output task owns a whole partition), then audited by reading BACK the
+    directory and counting actual parquet files per partition. The oracle
+    pins both the row counts (no data lost/duplicated by the rewrite) and
+    the file count contract (exactly 1 per partition — at 100 TB the target
+    is a size, e.g. 1 GB, not 1 file; the shape of the job is identical).
+    Streaming CDC sinks produce a file per micro-batch per partition — this
+    is the nightly job that folds them."""
+    import os
+
+    path = _cache_dir(sf_dir, "warehouse_compacted")
+    state = upsert_materialize(_unwrapped(spark, sf_dir))
+    (
+        state.repartition(F.col("table_name"))
+        .write.mode("overwrite")
+        .partitionBy("table_name")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    counts = back.groupBy("table_name").agg(F.count("*").alias("n_rows"))
+    # file audit: count real data files per partition directory
+    files = []
+    for d in os.listdir(path):
+        if d.startswith("table_name="):
+            n = len(
+                [
+                    f
+                    for f in os.listdir(os.path.join(path, d))
+                    if f.endswith(".parquet")
+                ]
+            )
+            files.append((d.split("=", 1)[1], n))
+    fdf = spark.createDataFrame(files, "table_name string, n_files int")
+    return counts.join(fdf, "table_name")

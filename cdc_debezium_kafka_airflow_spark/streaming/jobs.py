@@ -676,7 +676,10 @@ def foreach_batch_upsert(
     ``max_attempts > 1`` wraps the batch body in ``retrying_foreach_batch``.
     """
     tag = os.path.basename(os.path.normpath(sf_dir)) + db_suffix
-    url = f"jdbc:derby:/root/repo/.cache/derby_sink_{tag};create=true"
+    # _v2: sink table schema version (join_hash surrogate key). The stage
+    # and target tables are TRUNCATE-reused across runs, so a schema change
+    # must move to a fresh database — truncate preserves the old columns.
+    url = f"jdbc:derby:/root/repo/.cache/derby_sink_v2_{tag};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     cols = [
         "table_name", "key_id", "last_offset", "is_delete",
