@@ -311,3 +311,22 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@q(
+    "stream_index_append",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_indexed,
+           TRUE AS equals_batch_assignment
+    FROM embeddings
+    """,
+)
+def stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index maintenance: micro-batches of embeddings are
+    cell-assigned against the once-trained IVF centroids and appended to a
+    cell-partitioned index (partition-local appends, no rebuild — the job
+    that keeps a 100 TB vector index fresh). The oracle pins total coverage;
+    the streamed-equals-batch flag is computed in-engine by full-outer
+    diffing the streamed index against the one-shot assignment."""
+    t(spark, sf_dir, "events")  # session confs
+    return jobs.streaming_index_append(spark, sf_dir)

@@ -947,3 +947,114 @@ def schema_evolving_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").alias("n_live_keys"),
         F.count("ingest_region").alias("n_v2_images"),
     )
+
+
+def streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index maintenance: embeddings arrive as a stream and
+    each micro-batch is assigned to its IVF cell (broadcast centroids —
+    the index artifact trained ONCE on the corpus snapshot, the real
+    index lifecycle) and appended to a cell-partitioned parquet index.
+    At 100 TB this is the continuous job that keeps a vector index fresh
+    as a training pipeline lands new embeddings: cell id is the storage
+    partition key, appends are partition-local, no rebuild.
+
+    Returns a self-audited summary: total indexed rows + a flag comparing
+    the streamed index against the one-shot batch assignment — streaming
+    accumulation must be EXACTLY the batch result (the same equality
+    contract as the CDC upsert twins).
+    """
+    import shutil
+
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+        as_double,
+        normalized,
+        train_ivf_centroids,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        cache_is_fresh,
+        source_fingerprint,
+        write_fingerprint,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = source_fingerprint(sf_dir, "embeddings")
+
+    # replay source: the corpus as 8 files so the file stream delivers
+    # multiple micro-batches (the fixture itself is one file)
+    replay_dir = os.path.join("/root/repo/.cache", f"emb_replay_{tag}")
+    if not cache_is_fresh(replay_dir, fp):
+        load_table(spark, sf_dir, "embeddings").repartition(8).write.mode(
+            "overwrite"
+        ).parquet(replay_dir)
+        write_fingerprint(replay_dir, fp)
+
+    corpus = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    cents = train_ivf_centroids(corpus, k=8, cache_key=fp)
+
+    def assign(df: DataFrame) -> DataFrame:
+        v = normalized(
+            df.select("vec_id", as_double(F.col("embedding")).alias("vec")),
+            "vec",
+            "nvec",
+        )
+        j = v.join(F.broadcast(cents))
+        d2 = F.aggregate(
+            F.zip_with("nvec", "centroid", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            j.select("vec_id", "centroid_id", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(
+                F.min_by("centroid_id", F.struct("d2", "centroid_id")).alias(
+                    "cell"
+                )
+            )
+        )
+
+    index_dir = os.path.join("/root/repo/.cache", f"ann_index_{tag}")
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    file_schema = spark.read.parquet(replay_dir).schema
+    stream = (
+        spark.readStream.schema(file_schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(replay_dir)
+    )
+
+    def append_batch(batch: DataFrame, batch_id: int) -> None:
+        assign(batch).write.mode("append").partitionBy("cell").parquet(
+            index_dir
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(append_batch)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    streamed = spark.read.parquet(index_dir).select("vec_id", "cell")
+    batch_assigned = assign(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    mismatches = (
+        streamed.join(
+            batch_assigned.withColumnRenamed("cell", "bcell"), "vec_id", "full"
+        )
+        .filter(
+            F.col("cell").isNull()
+            | F.col("bcell").isNull()
+            | (F.col("cell") != F.col("bcell"))
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [(streamed.count(), mismatches == 0)],
+        "n_indexed long, equals_batch_assignment boolean",
+    )

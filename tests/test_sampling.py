@@ -228,3 +228,77 @@ def test_decontaminate_flags_planted_near_copy(spark, sf_dir):
     }
     for r in flagged.select("doc_id").collect():
         assert r.doc_id in train_ids
+
+
+def test_pack_split_invariants(spark, sf_dir):
+    """Length-aware packing invariants, independent of the oracle:
+    (1) per doc, chunk token counts sum to the doc's token count (nothing
+        lost or duplicated by the split);
+    (2) within a shard, every pack except the last is EXACTLY seq_len full;
+    (3) chunk numbering is contiguous from 1 per doc."""
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.operators.sampling import (
+        content_bucket,
+        pack_sequences_split,
+    )
+    from cdc_debezium_kafka_airflow_spark.operators.text import (
+        normalize_text,
+        ws_tokens,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    seq_len = 256
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    sharded = docs.withColumn("shard", F.pmod(content_bucket(norm), F.lit(8)))
+    packed = pack_sequences_split(
+        sharded,
+        F.size(ws_tokens(norm)).cast("bigint"),
+        [F.col("lang"), F.col("shard")],
+        F.col("doc_id"),
+        seq_len=seq_len,
+    ).select(
+        "doc_id", "lang", "shard", "n_tokens", "pack_id", "chunk_n",
+        "chunk_tokens",
+    ).persist()
+
+    # (1) chunks reassemble the doc exactly
+    bad_docs = (
+        packed.groupBy("doc_id", "n_tokens")
+        .agg(F.sum("chunk_tokens").alias("s"))
+        .filter(F.col("s") != F.col("n_tokens"))
+        .count()
+    )
+    assert bad_docs == 0
+
+    # (2) every non-final pack per (lang, shard) is exactly full
+    per_pack = packed.groupBy("lang", "shard", "pack_id").agg(
+        F.sum("chunk_tokens").alias("fill")
+    )
+    last_pack = per_pack.groupBy("lang", "shard").agg(
+        F.max("pack_id").alias("last_id")
+    )
+    non_final_not_full = (
+        per_pack.join(last_pack, ["lang", "shard"])
+        .filter(
+            (F.col("pack_id") != F.col("last_id"))
+            & (F.col("fill") != seq_len)
+        )
+        .count()
+    )
+    assert non_final_not_full == 0
+
+    # (3) chunk_n contiguous from 1 per doc
+    bad_chunks = (
+        packed.groupBy("doc_id")
+        .agg(
+            F.min("chunk_n").alias("lo"),
+            F.max("chunk_n").alias("hi"),
+            F.count("*").alias("n"),
+        )
+        .filter((F.col("lo") != 1) | (F.col("hi") != F.col("n")))
+        .count()
+    )
+    assert bad_chunks == 0
+    packed.unpersist()
