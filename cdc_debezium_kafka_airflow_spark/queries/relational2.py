@@ -820,3 +820,98 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
         )
     )
+
+
+@q(
+    "dq_validation",
+    """
+    SELECT 'orders_custkey_fk' AS check_name,
+           CAST((SELECT count(*) FROM orders o
+                 LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+                 WHERE c.c_custkey IS NULL) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           CAST((SELECT count(*) FROM lineitem l
+                 LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 WHERE o.o_orderkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'events_event_id_unique',
+           CAST((SELECT count(*) - count(DISTINCT event_id) FROM events)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'events_type_domain',
+           CAST((SELECT count(*) FROM events WHERE event_type NOT IN
+                 ('click','view','purchase','signup','error')) AS BIGINT)
+    UNION ALL
+    SELECT 'events_value_nonnull',
+           CAST((SELECT count(*) FROM events WHERE value IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'customer_acctbal_range',
+           CAST((SELECT count(*) FROM customer
+                 WHERE c_acctbal < -1000 OR c_acctbal > 10000) AS BIGINT)
+    """,
+)
+def dq_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate (the deequ/Great-Expectations shape): referential
+    integrity (anti-join counts), uniqueness, domain membership, null and
+    range checks — each check one row (check_name, n_violations). The gate
+    a 100 TB pipeline runs BEFORE publishing a snapshot; every check is a
+    scan or broadcast-able anti-join, no check materializes violating rows
+    (counts only — the violation sample query is a filter away)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    li = t(spark, sf_dir, "lineitem")
+    e = t(spark, sf_dir, "events")
+
+    def one(name: str, n) -> DataFrame:
+        return n.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("long").alias("n_violations"),
+        )
+
+    checks = [
+        one(
+            "orders_custkey_fk",
+            o.join(
+                c.select("c_custkey"),
+                o.o_custkey == F.col("c_custkey"),
+                "left_anti",
+            ).agg(F.count("*").alias("n")),
+        ),
+        one(
+            "lineitem_orderkey_fk",
+            li.join(
+                o.select("o_orderkey"),
+                li.l_orderkey == F.col("o_orderkey"),
+                "left_anti",
+            ).agg(F.count("*").alias("n")),
+        ),
+        one(
+            "events_event_id_unique",
+            e.agg(
+                (F.count("*") - F.countDistinct("event_id")).alias("n")
+            ),
+        ),
+        one(
+            "events_type_domain",
+            e.filter(
+                ~F.col("event_type").isin(
+                    "click", "view", "purchase", "signup", "error"
+                )
+            ).agg(F.count("*").alias("n")),
+        ),
+        one(
+            "events_value_nonnull",
+            e.filter(F.col("value").isNull()).agg(F.count("*").alias("n")),
+        ),
+        one(
+            "customer_acctbal_range",
+            c.filter(
+                (F.col("c_acctbal") < -1000) | (F.col("c_acctbal") > 10000)
+            ).agg(F.count("*").alias("n")),
+        ),
+    ]
+    out = checks[0]
+    for df in checks[1:]:
+        out = out.unionByName(df)
+    return out
