@@ -1145,3 +1145,69 @@ def ext_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return repetition_metrics(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "ext_doc_chunking",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split({NORM}, ' ') AS w FROM documents
+    ),
+    n AS (
+      SELECT doc_id, w, len(w) AS n_tokens,
+             CAST(1 + CASE WHEN len(w) > 32
+                           THEN (len(w) - 32 + 23) // 24 ELSE 0 END
+                  AS BIGINT) AS n_chunks
+      FROM d
+    ),
+    c AS (
+      SELECT doc_id, w, n_tokens,
+             unnest(range(0, n_chunks)) AS chunk_id
+      FROM n
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS INT) AS chunk_id,
+           CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+           CAST(len(list_slice(w, chunk_id * 24 + 1, chunk_id * 24 + 32))
+                AS INT) AS n_chunk_tokens,
+           md5(array_to_string(
+               list_slice(w, chunk_id * 24 + 1, chunk_id * 24 + 32), ' '))
+             AS chunk_md5
+    FROM c
+    """,
+)
+def ext_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-aware overlapping chunking (window 32 tokens, stride 24 —
+    8-token overlap, sized to the fixture docs; production uses e.g. 512/384): the windowing pass that feeds embedding models and
+    RAG indexes, distinct from sequence PACKING (packing concatenates docs
+    into fixed windows; chunking splits one doc into overlapping views).
+    Map-only with a bounded explode (ceil(n/stride) chunks per doc); the
+    oracle pins exact chunk boundaries AND content (md5 of each chunk's
+    token span)."""
+    from cdc_debezium_kafka_airflow_spark.operators.text import (
+        normalize_text,
+        ws_tokens,
+    )
+
+    size, stride = 32, 24
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", ws_tokens(normalize_text(F.col("text"))).alias("w")
+    )
+    n = F.size("w")
+    n_chunks = (
+        F.lit(1)
+        + F.when(
+            n > size, F.floor((n - size + (stride - 1)) / F.lit(stride))
+        ).otherwise(F.lit(0))
+    ).cast("bigint")
+    c = d.withColumn("n_chunks", n_chunks).withColumn(
+        "chunk_id", F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1))
+    )
+    chunk = F.slice(F.col("w"), F.col("chunk_id") * stride + 1, size)
+    return c.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        (F.col("chunk_id") * stride).cast("bigint").alias("start_tok"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
