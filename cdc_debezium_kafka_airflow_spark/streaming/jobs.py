@@ -592,15 +592,13 @@ def stateful_upsert_apply_in_pandas(
         "update",
         GroupStateTimeout.NoTimeout,
     )
-    # few hundred keys: 32 state partitions would spawn 32 python state
-    # workers per micro-batch for a handful of groups each — cap the state
-    # shuffle width for this query (restored after)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        out = _run_to_memory(latest, "update")
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # Width re-measured in round 3: the round-2 8-partition cap (then
+    # 14s->6s) INVERTED once the parse lineage got cheaper — the Arrow
+    # transfer of ~600k rows through the Python state workers now dominates,
+    # and wider state shuffles win (8 parts 7.1s, 16 5.3s, 32 4.5s at
+    # sf0.1). Keep the session default (32) — per-store overhead is noise
+    # next to the Arrow volume.
+    out = _run_to_memory(latest, "update")
     return _final_upsert_image(out)
 
 
