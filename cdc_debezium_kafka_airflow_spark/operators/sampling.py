@@ -228,6 +228,12 @@ def pack_sequences_split(
     # explode over sequence bounds containing a raw window expression is
     # unresolvable in one projection
     based = docs.withColumn("n_tokens", n).withColumn("tok_start", start)
+    # a 0-token doc contributes to no pack — and worse, its `last` index
+    # (floor((tok_start-1)/seq_len)) can fall BELOW `first`, and
+    # F.sequence(first, last) with first > last generates a DESCENDING
+    # sequence, emitting spurious zero-token chunk rows the oracle's
+    # range() never produces. Drop such docs before the explode.
+    based = based.filter(F.col("n_tokens") > 0)
     first = F.floor(F.col("tok_start") / F.lit(seq_len))
     last = F.floor(
         (F.col("tok_start") + F.col("n_tokens") - F.lit(1)) / F.lit(seq_len)

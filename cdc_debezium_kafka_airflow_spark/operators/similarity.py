@@ -482,8 +482,11 @@ def train_pq_codebooks(
     """
     import numpy as np
 
+    # sample_cap shapes the training input, so it is part of the key — two
+    # calls with the same corpus fingerprint but different caps must not
+    # share codebooks.
     memo_key = (
-        (cache_key, m, ksub, iters, normalize)
+        (cache_key, m, ksub, iters, normalize, sample_cap)
         if cache_key is not None
         else None
     )
@@ -757,10 +760,17 @@ def ivf_pq_topk(
             F.zip_with("nvec", "cellvec", lambda x, y: x - y).alias("rvec"),
         )
     )
-    # residual codebooks: trained on the residuals themselves (no renorm)
+    # residual codebooks: trained on the residuals themselves (no renorm).
+    # Residuals depend on the IVF centroid layout, so the memo key carries
+    # n_centroids — same corpus fingerprint with a different cell count must
+    # not silently reuse codebooks trained against the other layout.
     rcb = train_pq_codebooks(
         assigned, id_col="neighbor_id", vec_col="rvec",
-        m=m, ksub=ksub, cache_key=cache_key, normalize=False,
+        m=m, ksub=ksub,
+        cache_key=(
+            f"{cache_key}:ivf{n_centroids}" if cache_key is not None else None
+        ),
+        normalize=False,
     )
     codes = _pq_encode(assigned, rcb, ["neighbor_id", "cell"], "rvec", m)
     # queries: probe n_probe nearest cells; the ADC table comes from the

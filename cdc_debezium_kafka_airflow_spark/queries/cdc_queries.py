@@ -491,6 +491,10 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("bn") - F.col("rn") + F.col("an")).alias("n_live_rows"),
         (F.col("bs") - F.col("rs") + F.col("as_")).alias("sum_scaled"),
     ).filter(F.col("n_live_rows") > 0)
-    un.unpersist()
-    base_state.unpersist()
+    # NOTE: no eager unpersist — the returned frame is still lazy, and the
+    # harness executes it after this function returns; dropping the caches
+    # here would force the parse lineage and base_state to recompute once
+    # per consuming branch (defeating the persist, which must serve the
+    # delta join + removed/added branches). The session owns cleanup, as
+    # elsewhere in this file.
     return out

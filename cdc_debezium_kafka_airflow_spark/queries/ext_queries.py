@@ -185,7 +185,8 @@ def ext_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m WHERE n_tokens >= 20 AND lang IN ('en', 'es')
       ) WHERE rn = 1
     )
-    SELECT lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            count(DISTINCT source) AS n_sources
     FROM kept GROUP BY lang
     """,

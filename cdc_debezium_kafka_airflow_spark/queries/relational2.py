@@ -346,8 +346,8 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(date_trunc('day', hour_start) AS TIMESTAMP) AS day_start,
            event_type,
-           sum(n_events) AS n_events,
-           sum(sum_scaled) / 10000.0 AS sum_value,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(sum_scaled) AS BIGINT) / 10000.0 AS sum_value,
            count(*) AS n_hours_active
     FROM hourly GROUP BY 1, 2
     """,

@@ -361,7 +361,7 @@ def fn_sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n_events,
-           sum(CAST(props->>'k' AS INT)) AS sum_k,
+           CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
            CAST(max(CAST(props->>'k' AS INT)) AS INT) AS max_k,
            round(sum(CASE WHEN CAST(props->>'k' AS INT) > 50
                           THEN value END), 4) AS sum_value_highk

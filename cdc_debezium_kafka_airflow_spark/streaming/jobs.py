@@ -707,6 +707,11 @@ def foreach_batch_upsert(
     )
     created = {"done": False}
     attempts: dict[int, int] = {}
+    # per-batch persisted image, released in an outer finally once the batch
+    # is DONE (committed or abandoned after the last retry) — retry attempts
+    # in between reuse the cache; a permanently-failed batch must not leak
+    # executor storage on a long-running stream.
+    cached: dict[int, DataFrame] = {}
 
     def _write(df: DataFrame, table: str) -> None:
         # truncate=true: Spark TRUNCATEs an existing stage table instead of
@@ -729,8 +734,9 @@ def foreach_batch_upsert(
         # persist the per-batch image: the stage write consumes it, and a
         # RETRY attempt (ctl_retry) rebuilds the same canonical plan, so the
         # cache serves attempt 2+ instead of re-running the parse lineage.
-        # Deliberately NOT unpersisted on the failure path — that cache is
-        # exactly what makes the retry cheap; success unpersists below.
+        # Deliberately NOT unpersisted here on failure — release happens in
+        # the outer per-batch finally (after the retry loop gives up or the
+        # batch commits), so the cache serves retries without leaking.
         flat = (
             batch.groupBy("table_name", "key_id")
             .agg(
@@ -747,28 +753,28 @@ def foreach_batch_upsert(
             )
             .persist()
         )
-        try:
-            if not created["done"]:
-                _write(flat, "CDC_TARGET")
-                try:
-                    _exec_sql(
-                        'CREATE INDEX CDC_TARGET_KEY ON CDC_TARGET '
-                        '("join_hash", "key_id")'
-                    )
-                except Exception:
-                    pass  # pre-existing index from a truncated prior run
-                created["done"] = True
-                flat.unpersist()
-                return
-            _write(flat, "CDC_STAGE")
-            if fault_injector is not None:
-                attempts[batch_id] = attempts.get(batch_id, 0) + 1
-                fault_injector(batch_id, attempts[batch_id])
-            _exec_sql(merge_sql)
-        except Exception:
-            raise  # keep the cache for the retry attempt
-        else:
-            flat.unpersist()
+        cached[batch_id] = flat
+        if not created["done"]:
+            _write(flat, "CDC_TARGET")
+            try:
+                _exec_sql(
+                    'CREATE INDEX CDC_TARGET_KEY ON CDC_TARGET '
+                    '("join_hash", "key_id")'
+                )
+            except Exception as exc:
+                # only swallow Derby's "object already exists" (SQLState
+                # X0Y32 — pre-existing index from a truncated prior run);
+                # any other DDL failure would leave the MERGE unindexed and
+                # silently slow, so it must surface.
+                if "X0Y32" not in str(exc):
+                    raise
+            created["done"] = True
+            return
+        _write(flat, "CDC_STAGE")
+        if fault_injector is not None:
+            attempts[batch_id] = attempts.get(batch_id, 0) + 1
+            fault_injector(batch_id, attempts[batch_id])
+        _exec_sql(merge_sql)
 
     unwrapped = unwrap(split_dlq(parse_envelope(changelog_stream(spark, sf_dir, max_files_per_trigger)))[0])
     body = (
@@ -778,8 +784,21 @@ def foreach_batch_upsert(
             merge_batch, max_attempts=max_attempts, attempt_log=attempt_log
         )
     )
+
+    def body_release(batch: DataFrame, batch_id: int) -> None:
+        # outer finally: the persisted batch image survives intermediate
+        # retry attempts (the point of the cache) but is ALWAYS released
+        # once the batch commits or is abandoned — no leaked executor
+        # storage from permanently-failed batches.
+        try:
+            body(batch, batch_id)
+        finally:
+            df = cached.pop(batch_id, None)
+            if df is not None:
+                df.unpersist()
+
     q = (
-        unwrapped.writeStream.foreachBatch(body)
+        unwrapped.writeStream.foreachBatch(body_release)
         .outputMode("append")
         .trigger(availableNow=True)
         .start()

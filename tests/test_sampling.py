@@ -302,3 +302,31 @@ def test_pack_split_invariants(spark, sf_dir):
     )
     assert bad_chunks == 0
     packed.unpersist()
+
+
+def test_pack_split_zero_token_docs(spark):
+    """A doc with 0 tokens must emit NO chunk rows. Regression: before the
+    n_tokens > 0 guard, `last = floor((tok_start-1)/seq_len)` could fall
+    below `first` and F.sequence(first, last) generated a DESCENDING
+    sequence, producing spurious zero-token chunks (latent on the fixture,
+    whose docs are all 10-99 tokens)."""
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.operators.sampling import (
+        pack_sequences_split,
+    )
+
+    rows = [
+        ("d1", 10), ("d2", 0), ("d3", 7), ("d4", 0), ("d5", 0),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, n long")
+    packed = pack_sequences_split(
+        docs, F.col("n"), [F.lit(0)], F.col("doc_id"), seq_len=8
+    )
+    out = packed.select("doc_id", "chunk_tokens").collect()
+    ids = {r.doc_id for r in out}
+    assert ids == {"d1", "d3"}
+    assert all(r.chunk_tokens > 0 for r in out)
+    # token mass is conserved for the surviving docs
+    total = packed.agg(F.sum("chunk_tokens")).collect()[0][0]
+    assert total == 17

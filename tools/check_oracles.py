@@ -2,6 +2,15 @@
 entry on Spark and its oracle_sql() twin on DuckDB, compare row count, schema
 (column names), and an order-insensitive value multiset.
 
+Both sides are canonicalized THROUGH PANDAS (Spark `toPandas()`, DuckDB
+`res.df()`) to reproduce the driver's Arrow/pandas comparison exactly. This
+matters for dtype surfaces the old `fetchall()` path could not see: DuckDB
+`sum(<integer col>)` returns HUGEINT (int128), which pandas converts to
+float64, so the driver hashes `74.0` against Spark's int64 `74` and fails
+even though the Python-object values were equal. (That was agg_hier_rollup's
+three-round red row — fixed oracle-side with CAST(... AS BIGINT), and this
+gate now reproduces the mismatch class locally.)
+
 Usage: python tools/check_oracles.py [--sf /root/testdata/sf0.01] [names...]
 """
 
@@ -11,10 +20,13 @@ import argparse
 import math
 import sys
 import traceback
+from decimal import Decimal
 
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -23,17 +35,36 @@ TABLES = [
 
 
 def norm_cell(v):
-    if v is None:
+    # NOTE: int and float stay DISTINCT on purpose (repr 74 != repr 74.0) —
+    # that is exactly the driver-visible dtype class this gate must catch.
+    if v is None or v is pd.NaT:
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (bool, np.bool_)):
+        return bool(v)
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "NaN"
         # kill -0.0 and representation noise at the 9th decimal
-        return round(v, 9) + 0.0
+        return round(f, 9) + 0.0
+    if isinstance(v, (int, np.integer)):
+        return int(v)
+    if isinstance(v, Decimal):
+        return round(float(v), 9) + 0.0
+    if isinstance(v, np.ndarray):
+        return tuple(norm_cell(x) for x in v.tolist())
     if isinstance(v, (list, tuple)):
         return tuple(norm_cell(x) for x in v)
     if hasattr(v, "isoformat"):
         return v.isoformat()
+    if isinstance(v, bytearray):
+        return bytes(v)
+    # pandas represents SQL NULL in object columns as float nan sometimes
+    try:
+        if v != v:  # NaN-like
+            return "NaN"
+    except Exception:
+        pass
     return v
 
 
@@ -70,8 +101,9 @@ def main():
         fn = qs[name]
         try:
             sdf = fn(spark, args.sf)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            scols = list(spdf.columns)
+            srows = list(spdf.itertuples(index=False, name=None))
         except Exception:
             print(f"FAIL {name}: spark error")
             traceback.print_exc()
@@ -81,9 +113,9 @@ def main():
             print(f"ROWS-ONLY {name}: {len(srows)} rows, cols={scols}")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(oracles[name]).df()
+            ocols = list(opdf.columns)
+            orows = list(opdf.itertuples(index=False, name=None))
         except Exception:
             print(f"FAIL {name}: duckdb error")
             traceback.print_exc()
