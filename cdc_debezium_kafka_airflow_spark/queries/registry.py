@@ -43,7 +43,6 @@ _PRIORITY = [
     "agg_approx_distinct",
     "agg_rollup_cube",
     "agg_hier_rollup",
-    "agg_approx_percentile",
     "join_inner_hash",
     "join_broadcast",
     "join_left",
@@ -75,6 +74,7 @@ _PRIORITY = [
     "monitor_lag",
     "monitor_fanout_config",
     "monitor_any_failed",
+    "ctl_retry_upsert",  # §2.C ctl_retry flagship (bounded-backoff retry)
     # §2.A sources & sinks
     "src_cdc_snapshot",
     "snk_schema_history",
@@ -94,9 +94,11 @@ _PRIORITY = [
     "ext_sim_ann_bucketed",
     "ext_text_quality",
     "ext_multimodal_cols",
-    # next in line (position 51+): ext_lang_id, ext_fingerprint, tfidf,
-    # unigram LM — same §2.D ext_text_analysis op id as ext_text_quality
+    # next in line (position 51+): ext_lang_id, agg_approx_percentile,
+    # ext_fingerprint, tfidf, unigram LM — redundant variants of §2 op ids
+    # already carried by an in-window flagship
     "ext_lang_id",
+    "agg_approx_percentile",
 ]
 
 _ALL_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}

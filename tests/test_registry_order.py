@@ -32,6 +32,7 @@ REQUIRED_IN_WINDOW = {
     "monitor_lag",
     "monitor_fanout_config",
     "monitor_any_failed",
+    "ctl_retry_upsert",  # §2.C ctl_retry (bounded-backoff foreachBatch retry)
     # §2.D relational
     "proj_filter",
     "q1_pricing_summary",
