@@ -149,7 +149,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.session_window("ts", "1 hour").alias("w"), F.col("user_id"))
         .agg(F.count("*").alias("n_events"))
     )
-    out = jobs._run_to_memory(agg, "complete")
+    out = jobs._run_to_memory(agg, "complete", parts="8")
     return out.select(
         "user_id",
         F.col("w.start").alias("session_start"),

@@ -304,7 +304,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"),
              F.round(F.sum("value"), 4).alias("sum_value"))
     )
-    out = jobs._run_to_memory(agg, "complete")
+    out = jobs._run_to_memory(agg, "complete", parts="8")
     return out.select(
         F.col("win.start").alias("win_start"),
         "event_type",

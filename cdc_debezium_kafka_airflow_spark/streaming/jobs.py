@@ -40,6 +40,27 @@ _MEMSINK_IDS = count()
 LINGER = "500 milliseconds"
 
 
+def temp_checkpoint_dir() -> str:
+    """Unique throwaway checkpoint location for a single streaming run,
+    placed on tmpfs when available.
+
+    Replay-style queries (availableNow over a fixture) never resume, but the
+    state store still writes every delta/offset/commit file to the checkpoint
+    — on a shared box that disk I/O is the main wall-clock variance (measured
+    3.9-8.3s for the same stream-stream join on /tmp vs a stable 3.1-4.5s on
+    /dev/shm). The cluster analog: point `spark.sql.streaming.checkpointLocation`
+    worker state at fast local SSD, keep only the *resumable* production
+    checkpoints on durable storage. Callers must remove the dir when done."""
+    import tempfile
+
+    base = "/dev/shm/spark_graft_ck"
+    try:
+        os.makedirs(base, exist_ok=True)
+        return tempfile.mkdtemp(dir=base)
+    except OSError:
+        return tempfile.mkdtemp(prefix="spark_graft_ck_")
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source replay of the events table as a stream, normalized to the
     same canonical ts type as the batch loader.
@@ -137,18 +158,42 @@ def kafka_changelog_stream(
 # results across all three upsert variants; no planner knobs remain.
 
 
-def _run_to_memory(df: DataFrame, mode: str) -> DataFrame:
-    """Run an availableNow streaming query into a memory sink; return result."""
+def _run_to_memory(df: DataFrame, mode: str, parts: str | None = None) -> DataFrame:
+    """Run an availableNow streaming query into a memory sink; return result.
+
+    The memory table lives in driver memory independent of the checkpoint, so
+    the throwaway tmpfs checkpoint is removed as soon as the query drains.
+
+    ``parts`` caps ``spark.sql.shuffle.partitions`` for THIS query (restored
+    after): a stateful operator opens/commits one state store per shuffle
+    partition per trigger, so small-state window aggs (hundreds of groups)
+    waste most of their wall-clock on store lifecycle at the session default
+    of 32 — measured 6.7s -> 1.05s for the 1-day tumbling agg at sf0.1 with
+    parts=8. On a real cluster this is sized to executor cores x
+    per-partition state, exactly like the stream-stream join's cap."""
+    import shutil
+
+    spark = df.sparkSession
     name = f"memsink_{next(_MEMSINK_IDS)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(name)
+    ck = temp_checkpoint_dir()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if parts is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+    try:
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.table(name)
 
 
 def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,7 +207,7 @@ def windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
-    out = _run_to_memory(agg, "complete")
+    out = _run_to_memory(agg, "complete", parts="8")
     return out.select(
         F.col("win.start").alias("day_start"),
         "event_type",
@@ -180,7 +225,7 @@ def windowed_event_counts_watermarked(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy(F.window("ts", "1 day").alias("win"), F.col("event_type"))
         .agg(F.count("*").alias("n_events"))
     )
-    out = _run_to_memory(agg, "append")
+    out = _run_to_memory(agg, "append", parts="8")
     return out.select(
         F.col("win.start").alias("day_start"), "event_type", "n_events"
     )
@@ -369,26 +414,35 @@ def pydatasource_stream_upsert(
     # the default 32 shuffle partitions × 4 micro-batches dominates. 8 keeps
     # every core busy on the Python source tasks while quartering state
     # overhead (14s -> 8s at sf0.1; restored after).
+    import shutil
+
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ck = temp_checkpoint_dir()
     try:
         q = (
             _state_upsert_agg(unwrapped)
             .writeStream.format("memory")
             .queryName(name)
             .outputMode("complete")
+            .option("checkpointLocation", ck)
             .trigger(processingTime="0 seconds")
             .start()
         )
         q.processAllAvailable()
+        if progress_sink is not None:
+            progress_sink.extend(
+                p["numInputRows"]
+                for p in q.recentProgress
+                if p["numInputRows"] > 0
+            )
+        q.stop()
+        q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    if progress_sink is not None:
-        progress_sink.extend(
-            p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0
-        )
-    q.stop()
-    q.awaitTermination()
+        # only after the query is fully stopped — a live processingTime
+        # stream still commits into the checkpoint
+        shutil.rmtree(ck, ignore_errors=True)
     return _drop_deleted(spark.table(name))
 
 
@@ -797,13 +851,20 @@ def foreach_batch_upsert(
             if df is not None:
                 df.unpersist()
 
-    q = (
-        unwrapped.writeStream.foreachBatch(body_release)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    import shutil
+
+    ck = temp_checkpoint_dir()
+    try:
+        q = (
+            unwrapped.writeStream.foreachBatch(body_release)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
     back = spark.read.jdbc(url, "CDC_TARGET", properties=props)
     return back.filter(~F.col("is_delete")).select(
         "table_name", "last_offset",
@@ -952,13 +1013,20 @@ def schema_evolving_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
             .localCheckpoint(eager=True)
         )
 
-    q = (
-        stream.writeStream.foreachBatch(merge)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    import shutil
+
+    ck = temp_checkpoint_dir()
+    try:
+        q = (
+            stream.writeStream.foreachBatch(merge)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
     final = state["t"].filter(F.col("op") != "d")
     return final.groupBy("table_name").agg(
         F.count("*").alias("n_live_keys"),
@@ -1048,30 +1116,51 @@ def streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             index_dir
         )
 
-    q = (
-        stream.writeStream.foreachBatch(append_batch)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # per-micro-batch assign() shuffles ~corpus/4 rows; 8 partitions keeps
+    # the per-batch shuffle overhead proportional to the batch (restored
+    # after — same sizing note as stream_stream_interval_join)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ck = temp_checkpoint_dir()
+    try:
+        q = (
+            stream.writeStream.foreachBatch(append_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(ck, ignore_errors=True)
 
-    streamed = spark.read.parquet(index_dir).select("vec_id", "cell")
+    # single-action audit: one full-outer join scans the streamed index and
+    # the batch assignment ONCE and yields both the coverage count (non-null
+    # streamed side) and the mismatch count in the same aggregation — the
+    # previous two-action version (mismatch count, then a separate
+    # streamed.count()) re-read the index and re-planned the join.
+    streamed = spark.read.parquet(index_dir).select(
+        "vec_id", F.col("cell").alias("scell")
+    )
     batch_assigned = assign(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    )
-    mismatches = (
-        streamed.join(
-            batch_assigned.withColumnRenamed("cell", "bcell"), "vec_id", "full"
+    ).withColumnRenamed("cell", "bcell")
+    audit = (
+        streamed.join(batch_assigned, "vec_id", "full")
+        .agg(
+            F.count("scell").alias("n_indexed"),
+            F.sum(
+                (
+                    F.col("scell").isNull()
+                    | F.col("bcell").isNull()
+                    | (F.col("scell") != F.col("bcell"))
+                ).cast("long")
+            ).alias("n_mismatch"),
         )
-        .filter(
-            F.col("cell").isNull()
-            | F.col("bcell").isNull()
-            | (F.col("cell") != F.col("bcell"))
-        )
-        .count()
+        .collect()[0]
     )
     return spark.createDataFrame(
-        [(streamed.count(), mismatches == 0)],
+        [(audit.n_indexed, audit.n_mismatch == 0)],
         "n_indexed long, equals_batch_assignment boolean",
     )
