@@ -1112,9 +1112,13 @@ def streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def append_batch(batch: DataFrame, batch_id: int) -> None:
-        assign(batch).write.mode("append").partitionBy("cell").parquet(
-            index_dir
-        )
+        # co-locate by the storage partition key before writing: one file
+        # per cell per micro-batch instead of (tasks x cells) fragments —
+        # at scale this is what keeps a continuously-appended index from
+        # dissolving into the small-files problem
+        assign(batch).repartition("cell").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(index_dir)
 
     # per-micro-batch assign() shuffles ~corpus/4 rows; 8 partitions keeps
     # the per-batch shuffle overhead proportional to the batch (restored

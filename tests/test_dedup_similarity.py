@@ -343,3 +343,43 @@ def test_ivfpq_recall_on_clustered_corpus(spark):
     hits = sum(len(exact_sets[q] & approx_sets.get(q, set())) for q in exact_sets)
     total = sum(len(exact_sets[q]) for q in exact_sets)
     assert hits / total >= 0.85, (hits, total)
+
+
+def test_model_artifact_disk_cache_bit_exact(spark, sf_dir):
+    """The index-catalog disk tier: centroids/codebooks trained in one
+    process must reload bit-identically in a fresh process (simulated by
+    clearing the in-memory memo) — a reload that differed would silently
+    change every cell assignment behind an already-built index."""
+    from cdc_debezium_kafka_airflow_spark.operators import similarity as S
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        source_fingerprint,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    fp = source_fingerprint(sf_dir, "embeddings") + ":artifact-test"
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    trained = sorted(
+        map(tuple, S.train_ivf_centroids(corpus, k=4, cache_key=fp).collect())
+    )
+    memo_key = (fp, 4, 3)
+    assert memo_key in S._CENTROID_CACHE
+    del S._CENTROID_CACHE[memo_key]  # fresh-process simulation
+    reloaded = sorted(
+        map(tuple, S.train_ivf_centroids(corpus, k=4, cache_key=fp).collect())
+    )
+    assert reloaded == trained
+    assert memo_key in S._CENTROID_CACHE  # repopulated from disk
+
+    cb = sorted(map(tuple, S.train_pq_codebooks(
+        corpus, id_col="neighbor_id", vec_col="cvec", m=4, ksub=4,
+        cache_key=fp).collect()))
+    pq_key = (fp, 4, 4, 5, True, 2048)
+    assert pq_key in S._PQ_CACHE
+    del S._PQ_CACHE[pq_key]
+    cb2 = sorted(map(tuple, S.train_pq_codebooks(
+        corpus, id_col="neighbor_id", vec_col="cvec", m=4, ksub=4,
+        cache_key=fp).collect()))
+    assert cb2 == cb
