@@ -746,18 +746,18 @@ def foreach_batch_upsert(
     # index-matched candidates, so hash collisions cannot corrupt the sink
     # and Derby never cross-compares CLOBs. This is the generic
     # surrogate-hash-key pattern for warehouse MERGEs over wide/string keys.
-    wcols = ["join_hash", *cols]
-    qcols = ", ".join(f'"{c}"' for c in wcols)
-    merge_sql = (
-        'MERGE INTO CDC_TARGET t USING CDC_STAGE s '
-        'ON t."join_hash" = s."join_hash" AND t."key_id" = s."key_id" '
-        'AND CAST(t."table_name" AS VARCHAR(128)) = '
-        'CAST(s."table_name" AS VARCHAR(128)) '
-        'WHEN MATCHED AND s."last_offset" > t."last_offset" THEN UPDATE SET '
-        + ", ".join(f'"{c}" = s."{c}"' for c in cols[2:])
-        + f" WHEN NOT MATCHED THEN INSERT ({qcols}) VALUES ("
-        + ", ".join(f's."{c}"' for c in wcols)
-        + ")"
+    #
+    # The upsert statement itself is DIALECT-DISPATCHED from the JDBC url
+    # (streaming/dialects.py): Derby renders MERGE INTO; a production
+    # jdbc:postgresql:// url renders INSERT ... ON CONFLICT — the exact
+    # reference sink statement (register-postgres-sink.json:10,15).
+    from cdc_debezium_kafka_airflow_spark.streaming.dialects import (
+        UpsertDialect,
+    )
+
+    dialect = UpsertDialect.for_url(url)
+    merge_sql = dialect.upsert_sql(
+        "CDC_TARGET", "CDC_STAGE", cols, version_col="last_offset"
     )
     created = {"done": False}
     attempts: dict[int, int] = {}
@@ -811,16 +811,13 @@ def foreach_batch_upsert(
         if not created["done"]:
             _write(flat, "CDC_TARGET")
             try:
-                _exec_sql(
-                    'CREATE INDEX CDC_TARGET_KEY ON CDC_TARGET '
-                    '("join_hash", "key_id")'
-                )
+                _exec_sql(dialect.key_index_sql("CDC_TARGET"))
             except Exception as exc:
-                # only swallow Derby's "object already exists" (SQLState
-                # X0Y32 — pre-existing index from a truncated prior run);
-                # any other DDL failure would leave the MERGE unindexed and
-                # silently slow, so it must surface.
-                if "X0Y32" not in str(exc):
+                # only swallow the engine's "object already exists" (a
+                # pre-existing index from a truncated prior run); any other
+                # DDL failure would leave the upsert unindexed and silently
+                # slow, so it must surface.
+                if not dialect.is_already_exists(exc):
                     raise
             created["done"] = True
             return
