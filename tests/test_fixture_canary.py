@@ -123,3 +123,46 @@ def test_normalize_ts_dispatches_on_dtype(spark):
     out3 = normalize_ts(d3)
     assert out3.schema == d3.schema
     assert out3.first().ts == want
+
+
+def test_documents_fixture_dtypes(spark, sf_dir):
+    """documents: the dedup/text/chunking family assumes a string text
+    column whose length matches n_chars. A driver re-encode (binary,
+    large_string, dictionary) or a content change breaks every shingle
+    cache silently — fail loudly here instead."""
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    assert isinstance(d.schema["text"].dataType, T.StringType)
+    assert isinstance(d.schema["doc_id"].dataType, T.LongType)
+    bad = d.filter(
+        F.col("text").isNull() | (F.length("text") != F.col("n_chars"))
+    ).count()
+    assert bad == 0, f"{bad} docs where length(text) != n_chars"
+
+
+def test_embeddings_fixture_dtypes(spark, sf_dir):
+    """embeddings: the similarity family reads array<float|double> through
+    as_double; dimensions must be uniform (a ragged or re-typed embedding
+    column would quietly skew every distance)."""
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import as_double
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    dt = e.schema["embedding"].dataType
+    assert isinstance(dt, T.ArrayType) and isinstance(
+        dt.elementType, (T.FloatType, T.DoubleType)
+    ), dt
+    dims = (
+        e.select(F.size("embedding").alias("d")).distinct().collect()
+    )
+    assert len(dims) == 1 and dims[0].d > 0, dims
+    # normalization path yields finite doubles
+    row = e.select(
+        F.aggregate(
+            as_double(F.col("embedding")),
+            F.lit(0.0),
+            lambda acc, x: acc + x * x,
+        ).alias("sq")
+    ).agg(F.min("sq").alias("lo"), F.max("sq").alias("hi")).first()
+    assert row.lo >= 0.0 and row.hi == row.hi, row  # no NaN/negative norms
