@@ -535,3 +535,65 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: within each cluster cell, a
+    document is a semantic duplicate if some LOWER-id cell-mate's embedding
+    has cosine similarity >= ``threshold``; ``dup_of`` names the lowest such
+    id. Emits every row with (vec_id, cell, kept, dup_of).
+
+    ``cell_col`` is the upstream cluster assignment — in this corpus the
+    fixture's ``label``; at 100 TB it is the IVF cell id the index pipeline
+    already computes (streaming/jobs.streaming_index_append assigns it and
+    partitions the store by it), which is exactly the SemDeDup recipe:
+    k-means first, exact pairwise only WITHIN a cell. The pairwise step runs
+    as one BLAS matmul per cell inside applyInPandas (Arrow-batched; a cell
+    is bounded by construction — k is chosen so cells fit one task), so the
+    shuffle moves each vector once, keyed by cell, and nothing quadratic
+    crosses the wire. Cosines are rounded to 6 decimals before the
+    threshold compare (the repo's cross-engine float convention —
+    ext_embedding_near_dup does the same)."""
+    import numpy as np
+    import pandas as pd
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        v = np.asarray(
+            [np.asarray(x, dtype=np.float64) for x in pdf["vec"]],
+        )
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+        sims = np.round(v @ v.T, 6)
+        n = len(pdf)
+        ids = pdf["vec_id"].to_numpy()
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for i in range(1, n):
+            hits = np.nonzero(sims[i, :i] >= threshold)[0]
+            if hits.size:
+                dup_of[i] = ids[hits[0]]  # lowest id: rows sorted by vec_id
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": pdf["cell"],
+                "kept": dup_of < 0,
+                "dup_of": pd.array(
+                    [None if d < 0 else int(d) for d in dup_of],
+                    dtype="Int64",
+                ),
+            }
+        )
+
+    prepped = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(cell_col).cast("int").alias("cell"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+    )
+    return prepped.groupBy("cell").applyInPandas(
+        dedup_cell, "vec_id long, cell int, kept boolean, dup_of long"
+    )

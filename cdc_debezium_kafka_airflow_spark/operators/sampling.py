@@ -250,3 +250,96 @@ def pack_sequences_split(
             "int"
         ),
     ).withColumn("chunk_tokens", chunk)
+
+
+def decontaminate_bloom(
+    shingled: DataFrame,
+    min_shared: int = 2,
+    bits_per_key: int = 16,
+    n_hashes: int = 8,
+) -> DataFrame:
+    """``decontaminate`` with a broadcast-Bloom prefilter on the train side —
+    the runtime-filter pattern for the 100 TB regime.
+
+    The plain join already keeps the shuffle eval-sized on the EVAL side,
+    but every exploded train shingle still flows into the join to discover
+    it matches nothing. Here the eval shingle set (benchmarks — small by
+    construction) is collapsed to xxhash64 pairs, built into a Bloom bitset
+    driver-side, and shipped inside a pandas UDF: train shingles are
+    discarded MAP-SIDE unless the filter says "maybe", so the join input
+    shrinks from |train shingles| to |contaminated| + fp x |train| (fp ≈
+    2^-n_hashes at 16 bits/key). The surviving candidates still pass through
+    the exact equi-join — the Bloom has no false negatives, so the result is
+    IDENTICAL to ``decontaminate`` (same oracle), the filter only removes
+    provable non-matches.
+
+    Hashing: h1 = xxhash64(sg), h2 = xxhash64('b', sg) — both JVM
+    expressions — combined Kirsch-Mitzenmacher style (h1 + i*h2 mod m), so
+    build and probe use bit-identical hashes; the UDF does pure vectorized
+    numpy bit tests on the broadcast bitset.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sh = shingled.select("doc_id", "split", F.explode("shingles").alias("sg"))
+    h1c = F.xxhash64(F.col("sg"))
+    h2c = F.xxhash64(F.lit("b"), F.col("sg"))
+
+    eval_sh = (
+        sh.filter(F.col("split") != "train")
+        .groupBy("sg")
+        .agg(F.countDistinct("doc_id").alias("n_eval_docs"))
+    )
+    # bounded driver pull: hash PAIRS only (16 bytes/shingle), of the
+    # benchmark-sized eval side — never text, never the train side
+    pairs = (
+        eval_sh.select(h1c.alias("h1"), h2c.alias("h2")).distinct().collect()
+    )
+    n_keys = max(len(pairs), 1)
+    m = int(n_keys * bits_per_key)
+    m |= 1  # odd modulus: keeps h2 strides from cycling through even bits
+    words = np.zeros((m >> 6) + 1, dtype=np.uint64)
+    h1s = np.array([p.h1 for p in pairs], dtype=np.int64).view(np.uint64)
+    h2s = np.array([p.h2 for p in pairs], dtype=np.int64).view(np.uint64)
+    for i in range(n_hashes):
+        idx = (h1s + np.uint64(i) * h2s) % np.uint64(m)
+        np.bitwise_or.at(
+            words, (idx >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (idx & np.uint64(63)),
+        )
+
+    # no type hints: the module uses `from __future__ import annotations`,
+    # which stringifies hints and breaks pandas_udf's signature inference
+    @pandas_udf("boolean")
+    def maybe_contaminated(h1, h2):
+        u1 = h1.to_numpy(dtype=np.int64).view(np.uint64)
+        u2 = h2.to_numpy(dtype=np.int64).view(np.uint64)
+        hit = np.ones(len(u1), dtype=bool)
+        for i in range(n_hashes):
+            idx = (u1 + np.uint64(i) * u2) % np.uint64(m)
+            bit = (
+                words[(idx >> np.uint64(6)).astype(np.int64)]
+                >> (idx & np.uint64(63))
+            ) & np.uint64(1)
+            hit &= bit.astype(bool)
+            if not hit.any():
+                break
+        return pd.Series(hit)
+
+    candidates = (
+        sh.filter(F.col("split") == "train")
+        .withColumn("_h1", h1c)
+        .withColumn("_h2", h2c)
+        .filter(maybe_contaminated(F.col("_h1"), F.col("_h2")))
+        .drop("_h1", "_h2")
+    )
+    return (
+        candidates.join(eval_sh, "sg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shared_shingles"),
+            F.sum("n_eval_docs").alias("eval_doc_hits"),
+        )
+        .filter(F.col("n_shared_shingles") >= min_shared)
+    )

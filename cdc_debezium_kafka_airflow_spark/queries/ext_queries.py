@@ -1212,3 +1212,179 @@ def ext_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("int").alias("n_chunk_tokens"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )
+
+
+# deterministic synthetic URL per document (same expression in both engines
+# — the ext_pii_scrub synthetic-identifier convention): scheme/WWW/port/query
+# /fragment variations exercise every canonicalization step on real rows
+_URL_SQL = (
+    "(CASE doc_id % 3 WHEN 0 THEN 'HTTPS://' WHEN 1 THEN 'https://' "
+    "ELSE 'http://' END) || "
+    "(CASE WHEN doc_id % 2 = 0 THEN 'WWW.' || upper(source) ELSE source END) "
+    "|| '.Example.COM' || "
+    "(CASE WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END) || "
+    "'/docs/' || CAST(doc_id AS VARCHAR) || "
+    "(CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed' WHEN 1 THEN '/' "
+    "WHEN 2 THEN '#s2' ELSE '' END)"
+)
+
+
+@q(
+    "ext_domain_caps",
+    f"""
+    WITH u AS (
+      SELECT doc_id, text, {_URL_SQL} AS url FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text,
+             regexp_replace(regexp_replace(lower(
+               regexp_extract(
+                 regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''),
+                 '^([^/]*)', 1)),
+               '^www\\.', ''), ':[0-9]+$', '') AS domain
+      FROM u
+    )
+    SELECT doc_id, domain,
+           CAST(row_number() OVER (
+             PARTITION BY domain ORDER BY md5({NORM}), doc_id) AS INT)
+             AS dom_rank,
+           (row_number() OVER (
+             PARTITION BY domain ORDER BY md5({NORM}), doc_id)) <= 20 AS kept
+    FROM c
+    """,
+)
+def ext_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + per-domain document caps (the RefinedWeb-style
+    source-balancing pass: no single host may dominate the corpus). URLs are
+    synthesized deterministically from (source, doc_id) — scheme case, WWW.,
+    :port, query, fragment and trailing-slash variants all appear — then
+    canonicalized by pure JVM expressions and capped at 20 docs/domain in
+    content-hash priority order. Every row is emitted with its within-domain
+    rank and kept flag (prefilter=False: the audit shape; the production
+    kept-rows path with the map-side rank prefilter is plan-pinned in
+    tests/test_scale_plans.py)."""
+    from cdc_debezium_kafka_airflow_spark.operators.curation import (
+        canonicalize_url,
+        cap_per_domain,
+    )
+    from cdc_debezium_kafka_airflow_spark.operators.text import normalize_text
+
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 3 == 0, F.lit("HTTPS://"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("https://"))
+        .otherwise(F.lit("http://")),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit("WWW."), F.upper("source"))
+        ).otherwise(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/docs/"),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("?utm_source=feed"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("/"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("#s2"))
+        .otherwise(F.lit("")),
+    )
+    domain, _ = canonicalize_url(url)
+    capped = cap_per_domain(
+        d,
+        domain,
+        priority=[F.md5(normalize_text(F.col("text"))), F.col("doc_id")],
+        cap=20,
+        prefilter=False,  # audit shape: every row with its rank + kept flag
+    )
+    return capped.select("doc_id", "domain", "dom_rank", "kept")
+
+
+@q(
+    "ext_shuffle_shards",
+    f"""
+    WITH h AS (SELECT doc_id, md5({NORM}) AS h FROM documents)
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(h, 9, 8)) AS BIGINT) % 8 AS INT)
+             AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY CAST(('0x' || substr(h, 9, 8)) AS BIGINT) % 8
+             ORDER BY h, doc_id) AS INT) AS pos
+    FROM h
+    """,
+)
+def ext_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 training shards: content-hash
+    shard assignment (hex window disjoint from the split bucket's, so shard
+    and train/val/test membership are independent) + within-shard md5 order
+    — the once-per-corpus randomization a training run streams through,
+    reproducible on any engine and partition layout (orderBy(rand()) is
+    neither)."""
+    from cdc_debezium_kafka_airflow_spark.operators.curation import (
+        shuffle_shards,
+    )
+    from cdc_debezium_kafka_airflow_spark.operators.text import normalize_text
+
+    d = t(spark, sf_dir, "documents")
+    out = shuffle_shards(
+        d, normalize_text(F.col("text")), F.col("doc_id"), n_shards=8
+    )
+    return out.select(
+        "doc_id", F.col("shard").cast("int").alias("shard"), "pos"
+    )
+
+
+@q(
+    "ext_semantic_dedup",
+    """
+    WITH d AS (
+      SELECT a.vec_id, min(b.vec_id) AS dup_of
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND b.vec_id < a.vec_id
+       AND round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.35
+      GROUP BY a.vec_id
+    )
+    SELECT e.vec_id, CAST(e.label AS INT) AS cell,
+           d.dup_of IS NULL AS kept, d.dup_of
+    FROM embeddings e LEFT JOIN d ON e.vec_id = d.vec_id
+    """,
+)
+def ext_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication: within each cluster cell
+    (the fixture's ``label`` — at scale the IVF cell id the index pipeline
+    assigns), a doc whose embedding has cosine >= 0.35 with a lower-id
+    cell-mate is dropped in favor of that mate. Exact within-cell pairwise
+    as one BLAS matmul per cell (applyInPandas); the oracle recomputes it
+    relationally with DuckDB's list_cosine_similarity."""
+    from cdc_debezium_kafka_airflow_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(t(spark, sf_dir, "embeddings"), threshold=0.35)
+
+
+@q(
+    "ext_decontaminate_bloom",
+    ORACLES["ext_decontaminate"],  # bit-identical result, different plan
+)
+def ext_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``ext_decontaminate`` through a broadcast-Bloom prefilter: the eval
+    shingle set is built into a Bloom bitset driver-side (xxhash64 pairs,
+    Kirsch-Mitzenmacher double hashing) and shipped in a vectorized pandas
+    UDF that discards train shingles MAP-SIDE unless the filter says maybe.
+    No false negatives, and survivors still pass the exact equi-join — so
+    the output (and oracle) is identical to the plain join; only the join
+    input shrinks from |train shingles| to |hits| + fp-rate x |train|. The
+    runtime-filter pattern for decontaminating 100 TB of training text
+    against benchmark suites."""
+    from cdc_debezium_kafka_airflow_spark.operators.sampling import (
+        decontaminate_bloom,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.shingle_cache import (
+        shingled_documents,
+    )
+
+    sh = shingled_documents(spark, sf_dir, unit="word", k=3).select(
+        "doc_id",
+        F.when(F.col("bucket") < 90, "train")
+        .when(F.col("bucket") < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+        "shingles",
+    )
+    return decontaminate_bloom(shingled=sh)

@@ -1,0 +1,111 @@
+"""Curation operators (operators/curation.py + the bloom decontaminator):
+the oracle gate pins end-to-end results; these tests pin the SCALE paths the
+oracle can't see — the map-side cap prefilter must not change the kept set,
+and the Bloom prefilter must actually shrink the join input while keeping
+the exact result.
+"""
+
+from pyspark.sql import functions as F
+
+from cdc_debezium_kafka_airflow_spark.operators.curation import (
+    canonicalize_url,
+    cap_per_domain,
+)
+from cdc_debezium_kafka_airflow_spark.operators.text import normalize_text
+from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+
+def test_canonicalize_url_cases(spark):
+    rows = [
+        ("HTTPS://WWW.Foo.Example.COM:8080/docs/1?utm=x", "foo.example.com"),
+        ("http://foo.example.com/docs/2/", "foo.example.com"),
+        ("https://www.bar.org/a/b#frag", "bar.org"),
+        ("ftp://Baz.Net", "baz.net"),
+        ("nohost", "nohost"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in rows], "url string")
+    domain, norm = canonicalize_url(F.col("url"))
+    got = df.select(domain.alias("d"), norm.alias("n")).collect()
+    assert [r.d for r in got] == [d for _, d in rows]
+    # trailing slash, query, fragment all stripped from the normalized url
+    assert got[0].n == "foo.example.com/docs/1"
+    assert got[1].n == "foo.example.com/docs/2"
+    assert got[2].n == "bar.org/a/b"
+
+
+def test_cap_prefilter_preserves_kept_set(spark, sf_dir):
+    """The map-side local-top-cap prefilter (the rank analog of a partial
+    aggregate) must yield exactly the same kept rows as the direct global
+    rank — on a multi-partition input so local ranks genuinely differ from
+    global ones."""
+    d = load_table(spark, sf_dir, "documents").repartition(7)
+    pri = [F.md5(normalize_text(F.col("text"))), F.col("doc_id")]
+    cap = 5
+
+    def kept_ids(prefilter: bool) -> list:
+        out = cap_per_domain(
+            d, F.col("source"), priority=pri, cap=cap, prefilter=prefilter
+        )
+        return sorted(
+            r.doc_id for r in out.filter("kept").select("doc_id").collect()
+        )
+
+    direct = kept_ids(False)
+    prefiltered = kept_ids(True)
+    assert direct == prefiltered
+    assert len(direct) > 0
+
+
+def test_bloom_prefilter_shrinks_and_matches(spark, sf_dir):
+    """decontaminate_bloom == decontaminate exactly (no false negatives),
+    and the bloom candidate stream is genuinely smaller than the full train
+    shingle stream (the point of the prefilter)."""
+    from cdc_debezium_kafka_airflow_spark.operators.sampling import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.shingle_cache import (
+        shingled_documents,
+    )
+
+    sh = shingled_documents(spark, sf_dir, unit="word", k=3).select(
+        "doc_id",
+        F.when(F.col("bucket") < 90, "train")
+        .when(F.col("bucket") < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+        "shingles",
+    )
+    plain = sorted(map(tuple, decontaminate(shingled=sh).collect()))
+    bloom = sorted(map(tuple, decontaminate_bloom(shingled=sh).collect()))
+    assert bloom == plain
+    assert len(plain) > 0
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """Every drop must point at a lower-id cell-mate; exact duplicate
+    embeddings can never both survive; determinism across runs."""
+    from cdc_debezium_kafka_airflow_spark.operators.dedup import semantic_dedup
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # plant an exact duplicate pair in one cell
+    dup = e.limit(1).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        F.col("embedding"),
+        F.col("label"),
+    )
+    base = e.select("vec_id", "embedding", "label").unionByName(dup)
+    out = semantic_dedup(base, threshold=0.35).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(out) == base.count()
+    orig_id = e.limit(1).collect()[0].vec_id
+    planted = by_id[orig_id + 10_000_000]
+    assert not planted.kept and planted.dup_of is not None
+    for r in out:
+        if not r.kept:
+            assert r.dup_of is not None and r.dup_of < r.vec_id
+            assert by_id[r.dup_of].cell == r.cell
+        else:
+            assert r.dup_of is None
+    again = semantic_dedup(base, threshold=0.35).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
