@@ -172,3 +172,53 @@ def test_join_bucketed_registered_query_joins_without_shuffle(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan
     join_part = plan.split("SortMergeJoin")[-1]
     assert "Exchange" not in join_part, plan
+
+
+def test_shuffle_shards_single_exchange(spark, sf_dir):
+    """The global training shuffle must cost exactly ONE shuffle: shard
+    assignment is a pure map-side expression; only the within-shard ordering
+    exchanges data."""
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import (
+        ext_shuffle_shards,
+    )
+
+    plan = _plan(ext_shuffle_shards(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_domain_cap_prefilter_has_local_rank_stage(spark, sf_dir):
+    """The production cap path must show TWO window stages — the local
+    (partition_id, domain) top-cap before the shuffle, then the global
+    per-domain rank — i.e. the rank analog of partial aggregation."""
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.operators.curation import (
+        cap_per_domain,
+    )
+    from cdc_debezium_kafka_airflow_spark.operators.text import normalize_text
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").repartition(7)
+    out = cap_per_domain(
+        d,
+        F.col("source"),
+        priority=[F.md5(normalize_text(F.col("text"))), F.col("doc_id")],
+        cap=5,
+        prefilter=True,
+    )
+    plan = _plan(out)
+    assert plan.count("Window") >= 2, plan
+    assert "SPARK_PARTITION_ID" in plan.upper() or "spark_partition_id" in plan
+
+
+def test_semantic_dedup_shuffles_by_cell_once(spark, sf_dir):
+    """Semantic dedup must move each vector once, keyed by cell, into the
+    Arrow-batched pairwise stage — one exchange, no join in the plan."""
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import (
+        ext_semantic_dedup,
+    )
+
+    plan = _plan(ext_semantic_dedup(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
