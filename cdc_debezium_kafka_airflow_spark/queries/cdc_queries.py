@@ -498,3 +498,87 @@ def cdc_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # delta join + removed/added branches). The session owns cleanup, as
     # elsewhere in this file.
     return out
+
+
+@q(
+    "cdc_schema_compat",
+    f"""
+    WITH valid AS (
+      SELECT {SQL_TABLE_CASE} AS table_name, (event_id % 2 = 0) AS g1
+      FROM events
+      WHERE NOT {SQL_IS_MALFORMED} AND NOT {SQL_IS_TOMBSTONE}
+        AND event_id % 10 < 8  -- deletes carry no after image
+    ),
+    pres AS (
+      SELECT table_name, max(g1) AS in_v1, max(NOT g1) AS in_v2
+      FROM valid GROUP BY 1
+    ),
+    base AS (
+      SELECT p.table_name, f.field, p.in_v1, p.in_v2
+      FROM pres p CROSS JOIN (
+        SELECT unnest(['event_id','ts','user_id','event_type',
+                       'value','props']) AS field) f
+      UNION ALL
+      SELECT p.table_name, 'ingest_region', FALSE, p.in_v2
+      FROM pres p WHERE p.in_v2
+    )
+    SELECT table_name, field, in_v1, in_v2,
+           CASE WHEN in_v1 AND in_v2 THEN 'stable'
+                WHEN in_v2 THEN 'added_in_v2'
+                ELSE 'removed_in_v2' END AS change,
+           CASE WHEN in_v1 AND in_v2 THEN 'FULL'
+                WHEN in_v2 THEN 'BACKWARD'
+                ELSE 'FORWARD' END AS compat
+    FROM base
+    """,
+)
+def cdc_schema_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-registry compatibility check, engine-native: introspect the
+    PER-RECORD envelope schemas of the two-generation changelog (the
+    schema-evolution replay — streaming/jobs.two_gen_replay_dir) with
+    ``json_object_keys`` over each record's ``payload.after``, aggregate a
+    field inventory per (table, generation), and emit the per-field verdict
+    a registry's compatibility gate computes before accepting a new schema
+    version: stable -> FULL, added-in-v2 -> BACKWARD (old readers ignore the
+    new field; the JDBC sink ALTER-TABLE-ADDs — auto.evolve,
+    register-postgres-sink.json:14), removed -> FORWARD. The oracle derives
+    the same inventory relationally from the fixture's generation parity —
+    a hash match proves the serialized envelopes carry exactly the declared
+    field sets (to_json drops nothing, the widening adds exactly
+    ingest_region)."""
+    from cdc_debezium_kafka_airflow_spark.streaming import jobs
+
+    t(spark, sf_dir, "events")  # session confs
+    replay = jobs.two_gen_replay_dir(spark, sf_dir)
+    ch = spark.read.parquet(replay)
+    after_json = F.get_json_object("value", "$.payload.after")
+    rows = (
+        ch.withColumn("_after", after_json)
+        .filter(F.col("_after").isNotNull())
+        .select(
+            F.regexp_extract("topic", r"([^.]+)$", 1).alias("table_name"),
+            (
+                F.get_json_object("value", "$.payload.after.event_id")
+                .cast("long") % 2 == 0
+            ).alias("g1"),
+            F.explode(F.json_object_keys("_after")).alias("field"),
+        )
+    )
+    inv = rows.groupBy("table_name", "field").agg(
+        F.max("g1").alias("in_v1"),
+        F.max(~F.col("g1")).alias("in_v2"),
+    )
+    return inv.select(
+        "table_name",
+        "field",
+        "in_v1",
+        "in_v2",
+        F.when(F.col("in_v1") & F.col("in_v2"), "stable")
+        .when(F.col("in_v2"), "added_in_v2")
+        .otherwise("removed_in_v2")
+        .alias("change"),
+        F.when(F.col("in_v1") & F.col("in_v2"), "FULL")
+        .when(F.col("in_v2"), "BACKWARD")
+        .otherwise("FORWARD")
+        .alias("compat"),
+    )

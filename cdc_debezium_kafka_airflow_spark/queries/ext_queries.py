@@ -1388,3 +1388,59 @@ def ext_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shingles",
     )
     return decontaminate_bloom(shingled=sh)
+
+
+@q(
+    "ext_vocab_topk",
+    f"""
+    WITH toks AS (
+      SELECT unnest(string_split({NORM}, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, count(*) AS n_occ FROM toks WHERE token <> ''
+      GROUP BY token
+    ),
+    tot AS (SELECT CAST(sum(n_occ) AS DOUBLE) AS total FROM counts),
+    top AS (
+      SELECT token, n_occ,
+             CAST(row_number() OVER (ORDER BY n_occ DESC, token) AS INT)
+               AS vrank
+      FROM counts
+      QUALIFY vrank <= 100
+    )
+    SELECT vrank, token, n_occ,
+           round(CAST(sum(n_occ) OVER (ORDER BY vrank) AS DOUBLE)
+                 / (SELECT total FROM tot), 6) AS cum_coverage
+    FROM top
+    """,
+)
+def ext_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary builder (the tokenizer-training precursor): global token
+    counts -> top-100 by (count, token) -> cumulative corpus coverage per
+    rank. At 100 TB this is the canonical word-count: partial counts combine
+    map-side, only distinct-token-sized data shuffles, the top-K is a heap
+    (TakeOrderedAndProject), and the window runs over 100 rows on the
+    driver-side tail — the corpus is never sorted."""
+    from cdc_debezium_kafka_airflow_spark.operators.text import (
+        normalize_text,
+        ws_tokens,
+    )
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(ws_tokens(normalize_text(F.col("text")))).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count("*").alias("n_occ"))
+    total = counts.agg(F.sum("n_occ").cast("double").alias("t"))
+    top = counts.orderBy(F.col("n_occ").desc(), "token").limit(100)
+    w = Window.orderBy(F.col("n_occ").desc(), "token")
+    ranked = top.withColumn("vrank", F.row_number().over(w)).withColumn(
+        "_cum", F.sum("n_occ").over(w).cast("double")
+    )
+    return ranked.join(F.broadcast(total)).select(
+        "vrank",
+        "token",
+        "n_occ",
+        F.round(F.col("_cum") / F.col("t"), 6).alias("cum_coverage"),
+    )

@@ -869,31 +869,12 @@ def foreach_batch_upsert(
     )
 
 
-def schema_evolving_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Schema evolution INSIDE a running stream (``auto.evolve=true``,
-    reference register-postgres-sink.json:13-14): a two-generation replay
-    log where later micro-batches carry a WIDER Debezium envelope — payload
-    ``after`` gains an ``ingest_region`` field mid-stream — and the upsert
-    sink widens its accumulated state additively (earlier keys get NULL for
-    the new column), exactly how a JDBC sink ALTER-TABLE-ADDs on a new
-    Connect schema version.
-
-    Mechanics: each micro-batch infers its OWN envelope schema from a sample
-    record (``schema_of_json``) — the per-batch analog of Connect reading
-    the schema registry version stamped on the record — so generation-2
-    batches parse the extra field the fixed v1 StructType would drop. The
-    per-batch images fold into driver-held state via ``schema_evolve``
-    (additive unionByName) + keyed max_by(offset): last-write-wins across
-    generations, union schema at the end.
-
-    Determinism contract (shared with the DuckDB oracle): generation 1 =
-    even event_ids (v1 envelope), generation 2 = odd event_ids (after +=
-    ingest_region, 'eu' for even user_id else 'us'); tombstones and
-    malformed records are dropped by the same rules as the batch path; a
-    key is live iff its max-offset record is not a delete; its image came
-    from generation 2 iff that max offset is odd.
-    """
-    from cdc_debezium_kafka_airflow_spark.operators.cdc import schema_evolve
+def two_gen_replay_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Build (fingerprint-cached) the TWO-GENERATION changelog replay log:
+    generation 1 = even event_ids with the v1 envelope, generation 2 = odd
+    event_ids re-serialized with ``payload.after.ingest_region`` ('eu' for
+    even user_id else 'us'). Shared by the mid-stream schema-evolution job
+    and the schema-compatibility introspection (cdc_schema_compat)."""
     from cdc_debezium_kafka_airflow_spark.schemas import ENVELOPE_SCHEMA
     from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
         cache_is_fresh,
@@ -938,6 +919,39 @@ def schema_evolving_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame
         # generation 2 after generation 1 (the mid-stream part of the demo)
         g2.coalesce(4).write.mode("append").parquet(replay_dir)
         write_fingerprint(replay_dir, fp)
+    return replay_dir
+
+
+def schema_evolving_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution INSIDE a running stream (``auto.evolve=true``,
+    reference register-postgres-sink.json:13-14): a two-generation replay
+    log where later micro-batches carry a WIDER Debezium envelope — payload
+    ``after`` gains an ``ingest_region`` field mid-stream — and the upsert
+    sink widens its accumulated state additively (earlier keys get NULL for
+    the new column), exactly how a JDBC sink ALTER-TABLE-ADDs on a new
+    Connect schema version.
+
+    Mechanics: each micro-batch infers its OWN envelope schema from a sample
+    record (``schema_of_json``) — the per-batch analog of Connect reading
+    the schema registry version stamped on the record — so generation-2
+    batches parse the extra field the fixed v1 StructType would drop. The
+    per-batch images fold into driver-held state via ``schema_evolve``
+    (additive unionByName) + keyed max_by(offset): last-write-wins across
+    generations, union schema at the end.
+
+    Determinism contract (shared with the DuckDB oracle): generation 1 =
+    even event_ids (v1 envelope), generation 2 = odd event_ids (after +=
+    ingest_region, 'eu' for even user_id else 'us'); tombstones and
+    malformed records are dropped by the same rules as the batch path; a
+    key is live iff its max-offset record is not a delete; its image came
+    from generation 2 iff that max offset is odd.
+    """
+    from cdc_debezium_kafka_airflow_spark.operators.cdc import schema_evolve
+    from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import (
+        JSON_TS_OPTS,
+    )
+
+    replay_dir = two_gen_replay_dir(spark, sf_dir)
 
     schema = (
         "offset long, topic string, partition int, key string, value string, "
