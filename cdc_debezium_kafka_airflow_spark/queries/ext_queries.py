@@ -1444,3 +1444,70 @@ def ext_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_occ",
         F.round(F.col("_cum") / F.col("t"), 6).alias("cum_coverage"),
     )
+
+
+@q(
+    "ext_dedup_incremental",
+    f"""
+    WITH fps AS (
+      SELECT doc_id, md5({NORM}) AS fp, {BUCKET} AS bucket FROM documents
+    ),
+    u AS (
+      SELECT doc_id, fp, (bucket >= 90) AS is_batch FROM fps
+    ),
+    j AS (
+      SELECT doc_id, fp, is_batch,
+             bool_or(NOT is_batch) OVER (PARTITION BY fp) AS in_corpus,
+             min(CASE WHEN is_batch THEN doc_id END) OVER (PARTITION BY fp)
+               AS batch_min_id
+      FROM u
+    )
+    SELECT doc_id, fp,
+           CASE WHEN in_corpus THEN 'dup_of_corpus'
+                WHEN doc_id > batch_min_id THEN 'dup_in_batch'
+                ELSE 'new' END AS verdict
+    FROM j WHERE is_batch
+    """,
+)
+def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the production ingestion path: an incoming batch
+    (content-hash bucket >= 90, ~10% of the corpus) is checked against the
+    EXISTING fingerprint index (the other 90%) and against itself, without
+    ever comparing corpus docs to each other. Verdict per incoming doc:
+    dup_of_corpus / dup_in_batch (a lower-id batch doc owns the fingerprint)
+    / new.
+
+    Plan: corpus fingerprints and batch rows union into ONE exchange keyed
+    by fingerprint; per-fp corpus membership and the batch minimum arrive
+    from the same window pass — no join node at all. At 100 TB the
+    fingerprint index is stored bucketed by fp, so the daily batch
+    co-locates against it with zero index-side shuffle and cost proportional
+    to the BATCH, not the corpus."""
+    from cdc_debezium_kafka_airflow_spark.operators.sampling import (
+        content_bucket,
+    )
+    from cdc_debezium_kafka_airflow_spark.operators.text import normalize_text
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    fps = d.select(
+        "doc_id",
+        F.md5(norm).alias("fp"),
+        (content_bucket(norm) >= 90).alias("is_batch"),
+    )
+    w = Window.partitionBy("fp")
+    j = fps.withColumn(
+        "in_corpus", F.max((~F.col("is_batch")).cast("int")).over(w) == 1
+    ).withColumn(
+        "batch_min_id",
+        F.min(F.when(F.col("is_batch"), F.col("doc_id"))).over(w),
+    )
+    return j.filter("is_batch").select(
+        "doc_id",
+        "fp",
+        F.when(F.col("in_corpus"), "dup_of_corpus")
+        .when(F.col("doc_id") > F.col("batch_min_id"), "dup_in_batch")
+        .otherwise("new")
+        .alias("verdict"),
+    )

@@ -330,3 +330,23 @@ def stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     diffing the streamed index against the one-shot assignment."""
     t(spark, sf_dir, "events")  # session confs
     return jobs.streaming_index_append(spark, sf_dir)
+
+
+@q(
+    "stream_domain_quota",
+    """
+    SELECT doc_id, source AS domain,
+           (row_number() OVER (PARTITION BY source ORDER BY doc_id)) <= 15
+             AS admitted
+    FROM documents
+    """,
+)
+def stream_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-domain admission quota (stateful rate limiting): each
+    arriving doc is admitted iff its domain has admitted < 15 so far —
+    per-tenant ingest caps / crawl politeness budgets as a custom
+    applyInPandasWithState operator with a ONE-counter state per domain.
+    Arrival order is deterministic (doc_id-range replay files), so the
+    oracle recomputes the admitted set with a window rank."""
+    t(spark, sf_dir, "documents")  # session confs
+    return jobs.stream_domain_quota(spark, sf_dir, cap=15)

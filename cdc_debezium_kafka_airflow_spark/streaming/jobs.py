@@ -1179,3 +1179,87 @@ def streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(audit.n_indexed, audit.n_mismatch == 0)],
         "n_indexed long, equals_batch_assignment boolean",
     )
+
+
+def documents_range_replay_dir(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> str:
+    """Fingerprint-cached documents replay split into ``n_files`` doc_id
+    RANGES written in ascending order (later ranges get later mtimes), so
+    the file-stream source delivers micro-batches in global doc_id order —
+    the deterministic arrival order the quota job's oracle needs."""
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        cache_is_fresh,
+        source_fingerprint,
+        write_fingerprint,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    replay_dir = os.path.join("/root/repo/.cache", f"docs_range_{tag}")
+    fp = source_fingerprint(sf_dir, "documents")
+    if not cache_is_fresh(replay_dir, fp):
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source"
+        )
+        hi = docs.agg(F.max("doc_id")).first()[0] + 1
+        step = max(hi // n_files, 1)
+        for i in range(n_files):
+            lo, up = i * step, (i + 1) * step if i < n_files - 1 else hi
+            mode = "overwrite" if i == 0 else "append"
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < up)
+            ).coalesce(1).write.mode(mode).parquet(replay_dir)
+        write_fingerprint(replay_dir, fp)
+    return replay_dir
+
+
+def stream_domain_quota(
+    spark: SparkSession, sf_dir: str, cap: int = 15
+) -> DataFrame:
+    """Streaming per-domain admission quota: every arriving document is
+    admitted iff its domain has admitted fewer than ``cap`` docs so far —
+    the stateful rate-limit/quota pattern (per-tenant ingest caps, crawl
+    politeness budgets) as a custom ``applyInPandasWithState`` operator.
+    State per domain is ONE counter; rows are processed in deterministic
+    arrival order (doc_id-range replay files + per-batch sort), so the
+    admitted set is exactly "first ``cap`` per domain by doc_id" and the
+    DuckDB oracle recomputes it with a window rank. Unlike the batch
+    cap_per_domain (global priority rank), the streaming quota is
+    order-of-arrival — both real pipeline shapes."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    replay = documents_range_replay_dir(spark, sf_dir)
+    schema = spark.read.parquet(replay).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(replay, "*.parquet"))
+    )
+
+    def admit(key, pdfs, state: "GroupState"):
+        used = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id")
+            n = len(pdf)
+            admitted = [used + i < cap for i in range(n)]
+            used += n
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "domain": [key[0]] * n,
+                    "admitted": admitted,
+                }
+            )
+        state.update((used,))
+
+    out = stream.groupBy("source").applyInPandasWithState(
+        admit,
+        "doc_id long, domain string, admitted boolean",
+        "used long",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, "append", parts="8")
