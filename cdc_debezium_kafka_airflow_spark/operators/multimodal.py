@@ -262,3 +262,132 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "media_type", "media_bytes").mapInPandas(
         batches, FEATURE_SCHEMA
     )
+
+
+TRANSFORM_SCHEMA = (
+    "doc_id long, media_type string, "
+    "q00 double, q01 double, q10 double, q11 double, "
+    "zero_crossings int, rms double"
+)
+
+
+def transform_media(media: DataFrame, thumb: int = 2) -> DataFrame:
+    """Second-stage multimodal transform over DECODED payloads (the
+    decode -> resize / decode -> DSP pipeline shape):
+
+    image rows: real BMP decode, then nearest-neighbor resample to a
+    ``thumb`` x ``thumb`` grayscale thumbnail — output cell (x, y) samples
+    source pixel (x*w//thumb, y*h//thumb); emitted as q00..q11 doubles.
+    audio rows: real WAV decode, then zero-crossing count (negative-flag
+    changes between consecutive samples) and RMS amplitude (rounded 6).
+    video rows are excluded (decode is the documented stub).
+
+    Every output is predictable in closed form from the deterministic
+    generators, so the DuckDB oracle re-derives them ANALYTICALLY — a hash
+    match proves the byte-level decode + transform round-trip, not just the
+    arithmetic."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "media_type": [],
+                "q00": [], "q01": [], "q10": [], "q11": [],
+                "zero_crossings": [], "rms": [],
+            }
+            for doc_id, mt, data in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["media_bytes"]
+            ):
+                if mt == "video":
+                    continue
+                data = bytes(data)
+                q = [[None] * thumb for _ in range(thumb)]
+                zc = rms = None
+                if mt == "image":
+                    w, h, _ = decode_bmp(data)
+                    # re-walk the pixel rows for the sampled cells only
+                    offset = struct.unpack_from("<I", data, 10)[0]
+                    row_size = (3 * w + 3) // 4 * 4
+                    for ty in range(thumb):
+                        for tx in range(thumb):
+                            sx, sy = tx * w // thumb, ty * h // thumb
+                            # bottom-up storage: logical row sy lives at
+                            # file row (h - 1 - sy)
+                            base = offset + (h - 1 - sy) * row_size + 3 * sx
+                            q[ty][tx] = float(data[base])
+                elif mt == "audio":
+                    _, _, _ = decode_wav(data)  # validates the container
+                    # slice the data chunk directly for vectorized DSP
+                    pos = 12
+                    samples = None
+                    while pos + 8 <= len(data):
+                        cid = data[pos : pos + 4]
+                        size = struct.unpack_from("<I", data, pos + 4)[0]
+                        if cid == b"data":
+                            samples = np.frombuffer(
+                                data[pos + 8 : pos + 8 + size], dtype="<i2"
+                            ).astype(np.float64)
+                        pos += 8 + size + (size & 1)
+                    neg = samples < 0
+                    zc = int((neg[1:] != neg[:-1]).sum())
+                    rms = round(float(np.sqrt((samples**2).mean())), 6)
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(mt)
+                out["q00"].append(q[0][0])
+                out["q01"].append(q[0][1])
+                out["q10"].append(q[1][0])
+                out["q11"].append(q[1][1])
+                out["zero_crossings"].append(zc)
+                out["rms"].append(rms)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "media_type", "media_bytes").mapInPandas(
+        batches, TRANSFORM_SCHEMA
+    )
+
+
+def audio_spectrum(media: DataFrame) -> DataFrame:
+    """FFT features over decoded audio (engine-only — no SQL FFT exists, so
+    this is pytest-verified against an independent numpy recompute):
+    dominant non-DC rfft bin, its frequency in Hz, and total spectral
+    energy. The real decode -> DSP -> feature shape for audio curation
+    (silence/tone detection, bandwidth stats)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": [], "dominant_bin": [],
+                "dominant_freq_hz": [], "spectral_energy": [],
+            }
+            for doc_id, mt, data in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["media_bytes"]
+            ):
+                if mt != "audio":
+                    continue
+                rate, n, _ = decode_wav(bytes(data))
+                raw = bytes(data)
+                pos, samples = 12, None
+                while pos + 8 <= len(raw):
+                    cid = raw[pos : pos + 4]
+                    size = struct.unpack_from("<I", raw, pos + 4)[0]
+                    if cid == b"data":
+                        samples = np.frombuffer(
+                            raw[pos + 8 : pos + 8 + size], dtype="<i2"
+                        ).astype(np.float64)
+                    pos += 8 + size + (size & 1)
+                spec = np.abs(np.fft.rfft(samples))
+                k = int(spec[1:].argmax()) + 1  # skip DC
+                out["doc_id"].append(int(doc_id))
+                out["dominant_bin"].append(k)
+                out["dominant_freq_hz"].append(round(k * rate / n, 6))
+                out["spectral_energy"].append(
+                    round(float((spec**2).sum() / n), 4)
+                )
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "media_type", "media_bytes").mapInPandas(
+        batches,
+        "doc_id long, dominant_bin int, dominant_freq_hz double, "
+        "spectral_energy double",
+    )

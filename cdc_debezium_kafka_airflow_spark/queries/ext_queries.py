@@ -1511,3 +1511,63 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("new")
         .alias("verdict"),
     )
+
+
+@q(
+    "ext_media_transform",
+    """
+    WITH im AS (
+      SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    imq AS (
+      SELECT doc_id, 'image' AS media_type,
+        CAST((doc_id*31) % 256 AS DOUBLE) AS q00,
+        CAST((doc_id*31 + 7*(w//2)) % 256 AS DOUBLE) AS q01,
+        CAST((doc_id*31 + 13*(h//2)) % 256 AS DOUBLE) AS q10,
+        CAST((doc_id*31 + 7*(w//2) + 13*(h//2)) % 256 AS DOUBLE) AS q11
+      FROM im
+    ),
+    au AS (
+      SELECT doc_id, 40 + doc_id % 57 AS n
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    s AS (
+      SELECT doc_id, n, unnest(range(n)) AS i FROM au
+    ),
+    sv AS (
+      SELECT doc_id, n, i, ((doc_id*37 + 17*i) % 4096) - 2048 AS v,
+             lag(((doc_id*37 + 17*i) % 4096) - 2048)
+               OVER (PARTITION BY doc_id ORDER BY i) AS pv
+      FROM s
+    ),
+    dsp AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN pv IS NOT NULL AND (v < 0) != (pv < 0)
+                           THEN 1 ELSE 0 END) AS INT) AS zero_crossings,
+             round(sqrt(sum(CAST(v AS DOUBLE) * v) / max(n)), 6) AS rms
+      FROM sv GROUP BY doc_id
+    )
+    SELECT doc_id, media_type, q00, q01, q10, q11,
+           CAST(NULL AS INT) AS zero_crossings, CAST(NULL AS DOUBLE) AS rms
+    FROM imq
+    UNION ALL
+    SELECT doc_id, 'audio', NULL, NULL, NULL, NULL, zero_crossings, rms
+    FROM dsp
+    """,
+)
+def ext_media_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode -> transform over real media bytes: images (actual BMP
+    payloads) are nearest-neighbor resampled to a 2x2 grayscale thumbnail;
+    audio (actual RIFF/WAVE PCM) gets zero-crossing count + RMS amplitude.
+    The oracle re-derives every feature ANALYTICALLY from the deterministic
+    generators, so a hash match proves the byte-level decode + resample /
+    DSP round-trip — not just the arithmetic. (FFT features live in
+    operators.multimodal.audio_spectrum, pytest-verified — no SQL FFT.)"""
+    from cdc_debezium_kafka_airflow_spark.operators.multimodal import (
+        attach_media,
+        transform_media,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    return transform_media(attach_media(d))

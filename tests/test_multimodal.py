@@ -125,3 +125,33 @@ def test_feature_extraction_real_image_decode(spark, sf_dir):
 def test_real_codec_decode_is_stubbed_for_video():
     with pytest.raises(NotImplementedError):
         _decode_stub("video", b"\x00\x00\x00\x18ftyp", real_decode=True)
+
+
+def test_audio_spectrum_matches_independent_fft(spark, sf_dir):
+    """audio_spectrum decodes REAL WAV bytes then FFTs; the expected values
+    are recomputed here from the closed-form sample generator (never the
+    bytes), so agreement proves decode + DSP end-to-end."""
+    import numpy as np
+
+    from cdc_debezium_kafka_airflow_spark.operators.multimodal import (
+        attach_media,
+        audio_spectrum,
+        wav_spec,
+        _wav_sample,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(60)
+    got = {r.doc_id: r for r in audio_spectrum(attach_media(d)).collect()}
+    assert got, "no audio docs in the sample"
+    for doc_id, r in got.items():
+        assert doc_id % 3 == 1  # audio modality only
+        rate, n = wav_spec(doc_id)
+        samples = np.array(
+            [_wav_sample(doc_id, i) for i in range(n)], dtype=np.float64
+        )
+        spec = np.abs(np.fft.rfft(samples))
+        k = int(spec[1:].argmax()) + 1
+        assert r.dominant_bin == k
+        assert r.dominant_freq_hz == round(k * rate / n, 6)
+        assert r.spectral_energy == round(float((spec**2).sum() / n), 4)
