@@ -507,3 +507,80 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_debezium_kafka_airflow_spark.operators.cdc import scd2_history
 
     return scd2_history(_unwrapped(spark, sf_dir))
+
+
+@q(
+    "cdc_point_in_time",
+    f"""
+    WITH {CH_CTE},
+    led AS (
+      SELECT *, lead(off) OVER (PARTITION BY table_name, key_id
+                                ORDER BY off) AS next_off
+      FROM ch
+    ),
+    v AS (
+      SELECT table_name, key_id, off AS valid_from_offset,
+             next_off - 1 AS valid_to_offset, value, user_id
+      FROM led WHERE op <> 'd'
+    ),
+    m AS (SELECT max(off) AS mo FROM ch),
+    probes AS (
+      SELECT unnest([mo // 4, mo // 2, (3 * mo) // 4]) AS as_of FROM m
+    )
+    SELECT p.as_of, v.table_name,
+           CAST(count(*) AS BIGINT) AS n_live_keys,
+           round(sum(v.value), 4) AS sum_value,
+           max(v.user_id) AS max_user
+    FROM v JOIN probes p
+      ON v.valid_from_offset <= p.as_of
+     AND (v.valid_to_offset IS NULL OR p.as_of <= v.valid_to_offset)
+    GROUP BY 1, 2
+    """,
+)
+def cdc_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) query over the SCD2 history: reconstruct
+    each table's live state AS OF three historical log offsets (25/50/75% of
+    the changelog) by probing the validity intervals — the warehouse query
+    that answers "what did the table look like before that batch landed".
+    Deletes need no special case: a delete closes its predecessor's
+    interval, so coverage alone yields the correct historical state.
+
+    Plan: the 3-row probe side broadcasts (BroadcastNestedLoopJoin against
+    intervals is fine at ANY corpus size when one side is O(probes)); the
+    versions come from the same (table, key) shuffle the upsert shares. At
+    scale with many probes this becomes the interval-join pattern of
+    join_range_asof (union + carry-forward)."""
+    from cdc_debezium_kafka_airflow_spark.operators.cdc import scd2_history
+
+    versions = scd2_history(_unwrapped(spark, sf_dir)).select(
+        "table_name",
+        "valid_from_offset",
+        "valid_to_offset",
+        "value",
+        "user_id",
+    )
+    mo = _unwrapped(spark, sf_dir).agg(
+        F.max("offset").alias("mo")
+    )
+    probes = mo.select(
+        F.explode(
+            F.array(
+                F.floor(F.col("mo") / 4),
+                F.floor(F.col("mo") / 2),
+                F.floor(F.col("mo") * 3 / 4),
+            )
+        ).alias("as_of")
+    )
+    live = versions.join(
+        F.broadcast(probes),
+        (F.col("valid_from_offset") <= F.col("as_of"))
+        & (
+            F.col("valid_to_offset").isNull()
+            | (F.col("as_of") <= F.col("valid_to_offset"))
+        ),
+    )
+    return live.groupBy("as_of", "table_name").agg(
+        F.count("*").alias("n_live_keys"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.max("user_id").alias("max_user"),
+    )
