@@ -1571,3 +1571,94 @@ def ext_media_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     return transform_media(attach_media(d))
+
+
+@q(
+    "ext_quality_classifier",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({NORM}, ' ')) AS tok
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1000 AS wi
+      FROM toks WHERE tok <> ''
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(sum(wi) AS BIGINT) AS wsum,
+             CAST(count(*) AS BIGINT) AS n
+      FROM w GROUP BY doc_id
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(0.1 + (CAST(wsum AS DOUBLE)
+                 / (500.0 * n) - 1.0)))), 6) AS quality_score,
+           CAST(least(floor(round(1.0 / (1.0 + exp(-(0.1
+                 + (CAST(wsum AS DOUBLE) / (500.0 * n) - 1.0)))), 6) * 5),
+                4) AS INT) AS quality_bin,
+           n AS n_tokens
+    FROM s
+    """,
+)
+def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (the fastText-classifier stage of a
+    training-data pipeline, distinct from the heuristic ext_text_quality):
+    a hashed-bag-of-words LINEAR model applied map-side — each token hashes
+    to a weight-table index (md5-derived, engine-portable), the document
+    score is sigmoid(bias + mean weight), and docs land in 5 curriculum
+    bins. The 'pretrained' weight table is the deterministic function
+    w[i] = i/500 - 1 over 1000 hashed buckets, so the oracle reproduces
+    inference exactly; weight-index sums stay INTEGER until one final
+    float expression (identical operands both engines — no summation-order
+    exposure). Everything is JVM expressions inside codegen: model-based
+    filtering at 100 TB is a map-only pass, the real model differing only
+    in where the weight vector comes from."""
+    from cdc_debezium_kafka_airflow_spark.operators.text import (
+        normalize_text,
+        ws_tokens,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(
+        ws_tokens(normalize_text(F.col("text"))), lambda s: s != ""
+    )
+    wi = F.transform(
+        toks,
+        lambda s: F.pmod(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint"),
+            F.lit(1000),
+        ),
+    )
+    based = d.select("doc_id", wi.alias("wi")).select(
+        "doc_id",
+        F.aggregate("wi", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "wsum"
+        ),
+        F.size("wi").cast("bigint").alias("n_tokens"),
+    )
+    score = F.round(
+        1.0
+        / (
+            1.0
+            + F.exp(
+                -(
+                    F.lit(0.1)
+                    + (
+                        F.col("wsum").cast("double")
+                        / (500.0 * F.col("n_tokens"))
+                        - 1.0
+                    )
+                )
+            )
+        ),
+        6,
+    )
+    return based.select(
+        "doc_id",
+        score.alias("quality_score"),
+        F.least(F.floor(score * 5), F.lit(4)).cast("int").alias(
+            "quality_bin"
+        ),
+        "n_tokens",
+    )
