@@ -222,3 +222,38 @@ def test_semantic_dedup_shuffles_by_cell_once(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsIn" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_quality_classifier_is_map_only(spark, sf_dir):
+    """Model inference must be a pure map pass: token hashing, weight
+    lookup, sigmoid and binning all happen per-row — zero exchanges."""
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import (
+        ext_quality_classifier,
+    )
+
+    plan = _plan(ext_quality_classifier(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_incremental_dedup_single_exchange_no_join(spark, sf_dir):
+    """Batch-vs-index dedup: one fp-keyed exchange serves corpus membership
+    AND the intra-batch minimum; a join formulation would shuffle twice."""
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import (
+        ext_dedup_incremental,
+    )
+
+    plan = _plan(ext_dedup_incremental(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_vocab_topk_heap_and_partial_agg(spark, sf_dir):
+    """The word count must combine map-side and rank via a top-k heap —
+    the corpus is never globally sorted."""
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import (
+        ext_vocab_topk,
+    )
+
+    plan = _plan(ext_vocab_topk(spark, sf_dir))
+    assert "partial_count" in plan or "partial_" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
