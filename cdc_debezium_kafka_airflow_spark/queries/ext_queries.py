@@ -1662,3 +1662,62 @@ def ext_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "n_tokens",
     )
+
+
+@q(
+    "ext_length_band_filter",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+             len(list_filter(string_split({NORM}, ' '), t -> t <> ''))
+               AS n_tokens
+      FROM documents
+    ),
+    b AS (
+      SELECT quantile_cont(n_tokens, 0.05) AS p5,
+             quantile_cont(n_tokens, 0.95) AS p95
+      FROM c
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, b.p5, b.p95,
+           (n_tokens >= b.p5 AND n_tokens <= b.p95) AS in_band
+    FROM c, b
+    """,
+)
+def ext_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-band length filtering (the outlier-length curation rule:
+    drop the shortest 5% and longest 5% of documents by token count) using
+    EXACT percentiles — Spark's ``percentile`` and DuckDB's
+    ``quantile_cont`` share linear-interpolation semantics, verified
+    bit-equal. Per-doc counts are one map pass; the two-value band
+    broadcasts back over the corpus; every row is emitted with its band
+    verdict (the audit shape)."""
+    from cdc_debezium_kafka_airflow_spark.operators.text import (
+        normalize_text,
+        ws_tokens,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    counts = d.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                ws_tokens(normalize_text(F.col("text"))), lambda s: s != ""
+            )
+        )
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    band = counts.selectExpr(
+        "percentile(n_tokens, 0.05) AS p5",
+        "percentile(n_tokens, 0.95) AS p95",
+    )
+    return counts.join(F.broadcast(band)).select(
+        "doc_id",
+        "n_tokens",
+        "p5",
+        "p95",
+        (
+            (F.col("n_tokens") >= F.col("p5"))
+            & (F.col("n_tokens") <= F.col("p95"))
+        ).alias("in_band"),
+    )
