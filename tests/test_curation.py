@@ -109,3 +109,53 @@ def test_semantic_dedup_invariants(spark, sf_dir):
             assert r.dup_of is None
     again = semantic_dedup(base, threshold=0.35).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_shuffle_shards_partition_independent(spark):
+    """Property: shard id and within-shard position never depend on the
+    input partitioning — the reproducibility contract that distinguishes
+    the content-hash shuffle from orderBy(rand())."""
+    rows = [(i, f"doc text number {i} with words") for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from cdc_debezium_kafka_airflow_spark.operators.curation import (
+        shuffle_shards,
+    )
+
+    def run(parts):
+        out = shuffle_shards(
+            df.repartition(parts),
+            normalize_text(F.col("text")),
+            F.col("doc_id"),
+            n_shards=8,
+        )
+        return sorted(
+            (r.doc_id, r.shard, r.pos)
+            for r in out.select("doc_id", "shard", "pos").collect()
+        )
+
+    assert run(1) == run(13)
+
+
+def test_semantic_dedup_cell_permutation_invariant(spark):
+    """Property: the kept set must not depend on how rows are partitioned
+    or ordered on arrival — only on (id, cell, vector)."""
+    import random
+
+    from cdc_debezium_kafka_airflow_spark.operators.dedup import semantic_dedup
+
+    rng = random.Random(11)
+    rows = []
+    for vid in range(120):
+        vec = [round(rng.uniform(-1, 1), 3) for _ in range(8)]
+        rows.append((vid, vec, vid % 4))
+    shuffled = rows[:]
+    rng.shuffle(shuffled)
+    a = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    b = spark.createDataFrame(
+        shuffled, "vec_id long, embedding array<double>, label int"
+    ).repartition(7)
+    ra = sorted(map(tuple, semantic_dedup(a, threshold=0.8).collect()))
+    rb = sorted(map(tuple, semantic_dedup(b, threshold=0.8).collect()))
+    assert ra == rb
