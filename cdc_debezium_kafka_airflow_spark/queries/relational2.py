@@ -915,3 +915,63 @@ def dq_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in checks[1:]:
         out = out.unionByName(df)
     return out
+
+
+@q(
+    "agg_sketch_mergeable",
+    """
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+             count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY 1
+    )
+    SELECT day_start, CAST(exact_users AS BIGINT) AS exact_users,
+           TRUE AS sketch_within_2pct
+    FROM daily
+    UNION ALL
+    SELECT CAST(NULL AS TIMESTAMP), count(DISTINCT user_id), TRUE
+    FROM events
+    """,
+)
+def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL via
+    ``hll_sketch_agg``): one sketch per day is built and then UNIONED into
+    the corpus total without touching raw data again — the 100 TB pattern
+    where per-partition/per-day sketch artifacts persist in a metrics table
+    and any rollup (weekly, all-time) is a cheap sketch union instead of a
+    re-scan. The oracle pins the EXACT per-day distincts plus an accuracy
+    contract: every emitted row asserts the sketch estimate landed within
+    2% of exact (HLL lgConfigK=12 → ~1.6% rsd), so a regressed sketch path
+    hash-fails rather than silently degrading. The NULL-day row is the
+    union-of-sketches total."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_trunc("day", "ts").alias("day_start")
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per_day = daily.select(
+        "day_start",
+        "exact_users",
+        (
+            F.abs(
+                F.hll_sketch_estimate("sk").cast("double")
+                - F.col("exact_users")
+            )
+            <= 0.02 * F.col("exact_users")
+        ).alias("sketch_within_2pct"),
+    )
+    total = daily.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact_total = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    total_row = total.join(exact_total).select(
+        F.lit(None).cast("timestamp").alias("day_start"),
+        "exact_users",
+        (
+            F.abs(F.col("est").cast("double") - F.col("exact_users"))
+            <= 0.02 * F.col("exact_users")
+        ).alias("sketch_within_2pct"),
+    )
+    return per_day.unionByName(total_row)
