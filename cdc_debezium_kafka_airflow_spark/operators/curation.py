@@ -54,7 +54,13 @@ def partial_cap_prefilter(
     ranked below ``cap`` locally can never rank within ``cap`` globally, so
     this drops shuffle volume for hot domains from |domain| to
     cap x n_partitions without changing the result (the groupBy-partial-agg
-    analog for rank-filters, which Spark does not push down itself)."""
+    analog for rank-filters, which Spark does not push down itself).
+
+    PRECONDITION: ``priority`` must be a TOTAL order (append a unique id as
+    the last tiebreak, as every call site here does). With ties,
+    row_number() breaks them arbitrarily per partition, so the local
+    top-cap could drop a row the global rank would have kept — the
+    local/global equivalence only holds for a unique ordering."""
     part = F.spark_partition_id()
     w = Window.partitionBy(part, domain).orderBy(*priority)
     return (

@@ -143,6 +143,40 @@ def decode_wav(data: bytes) -> tuple[int, int, float]:
     return rate, n, sum(abs(s) for s in samples) / n
 
 
+def _wav_pcm_samples(data: bytes):
+    """Shared RIFF chunk walk for the numpy DSP paths: validate the
+    container, return (sample_rate, samples as float64 ndarray). The single
+    implementation transform_media and audio_spectrum both use — the
+    chunk-alignment rules live in exactly one place (decode_wav remains the
+    per-sample reference decoder whose mean the oracle checks)."""
+    import numpy as np
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"unsupported WAV variant (fmt={audio_fmt}, "
+                    f"ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            samples = np.frombuffer(
+                body[: size // 2 * 2], dtype="<i2"
+            ).astype(np.float64)
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return rate, samples
+
+
 def attach_media(documents: DataFrame) -> DataFrame:
     """Attach an opaque media column + typed metadata to documents.
 
@@ -288,6 +322,11 @@ def transform_media(media: DataFrame, thumb: int = 2) -> DataFrame:
     arithmetic."""
     import numpy as np
 
+    if thumb != 2:
+        # the output schema (q00..q11) is the 2x2 contract; a different
+        # grid needs a schema derived from `thumb`, not a silent subset
+        raise ValueError("transform_media emits a fixed 2x2 thumbnail")
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = {
@@ -305,29 +344,21 @@ def transform_media(media: DataFrame, thumb: int = 2) -> DataFrame:
                 zc = rms = None
                 if mt == "image":
                     w, h, _ = decode_bmp(data)
-                    # re-walk the pixel rows for the sampled cells only
+                    # re-walk the pixel rows for the sampled cells only;
+                    # honor the storage direction decode_bmp accepts:
+                    # negative biHeight = top-down rows
                     offset = struct.unpack_from("<I", data, 10)[0]
+                    raw_h = struct.unpack_from("<i", data, 22)[0]
+                    top_down = raw_h < 0
                     row_size = (3 * w + 3) // 4 * 4
                     for ty in range(thumb):
                         for tx in range(thumb):
                             sx, sy = tx * w // thumb, ty * h // thumb
-                            # bottom-up storage: logical row sy lives at
-                            # file row (h - 1 - sy)
-                            base = offset + (h - 1 - sy) * row_size + 3 * sx
+                            file_row = sy if top_down else h - 1 - sy
+                            base = offset + file_row * row_size + 3 * sx
                             q[ty][tx] = float(data[base])
                 elif mt == "audio":
-                    _, _, _ = decode_wav(data)  # validates the container
-                    # slice the data chunk directly for vectorized DSP
-                    pos = 12
-                    samples = None
-                    while pos + 8 <= len(data):
-                        cid = data[pos : pos + 4]
-                        size = struct.unpack_from("<I", data, pos + 4)[0]
-                        if cid == b"data":
-                            samples = np.frombuffer(
-                                data[pos + 8 : pos + 8 + size], dtype="<i2"
-                            ).astype(np.float64)
-                        pos += 8 + size + (size & 1)
+                    _, samples = _wav_pcm_samples(data)
                     neg = samples < 0
                     zc = int((neg[1:] != neg[:-1]).sum())
                     rms = round(float(np.sqrt((samples**2).mean())), 6)
@@ -365,17 +396,8 @@ def audio_spectrum(media: DataFrame) -> DataFrame:
             ):
                 if mt != "audio":
                     continue
-                rate, n, _ = decode_wav(bytes(data))
-                raw = bytes(data)
-                pos, samples = 12, None
-                while pos + 8 <= len(raw):
-                    cid = raw[pos : pos + 4]
-                    size = struct.unpack_from("<I", raw, pos + 4)[0]
-                    if cid == b"data":
-                        samples = np.frombuffer(
-                            raw[pos + 8 : pos + 8 + size], dtype="<i2"
-                        ).astype(np.float64)
-                    pos += 8 + size + (size & 1)
+                rate, samples = _wav_pcm_samples(bytes(data))
+                n = len(samples)
                 spec = np.abs(np.fft.rfft(samples))
                 k = int(spec[1:].argmax()) + 1  # skip DC
                 out["doc_id"].append(int(doc_id))

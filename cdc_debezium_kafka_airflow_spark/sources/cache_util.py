@@ -75,9 +75,13 @@ def artifact_load(kind: str, memo_key: object):
     try:
         with open(path) as fh:
             stored = json.load(fh)
-        if stored.get("memo_key") == repr(memo_key):
+        # a corrupt/hand-edited file whose JSON root is not an object must
+        # fall back to retrain, never crash the training path
+        if isinstance(stored, dict) and stored.get("memo_key") == repr(
+            memo_key
+        ):
             return stored["rows"]
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError):
         pass
     return None
 

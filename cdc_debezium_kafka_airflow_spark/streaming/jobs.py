@@ -419,6 +419,7 @@ def pydatasource_stream_upsert(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     ck = temp_checkpoint_dir()
+    q = None
     try:
         q = (
             _state_upsert_agg(unwrapped)
@@ -436,13 +437,18 @@ def pydatasource_stream_upsert(
                 for p in q.recentProgress
                 if p["numInputRows"] > 0
             )
-        q.stop()
-        q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        # only after the query is fully stopped — a live processingTime
-        # stream still commits into the checkpoint
-        shutil.rmtree(ck, ignore_errors=True)
+        # stop INSIDE the finally: if processAllAvailable raised, the
+        # processingTime stream is still live — removing its checkpoint
+        # first would leave a zombie query failing commits in the
+        # background of the shared session
+        try:
+            if q is not None:
+                q.stop()
+                q.awaitTermination()
+        finally:
+            shutil.rmtree(ck, ignore_errors=True)
     return _drop_deleted(spark.table(name))
 
 
@@ -1241,19 +1247,24 @@ def stream_domain_quota(
 
     def admit(key, pdfs, state: "GroupState"):
         used = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id")
-            n = len(pdf)
-            admitted = [used + i < cap for i in range(n)]
-            used += n
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "domain": [key[0]] * n,
-                    "admitted": admitted,
-                }
-            )
+        # the group's rows arrive as MULTIPLE Arrow chunks when a (domain,
+        # micro-batch) group exceeds the Arrow batch size — concatenate and
+        # sort ONCE so admission order is by doc_id across the whole
+        # micro-batch, not per-chunk (a chunk-local sort would let a later
+        # chunk's lower doc_id lose its slot to an earlier chunk's higher
+        # one). Bounded by the domain's rows in one micro-batch.
+        pdf = pd.concat(list(pdfs)).sort_values("doc_id")
+        n = len(pdf)
+        admitted = [used + i < cap for i in range(n)]
+        used += n
         state.update((used,))
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "domain": [key[0]] * n,
+                "admitted": admitted,
+            }
+        )
 
     out = stream.groupBy("source").applyInPandasWithState(
         admit,

@@ -88,17 +88,19 @@ def test_semantic_dedup_invariants(spark, sf_dir):
     from cdc_debezium_kafka_airflow_spark.operators.dedup import semantic_dedup
 
     e = load_table(spark, sf_dir, "embeddings")
-    # plant an exact duplicate pair in one cell
-    dup = e.limit(1).select(
-        (F.col("vec_id") + 10_000_000).alias("vec_id"),
-        F.col("embedding"),
-        F.col("label"),
+    # plant an exact duplicate pair in one cell — pick the row ONCE (a bare
+    # limit(1) re-evaluated as a second action is not guaranteed to return
+    # the same row under a different scan order)
+    src = e.orderBy("vec_id").limit(1).collect()[0]
+    orig_id = src.vec_id
+    dup = spark.createDataFrame(
+        [(orig_id + 10_000_000, src.embedding, src.label)],
+        e.select("vec_id", "embedding", "label").schema,
     )
     base = e.select("vec_id", "embedding", "label").unionByName(dup)
     out = semantic_dedup(base, threshold=0.35).collect()
     by_id = {r.vec_id: r for r in out}
     assert len(out) == base.count()
-    orig_id = e.limit(1).collect()[0].vec_id
     planted = by_id[orig_id + 10_000_000]
     assert not planted.kept and planted.dup_of is not None
     for r in out:
@@ -159,3 +161,29 @@ def test_semantic_dedup_cell_permutation_invariant(spark):
     ra = sorted(map(tuple, semantic_dedup(a, threshold=0.8).collect()))
     rb = sorted(map(tuple, semantic_dedup(b, threshold=0.8).collect()))
     assert ra == rb
+
+
+def test_stream_quota_correct_across_arrow_chunks(spark, sf_dir):
+    """Regression: a (domain, micro-batch) group arriving as MULTIPLE Arrow
+    chunks must still admit strictly by doc_id across the whole batch —
+    forced here by shrinking the Arrow batch size so every group splits."""
+    from cdc_debezium_kafka_airflow_spark.streaming import jobs
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        got = {
+            r.doc_id: r.admitted
+            for r in jobs.stream_domain_quota(spark, sf_dir, cap=7).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    expect = {
+        r.doc_id: r.rn <= 7
+        for r in docs.withColumn("rn", F.row_number().over(w)).collect()
+    }
+    assert got == expect
