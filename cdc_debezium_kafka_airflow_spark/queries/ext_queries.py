@@ -1721,3 +1721,80 @@ def ext_length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_tokens") <= F.col("p95"))
         ).alias("in_band"),
     )
+
+
+@q(
+    "ext_ann_recall_audit",
+    f"""
+    WITH {SIM_CTE},
+    {BITS_CTE},
+    q AS (SELECT vec_id AS query_id, e, bucket FROM vb WHERE vec_id % 50 = 0),
+    ex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_inner_product(q.e, c.e) /
+                   (sqrt(list_inner_product(q.e, q.e)) *
+                    sqrt(list_inner_product(c.e, c.e))) DESC,
+                 c.vec_id ASC) AS rn
+        FROM q JOIN v c ON c.vec_id <> q.query_id
+      ) WHERE rn <= 10
+    ),
+    ann AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id ORDER BY
+                 list_inner_product(q.e, c.e) /
+                   (sqrt(list_inner_product(q.e, q.e)) *
+                    sqrt(list_inner_product(c.e, c.e))) DESC,
+                 c.vec_id ASC) AS rn
+        FROM q JOIN vb c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+      ) WHERE rn <= 10
+    )
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+           round(count(a.neighbor_id) / CAST(count(*) AS DOUBLE), 6)
+             AS recall
+    FROM ex e LEFT JOIN ann a
+      ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def ext_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index-quality monitoring: recall@10 of the sign-bucket ANN
+    against exact brute force, per query — the metric a production vector
+    index reports continuously (recall regressions from drift or a stale
+    index surface here, not in user complaints). Both tiers are
+    SQL-expressible, so the recall numbers themselves are oracle-exact."""
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+        brute_force_topk,
+        bucketed_ann_topk,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    exact = brute_force_topk(queries, corpus, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    ann = bucketed_ann_topk(queries, corpus, k=10).select(
+        "query_id", F.col("neighbor_id").alias("ann_neighbor")
+    )
+    j = exact.join(
+        ann,
+        (exact.query_id == ann.query_id)
+        & (F.col("neighbor_id") == F.col("ann_neighbor")),
+        "left",
+    ).select(exact.query_id, "neighbor_id", "ann_neighbor")
+    return j.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.count("ann_neighbor").alias("n_hits"),
+        F.round(
+            F.count("ann_neighbor") / F.count("*").cast("double"), 6
+        ).alias("recall"),
+    )
