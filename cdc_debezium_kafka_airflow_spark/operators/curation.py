@@ -98,6 +98,16 @@ def cap_per_domain(
     )
 
 
+def shard_of(text_norm: Column, n_shards: int) -> Column:
+    """Content-hash shard id (hex window DISJOINT from the split bucket's,
+    so shard and train/val/test membership stay independent) — the pure
+    map-side half of shuffle_shards, shared with the balance audit."""
+    h = F.md5(text_norm)
+    return F.pmod(
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint"), F.lit(n_shards)
+    )
+
+
 def shuffle_shards(
     docs: DataFrame,
     text_norm: Column,
@@ -113,10 +123,8 @@ def shuffle_shards(
     yields the same shard files on every engine and partition layout —
     df.sample/orderBy(rand()) cannot promise either. One shuffle (the
     within-shard sort); shard is the output-file partition key."""
-    h = F.md5(text_norm)
-    shard = F.pmod(
-        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint"), F.lit(n_shards)
-    )
-    d = docs.withColumn("shard", shard).withColumn("_h", h)
+    d = docs.withColumn(
+        "shard", shard_of(text_norm, n_shards)
+    ).withColumn("_h", F.md5(text_norm))
     w = Window.partitionBy("shard").orderBy(F.col("_h"), tiebreak)
     return d.withColumn("pos", F.row_number().over(w)).drop("_h")

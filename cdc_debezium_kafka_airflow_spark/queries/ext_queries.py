@@ -1798,3 +1798,70 @@ def ext_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("ann_neighbor") / F.count("*").cast("double"), 6
         ).alias("recall"),
     )
+
+
+@q(
+    "ext_shard_balance_audit",
+    f"""
+    WITH h AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5({NORM}), 9, 8)) AS BIGINT) % 8
+                  AS INT) AS shard,
+             len(list_filter(string_split({NORM}, ' '), t -> t <> ''))
+               AS n_tokens
+      FROM documents
+    ),
+    s AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+      FROM h GROUP BY shard
+    ),
+    g AS (SELECT avg(shard_tokens) AS mean_tokens FROM s)
+    SELECT shard, n_docs, shard_tokens,
+           round(shard_tokens / g.mean_tokens, 6) AS load_factor,
+           (shard_tokens BETWEEN 0.5 * g.mean_tokens
+                             AND 2.0 * g.mean_tokens) AS within_2x
+    FROM s, g
+    """,
+)
+def ext_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance audit for the global training shuffle: docs and TOKENS
+    per shard plus each shard's load factor vs the mean — the health metric
+    that catches a skewed shard before a training run stalls on it (token
+    count, not doc count, is what paces a training reader). The within_2x
+    flag is the alert predicate; the content-hash shard assignment should
+    keep every shard near 1.0 at any corpus size."""
+    from cdc_debezium_kafka_airflow_spark.operators.curation import shard_of
+    from cdc_debezium_kafka_airflow_spark.operators.text import (
+        normalize_text,
+        ws_tokens,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    # shard_of only (not shuffle_shards): the audit needs the map-side
+    # assignment, not the within-shard ordering window
+    sharded = d.select(
+        shard_of(normalize_text(F.col("text")), 8).cast("int").alias("shard"),
+        F.size(
+            F.filter(
+                ws_tokens(normalize_text(F.col("text"))), lambda s: s != ""
+            )
+        ).alias("n_tokens"),
+    )
+    per = sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("shard_tokens"),
+    )
+    g = per.agg(F.avg("shard_tokens").alias("mean_tokens"))
+    return per.join(F.broadcast(g)).select(
+        "shard",
+        "n_docs",
+        "shard_tokens",
+        F.round(F.col("shard_tokens") / F.col("mean_tokens"), 6).alias(
+            "load_factor"
+        ),
+        (
+            (F.col("shard_tokens") >= 0.5 * F.col("mean_tokens"))
+            & (F.col("shard_tokens") <= 2.0 * F.col("mean_tokens"))
+        ).alias("within_2x"),
+    )
