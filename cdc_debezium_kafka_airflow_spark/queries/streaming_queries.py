@@ -350,3 +350,40 @@ def stream_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle recomputes the admitted set with a window rank."""
     t(spark, sf_dir, "documents")  # session confs
     return jobs.stream_domain_quota(spark, sf_dir, cap=15)
+
+
+@q(
+    "stream_late_data_drop",
+    """
+    WITH wm1 AS (
+      SELECT max(ts) - INTERVAL 2 DAY AS w FROM events
+      WHERE ts < '2024-01-09'
+         OR (ts >= '2024-01-14' AND ts < '2024-01-15')
+    ),
+    wmf AS (SELECT max(ts) - INTERVAL 2 DAY AS w FROM events),
+    kept AS (
+      SELECT * FROM events e
+      WHERE NOT (
+        e.ts >= '2024-01-09' AND e.ts < '2024-01-14'
+        AND CAST(date_trunc('day', e.ts) AS TIMESTAMP) + INTERVAL 1 DAY
+              <= (SELECT w FROM wm1)
+      )
+    )
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           event_type, count(*) AS n_events
+    FROM kept
+    WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY
+            <= (SELECT w FROM wmf)
+    GROUP BY 1, 2
+    """,
+)
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark late-data DROPS, actually exercised: a 4-file replay
+    delivers days 9-13 in the THIRD micro-batch, after day 14 has advanced
+    the watermark into day 12 — days 9-11 drop (window end below the
+    watermark), days 12-13 survive; the final append emits every window
+    closed by the end watermark. The oracle recomputes both cuts from the
+    exact closed-form watermark (max(seen prefix) - 2 days); the pinned
+    Spark drop semantics are documented in jobs.stream_late_data_drop."""
+    t(spark, sf_dir, "events")
+    return jobs.stream_late_data_drop(spark, sf_dir)

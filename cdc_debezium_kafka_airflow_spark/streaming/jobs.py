@@ -1274,3 +1274,83 @@ def stream_domain_quota(
         GroupStateTimeout.NoTimeout,
     )
     return _run_to_memory(out, "append", parts="8")
+
+
+def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL late-data drops under a watermark: the events replay is written
+    as four files replayed one per micro-batch —
+
+      batch 0: days 1-8 and day 14       (day 14 is what the watermark will
+                                          derive from: max(day-14) - 2d
+                                          lands inside day 12)
+      batch 1: day 15                    (filler — the filter watermark for
+                                          batch N derives from data through
+                                          batch N-2, so one batch must pass
+                                          before batch 0's maximum becomes
+                                          the active filter)
+      batch 2: days 9-13, arriving LATE  (windows for days 9-11 ended before
+                                          the now-active watermark -> their
+                                          rows DROP; days 12-13 still open
+                                          -> accepted)
+      batch 3: days 16-30                (advances the watermark to the end)
+
+    The empirically-pinned Spark semantics this depends on (verified on this
+    build with per-batch numRowsDroppedByWatermark): the late filter drops a
+    row iff its WINDOW END <= the active watermark (event-time alone below
+    the watermark does NOT drop), and the watermark ACTIVE for batch N's
+    filter derives from data through batch N-2 (one batch behind the value
+    the progress line displays for batch N, which derives from N-1).
+
+    Append-mode 1-day tumbling counts then emit every window closed by the
+    final watermark. Unlike stream_watermark (single batch, nothing actually
+    late), this exercises the drop path itself; the boundary arithmetic is
+    closed-form (watermark = exact max(ts) of the seen prefix minus 2 days),
+    so the DuckDB oracle reproduces the dropped cohort and the
+    emitted-window cut exactly."""
+    import shutil
+
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        cache_is_fresh,
+        source_fingerprint,
+        write_fingerprint,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    replay_dir = os.path.join("/root/repo/.cache", f"events_late_{tag}")
+    # ":late5" = replay layout version; a layout change must invalidate
+    # even when the source fixture hasn't moved
+    fp = source_fingerprint(sf_dir, "events") + ":late5"
+    if not cache_is_fresh(replay_dir, fp):
+        shutil.rmtree(replay_dir, ignore_errors=True)
+        e = load_table(spark, sf_dir, "events").select("ts", "event_type")
+        d09, d14, d15, d16 = (
+            "2024-01-09", "2024-01-14", "2024-01-15", "2024-01-16",
+        )
+        parts = [
+            (F.col("ts") < d09)
+            | ((F.col("ts") >= d14) & (F.col("ts") < d15)),
+            (F.col("ts") >= d15) & (F.col("ts") < d16),  # filler batch
+            (F.col("ts") >= d09) & (F.col("ts") < d14),  # the late cohort
+            F.col("ts") >= d16,
+        ]
+        for i, cond in enumerate(parts):
+            mode = "overwrite" if i == 0 else "append"
+            e.filter(cond).coalesce(1).write.mode(mode).parquet(replay_dir)
+        write_fingerprint(replay_dir, fp)
+
+    schema = spark.read.parquet(replay_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(replay_dir, "*.parquet"))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 days")
+        .groupBy(F.window("ts", "1 day").alias("win"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    out = _run_to_memory(agg, "append", parts="8")
+    return out.select(
+        F.col("win.start").alias("day_start"), "event_type", "n_events"
+    )
