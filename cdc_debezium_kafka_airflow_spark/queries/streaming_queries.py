@@ -387,3 +387,43 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark drop semantics are documented in jobs.stream_late_data_drop."""
     t(spark, sf_dir, "events")
     return jobs.stream_late_data_drop(spark, sf_dir)
+
+
+@q(
+    "stream_stream_left_outer",
+    """
+    WITH wm AS (
+      SELECT least((SELECT max(o_orderdate) FROM orders),
+                   (SELECT max(l_shipdate) FROM lineitem))
+             - INTERVAL 30 DAY AS w
+    ),
+    m AS (
+      SELECT o.o_orderkey, o.o_orderpriority, o.o_orderdate,
+             count(l.l_orderkey) AS nl,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM orders o LEFT JOIN lineitem l
+        ON l.l_orderkey = o.o_orderkey
+       AND l.l_shipdate >= o.o_orderdate
+       AND l.l_shipdate <= o.o_orderdate + INTERVAL 120 DAY
+      GROUP BY 1, 2, 3
+    )
+    SELECT o_orderpriority,
+           CAST(sum(nl) AS BIGINT) AS n_lineitems,
+           round(sum(rev), 2) AS revenue,
+           CAST(sum(CASE WHEN nl = 0
+                          AND o_orderdate + INTERVAL 120 DAY
+                                < (SELECT w FROM wm)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_orders
+    FROM m GROUP BY 1
+    """,
+)
+def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: matched pairs emit with
+    inner semantics; an UNMATCHED order emits null-extended only once the
+    joint watermark (min of both sides' watermark = least(max o_orderdate,
+    max l_shipdate) - 30d) proves no future lineitem can land in its
+    120-day window — orders whose window is still open at end-of-replay
+    stay in state and do not emit. The oracle reproduces exactly that
+    eviction cut relationally."""
+    t(spark, sf_dir, "orders")
+    return jobs.stream_stream_left_outer_join(spark, sf_dir)

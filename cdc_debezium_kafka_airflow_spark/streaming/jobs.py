@@ -1354,3 +1354,71 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         F.col("win.start").alias("day_start"), "event_type", "n_events"
     )
+
+
+def stream_stream_left_outer_join(
+    spark: SparkSession, sf_dir: str, delay: str = "30 days"
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: orders LEFT JOIN lineitem on
+    key + l_shipdate within [o_orderdate, o_orderdate + 120 days]. Matched
+    pairs emit immediately (inner semantics); an UNMATCHED order emits with
+    null right side only once the joint watermark proves no future lineitem
+    can still land in its window — i.e. min(both sides' watermark) has
+    passed o_orderdate + 120 days. Orders whose window is still open at
+    end-of-replay stay in state and do NOT emit, which is exactly the
+    semantics the oracle reproduces: with watermark delay D, the final
+    joint watermark is min(max(o_orderdate), max(l_shipdate)) - D.
+
+    Returns per-priority totals: matched lineitem count + revenue, plus the
+    count of proven-unmatched orders."""
+    o_schema = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
+    l_schema = spark.read.parquet(
+        os.path.join(sf_dir, "lineitem.parquet")
+    ).schema
+    orders = (
+        spark.readStream.schema(o_schema)
+        .parquet(os.path.join(sf_dir, "orders.parqu*"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        )
+        .withWatermark("o_orderdate", delay)
+    )
+    lineitem = (
+        spark.readStream.schema(l_schema)
+        .parquet(os.path.join(sf_dir, "lineitem.parqu*"))
+        .select(
+            "l_orderkey",
+            "l_extendedprice",
+            "l_discount",
+            F.col("l_shipdate").cast("timestamp").alias("l_shipdate"),
+        )
+        .withWatermark("l_shipdate", delay)
+    )
+    joined = orders.join(
+        lineitem,
+        F.expr(
+            "o_orderkey = l_orderkey"
+            " AND l_shipdate >= o_orderdate"
+            " AND l_shipdate <= o_orderdate + INTERVAL 120 DAYS"
+        ),
+        "left_outer",
+    ).select(
+        "o_orderpriority", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _run_to_memory(joined, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out.groupBy("o_orderpriority").agg(
+        F.count("l_orderkey").alias("n_lineitems"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.sum(F.col("l_orderkey").isNull().cast("long")).alias(
+            "n_unmatched_orders"
+        ),
+    )
