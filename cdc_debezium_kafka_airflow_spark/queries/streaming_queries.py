@@ -427,3 +427,24 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     eviction cut relationally."""
     t(spark, sf_dir, "orders")
     return jobs.stream_stream_left_outer_join(spark, sf_dir)
+
+
+@q(
+    "stream_stream_semi",
+    """
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate >= o.o_orderdate
+        AND l.l_shipdate <= o.o_orderdate + INTERVAL 120 DAY
+    )
+    GROUP BY 1
+    """,
+)
+def stream_stream_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join: an order emits once on its
+    first in-window lineitem — the final distinct set is exactly EXISTS."""
+    t(spark, sf_dir, "orders")
+    return jobs.stream_stream_semi_anti_join(spark, sf_dir, "left_semi")

@@ -1422,3 +1422,56 @@ def stream_stream_left_outer_join(
             "n_unmatched_orders"
         ),
     )
+
+
+def stream_stream_semi_anti_join(
+    spark: SparkSession, sf_dir: str, how: str, delay: str = "30 days"
+) -> DataFrame:
+    """Stream-stream LEFT SEMI interval join on the same orders-lineitem
+    window as the outer variant: an order emits once on its first in-window
+    match, so the final distinct set is exactly EXISTS. (``how`` is kept a
+    parameter for symmetry, but note Spark does not support a streaming
+    LEFT ANTI right side — anti semantics come from the OUTER join's
+    null-extended rows, see stream_stream_left_outer's
+    n_unmatched_orders.) Returns per-priority order counts."""
+    o_schema = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
+    l_schema = spark.read.parquet(
+        os.path.join(sf_dir, "lineitem.parquet")
+    ).schema
+    orders = (
+        spark.readStream.schema(o_schema)
+        .parquet(os.path.join(sf_dir, "orders.parqu*"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        )
+        .withWatermark("o_orderdate", delay)
+    )
+    lineitem = (
+        spark.readStream.schema(l_schema)
+        .parquet(os.path.join(sf_dir, "lineitem.parqu*"))
+        .select(
+            "l_orderkey",
+            F.col("l_shipdate").cast("timestamp").alias("l_shipdate"),
+        )
+        .withWatermark("l_shipdate", delay)
+    )
+    joined = orders.join(
+        lineitem,
+        F.expr(
+            "o_orderkey = l_orderkey"
+            " AND l_shipdate >= o_orderdate"
+            " AND l_shipdate <= o_orderdate + INTERVAL 120 DAYS"
+        ),
+        how,
+    ).select("o_orderkey", "o_orderpriority")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _run_to_memory(joined, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_orderkey").alias("n_orders")
+    )
