@@ -582,3 +582,90 @@ def cdc_schema_compat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("FORWARD")
         .alias("compat"),
     )
+
+
+@q(
+    "cdc_forget_user",
+    f"""
+    WITH {MAT_CTE},
+    purged AS (
+      SELECT * FROM mat WHERE user_id % 17 != 0
+    ),
+    audit AS (
+      SELECT table_name,
+             CAST(count(*) AS BIGINT) AS n_purged,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n_subjects
+      FROM mat WHERE user_id % 17 = 0 GROUP BY table_name
+    )
+    SELECT p.table_name,
+           CAST(count(*) AS BIGINT) AS n_remaining,
+           max(a.n_purged) AS n_purged,
+           max(a.n_subjects) AS n_subjects
+    FROM purged p LEFT JOIN audit a ON p.table_name = a.table_name
+    GROUP BY p.table_name
+    """,
+)
+def cdc_forget_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation through the materialized warehouse
+    (the compliance op every CDC warehouse eventually runs): a deterministic
+    deletion list (user_id % 17 == 0 — in production, the DSR queue) is
+    anti-joined out of the live state, and the same pass emits the audit a
+    DPO needs: rows purged and distinct data subjects per table. Deletion
+    list semantics ride the upsert materialization, so tombstoned and
+    superseded rows are already gone before the purge — only LIVE images
+    count. One broadcast anti-join over the materialized state; at scale
+    the deletion list is the small side by construction."""
+    from pyspark.sql import functions as F
+
+    mat = upsert_materialize_q(spark, sf_dir)
+    forget = F.col("user_id") % 17 == 0
+    purged = mat.filter(~forget)
+    audit = mat.filter(forget).groupBy("table_name").agg(
+        F.count("*").alias("n_purged"),
+        F.countDistinct("user_id").alias("n_subjects"),
+    )
+    return (
+        purged.groupBy("table_name")
+        .agg(F.count("*").alias("n_remaining"))
+        .join(F.broadcast(audit), "table_name", "left")
+        .select("table_name", "n_remaining", "n_purged", "n_subjects")
+    )
+
+
+@q(
+    "cdc_snapshot_handoff",
+    f"""
+    WITH {MAT_CTE}
+    SELECT * FROM mat
+    """,
+)
+def cdc_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot -> streaming handoff (the Debezium bootstrap lifecycle,
+    register-mysql-connector.json snapshot mode): the warehouse is first
+    materialized from the changelog PREFIX (offsets <= the handoff point,
+    half the log) and re-emitted as op='r' snapshot records at their
+    original offsets — exactly what a connector's initial snapshot produces
+    — then the changelog SUFFIX is applied ON TOP of those snapshot
+    records through the same upsert. A hash match against the straight
+    full materialization proves the handoff is gapless and overlap-safe:
+    keys deleted before the handoff stay absent unless re-created, keys
+    updated after it converge to the suffix image, and offset-based
+    last-write-wins arbitrates any snapshot/suffix overlap."""
+    u = _unwrapped(spark, sf_dir)
+    after_fields = [
+        f.name for f in u.schema["after"].dataType.fields
+    ]
+    k = u.agg(F.floor(F.max("offset") / 2).alias("k"))
+    uk = u.join(F.broadcast(k))
+    cols = ["table_name", "key_id", "offset", "is_delete", "after"]
+    prefix = uk.filter(F.col("offset") <= F.col("k")).select(cols)
+    suffix = uk.filter(F.col("offset") > F.col("k")).select(cols)
+    snap_state = upsert_materialize(prefix)
+    snap_log = snap_state.select(
+        "table_name",
+        F.col("user_id").alias("key_id"),
+        F.col("last_offset").alias("offset"),
+        F.lit(False).alias("is_delete"),
+        F.struct(*after_fields).alias("after"),
+    )
+    return upsert_materialize(snap_log.unionByName(suffix))
