@@ -11,6 +11,7 @@ from cdc_debezium_kafka_airflow_spark.queries import (
     ext_queries,
     relational,
     relational2,
+    relational3,
     format_queries,
     streaming_queries,
     surface_queries,
@@ -20,6 +21,7 @@ from cdc_debezium_kafka_airflow_spark.queries import (
 _MODULES = [
     relational,
     relational2,
+    relational3,
     cdc_queries,
     ext_queries,
     format_queries,

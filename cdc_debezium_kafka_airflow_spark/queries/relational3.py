@@ -1,0 +1,203 @@
+"""Third wave of warehouse/curation surface: multi-region volume join
+(TPC-H Q5 shape), cohort retention, curriculum staging.
+
+Reference parity: the reference's warehouse DAGs
+(dags/postgres_warehouse*.py) run multi-table joins + grouped rollups over
+the CDC-materialized tables; these queries exercise the same relational
+surface at star-join width (6 tables) and event-analytics depth (cohort
+retention), re-expressed as Catalyst plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from cdc_debezium_kafka_airflow_spark.queries.common import t
+from cdc_debezium_kafka_airflow_spark.queries.ext_queries import NORM
+from cdc_debezium_kafka_airflow_spark.operators.text import text_metrics
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+@q(
+    "q5_regional_volume",
+    """
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-table star join: local-supplier volume by nation
+    within one region and a 2-year order window.
+
+    Scale posture: region/nation are broadcast (tiny dims — the filter on
+    r_name prunes nations BEFORE the fact join, so the n_nationkey IN-set
+    reaches the supplier/customer scans); the date filter is pushed into
+    the orders parquet scan; the big fact-fact joins (lineitem-orders,
+    then customer/supplier) shuffle on their keys and AQE picks
+    broadcast for whatever side turns out small after filtering. No
+    cartesian anywhere — the c_nationkey = s_nationkey local-supplier
+    predicate rides the supplier equi-join as a second conjunct.
+    """
+    region = t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = (
+        t(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    orders = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    customer = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    lineitem = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.count("*").alias("n_lineitems"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+@q(
+    "retention_cohort",
+    """
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week,
+           CAST(datediff('day', CAST(f.cohort_week AS DATE),
+                         CAST(e.ts AS DATE)) // 7 AS INT) AS week_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active_users
+    FROM events e JOIN firsts f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users bucketed by first-seen week, activity counted
+    per week offset — the standard event-analytics retention triangle.
+
+    Scale posture: two shuffles, both on user_id — the first-seen agg and
+    the self-join reuse the same hash partitioning (Catalyst's
+    ReusedExchange / EnsureRequirements collapses the second exchange
+    when the join keys match the agg keys), and the final distinct-count
+    agg is partial-aggregated map-side. The firsts side is exactly one
+    row per user, so at 100 TB it is the small side and AQE broadcast
+    kicks in when the user dimension fits.
+    """
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    joined = ev.join(firsts, "user_id")
+    return (
+        joined.select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_week").cast("date"))
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active_users"))
+    )
+
+
+@q(
+    "ext_curriculum_stages",
+    f"""
+    WITH d AS (SELECT doc_id, {NORM} AS t FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(string_split(t, ' ')) AS INT) AS n_tokens,
+             (length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')))
+               / greatest(length(t), 1) AS punct_ratio,
+             CAST(len(list_filter(string_split(t, ' '),
+                  w -> w IN ('the','a','of','and','to','in','is','on'))) AS INT)
+               AS n_stopwords
+      FROM d
+    ),
+    s AS (
+      SELECT doc_id, n_tokens,
+             round(0.5 * least(n_tokens / 200.0, 1.0)
+                   + 0.3 * least(n_stopwords / greatest(n_tokens, 1) * 5, 1.0)
+                   + 0.2 * (1.0 - punct_ratio), 6) AS quality_score
+      FROM m
+    )
+    SELECT CAST(least(greatest(floor(quality_score * 10), 0), 9) AS INT)
+             AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+           round(avg(quality_score), 4) AS avg_quality
+    FROM s
+    GROUP BY 1
+    """,
+)
+def ext_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum staging for training-data ordering: every document is
+    assigned a quality band (fixed 0.1-wide thresholds on the shared
+    quality score) and the corpus is summarized per stage.
+
+    Scale posture: band assignment is MAP-ONLY (fixed thresholds — no
+    global sort, no ntile; a decile-based curriculum would need a
+    sampled-quantile pre-pass, which is exactly what
+    ext_length_band_filter demonstrates). One partial-agg shuffle over
+    ≤10 groups. At 100 TB the stage id doubles as the output partition
+    key, so the downstream trainer reads stages sequentially without a
+    sort.
+    """
+    scored = text_metrics(t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    staged = scored.withColumn(
+        "stage",
+        F.least(
+            F.greatest(F.floor(F.col("quality_score") * 10), F.lit(0)),
+            F.lit(9),
+        ).cast("int"),
+    )
+    return staged.groupBy("stage").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+    )

@@ -448,3 +448,22 @@ def stream_stream_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     first in-window lineitem — the final distinct set is exactly EXISTS."""
     t(spark, sf_dir, "orders")
     return jobs.stream_stream_semi_anti_join(spark, sf_dir, "left_semi")
+
+
+@q(
+    "stream_static_join",
+    """
+    SELECT c.c_mktsegment,
+           count(*) AS n_events,
+           round(sum(e.value), 4) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment: the events stream joins a
+    broadcast batch dimension (customer) in every micro-batch — stateless,
+    map-side, no shuffle of the stream (the CDC topic -> warehouse-dim
+    enrichment topology of the reference's sink DAGs)."""
+    t(spark, sf_dir, "events")
+    return jobs.stream_static_dim_join(spark, sf_dir)

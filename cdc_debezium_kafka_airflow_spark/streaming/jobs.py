@@ -1276,6 +1276,36 @@ def stream_domain_quota(
     return _run_to_memory(out, "append", parts="8")
 
 
+def stream_static_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_static_join``: streaming fact enriched against a static
+    (batch) dimension table — the canonical CDC-enrichment topology: the
+    Kafka event stream carries foreign keys, the warehouse dimension is a
+    bounded table, and every micro-batch joins against it without any
+    stream-side state (reference joins topic rows to warehouse dims in its
+    sink DAGs; see dags/*postgres* load steps).
+
+    Scale posture: the dimension is broadcast, so the join is map-side in
+    every trigger — no shuffle of the stream, no state store at all (unlike
+    a stream-stream join). A dimension too large to broadcast would instead
+    be a storage-partitioned/bucketed join on the key, still stateless.
+    Spark re-reads the static side per trigger by default; for a replay
+    fixture that is one read, and a production job would cache the dim or
+    use a rate-limited refresh.
+    """
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    ev = events_stream(spark, sf_dir)
+    joined = ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey, "inner")
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
+    return _run_to_memory(agg, "complete", parts="8")
+
+
 def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL late-data drops under a watermark: the events replay is written
     as four files replayed one per micro-batch —

@@ -257,3 +257,83 @@ def test_vocab_topk_heap_and_partial_agg(spark, sf_dir):
     plan = _plan(ext_vocab_topk(spark, sf_dir))
     assert "partial_count" in plan or "partial_" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q5_star_join_broadcasts_dims_and_pushes_date_filter(spark, sf_dir):
+    """Q5-shape: tiny dims (region+nation) must reach the fact join as a
+    broadcast, and the 2-year order window must be pushed into the orders
+    parquet scan — at 100 TB the scan reads 2 years, not the table."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational3 import (
+        q5_regional_volume,
+    )
+
+    plan = _plan(q5_regional_volume(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan
+
+
+def test_retention_cohort_reuses_user_partitioning(spark, sf_dir):
+    """The first-seen agg and the self-join both hash on user_id: the agg
+    output must feed the join without a second full shuffle of the events
+    side (<=2 hashpartitioning exchanges on user_id total, not 3), and the
+    final agg must partial-aggregate map-side."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational3 import (
+        retention_cohort,
+    )
+
+    plan = _plan(retention_cohort(spark, sf_dir))
+    n_user_exchanges = plan.count("Exchange hashpartitioning(user_id")
+    assert n_user_exchanges <= 2, plan
+    assert "partial_" in plan, plan
+
+
+def test_curriculum_stages_band_assignment_is_map_only(spark, sf_dir):
+    """Fixed-threshold curriculum banding must not sort: no global Sort, no
+    window/ntile — the only exchange is the <=10-group aggregation."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational3 import (
+        ext_curriculum_stages,
+    )
+
+    plan = _plan(ext_curriculum_stages(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "Sort [" not in plan.replace("SortAggregate", ""), plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_stream_static_join_is_stateless_broadcast(spark, sf_dir):
+    """Stream-static enrichment must be a stateless map-side join: the
+    batch twin of the per-trigger plan is a BroadcastHashJoin (the
+    stream side never shuffles, no join state store exists — unlike a
+    stream-stream join), and the streaming run agrees with it."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+    from cdc_debezium_kafka_airflow_spark.streaming import jobs
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    batch_plan = _plan(
+        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey).groupBy(
+            "c_mktsegment"
+        ).agg(F.count("*").alias("n_events"))
+    )
+    assert "BroadcastHashJoin" in batch_plan, batch_plan
+    assert "StateStore" not in batch_plan, batch_plan
+
+    streamed = {
+        r["c_mktsegment"]: r["n_events"]
+        for r in jobs.stream_static_dim_join(spark, sf_dir).collect()
+    }
+    batch = {
+        r["c_mktsegment"]: r["n_events"]
+        for r in ev.join(dim, ev.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert streamed == batch
