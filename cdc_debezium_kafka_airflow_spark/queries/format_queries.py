@@ -247,3 +247,109 @@ def snk_compacted_warehouse(spark: SparkSession, sf_dir: str) -> DataFrame:
             files.append((d.split("=", 1)[1], n))
     fdf = spark.createDataFrame(files, "table_name string, n_files int")
     return counts.join(fdf, "table_name")
+
+
+@q(
+    "ctl_backfill",
+    """
+    WITH e AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS d, value FROM events
+    ),
+    b AS (
+      SELECT min(d) AS d0,
+             min(d) + CAST(datediff('day', min(d), max(d)) // 2 AS INT) AS cut
+      FROM e
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day_str,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           d > (SELECT cut FROM b) AS backfilled
+    FROM e GROUP BY d
+    """,
+)
+def ctl_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scheduler backfill / catch-up over a date-partitioned warehouse —
+    the Airflow `catchup` semantic (reference dags/cdc_health_check_dag.py:42-44
+    pins start_date + cron + catchup=False; a backfill run is the same DAG
+    executed for every missing logical date) re-expressed as an idempotent
+    partition-level catch-up job:
+
+    1. the "already-run" state: daily rollups for the first half of the
+       calendar, written `partitionBy(day_str)`;
+    2. the scheduler diff: logical dates present in the SOURCE minus
+       partitions present in the WAREHOUSE (a partition-directory listing,
+       not a data scan) — the bounded driver-side set that an Airflow
+       scheduler itself materializes as DagRuns;
+    3. the backfill: source filtered to ONLY the missing dates (predicate
+       pushed to the scan), written under DYNAMIC partition overwrite so
+       re-running any subset is idempotent — existing partitions are
+       untouched (mtime-pinned in pytest), completed backfills no-op.
+
+    Scale posture: each backfilled date is an independent partition write
+    (at 100 TB: one cluster job per date or one job for all missing dates,
+    both map-side partitioned); the only driver-side state is the date
+    diff, bounded by the calendar, exactly like Airflow's own run ledger.
+    """
+    path = _cache_dir(sf_dir, "backfill_warehouse")
+    ev = t(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "value"
+    )
+    d0, d1 = ev.agg(F.min("d"), F.max("d")).first()  # bounded: 1 row
+    import datetime as _dt
+
+    cut = d0 + _dt.timedelta(days=(d1 - d0).days // 2)
+
+    def rollup(frame: DataFrame, backfilled: bool) -> DataFrame:
+        return (
+            frame.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day_str"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.round(F.sum("value"), 4).alias("sum_value"),
+            )
+            .withColumn("backfilled", F.lit(backfilled))
+        )
+
+    # 1. the half-built warehouse (the state a paused DAG leaves behind)
+    rollup(ev.where(F.col("d") <= F.lit(cut)), False).write.mode(
+        "overwrite"
+    ).partitionBy("day_str").parquet(path)
+
+    # 2. scheduler diff: source logical dates minus existing partitions
+    # partition-column type inference reads day_str back as DATE — cast to
+    # string so the diff compares like with like
+    have = {
+        r.day_str
+        for r in spark.read.parquet(path)
+        .select(F.col("day_str").cast("string").alias("day_str"))
+        .distinct()
+        .collect()
+    }
+    want = {
+        r.day_str
+        for r in ev.select(
+            F.date_format("d", "yyyy-MM-dd").alias("day_str")
+        ).distinct().collect()
+    }
+    missing = sorted(want - have)  # bounded by the calendar
+
+    # 3. idempotent catch-up under dynamic partition overwrite
+    if missing:
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            rollup(
+                ev.where(
+                    F.date_format("d", "yyyy-MM-dd").isin(missing)
+                ),
+                True,
+            ).write.mode("overwrite").partitionBy("day_str").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(path)
+    return back.select(
+        F.col("day_str").cast("string").alias("day_str"),
+        "n_events",
+        "sum_value",
+        "backfilled",
+    )

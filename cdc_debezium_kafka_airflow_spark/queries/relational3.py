@@ -201,3 +201,66 @@ def ext_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
         F.round(F.avg("quality_score"), 4).alias("avg_quality"),
     )
+
+
+@q(
+    "join_bloom_pruned",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           round(sum(l_extendedprice), 2) AS gross
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY l_returnflag
+    """,
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle join with an AQE runtime bloom filter: the selective dim-side
+    predicate (URGENT orders) is turned into a `bloom_filter_agg` subquery
+    whose `might_contain` probe filters the FACT SCAN before the shuffle —
+    at 100 TB the lineitem side sheds ~80% of its rows pre-exchange instead
+    of shuffling them to die in the join.
+
+    The injection thresholds are sized for real tables, so for the local
+    fixture they are temporarily lowered; the physical plan is forced while
+    they hold (QueryExecution memoizes it) and the session confs are
+    restored before returning. The plan guard asserts `might_contain` on
+    the application side.
+    """
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_returnflag", "l_extendedprice"
+        )
+        orders = t(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        out = (
+            li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("l_returnflag")
+            .agg(
+                F.count("*").alias("n_lineitems"),
+                F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+            )
+        )
+        # pin the plan under the lowered thresholds (memoized in
+        # QueryExecution) so the conf restore below can't undo the filter
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)

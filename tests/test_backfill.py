@@ -1,0 +1,68 @@
+"""ctl_backfill: the Airflow catch-up semantic — idempotent, partition-scoped."""
+
+from __future__ import annotations
+
+import os
+import glob
+
+from pyspark.sql import functions as F
+
+
+def _part_files(path: str, day: str) -> dict[str, float]:
+    return {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(path, f"day_str={day}", "*.parquet"))
+    }
+
+
+def test_backfill_flags_and_dynamic_overwrite_is_partition_scoped(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.queries.format_queries import (
+        _cache_dir,
+        ctl_backfill,
+    )
+
+    out = ctl_backfill(spark, sf_dir).collect()
+    days = sorted(r.day_str for r in out)
+    flags = {r.day_str: r.backfilled for r in out}
+    # the first half of the calendar came from the initial run, the rest
+    # from the backfill
+    n_initial = sum(1 for v in flags.values() if not v)
+    assert 0 < n_initial < len(days)
+    assert not flags[days[0]]
+    assert flags[days[-1]]
+
+    # dynamic partition overwrite must be partition-scoped: rewriting ONE
+    # late day leaves every other partition's files untouched
+    path = _cache_dir(sf_dir, "backfill_warehouse")
+    before_first = _part_files(path, days[0])
+    before_last = _part_files(path, days[-1])
+    assert before_first and before_last
+
+    one_day = (
+        spark.read.parquet(path)
+        .select(
+            F.col("day_str").cast("string").alias("day_str"),
+            "n_events",
+            "sum_value",
+            "backfilled",
+        )
+        .where(F.col("day_str") == days[-1])
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        one_day.write.mode("overwrite").partitionBy("day_str").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    assert _part_files(path, days[0]) == before_first  # untouched
+    assert _part_files(path, days[-1]) != before_last  # rewritten
+
+    # and the warehouse content is unchanged by the idempotent re-write
+    again = {
+        (r.day_str, r.n_events, r.sum_value, r.backfilled)
+        for r in ctl_backfill(spark, sf_dir).collect()
+    }
+    assert again == {
+        (r.day_str, r.n_events, r.sum_value, r.backfilled) for r in out
+    }

@@ -337,3 +337,25 @@ def test_stream_static_join_is_stateless_broadcast(spark, sf_dir):
         .collect()
     }
     assert streamed == batch
+
+
+def test_bloom_runtime_filter_prunes_fact_scan(spark, sf_dir):
+    """The selective dim predicate must inject a runtime bloom filter on
+    the fact side: `might_contain(...)` guards the lineitem rows BEFORE
+    the shuffle, so at scale the fact side sheds non-matching rows
+    pre-exchange."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational3 import (
+        join_bloom_pruned,
+    )
+
+    df = join_bloom_pruned(spark, sf_dir)
+    plan = _plan(df)
+    assert "might_contain" in plan, plan
+    assert "bloom_filter_agg" in plan, plan
+    # and the lowered injection thresholds did not leak into the session
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        )
+        != "0"
+    )
