@@ -264,3 +264,117 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+@q(
+    "ctl_sla_misses",
+    """
+    WITH s AS (
+      SELECT DISTINCT event_type,
+             CAST(date_trunc('hour', ts) AS TIMESTAMP) AS slot
+      FROM events
+    ),
+    b AS (
+      SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ),
+    grid AS (
+      SELECT t.event_type, g.slot
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slot FROM b
+      ) g
+    )
+    SELECT grid.event_type,
+           CAST(count(*) AS BIGINT) AS n_expected,
+           CAST(sum(CASE WHEN s.slot IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missed,
+           min(CASE WHEN s.slot IS NULL THEN grid.slot END) AS first_missed
+    FROM grid LEFT JOIN s
+      ON grid.event_type = s.event_type AND grid.slot = s.slot
+    GROUP BY 1
+    """,
+)
+def ctl_sla_misses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA-miss detection — the Airflow scheduler health question ("which
+    scheduled runs never happened?", reference dags/* pin */2 and */5 cron
+    schedules) over an hourly heartbeat grid: every event_type is expected
+    to land at least one event per hour between the global first and last
+    heartbeat; emit expected/missed counts and the first missed slot.
+
+    Scale posture: the expected grid is calendar-bounded (types x hours —
+    thousands of rows regardless of data size) built from a 1-row bounds
+    agg and an exploded sequence; the observed side collapses to DISTINCT
+    (type, slot) BEFORE the join (shuffle carries one row per non-empty
+    slot, not per event), and the left join broadcasts the tiny grid.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("slot")
+    )
+    observed = ev.distinct()
+    types = ev.select("event_type").distinct()
+    bounds = ev.agg(
+        F.min("slot").alias("lo"), F.max("slot").alias("hi")
+    )
+    grid = types.crossJoin(
+        bounds.select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("slot")
+        )
+    )
+    j = grid.join(
+        observed.withColumnRenamed("slot", "seen_slot"),
+        (grid.event_type == observed.event_type)
+        & (grid.slot == F.col("seen_slot")),
+        "left",
+    ).select(grid.event_type, grid.slot, "seen_slot")
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_expected"),
+        F.sum(F.when(F.col("seen_slot").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_missed"),
+        F.min(F.when(F.col("seen_slot").isNull(), F.col("slot"))).alias(
+            "first_missed"
+        ),
+    )
+
+
+@q(
+    "fn_xml_roundtrip",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(event_id) AS BIGINT) AS max_event_id,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML serialization surface (Spark 4 native to_xml/from_xml): every
+    event row is serialized to an XML record and parsed back, and the
+    aggregate over the round-tripped rows must equal the direct aggregate
+    (identity oracle) — proving the XML writer/parser preserve longs and
+    doubles exactly. Connect-style pipelines meet XML payloads at the
+    edges (legacy JMS/SOAP feeds into the same topics the reference's
+    JSON converter serves).
+
+    Scale posture: to_xml/from_xml are JVM expressions inside whole-stage
+    codegen — per-row, no shuffle until the final agg, no Python.
+    """
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    xml = ev.select(
+        F.to_xml(F.struct("event_id", "event_type", "value")).alias("x")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "x", "event_id BIGINT, event_type STRING, value DOUBLE"
+        ).alias("r")
+    ).select("r.*")
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.max("event_id").cast("bigint").alias("max_event_id"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )
