@@ -378,3 +378,129 @@ def fn_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").cast("bigint").alias("max_event_id"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+@q(
+    "win_rolling_time",
+    """
+    SELECT o_orderkey,
+           o_custkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ), 2) AS rolling_30d_spend
+    FROM orders
+    """,
+)
+def win_rolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based rolling aggregate: each order carries its customer's
+    trailing-30-day spend — a RANGE frame over event time (peers at the
+    same timestamp all included), not a ROWS frame.
+
+    Scale posture: one shuffle on o_custkey, then a per-partition sort of
+    that customer's orders only — no global sort. Spark's rangeBetween
+    needs a numeric ordering column, so the frame runs over unix seconds
+    with an inclusive 30-day lower bound, exactly DuckDB's
+    INTERVAL PRECEDING semantics.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-30 * 86400, 0)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("rolling_30d_spend"),
+    )
+
+
+@q(
+    "join_null_safe",
+    """
+    SELECT c.c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(e.value), 4) AS sum_value
+    FROM (SELECT CASE WHEN user_id % 50 = 0 THEN NULL ELSE user_id END AS k,
+                 value
+          FROM events) e
+    JOIN (SELECT CASE WHEN c_custkey % 50 = 0 THEN NULL ELSE c_custkey END
+                   AS ck,
+                 c_mktsegment
+          FROM customer) c
+      ON e.k IS NOT DISTINCT FROM c.ck
+    GROUP BY 1
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of dropping — the CDC-relevant corner where a
+    nullable business key must still correlate (Debezium emits NULL for
+    unset columns; a plain equi-join silently loses those rows).
+
+    Scale posture: Spark plans eqNullSafe as a HASH join on the
+    null-wrapped key (not a nested loop) — it shuffles like any equi-join.
+    The NULL group is a deliberate hot key; in production you'd salt it
+    (join_skew_salted shows the pattern) if nulls dominate.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 50 == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "value",
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 50 == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("ck"),
+        "c_mktsegment",
+    )
+    return (
+        ev.join(cust, ev.k.eqNullSafe(cust.ck))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@q(
+    "fn_unpivot",
+    """
+    WITH m AS (
+      SELECT p_brand, 'retailprice' AS metric, p_retailprice AS metric_value
+      FROM part
+      UNION ALL
+      SELECT p_brand, 'size' AS metric, CAST(p_size AS DOUBLE) AS metric_value
+      FROM part
+    )
+    SELECT p_brand, metric,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(metric_value), 2) AS total,
+           round(avg(metric_value), 4) AS mean
+    FROM m GROUP BY 1, 2
+    """,
+)
+def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt (wide -> long): numeric part attributes melted into
+    (metric, value) rows then profiled per brand — the data-profiling
+    reshape. Spark's native `DataFrame.unpivot` expands rows map-side
+    (an Expand node — no shuffle, no UNION re-scan of the table; the
+    UNION ALL in the oracle is the relational spelling, not the plan).
+    """
+    part = t(spark, sf_dir, "part").select(
+        "p_brand",
+        F.col("p_retailprice").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    melted = part.unpivot(
+        ["p_brand"], ["retailprice", "size"], "metric", "metric_value"
+    )
+    return melted.groupBy("p_brand", "metric").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("metric_value"), 2).alias("total"),
+        F.round(F.avg("metric_value"), 4).alias("mean"),
+    )

@@ -359,3 +359,38 @@ def test_bloom_runtime_filter_prunes_fact_scan(spark, sf_dir):
         )
         != "0"
     )
+
+
+def test_unpivot_expands_map_side_without_rescan(spark, sf_dir):
+    """unpivot must be an Expand node (one scan, map-side row expansion) —
+    not a UNION of N re-scans of the source."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational3 import fn_unpivot
+
+    plan = _plan(fn_unpivot(spark, sf_dir))
+    assert "Expand" in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """eqNullSafe must plan as a hash-partitioned or broadcast HASH join,
+    never a nested loop."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational3 import (
+        join_null_safe,
+    )
+
+    plan = _plan(join_null_safe(spark, sf_dir))
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_rolling_time_window_no_global_sort(spark, sf_dir):
+    """The RANGE-frame rolling sum sorts within customer partitions only:
+    exactly one hashpartitioning exchange on o_custkey, no global
+    rangepartitioning Sort."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational3 import (
+        win_rolling_time,
+    )
+
+    plan = _plan(win_rolling_time(spark, sf_dir))
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Exchange hashpartitioning(o_custkey" in plan, plan
