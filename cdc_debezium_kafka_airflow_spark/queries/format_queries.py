@@ -353,3 +353,45 @@ def ctl_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
         "backfilled",
     )
+
+
+@q(
+    "snk_sorted_export",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           min(o_orderdate) AS first_date,
+           max(o_orderdate) AS last_date
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def snk_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted data-layout export: orders written range-partitioned +
+    sorted by (o_orderdate, o_orderkey) — the lakehouse layout that turns
+    a date-range query into a file prune (every parquet footer carries a
+    disjoint min/max date range, so data skipping eliminates whole files,
+    the poor-man's Z-order for a 1-D access pattern).
+
+    Scale posture: `repartitionByRange` samples boundaries (one pass) and
+    produces evenly-sized sorted files; there is no global sort on a
+    single node. The oracle proves the layout is content-lossless; pytest
+    (test_sorted_export_layout) proves the file ranges are disjoint by
+    reading the parquet footers.
+    """
+    path = _cache_dir(sf_dir, "sorted_export")
+    orders = t(spark, sf_dir, "orders")
+    (
+        orders.repartitionByRange(8, "o_orderdate", "o_orderkey")
+        .sortWithinPartitions("o_orderdate", "o_orderkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )

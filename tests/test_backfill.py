@@ -66,3 +66,46 @@ def test_backfill_flags_and_dynamic_overwrite_is_partition_scoped(spark, sf_dir)
     assert again == {
         (r.day_str, r.n_events, r.sum_value, r.backfilled) for r in out
     }
+
+
+def test_sorted_export_layout_has_disjoint_file_ranges(spark, sf_dir):
+    """The sorted export's parquet footers must carry non-overlapping
+    o_orderdate ranges across files (the data-skipping contract), and a
+    date filter on the read-back must push down to the scan."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cdc_debezium_kafka_airflow_spark.queries.format_queries import (
+        _cache_dir,
+        snk_sorted_export,
+    )
+
+    snk_sorted_export(spark, sf_dir).collect()  # ensure written
+    path = _cache_dir(sf_dir, "sorted_export")
+    ranges = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }["o_orderdate"]
+        lo = min(
+            md.row_group(g).column(idx).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(idx).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    assert len(ranges) > 1
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)  # disjoint (boundary ties allowed)
+
+    pruned = spark.read.parquet(path).where(
+        "o_orderdate >= TIMESTAMP '1999-01-01'"
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "o_orderdate" in plan, plan
