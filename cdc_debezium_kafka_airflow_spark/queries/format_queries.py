@@ -395,3 +395,62 @@ def snk_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),
     )
+
+
+@q(
+    "join_dpp_pruned",
+    """
+    WITH dim AS (
+      SELECT o_orderpriority AS prio,
+             CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'fast' ELSE 'slow' END AS tier
+      FROM (SELECT DISTINCT o_orderpriority FROM orders)
+    )
+    SELECT d.prio,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o JOIN dim d ON o.o_orderpriority = d.prio
+    WHERE d.tier = 'fast'
+    GROUP BY d.prio
+    """,
+)
+def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is PARTITIONED on the join
+    key, the dim carries the selective predicate, and Spark prunes fact
+    partitions AT RUNTIME from the dim's broadcast result
+    (`SubqueryBroadcast dynamicpruning#...` in the plan) — the star-schema
+    scan killer: at 100 TB the fact scan reads only the partitions the
+    filtered dim names, with no static filter on the fact at all.
+
+    The fact is materialized once per fixture, partitioned by
+    o_orderpriority; the dim (priority -> SLA tier) is a real parquet
+    table so the tier filter cannot constant-fold into a static prune.
+    """
+    fact_path = _cache_dir(sf_dir, "dpp_fact")
+    dim_path = _cache_dir(sf_dir, "dpp_dim")
+    fp = source_fingerprint(sf_dir, "orders")
+    if not cache_is_fresh(fact_path, fp):
+        t(spark, sf_dir, "orders").write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(fact_path)
+        write_fingerprint(fact_path, fp)
+    if not cache_is_fresh(dim_path, fp):
+        t(spark, sf_dir, "orders").select(
+            F.col("o_orderpriority").alias("prio")
+        ).distinct().withColumn(
+            "tier",
+            F.when(
+                F.col("prio").isin("1-URGENT", "2-HIGH"), "fast"
+            ).otherwise("slow"),
+        ).write.mode("overwrite").parquet(dim_path)
+        write_fingerprint(dim_path, fp)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).where(F.col("tier") == "fast")
+    return (
+        fact.join(dim, fact.o_orderpriority == dim.prio)
+        .groupBy("prio")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

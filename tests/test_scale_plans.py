@@ -394,3 +394,17 @@ def test_rolling_time_window_no_global_sort(spark, sf_dir):
     plan = _plan(win_rolling_time(spark, sf_dir))
     assert "Exchange rangepartitioning" not in plan, plan
     assert "Exchange hashpartitioning(o_custkey" in plan, plan
+
+
+def test_dpp_join_prunes_fact_partitions_at_runtime(spark, sf_dir):
+    """The fact scan must carry a dynamicpruning subquery on the partition
+    column (runtime partition prune from the dim's broadcast) — not a full
+    scan and not a static filter."""
+    from cdc_debezium_kafka_airflow_spark.queries.format_queries import (
+        join_dpp_pruned,
+    )
+
+    df = join_dpp_pruned(spark, sf_dir)
+    df.collect()
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
