@@ -408,3 +408,46 @@ def test_dpp_join_prunes_fact_partitions_at_runtime(spark, sf_dir):
     df.collect()
     plan = _plan(df)
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_q21_subqueries_decorrelate_to_hash_joins(spark, sf_dir):
+    """The EXISTS / NOT EXISTS pair in q21 must decorrelate into left-semi /
+    left-anti HASH joins on l_orderkey — a nested-loop or cartesian fallback
+    would be quadratic in lineitem and die at scale."""
+    from cdc_debezium_kafka_airflow_spark.queries.tpch_decision import (
+        q21_suppliers_waiting,
+    )
+
+    plan = q21_suppliers_waiting(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q4_exists_is_semi_join_with_pushed_dates(spark, sf_dir):
+    """q4's correlated EXISTS must plan as ONE left-semi hash join (the date
+    lateness test rides along as the join's extra condition) and the quarter
+    filter must reach the orders parquet scan."""
+    from cdc_debezium_kafka_airflow_spark.queries.tpch_decision import (
+        q4_order_priority,
+    )
+
+    plan = q4_order_priority(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters" in plan and "o_orderdate" in plan
+
+
+def test_q19_disjunction_factors_single_side_conjuncts(spark, sf_dir):
+    """q19's OR-of-ANDs must not force a nested loop: the equi-join on
+    partkey stays a broadcast hash join and the part scan is pruned to the
+    three brands (the factored-out single-side conjunct)."""
+    from cdc_debezium_kafka_airflow_spark.queries.tpch_decision import (
+        q19_disjunctive_revenue,
+    )
+
+    plan = q19_disjunctive_revenue(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
