@@ -454,3 +454,85 @@ def join_dpp_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+def _zvalue(qx, qy, bits: int):
+    """Interleave two `bits`-wide quantized dims into a Z-curve value —
+    pure JVM bit expressions (shiftright/and/shiftleft), codegen-friendly."""
+    z = F.lit(0)
+    for i in range(bits):
+        bx = F.shiftright(qx, i).bitwiseAND(F.lit(1))
+        by = F.shiftright(qy, i).bitwiseAND(F.lit(1))
+        z = z.bitwiseOR(F.shiftleft(bx, 2 * i + 1)).bitwiseOR(
+            F.shiftleft(by, 2 * i)
+        )
+    return z
+
+
+@q(
+    "snk_zorder_export",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           min(o_orderdate) AS first_date,
+           max(o_orderdate) AS last_date
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def snk_zorder_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) data layout: orders clustered on BOTH
+    o_custkey and o_orderdate by interleaving the bits of their 10-bit
+    quantized values — the multi-dimensional generalization of
+    snk_sorted_export's 1-D range layout. After the rewrite, every parquet
+    footer bounds a small rectangle of the (custkey x date) domain, so
+    point/range predicates on EITHER dimension skip most files — the
+    OPTIMIZE ZORDER BY operation of lakehouse tables, built from Spark
+    primitives.
+
+    Scale posture: quantization bounds come from ONE 1-row aggregate
+    (broadcast), the z-value is a map-side bit expression, and
+    `repartitionByRange(z)` samples boundaries — no global single-node
+    sort anywhere. The oracle proves the rewrite is content-lossless;
+    tests/test_backfill.py::test_zorder_export_bounds_both_dims proves
+    per-file footers bound BOTH dimensions (vs a 1-D sort which bounds
+    only one).
+    """
+    path = _cache_dir(sf_dir, "zorder_export")
+    orders = t(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min("o_custkey").alias("cmin"),
+        F.max("o_custkey").alias("cmax"),
+        F.min(F.unix_timestamp("o_orderdate")).alias("dmin"),
+        F.max(F.unix_timestamp("o_orderdate")).alias("dmax"),
+    )
+    bits = 10
+    scale = (1 << bits) - 1
+    withb = orders.join(F.broadcast(bounds))
+    qx = F.floor(
+        (F.col("o_custkey") - F.col("cmin"))
+        * scale
+        / F.greatest(F.col("cmax") - F.col("cmin"), F.lit(1))
+    ).cast("int")
+    qy = F.floor(
+        (F.unix_timestamp("o_orderdate") - F.col("dmin"))
+        * scale
+        / F.greatest(F.col("dmax") - F.col("dmin"), F.lit(1))
+    ).cast("int")
+    (
+        withb.withColumn("zval", _zvalue(qx, qy, bits))
+        .drop("cmin", "cmax", "dmin", "dmax")
+        .repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.min("o_orderdate").alias("first_date"),
+        F.max("o_orderdate").alias("last_date"),
+    )

@@ -11,6 +11,7 @@ retention), re-expressed as Catalyst plans.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from cdc_debezium_kafka_airflow_spark.queries.common import t
 from cdc_debezium_kafka_airflow_spark.queries.ext_queries import NORM
@@ -503,4 +504,144 @@ def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("metric_value"), 2).alias("total"),
         F.round(F.avg("metric_value"), 4).alias("mean"),
+    )
+
+
+@q(
+    "sessionize_events",
+    """
+    WITH s AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 12 HOUR THEN 1 ELSE 0 END
+               AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s2 AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+           FROM s)
+    SELECT user_id, session_seq, min(ts) AS session_start,
+           max(ts) AS session_end, count(*) AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM s2 GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gap > 12h starts a new session) — the
+    lag-flag-cumsum idiom that turns an event log into sessions without any
+    self-join. Batch twin of streaming `session_window` aggregation
+    (stream_session_window); the reference's event analytics would run this
+    over the warehouse (readme.md:22-25).
+
+    Scale posture: ONE shuffle on user_id serves both window functions AND
+    the final per-session aggregate (same partitioning key prefix); the
+    per-user sort is partition-local. Timestamp gaps compare as exact
+    microsecond intervals — no float time arithmetic to diverge between
+    engines."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("ts").over(w)
+    new_sess = F.when(
+        prev.isNull() | ((F.col("ts") - prev) > F.expr("INTERVAL 12 HOURS")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    cum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        e.withColumn("new_sess", new_sess)
+        .withColumn("session_seq", F.sum("new_sess").over(cum).cast("long"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@q(
+    "agg_heavy_hitters",
+    """
+    WITH tot AS (SELECT count(*) AS n FROM lineitem)
+    SELECT l_partkey, count(*) AS cnt,
+           round(count(*) * 1.0 / any_value(tot.n), 6) AS support
+    FROM lineitem, tot
+    GROUP BY l_partkey
+    HAVING count(*) * 4000 > 3 * any_value(tot.n)
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: keys whose support exceeds 0.075% of the corpus
+    (cnt*4000 > 3*n — pure integer arithmetic, so membership can never flip
+    on a float rounding between engines).
+
+    Scale posture: ONE partial-aggregated shuffle on the key builds the
+    count table; the 1-row corpus total broadcasts into the threshold
+    filter. This is the exact verifier a production pipeline runs behind a
+    count-min-sketch prefilter; at 100 TB the sketch bounds the candidate
+    set and this query confirms it."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey")
+    tot = li.agg(F.count("*").alias("n"))
+    return (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("cnt"))
+        .join(F.broadcast(tot))
+        .filter(F.col("cnt") * 4000 > 3 * F.col("n"))
+        .select(
+            "l_partkey",
+            "cnt",
+            F.round(F.col("cnt") * 1.0 / F.col("n"), 6).alias("support"),
+        )
+    )
+
+
+@q(
+    "dq_anomaly_iqr",
+    """
+    WITH q AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.25), 6) AS q1,
+             round(quantile_cont(value, 0.75), 6) AS q3
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, q1, q3,
+           CAST(count(CASE WHEN e.value < q1 - 1.5*(q3-q1)
+                            OR e.value > q3 + 1.5*(q3-q1) THEN 1 END)
+                AS BIGINT) AS n_outliers,
+           count(*) AS n_rows
+    FROM events e JOIN q USING(event_type)
+    GROUP BY 1, 2, 3
+    """,
+)
+def dq_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per metric family: exact interpolated
+    quartiles, fences at 1.5*IQR, violation counts — the statistical
+    data-quality check that complements dq_validation's rule-based gate.
+
+    Cross-engine determinism: quartiles are rounded to 6dp on BOTH sides
+    BEFORE fence arithmetic, so the fences are bit-identical doubles and
+    every comparison resolves the same way in both engines.
+
+    Scale posture: the quartile aggregate is one shuffle on event_type
+    (exact percentile needs the group's values — at 100 TB swap in
+    approx_percentile with a pinned accuracy, same query shape); the tiny
+    per-type fence table broadcasts back onto the scan."""
+    e = t(spark, sf_dir, "events").select("event_type", "value")
+    qdf = e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    outlier = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        e.join(F.broadcast(qdf), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.when(outlier, F.lit(1))).alias("n_outliers"),
+            F.count("*").alias("n_rows"),
+        )
     )

@@ -430,6 +430,61 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_stream_full_outer",
+    """
+    WITH wm AS (
+      SELECT least((SELECT max(o_orderdate) FROM orders),
+                   (SELECT max(l_shipdate) FROM lineitem))
+             - INTERVAL 30 DAY AS w
+    ),
+    m AS (
+      SELECT o.o_orderkey, o.o_orderpriority, o.o_orderdate,
+             count(l.l_orderkey) AS nl,
+             sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM orders o LEFT JOIN lineitem l
+        ON l.l_orderkey = o.o_orderkey
+       AND l.l_shipdate >= o.o_orderdate
+       AND l.l_shipdate <= o.o_orderdate + INTERVAL 120 DAY
+      GROUP BY 1, 2, 3
+    ),
+    prio AS (
+      SELECT o_orderpriority,
+             CAST(sum(nl) AS BIGINT) AS n_lineitems,
+             round(sum(rev), 2) AS revenue,
+             CAST(sum(CASE WHEN nl = 0
+                            AND o_orderdate + INTERVAL 120 DAY
+                                  < (SELECT w FROM wm)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched_orders
+      FROM m GROUP BY 1
+    ),
+    lu AS (
+      SELECT CAST(NULL AS VARCHAR) AS o_orderpriority,
+             count(*) AS n_lineitems,
+             round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+             CAST(0 AS BIGINT) AS n_unmatched_orders
+      FROM lineitem l
+      WHERE NOT EXISTS (SELECT 1 FROM orders o
+                        WHERE o.o_orderkey = l.l_orderkey
+                          AND l.l_shipdate >= o.o_orderdate
+                          AND l.l_shipdate <= o.o_orderdate + INTERVAL 120 DAY)
+        AND l.l_shipdate < (SELECT w FROM wm)
+      HAVING count(*) > 0
+    )
+    SELECT * FROM prio UNION ALL SELECT * FROM lu
+    """,
+)
+def stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER interval join: both sides watermarked, both
+    unmatched sides emit null-extended exactly when the joint watermark
+    proves no future match can arrive (orders at window-close + 120d,
+    lineitems at their own shipdate — o_orderdate <= l_shipdate binds).
+    The oracle reproduces both eviction cuts relationally; rows still in
+    state at end-of-replay do not emit, matching the HAVING/wm guards."""
+    t(spark, sf_dir, "orders")
+    return jobs.stream_stream_full_outer_join(spark, sf_dir)
+
+
+@q(
     "stream_stream_semi",
     """
     SELECT o.o_orderpriority, count(*) AS n_orders

@@ -1454,6 +1454,76 @@ def stream_stream_left_outer_join(
     )
 
 
+def stream_stream_full_outer_join(
+    spark: SparkSession, sf_dir: str, delay: str = "30 days"
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join — both unmatched sides emit
+    null-extended once provably safe. Matched pairs emit with inner
+    semantics; an unmatched ORDER emits when the joint watermark passes
+    o_orderdate + 120d (no in-window lineitem can still arrive); an
+    unmatched LINEITEM emits when the joint watermark passes l_shipdate
+    (no order opening a window over it can still arrive — o_orderdate <=
+    l_shipdate is the binding constraint). Rows whose eviction point is
+    beyond the end-of-replay watermark stay in state and never emit; the
+    oracle reproduces both cuts relationally (joint watermark =
+    least(max o_orderdate, max l_shipdate) - delay).
+
+    Output: per o_orderpriority (NULL = unmatched lineitems): matched
+    lineitem count + revenue (for the NULL group: the unmatched lineitems
+    themselves), and the count of proven-unmatched orders."""
+    o_schema = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
+    l_schema = spark.read.parquet(
+        os.path.join(sf_dir, "lineitem.parquet")
+    ).schema
+    orders = (
+        spark.readStream.schema(o_schema)
+        .parquet(os.path.join(sf_dir, "orders.parqu*"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+        )
+        .withWatermark("o_orderdate", delay)
+    )
+    lineitem = (
+        spark.readStream.schema(l_schema)
+        .parquet(os.path.join(sf_dir, "lineitem.parqu*"))
+        .select(
+            "l_orderkey",
+            "l_extendedprice",
+            "l_discount",
+            F.col("l_shipdate").cast("timestamp").alias("l_shipdate"),
+        )
+        .withWatermark("l_shipdate", delay)
+    )
+    joined = orders.join(
+        lineitem,
+        F.expr(
+            "o_orderkey = l_orderkey"
+            " AND l_shipdate >= o_orderdate"
+            " AND l_shipdate <= o_orderdate + INTERVAL 120 DAYS"
+        ),
+        "full_outer",
+    ).select(
+        "o_orderpriority", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        out = _run_to_memory(joined, "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return out.groupBy("o_orderpriority").agg(
+        F.count("l_orderkey").alias("n_lineitems"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.sum(F.col("l_orderkey").isNull().cast("long")).alias(
+            "n_unmatched_orders"
+        ),
+    )
+
+
 def stream_stream_semi_anti_join(
     spark: SparkSession, sf_dir: str, how: str, delay: str = "30 days"
 ) -> DataFrame:

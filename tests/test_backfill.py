@@ -109,3 +109,54 @@ def test_sorted_export_layout_has_disjoint_file_ranges(spark, sf_dir):
     )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "o_orderdate" in plan, plan
+
+
+def test_zorder_export_bounds_both_dims(spark, sf_dir):
+    """The Z-order layout's whole point vs a 1-D sort: every file's footer
+    bounds BOTH cluster dimensions. Assert each file covers well under the
+    full span on o_custkey AND o_orderdate, and that the mean footer
+    rectangle is a small fraction of the 2-D domain (a random or 1-D-sorted
+    layout has mean area ~1.0 or ~1/nfiles on one dim with ~1.0 on the
+    other)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from cdc_debezium_kafka_airflow_spark.queries.format_queries import (
+        _cache_dir,
+        snk_zorder_export,
+    )
+
+    snk_zorder_export(spark, sf_dir).collect()  # ensure written
+    path = _cache_dir(sf_dir, "zorder_export")
+    per_file = []
+    for f in glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+
+        def rng(col):
+            lo = min(
+                md.row_group(g).column(idx[col]).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx[col]).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            return lo, hi
+
+        per_file.append((rng("o_custkey"), rng("o_orderdate")))
+    assert len(per_file) >= 4
+    cspan = max(c[1] for c, _ in per_file) - min(c[0] for c, _ in per_file)
+    dspan = (
+        max(d[1] for _, d in per_file) - min(d[0] for _, d in per_file)
+    ).total_seconds()
+    cfracs = [(c[1] - c[0]) / cspan for c, _ in per_file]
+    dfracs = [
+        (d[1] - d[0]).total_seconds() / dspan for _, d in per_file
+    ]
+    areas = [cf * df for cf, df in zip(cfracs, dfracs)]
+    assert sum(cfracs) / len(cfracs) < 0.75, cfracs
+    assert sum(dfracs) / len(dfracs) < 0.75, dfracs
+    assert sum(areas) / len(areas) < 0.40, areas
