@@ -1865,3 +1865,57 @@ def ext_shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("shard_tokens") <= 2.0 * F.col("mean_tokens"))
         ).alias("within_2x"),
     )
+
+
+@q(
+    "ext_img_phash_dedup",
+    """
+    WITH img AS (SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+                 FROM documents WHERE doc_id % 3 = 0),
+    px AS (
+      SELECT doc_id, w, h, x, y,
+             (doc_id * 31 + 7 * x + 13 * y) % 256 AS v,
+             (x * 4) // w AS bx, (y * 4) // h AS by
+      FROM img,
+           LATERAL unnest(generate_series(0, w - 1)) AS t1(x),
+           LATERAL unnest(generate_series(0, h - 1)) AS t2(y)
+    ),
+    blocks AS (SELECT doc_id, bx, by, avg(v) AS m FROM px GROUP BY 1, 2, 3),
+    gmean AS (SELECT doc_id, avg(v) AS g FROM px GROUP BY 1),
+    hashes AS (
+      SELECT b.doc_id,
+             CAST(sum(CASE WHEN m > g THEN 1 << (by * 4 + bx) ELSE 0 END)
+                  AS BIGINT) AS ahash
+      FROM blocks b JOIN gmean USING (doc_id) GROUP BY 1
+    )
+    SELECT ahash, count(*) AS n_images, min(doc_id) AS keeper_doc
+    FROM hashes GROUP BY 1
+    """,
+)
+def ext_img_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup: every image doc's REAL BMP payload is
+    decoded (header walk + bottom-up padded rows), block-meaned to a 4x4
+    thumbnail, and hashed into a 16-bit aHash; images sharing a hash are a
+    dedup bucket and the minimum doc_id is the keeper — the image twin of
+    MinHash text dedup, zero pairwise comparisons.
+
+    The oracle re-derives every hash bit IN SQL from the closed-form pixel
+    content (render_bmp's (doc_id*31+7x+13y)%256), cross-validating the
+    whole decode -> resize -> threshold -> bucket pipeline bit-for-bit.
+
+    Scale posture: decode+hash is map-only Arrow-batched Python (the one
+    place Python belongs — byte-level codec work); the ONLY shuffle is the
+    groupBy(ahash), whose key doubles as the storage bucket for incremental
+    dedup at 100 TB (new images hash map-side and join only their bucket).
+    """
+    from cdc_debezium_kafka_airflow_spark.operators.multimodal import (
+        attach_media,
+        image_ahash,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    hashes = image_ahash(attach_media(docs))
+    return hashes.groupBy("ahash").agg(
+        F.count("*").alias("n_images"),
+        F.min("doc_id").alias("keeper_doc"),
+    )

@@ -536,3 +536,58 @@ def snk_zorder_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("first_date"),
         F.max("o_orderdate").alias("last_date"),
     )
+
+
+@q(
+    "snk_wap_publish",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           'v1' AS published_version,
+           CAST(1 AS BIGINT) AS n_rejected_candidates
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def snk_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish protocol, exercised end-to-end INCLUDING the
+    failure path: v1 (the clean orders snapshot) stages, passes the audit
+    (non-empty, non-null unique PK), and publishes atomically; v2 — a
+    corrupted candidate with duplicated order keys — stages, FAILS the
+    uniqueness audit, and must leave the manifest pointing at v1. The
+    returned frame aggregates what CONSUMERS actually see through the
+    manifest, so the oracle (plain orders) proves the bad candidate never
+    leaked and the good snapshot is complete.
+
+    Scale posture: the audit is ONE aggregation pass over the staged
+    version (count/null/distinct together); publish is a single atomic
+    manifest replace (the object-store conditional-put shape), never a
+    data move. Citation: the reference publishes straight into consumer
+    tables (register-postgres-sink.json:9-10) with after-the-fact checks
+    (dags/cdc_data_integrity_dynamic_dag.py:49-55); WAP is that integrity
+    check moved BEFORE visibility.
+    """
+    from cdc_debezium_kafka_airflow_spark.operators.publish import (
+        current_version,
+        read_published,
+        write_audit_publish,
+    )
+
+    root = _cache_dir(sf_dir, "wap_orders")
+    orders = t(spark, sf_dir, "orders")
+
+    ok1 = write_audit_publish(orders, root, "v1", "o_orderkey")
+    assert ok1, "clean snapshot must publish"
+
+    corrupted = orders.unionAll(orders.limit(50))  # duplicate PKs
+    ok2 = write_audit_publish(corrupted, root, "v2", "o_orderkey")
+    n_rejected = 0 if ok2 else 1
+
+    published = read_published(spark, root)
+    return published.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.lit(current_version(root)).alias("published_version"),
+        F.lit(n_rejected).cast("long").alias("n_rejected_candidates"),
+    )

@@ -645,3 +645,156 @@ def dq_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_rows"),
         )
     )
+
+
+@q(
+    "ts_gap_fill",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, round(avg(value), 6) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, min(h) AS hmin, max(h) AS hmax FROM hourly GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type, unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ),
+    j AS (
+      SELECT g.event_type, g.h, hourly.v
+      FROM grid g LEFT JOIN hourly
+        ON hourly.event_type = g.event_type AND hourly.h = g.h
+    ),
+    f AS (
+      SELECT event_type, h, v,
+        last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+            OVER (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        first_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+            OVER (PARTITION BY event_type ORDER BY h
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM j
+    )
+    SELECT event_type, h,
+      CASE WHEN v IS NOT NULL THEN v
+           WHEN pv IS NULL THEN nv
+           WHEN nv IS NULL THEN pv
+           ELSE round(pv + (nv - pv) * (epoch(h) - epoch(ph))
+                           / (epoch(nh) - epoch(ph)), 6)
+      END AS value_filled,
+      (v IS NULL) AS interpolated
+    FROM f
+    """,
+)
+def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill with LINEAR INTERPOLATION: hourly averages per
+    metric family on a dense calendar grid; missing hours take
+    prev + (next-prev) * elapsed/spanned between their nearest observed
+    neighbors (edges carry the nearest value). The monitoring-dashboard
+    densify step the reference's latency DAGs would feed
+    (dags/kafka_latency_monitor.py:64-88 emits per-minute lag samples).
+
+    Cross-engine determinism: hourly averages are rounded to 6dp BEFORE
+    interpolation, epochs are exact integer seconds, and the interpolation
+    expression is written with identical operation order in both engines.
+
+    Scale posture: the grid explodes per GROUP (bounded: hours in range),
+    not per row; all four neighbor lookups are two window passes over the
+    same (event_type, h) sort — one shuffle total, partition-local sort.
+    """
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("h")
+        ).agg(F.round(F.avg("value"), 6).alias("v"))
+    )
+    grid = (
+        hourly.groupBy("event_type")
+        .agg(F.min("h").alias("hmin"), F.max("h").alias("hmax"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    j = grid.join(hourly, ["event_type", "h"], "left")
+    wb = Window.partitionBy("event_type").orderBy("h")
+    back = wb.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = wb.rowsBetween(0, Window.unboundedFollowing)
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    f = j.select(
+        "event_type",
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(back).alias("ph"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(fwd).alias("nh"),
+    )
+    ep = lambda c: F.unix_timestamp(c).cast("double")  # noqa: E731
+    interp = F.round(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (ep("h") - ep("ph"))
+        / (ep("nh") - ep("ph")),
+        6,
+    )
+    return f.select(
+        "event_type",
+        "h",
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(interp)
+        .alias("value_filled"),
+        F.col("v").isNull().alias("interpolated"),
+    )
+
+
+@q(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS from_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS to_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM cnt
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | current) — the behavioral-model / anomaly-baseline
+    primitive of event analytics.
+
+    Scale posture: one shuffle on user_id for the lead() sequencing, one
+    partial-aggregated shuffle on (from,to) for the counts; the
+    normalizing row-sum runs over the |types|^2-sized count table, not the
+    event log. No event ts ties exist per user (canary-pinned fixture), so
+    lead() is deterministic."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    seq = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wsum = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(wsum), 6).alias("p"),
+    )

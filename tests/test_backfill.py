@@ -160,3 +160,32 @@ def test_zorder_export_bounds_both_dims(spark, sf_dir):
     assert sum(cfracs) / len(cfracs) < 0.75, cfracs
     assert sum(dfracs) / len(dfracs) < 0.75, dfracs
     assert sum(areas) / len(areas) < 0.40, areas
+
+
+def test_wap_valid_candidate_advances_and_invalid_preserves(spark, sf_dir, tmp_path):
+    """WAP protocol unit contract: a passing v2 advances the manifest; a
+    failing v3 leaves v2 published AND still readable in full."""
+    from cdc_debezium_kafka_airflow_spark.operators import publish as wap
+    from cdc_debezium_kafka_airflow_spark.queries.common import t as load
+
+    root = str(tmp_path / "wap")
+    orders = load(spark, sf_dir, "orders")
+
+    assert wap.write_audit_publish(orders, root, "v1", "o_orderkey")
+    assert wap.current_version(root) == "v1"
+
+    v2 = orders.filter("o_orderstatus != 'P'")
+    assert wap.write_audit_publish(v2, root, "v2", "o_orderkey")
+    assert wap.current_version(root) == "v2"
+    n_v2 = v2.count()
+
+    from pyspark.sql import functions as F
+
+    bad = orders.select(*[
+        c if c != "o_orderkey"
+        else F.lit(None).cast("long").alias("o_orderkey")
+        for c in orders.columns
+    ])
+    assert not wap.write_audit_publish(bad, root, "v3", "o_orderkey")
+    assert wap.current_version(root) == "v2"
+    assert wap.read_published(spark, root).count() == n_v2
