@@ -798,3 +798,106 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(wsum), 6).alias("p"),
     )
+
+
+def _aqe_skew_parts(spark: SparkSession, sf_dir: str):
+    """Skewed fact + non-broadcastable join for the AQE skew-split demo:
+    ~70% of lineitem lands on one hot key; the merge hint keeps it a
+    sort-merge join so the hot partition is AQE's problem to split.
+
+    Three conditions, each discovered the hard way, make the runtime split
+    actually fire — all three ARE the 100 TB lessons:
+    - the fact scan is repartition(8)'d first: AQE splits a skewed reduce
+      partition BY MAP-OUTPUT CHUNKS, so a single-mapper stage (one small
+      parquet file here; one giant unsplit file in production) is
+      unsplittable no matter how skewed;
+    - the payload is high-entropy (price-derived bigint): skew detection
+      runs on COMPRESSED shuffle bytes, and a low-entropy column can
+      compress a hot partition below the threshold;
+    - the dim side is localCheckpoint'd: OptimizeSkewedJoin pattern-matches
+      SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) only — an aggregate
+      between shuffle and sort on either side defeats it."""
+    li = t(spark, sf_dir, "lineitem").repartition(8)
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 7, F.lit(0))
+        .otherwise(F.col("l_orderkey"))
+        .alias("skew_key"),
+        (
+            F.round(F.col("l_extendedprice") * 100).cast("long") * 100000
+            + F.col("l_orderkey")
+        ).alias("payload"),
+    )
+    dim = (
+        fact.select("skew_key")
+        .distinct()
+        .withColumn("dim_attr", F.col("skew_key") % 97)
+        .localCheckpoint()
+    )
+    joined = fact.join(dim.hint("merge"), "skew_key")
+    return joined.groupBy(
+        F.when(F.col("skew_key") == 0, F.lit("hot"))
+        .otherwise(F.lit("cold"))
+        .alias("bucket")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("payload").alias("sum_payload"),
+        F.sum("dim_attr").alias("sum_attr"),
+    )
+
+
+_AQE_SKEW_CONFS = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4KB",
+    "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+}
+
+
+@q(
+    "join_aqe_skew",
+    """
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey END
+               AS skew_key,
+             CAST(round(l_extendedprice * 100) AS BIGINT) * 100000
+               + l_orderkey AS payload
+      FROM lineitem
+    ),
+    dim AS (SELECT DISTINCT skew_key, skew_key % 97 AS dim_attr FROM fact)
+    SELECT CASE WHEN f.skew_key = 0 THEN 'hot' ELSE 'cold' END AS bucket,
+           count(*) AS n_rows,
+           CAST(sum(f.payload) AS BIGINT) AS sum_payload,
+           CAST(sum(d.dim_attr) AS BIGINT) AS sum_attr
+    FROM fact f JOIN dim d ON f.skew_key = d.skew_key
+    GROUP BY 1
+    """,
+)
+def join_aqe_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE runtime skew-join split — the NO-REWRITE answer to skew that
+    complements join_skew_salted's manual salting: the optimizer detects
+    the hot partition from runtime shuffle statistics and splits it across
+    reducers (SortMergeJoin marked skew=true, pinned by
+    tests/test_scale_plans.py::test_aqe_splits_skewed_join). At 100 TB this
+    is the first line of defense (zero code change); salting remains for
+    the case AQE cannot fix (a hot key the DIM side must replicate for).
+
+    The skew-split run executes HERE, under demo-scaled thresholds (the
+    fixture's hot partition is MBs, not the 256MB production default), and
+    the confs are restored before returning so no other query inherits a
+    64KB advisory partition size; the frozen result is what the oracle
+    compares."""
+    prev = {k: spark.conf.get(k, None) for k in _AQE_SKEW_CONFS}
+    for k, v in _AQE_SKEW_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        agg = _aqe_skew_parts(spark, sf_dir)
+        rows = agg.collect()
+        schema = agg.schema
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(rows, schema)

@@ -430,6 +430,47 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_checkpoint_recovery",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           count(DISTINCT o_orderkey) AS n_distinct_keys,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a query restart: half the input commits, the
+    query dies, a NEW query resumes from the same checkpoint and must
+    process only the unseen files — duplicates or gaps hash-fail against
+    the plain batch table (n_distinct_keys == n_orders is part of the
+    compared output)."""
+    t(spark, sf_dir, "orders")
+    return jobs.stream_checkpoint_recovery(spark, sf_dir)
+
+
+@q(
+    "stream_dim_refresh",
+    """
+    SELECT o_orderstatus,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'v1_' ELSE 'v2_' END
+             || o_orderstatus AS label,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def stream_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream dimension refresh via per-batch re-read inside
+    foreachBatch: phase-1 rows (even keys) provably joined dim v1,
+    phase-2 rows (odd keys) v2 — the closed-form oracle pins exactly
+    which rows saw which dimension version."""
+    t(spark, sf_dir, "orders")
+    return jobs.stream_dim_refresh(spark, sf_dir)
+
+
+@q(
     "stream_stream_full_outer",
     """
     WITH wm AS (

@@ -1386,6 +1386,145 @@ def stream_late_data_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_checkpoint_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a QUERY RESTART: phase 1 streams half the orders
+    into a transactional parquet file sink (availableNow, checkpointed),
+    the query STOPS, the other half lands in the source dir, and a brand-new
+    query object resumes from the SAME checkpoint — it must process ONLY the
+    unseen files (offset log) and the read-back (through the sink's
+    _spark_metadata commit manifest) must equal the plain batch table with
+    zero duplicates. A re-processed phase-1 file doubles counts and
+    hash-fails the oracle; a skipped phase-2 file undercounts.
+
+    This is the recovery contract the reference delegates to Kafka Connect
+    offset storage (docker-compose.yml:104-106 CONNECT_OFFSET_STORAGE);
+    Spark's checkpoint (source offsets) + file-sink manifest (committed
+    outputs) reproduce it natively."""
+    import shutil
+
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join("/root/repo/.cache", f"ckpt_recovery_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir = os.path.join(base, "source")
+    ckpt = os.path.join(base, "checkpoint")
+    out_dir = os.path.join(base, "out")
+
+    orders = load_table(spark, sf_dir, "orders")
+    orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(2).write.parquet(
+        src_dir
+    )
+    schema = spark.read.parquet(src_dir).schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(
+            os.path.join(src_dir, "*.parquet")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # phase 1: even keys committed, query gone
+    orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(2).write.mode(
+        "append"
+    ).parquet(src_dir)
+    run_once()  # restart: same checkpoint, must pick up ONLY the new files
+
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.count_distinct("o_orderkey").alias("n_distinct_keys"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def stream_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing dimension REFRESH mid-stream, the documented
+    foreachBatch idiom: the dimension is re-read from storage INSIDE every
+    micro-batch (a plan-fixed stream-static join would snapshot the file
+    listing once and never see updates). Phase-1 orders join dim v1; the
+    dim is overwritten; phase-2 orders join v2 — the output provably
+    carries v1 labels for the first half and v2 for the second, which is
+    exactly what the closed-form oracle checks.
+
+    Scale posture: the fresh dim read is a tiny broadcast per micro-batch
+    (status -> label); the output append rides the same transactional file
+    sink + checkpoint as stream_checkpoint_recovery, so the refresh
+    pattern composes with exactly-once."""
+    import shutil
+
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join("/root/repo/.cache", f"dim_refresh_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir = os.path.join(base, "source")
+    dim_dir = os.path.join(base, "dim")
+    ckpt = os.path.join(base, "checkpoint")
+    out_dir = os.path.join(base, "out")
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    statuses = orders.select(
+        F.col("o_orderstatus").alias("status")
+    ).distinct()
+
+    def write_dim(version: str) -> None:
+        statuses.select(
+            "status",
+            F.concat(F.lit(version + "_"), F.col("status")).alias("label"),
+        ).coalesce(1).write.mode("overwrite").parquet(dim_dir)
+
+    def run_once() -> None:
+        schema = spark.read.parquet(src_dir).schema
+        stream = spark.readStream.schema(schema).parquet(
+            os.path.join(src_dir, "*.parquet")
+        )
+
+        def join_fresh_dim(batch_df: DataFrame, _batch_id: int) -> None:
+            dim = batch_df.sparkSession.read.parquet(dim_dir)  # FRESH read
+            (
+                batch_df.join(
+                    F.broadcast(dim),
+                    batch_df.o_orderstatus == dim.status,
+                )
+                .select("o_orderkey", "o_orderstatus", "label")
+                .write.mode("append")
+                .parquet(out_dir)
+            )
+
+        q = (
+            stream.writeStream.foreachBatch(join_fresh_dim)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write_dim("v1")
+    orders.filter(F.col("o_orderkey") % 2 == 0).coalesce(2).write.parquet(
+        src_dir
+    )
+    run_once()
+    write_dim("v2")  # the dimension changes between micro-batches
+    orders.filter(F.col("o_orderkey") % 2 == 1).coalesce(2).write.mode(
+        "append"
+    ).parquet(src_dir)
+    run_once()
+
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("o_orderstatus", "label").agg(
+        F.count("*").alias("n_orders")
+    )
+
+
 def stream_stream_left_outer_join(
     spark: SparkSession, sf_dir: str, delay: str = "30 days"
 ) -> DataFrame:
