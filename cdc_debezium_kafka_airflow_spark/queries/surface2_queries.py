@@ -584,3 +584,119 @@ def cdc_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("sum_value"),
         F.max("user_id").alias("max_user"),
     )
+
+
+@q(
+    "fn_observe_metrics",
+    """
+    WITH inp AS (
+      SELECT count(*) AS n_input,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_total
+      FROM lineitem
+    ),
+    kept AS (
+      SELECT count(*) AS n_kept,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev_kept
+      FROM lineitem WHERE l_returnflag = 'R' AND l_quantity >= 25
+    ),
+    grp AS (
+      SELECT count(*) AS n_groups FROM (
+        SELECT l_linestatus FROM lineitem
+        WHERE l_returnflag = 'R' AND l_quantity >= 25
+        GROUP BY l_linestatus)
+    )
+    SELECT inp.n_input, inp.qty_total, kept.n_kept, kept.rev_kept,
+           grp.n_groups
+    FROM inp, kept, grp
+    """,
+)
+def fn_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`DataFrame.observe` / CollectMetrics: pipeline observability metrics
+    (input cardinality, post-filter cardinality, kept revenue) accumulated
+    DURING the one pass that runs the real query — zero extra scans, the
+    engine-native version of the reference's after-the-fact COUNT(*)
+    monitoring queries (dags/cdc_data_integrity_dynamic_dag.py:50-55).
+
+    Two observation points bracket the filter, so the metrics double as a
+    row-level audit (input vs kept) for free; at 100 TB this is the only
+    affordable way to get per-stage counts — a separate count() per stage
+    re-scans the corpus. The plan carries CollectMetrics nodes
+    (pytest-pinned); the observed values are returned as a 1-row frame the
+    oracle recomputes relationally."""
+    from pyspark.sql import Observation
+
+    obs_in = Observation("input")
+    obs_kept = Observation("kept")
+    li = t(spark, sf_dir, "lineitem").observe(
+        obs_in,
+        F.count(F.lit(1)).alias("n_input"),
+        F.sum(F.col("l_quantity").cast("long")).alias("qty_total"),
+    )
+    kept = li.filter(
+        (F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 25)
+    ).observe(
+        obs_kept,
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("rev_kept"),
+    )
+    out = kept.groupBy("l_linestatus").agg(F.count("*").alias("n"))
+    n_groups = out.count()  # the action that populates both observations
+    m = {**obs_in.get, **obs_kept.get}
+    return spark.createDataFrame(
+        [
+            (
+                m["n_input"],
+                m["qty_total"],
+                m["n_kept"],
+                m["rev_kept"],
+                n_groups,
+            )
+        ],
+        "n_input long, qty_total long, n_kept long, rev_kept double, "
+        "n_groups long",
+    )
+
+
+@q(
+    "sec_masked_view",
+    """
+    SELECT c_custkey,
+           substr(c_name, 1, 9) || md5(c_name) AS masked_name,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                ELSE 'high' END AS acct_band,
+           c_mktsegment
+    FROM customer
+    WHERE c_mktsegment <> 'BUILDING'
+    """,
+)
+def sec_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Governance surface: a masked VIEW consumers query instead of the
+    base table — column masking (name replaced by a keyed-lookup-proof
+    md5 token with a stable prefix for joins/debugging), value banding
+    (exact balances generalized to coarse bands), and a row-level filter
+    (one segment excluded), all enforced IN the view definition so no
+    downstream query can deanonymize.
+
+    Everything is deterministic JVM expressions (md5/substr/CASE), so the
+    masked output is map-only, pushdown-friendly (the segment row filter
+    reaches the parquet scan through the view), and bit-identical across
+    engines — the oracle applies the same policy in SQL."""
+    c = t(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("sec_customer_base")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW sec_customer_masked AS
+        SELECT c_custkey,
+               concat(substr(c_name, 1, 9), md5(c_name)) AS masked_name,
+               CASE WHEN c_acctbal < 0 THEN 'negative'
+                    WHEN c_acctbal < 5000 THEN 'low'
+                    ELSE 'high' END AS acct_band,
+               c_mktsegment
+        FROM sec_customer_base
+        WHERE c_mktsegment <> 'BUILDING'
+        """
+    )
+    return spark.table("sec_customer_masked")

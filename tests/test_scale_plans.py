@@ -477,3 +477,27 @@ def test_aqe_splits_skewed_join(spark, sf_dir):
             else:
                 spark.conf.set(k, v)
     assert "skew=true" in plan, plan[:2000]
+
+
+def test_observe_metrics_ride_the_single_pass(spark, sf_dir):
+    """fn_observe_metrics' counters must be CollectMetrics nodes inside the
+    one query plan (zero extra scans), not separate count() jobs: exactly
+    one lineitem scan in the FINAL plan, two observation points."""
+    from pyspark.sql import Observation, functions as F
+
+    from cdc_debezium_kafka_airflow_spark.queries.common import t as load
+
+    obs_a, obs_b = Observation("a"), Observation("b")
+    li = load(spark, sf_dir, "lineitem").observe(
+        obs_a, F.count(F.lit(1)).alias("n")
+    )
+    kept = li.filter(F.col("l_returnflag") == "R").observe(
+        obs_b, F.count(F.lit(1)).alias("n")
+    )
+    df = kept.groupBy("l_linestatus").agg(F.count("*").alias("c"))
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # adaptive prints both
+    assert final.count("CollectMetrics") == 2
+    assert final.count("FileScan parquet") == 1
+    assert obs_a.get["n"] > obs_b.get["n"] > 0
