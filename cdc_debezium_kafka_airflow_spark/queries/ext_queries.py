@@ -1919,3 +1919,21 @@ def ext_img_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_images"),
         F.min("doc_id").alias("keeper_doc"),
     )
+
+
+@q("ext_bpe_train", None)
+def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (8 merge rounds) over the document
+    corpus — rows-only by design: the merge sequence is an ITERATIVE
+    argmax chain no single SQL statement expresses; correctness is pinned
+    instead by tests/test_curation.py::test_bpe_matches_reference
+    (bit-identical merge table vs a pure-Python reference implementation)
+    and a partition-layout determinism property.
+
+    Scale posture (operators/bpe.py): ONE corpus-wide shuffle builds the
+    word-frequency table; every round after that is vocab-sized (pair agg
+    via JVM zip_with + one Arrow-batched merge application), and the driver
+    sees exactly one argmax row per round."""
+    from cdc_debezium_kafka_airflow_spark.operators.bpe import train_bpe
+
+    return train_bpe(t(spark, sf_dir, "documents"), n_merges=8)

@@ -901,3 +901,100 @@ def join_aqe_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return spark.createDataFrame(rows, schema)
+
+
+@q(
+    "agg_cms_estimate",
+    """
+    WITH params AS (
+      SELECT * FROM (VALUES (0, 31, 7), (1, 37, 11), (2, 41, 13), (3, 43, 17))
+        AS t(depth, a, b)
+    ),
+    cms AS (
+      SELECT p.depth, ((p.a * l.l_partkey + p.b) % 104729) % 2048 AS bucket,
+             count(*) AS c
+      FROM lineitem l, params p
+      GROUP BY 1, 2
+    ),
+    exact AS (
+      SELECT l_partkey, count(*) AS exact_cnt
+      FROM lineitem GROUP BY 1
+      HAVING count(*) * 4000 > 3 * (SELECT count(*) FROM lineitem)
+    ),
+    est AS (
+      SELECT e.l_partkey, e.exact_cnt,
+             min(c.c) AS cms_estimate
+      FROM exact e
+      JOIN params p ON TRUE
+      JOIN cms c ON c.depth = p.depth
+               AND c.bucket = ((p.a * e.l_partkey + p.b) % 104729) % 2048
+      GROUP BY 1, 2
+    )
+    SELECT l_partkey, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(cms_estimate AS BIGINT) AS cms_estimate,
+           cms_estimate >= exact_cnt AS never_underestimates
+    FROM est
+    """,
+)
+def agg_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch built NATIVELY as a DataFrame — the streaming/
+    mergeable heavy-hitter sketch, expressed so the whole structure stays
+    relational: 4 pairwise-independent linear hashes ((a*key+b) mod p mod w)
+    fan each row into 4 (depth, bucket) cells map-side, ONE partial-agg
+    shuffle builds the 4x2048 table, and estimate(key) = min over depths of
+    its cells. The exact heavy hitters (agg_heavy_hitters' threshold) are
+    then re-estimated from the sketch; the CMS guarantee (estimates never
+    undershoot) is part of the compared output.
+
+    Scale posture: the sketch table is 8192 rows regardless of corpus size
+    — it IS the mergeable artifact (union two sketches = sum cells, same
+    convention as agg_sketch_mergeable's HLL blobs); the probe side is a
+    broadcast of candidate keys. Integer-only hash arithmetic makes every
+    cell and estimate bit-identical in the SQL oracle."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey")
+    params = [(0, 31, 7), (1, 37, 11), (2, 41, 13), (3, 43, 17)]
+    p, w = 104729, 2048
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("depth"),
+                (((F.lit(a) * F.col("l_partkey") + F.lit(b)) % p) % w).alias(
+                    "bucket"
+                ),
+            )
+            for d, a, b in params
+        ]
+    )
+    cms = (
+        li.select(F.explode(cells).alias("cell"))
+        .groupBy("cell.depth", "cell.bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = li.agg(F.count("*").alias("n"))
+    exact = (
+        li.groupBy("l_partkey")
+        .agg(F.count("*").alias("exact_cnt"))
+        .join(F.broadcast(tot))
+        .filter(F.col("exact_cnt") * 4000 > 3 * F.col("n"))
+        .select("l_partkey", "exact_cnt")
+    )
+    probes = exact.select(
+        "l_partkey", "exact_cnt", F.explode(cells.cast(
+            "array<struct<depth:int,bucket:bigint>>"
+        )).alias("cell")
+    ).select(
+        "l_partkey", "exact_cnt", "cell.depth", "cell.bucket"
+    )
+    return (
+        probes.join(cms, ["depth", "bucket"])
+        .groupBy("l_partkey", "exact_cnt")
+        .agg(F.min("c").alias("cms_estimate"))
+        .select(
+            "l_partkey",
+            "exact_cnt",
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.col("exact_cnt")).alias(
+                "never_underestimates"
+            ),
+        )
+    )

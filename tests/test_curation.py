@@ -187,3 +187,67 @@ def test_stream_quota_correct_across_arrow_chunks(spark, sf_dir):
         for r in docs.withColumn("rn", F.row_number().over(w)).collect()
     }
     assert got == expect
+
+
+def test_bpe_matches_reference(spark, sf_dir):
+    """The distributed BPE merge sequence must be bit-identical to a
+    pure-Python reference implementation on the same corpus (same
+    normalization, same (count DESC, pair ASC) tie-break, min count 2)."""
+    import re
+    from collections import Counter
+
+    import pandas as pd
+
+    from cdc_debezium_kafka_airflow_spark.operators.bpe import END, train_bpe
+    from cdc_debezium_kafka_airflow_spark.queries.common import t as load
+
+    docs = load(spark, sf_dir, "documents")
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in train_bpe(docs, n_merges=8).collect()
+    ]
+
+    texts = [r.text for r in docs.select("text").collect()]
+    wfreq = Counter()
+    for text in texts:
+        norm = re.sub(r"\s+", " ", text.strip()).lower()
+        for w in norm.split(" "):
+            if w:
+                wfreq[w] += 1
+    symbols = {w: tuple(list(w) + [END]) for w in wfreq}
+    expected = []
+    for rank in range(8):
+        pairs = Counter()
+        for w, freq in wfreq.items():
+            seq = symbols[w]
+            for a, b in zip(seq, seq[1:]):
+                pairs[(a, b)] += freq
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (left, right), cnt = best
+        if cnt < 2:
+            break
+        expected.append((rank, left, right, left + right, cnt))
+        for w, seq in symbols.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == left and seq[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            symbols[w] = tuple(out)
+    assert got == expected
+
+
+def test_bpe_deterministic_across_partitioning(spark, sf_dir):
+    """Same merge table regardless of input partition layout."""
+    from cdc_debezium_kafka_airflow_spark.operators.bpe import train_bpe
+    from cdc_debezium_kafka_airflow_spark.queries.common import t as load
+
+    docs = load(spark, sf_dir, "documents")
+    a = train_bpe(docs, n_merges=4).collect()
+    b = train_bpe(docs.repartition(13), n_merges=4).collect()
+    assert a == b
