@@ -9,6 +9,7 @@ additionally invariant-tested in tests/.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
 
 from cdc_debezium_kafka_airflow_spark.queries.common import t
 from cdc_debezium_kafka_airflow_spark.operators.dedup import (
@@ -1937,3 +1938,115 @@ def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cdc_debezium_kafka_airflow_spark.operators.bpe import train_bpe
 
     return train_bpe(t(spark, sf_dir, "documents"), n_merges=8)
+
+
+@q(
+    "ext_hybrid_rrf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({NORM}, ' ')) AS term
+      FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM toks WHERE term IN ('join', 'filter', 'merge')
+      GROUP BY doc_id, term
+    ),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / stats.avgdl))
+               AS contrib
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+    ),
+    bm AS (
+      SELECT doc_id, round(sum(contrib), 6) AS bm25
+      FROM scored GROUP BY doc_id
+      ORDER BY bm25 DESC, doc_id ASC LIMIT 15
+    ),
+    lexr AS (
+      SELECT doc_id, CAST(row_number() OVER
+               (ORDER BY bm25 DESC, doc_id ASC) AS INT) AS lex_rank
+      FROM bm
+    ),
+    v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    qv AS (SELECT e FROM v WHERE vec_id = 0),
+    sims AS (
+      SELECT c.vec_id AS doc_id,
+             list_inner_product(qv.e, c.e) /
+               (sqrt(list_inner_product(qv.e, qv.e)) *
+                sqrt(list_inner_product(c.e, c.e))) AS sim
+      FROM qv, v c WHERE c.vec_id <> 0
+    ),
+    dr0 AS (
+      SELECT doc_id, CAST(row_number() OVER
+               (ORDER BY sim DESC, doc_id ASC) AS INT) AS dense_rank
+      FROM sims
+    ),
+    dr AS (SELECT * FROM dr0 WHERE dense_rank <= 15)
+    SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+           l.lex_rank, d.dense_rank,
+           round(coalesce(1.0 / (60 + l.lex_rank), 0)
+                 + coalesce(1.0 / (60 + d.dense_rank), 0), 6) AS rrf
+    FROM lexr l FULL OUTER JOIN dr d ON l.doc_id = d.doc_id
+    ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """,
+)
+def ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion: the lexical candidate
+    list (BM25 top-15 for {join, filter, merge}) and the dense list (exact
+    cosine top-15 against the vec_id=0 query embedding) are fused by
+    RRF(d) = sum over lists of 1/(60 + rank_d) — the standard score-free
+    fusion used when lexical and dense scores live on incomparable scales.
+
+    Scale posture: each leg keeps its own proven shape (BM25: query-term
+    filter before agg + heap top-k; dense: broadcast query against the
+    corpus scan, at production scale swapped for the IVF-PQ leg with the
+    same output contract); fusion itself touches only the two k-sized
+    candidate lists — a full-outer join of 15-row frames, constant cost at
+    any corpus size. Ranks are integers, so the fused scores are
+    bit-identical across engines."""
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from cdc_debezium_kafka_airflow_spark.operators.text import bm25_topk
+
+    docs = t(spark, sf_dir, "documents")
+    lex = bm25_topk(docs, ["join", "filter", "merge"], k=15)
+    wlex = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wlex).alias("lex_rank")
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    dense = brute_force_topk(q0, corpus, k=15).select(
+        F.col("neighbor_id").alias("ddoc_id"),
+        F.col("rank").alias("dense_rank"),
+    )
+
+    fused = lexr.join(
+        dense, lexr.doc_id == dense.ddoc_id, "full_outer"
+    ).select(
+        F.coalesce(F.col("doc_id"), F.col("ddoc_id")).alias("doc_id"),
+        "lex_rank",
+        "dense_rank",
+        F.round(
+            F.coalesce(1.0 / (60 + F.col("lex_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("dense_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(10)
