@@ -135,3 +135,52 @@ def train_bpe(docs: DataFrame, n_merges: int = 8) -> DataFrame:
         "merge_rank int, left string, right string, merged string, "
         "pair_count long",
     )
+
+
+_MERGE_CACHE: dict = {}
+
+
+def train_bpe_cached(docs: DataFrame, cache_key: str, n_merges: int = 8):
+    """Train-once memoization per (corpus, n_merges) — the tokenizer
+    artifact has an index lifecycle (train once, apply everywhere), same
+    convention as the IVF/PQ codebook caches in operators/similarity."""
+    key = (cache_key, n_merges)
+    if key not in _MERGE_CACHE:
+        _MERGE_CACHE[key] = [
+            (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+            for r in train_bpe(docs, n_merges).collect()
+        ]
+    return _MERGE_CACHE[key]
+
+
+def apply_bpe(words: DataFrame, merges: list) -> DataFrame:
+    """Tokenize the (word, freq) VOCABULARY with a trained merge list —
+    greedy lowest-rank-first replay, the exact apply rule real BPE
+    tokenizers use. Corpus-scale note: tokenization happens once per
+    DISTINCT word (vocab-sized Arrow-batched Python), then corpus token
+    counts are freq-weighted aggregates — the raw corpus is never
+    re-touched."""
+    rank_of = {(left, right): rank for rank, left, right, _m, _c in merges}
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def tokenize(col: pd.Series) -> pd.Series:
+        def one(word):
+            symbols = list(word) + [END]
+            while len(symbols) >= 2:
+                best, best_rank = None, None
+                for i in range(len(symbols) - 1):
+                    r = rank_of.get((symbols[i], symbols[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best, best_rank = i, r
+                if best is None:
+                    break
+                symbols[best : best + 2] = [
+                    symbols[best] + symbols[best + 1]
+                ]
+            return symbols
+
+        return col.map(one)
+
+    return words.select(
+        "word", "freq", tokenize(F.col("word")).alias("tokens")
+    )

@@ -2050,3 +2050,38 @@ def ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(10)
+
+
+@q("ext_bpe_tokenize", None)
+def ext_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the trained BPE merges (greedy lowest-rank
+    replay — the apply rule real tokenizers use) and return the top-20
+    token histogram + per-token corpus frequency. Rows-only (iterative
+    artifact); pinned by tests/test_curation.py::test_bpe_tokenize_reference
+    against a pure-Python tokenizer on the same corpus.
+
+    Scale posture: merges are a driver-side list (vocab-lifecycle artifact,
+    memoized per corpus like the IVF/PQ codebooks); tokenization runs once
+    per DISTINCT word (Arrow-batched, vocab-sized), and corpus token counts
+    are freq-weighted aggregates — the corpus is touched exactly once, by
+    the word-frequency shuffle the training step already paid for."""
+    import os
+
+    from cdc_debezium_kafka_airflow_spark.operators.bpe import (
+        apply_bpe,
+        train_bpe_cached,
+        word_freq_table,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    merges = train_bpe_cached(docs, f"docs_{tag}", n_merges=8)
+    words = word_freq_table(docs)
+    toks = apply_bpe(words, merges)
+    return (
+        toks.select(F.explode("tokens").alias("token"), "freq")
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(20)
+    )

@@ -251,3 +251,57 @@ def test_bpe_deterministic_across_partitioning(spark, sf_dir):
     a = train_bpe(docs, n_merges=4).collect()
     b = train_bpe(docs.repartition(13), n_merges=4).collect()
     assert a == b
+
+
+def test_bpe_tokenize_reference(spark, sf_dir):
+    """The distributed tokenize-apply must reproduce a pure-Python greedy
+    lowest-rank-first tokenizer: identical top-20 token histogram."""
+    import re
+    from collections import Counter
+
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import (
+        ext_bpe_tokenize,
+    )
+    from cdc_debezium_kafka_airflow_spark.operators.bpe import (
+        END,
+        train_bpe_cached,
+    )
+    from cdc_debezium_kafka_airflow_spark.queries.common import t as load
+
+    got = [
+        (r.token, r.n_occurrences)
+        for r in ext_bpe_tokenize(spark, sf_dir).collect()
+    ]
+
+    docs = load(spark, sf_dir, "documents")
+    import os
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    merges = train_bpe_cached(docs, f"docs_{tag}", n_merges=8)
+    rank_of = {(l, r): rank for rank, l, r, _m, _c in merges}
+
+    texts = [r.text for r in docs.select("text").collect()]
+    wfreq = Counter()
+    for text in texts:
+        norm = re.sub(r"\s+", " ", text.strip()).lower()
+        for w in norm.split(" "):
+            if w:
+                wfreq[w] += 1
+    tok_counts = Counter()
+    for w, freq in wfreq.items():
+        symbols = list(w) + [END]
+        while len(symbols) >= 2:
+            best, best_rank = None, None
+            for i in range(len(symbols) - 1):
+                r = rank_of.get((symbols[i], symbols[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best, best_rank = i, r
+            if best is None:
+                break
+            symbols[best : best + 2] = [symbols[best] + symbols[best + 1]]
+        for s in symbols:
+            tok_counts[s] += freq
+    expected = sorted(
+        tok_counts.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:20]
+    assert got == expected
