@@ -591,3 +591,70 @@ def snk_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(current_version(root)).alias("published_version"),
         F.lit(n_rejected).cast("long").alias("n_rejected_candidates"),
     )
+
+
+@q(
+    "ddl_warehouse_lifecycle",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           CAST(count(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS BIGINT)
+             AS n_with_priority
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def ddl_warehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference sink's auto.create / auto.evolve
+    (register-postgres-sink.json:13-14) replayed against Spark's OWN
+    catalog with real DDL: CREATE TABLE (v1 schema, no priority column),
+    INSERT the v1 generation, ALTER TABLE ADD COLUMNS when the evolved
+    generation arrives, INSERT v2 WITH the new column, and serve the
+    merged table — pre-DDL rows read NULL priority, exactly Connect's
+    additive-evolution semantics, but enforced by a catalog rather than a
+    frame union (xf_schema_evolve's in-engine twin).
+
+    Scale note: the DDL is metadata-only (no rewrite of v1 files); the
+    INSERTs are ordinary parquet appends under the table location."""
+    import shutil
+
+    orders = t(spark, sf_dir, "orders")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    tbl = f"wh_orders_{tag.replace('.', '_')}"
+    loc = _cache_dir(sf_dir, "ddl_warehouse")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(
+        f"""
+        CREATE TABLE {tbl} (
+          o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING,
+          o_totalprice DOUBLE, o_orderdate TIMESTAMP
+        ) USING PARQUET LOCATION '{loc}'
+        """
+    )
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate",
+    )
+    v1.createOrReplaceTempView("ddl_v1_src")
+    spark.sql(f"INSERT INTO {tbl} SELECT * FROM ddl_v1_src")
+
+    spark.sql(f"ALTER TABLE {tbl} ADD COLUMNS (o_orderpriority STRING)")
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority",
+    )
+    v2.createOrReplaceTempView("ddl_v2_src")
+    spark.sql(f"INSERT INTO {tbl} SELECT * FROM ddl_v2_src")
+
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(o_orderpriority) AS n_with_priority
+        FROM {tbl}
+        GROUP BY o_orderstatus
+        """
+    )

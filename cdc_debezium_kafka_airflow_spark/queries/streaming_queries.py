@@ -430,6 +430,39 @@ def stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_chained_agg",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 DAY AS w FROM events),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+             sum(CAST(round(value * 10000) AS BIGINT)) AS ss
+      FROM events GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', h) AS TIMESTAMP) AS day_start,
+             event_type,
+             CAST(sum(n) AS BIGINT) AS n_events,
+             CAST(sum(ss) AS BIGINT) / 10000.0 AS sum_value,
+             count(*) AS n_hours_active
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT day_start, event_type, n_events, sum_value, n_hours_active
+    FROM daily, wm WHERE day_start + INTERVAL 1 DAY <= wm.w
+    """,
+)
+def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful windowed aggregations chained inside ONE streaming
+    query (Spark 3.4+): hourly per-type counts re-aggregated into daily
+    totals without leaving the stream — the continuous-rollup topology
+    that classically needs two jobs and an intermediate topic. Append
+    mode end-to-end; the oracle reproduces the emission cut (daily
+    windows whose end the joint watermark passed) and the per-day values
+    (integer-scaled sums, so hourly->daily re-aggregation is exact)."""
+    t(spark, sf_dir, "events")
+    return jobs.chained_window_aggs(spark, sf_dir)
+
+
+@q(
     "stream_checkpoint_recovery",
     """
     SELECT o_orderstatus,

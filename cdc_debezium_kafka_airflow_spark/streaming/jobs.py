@@ -231,6 +231,41 @@ def windowed_event_counts_watermarked(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def chained_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_chained_agg``: TWO stateful windowed aggregations chained in
+    ONE streaming query (Spark 3.4+ multi-agg streams): hourly counts/sums
+    per event type, re-aggregated into daily totals WITHOUT leaving the
+    stream — the continuous-rollup topology that otherwise needs two jobs
+    and an intermediate topic. Append mode end-to-end: an hourly window
+    flows downstream when it closes, a daily window emits when the
+    watermark passes its end; the oracle reproduces the final cut
+    (day_end <= max(ts) - delay) relationally."""
+    ev = events_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    hourly = ev.groupBy(
+        F.window("ts", "1 hour").alias("hwin"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias(
+            "sum_scaled"
+        ),
+    )
+    daily = hourly.groupBy(
+        F.window(F.col("hwin"), "1 day").alias("dwin"), F.col("event_type")
+    ).agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_scaled").alias("sum_scaled"),
+        F.count("*").alias("n_hours_active"),
+    )
+    out = _run_to_memory(daily, "append", parts="8")
+    return out.select(
+        F.col("dwin.start").alias("day_start"),
+        "event_type",
+        "n_events",
+        (F.col("sum_scaled") / F.lit(10000.0)).alias("sum_value"),
+        "n_hours_active",
+    )
+
+
 def stream_stream_interval_join(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
