@@ -554,3 +554,142 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@q(
+    "q8_market_share",
+    """
+    WITH base AS (
+      SELECT CAST(year(o_orderdate) AS INT) AS yr,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN part ON p_partkey = l_partkey
+      WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT yr,
+           round(100.0 * sum(CASE WHEN supp_nation = 'NATION_3'
+                                  THEN volume ELSE 0 END)
+                 / sum(volume), 6) AS mkt_share,
+           count(*) AS n_lines
+    FROM base GROUP BY yr
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's share of a part type's volume
+    sold into one region, by year — a 8-table star with a conditional
+    ratio at the top. All dims (region, both nation roles, part filter,
+    supplier) broadcast; the two fact joins shuffle on their keys; both
+    conditional sums fold into ONE aggregate pass."""
+    region = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = (
+        t(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("c_nkey"))
+    )
+    cust = (
+        t(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nkey"))
+        .select("c_custkey")
+    )
+    n2 = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    supp = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nkey"))
+        .select("s_suppkey", "supp_nation")
+    )
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD").select(
+        "p_partkey"
+    )
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    national = F.when(
+        F.col("supp_nation") == "NATION_3", F.col("volume")
+    ).otherwise(F.lit(0.0))
+    return base.groupBy("yr").agg(
+        F.round(F.lit(100.0) * F.sum(national) / F.sum("volume"), 6).alias(
+            "mkt_share"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@q(
+    "q9_product_profit",
+    """
+    SELECT n_name, CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                     - p_retailprice * l_quantity) * 10000) AS BIGINT))
+                AS BIGINT) / 10000.0 AS profit,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and year for one product
+    family (fixture has no partsupp, so p_retailprice*quantity stands in
+    for ps_supplycost). The name LIKE filter prunes part BEFORE it
+    broadcasts into lineitem, so the fact shuffle carries only the
+    product family's rows."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = (
+        t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = t(spark, sf_dir, "lineitem")
+    # per-row integer scaling (ROADMAP #7): the profit expression has a
+    # fixed 4dp lattice, so summing scaled BIGINTs is exact under any
+    # partition order — no .01 flips at the rounding boundary
+    profit_scaled = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 10000
+    ).cast("long")
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(
+            (F.sum(profit_scaled) / F.lit(10000.0)).alias("profit"),
+            F.count("*").alias("n_lines"),
+        )
+    )
