@@ -658,3 +658,109 @@ def ddl_warehouse_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+@q(
+    "ddl_default_values",
+    """
+    SELECT o_orderstatus,
+           CASE WHEN o_orderkey % 2 = 0 THEN 'UNSPECIFIED'
+                ELSE o_orderpriority END AS priority_class,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def ddl_default_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column EXISTENCE DEFAULTS (Spark 3.4+): ALTER TABLE ADD COLUMN ...
+    DEFAULT 'UNSPECIFIED' — rows written BEFORE the DDL read the default
+    without any file rewrite (the default lives in table metadata and is
+    injected at scan time), rows written after carry real values. This is
+    the metadata-only backfill that makes additive schema evolution free
+    at 100 TB: zero bytes of the v1 generation move.
+
+    The oracle reproduces the generation split in closed form (even keys
+    are v1 = default, odd keys carry their true priority)."""
+    import shutil
+
+    orders = t(spark, sf_dir, "orders")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    tbl = f"wh_default_{tag.replace('.', '_')}"
+    loc = _cache_dir(sf_dir, "ddl_default")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(
+        f"""
+        CREATE TABLE {tbl} (
+          o_orderkey BIGINT, o_orderstatus STRING
+        ) USING PARQUET LOCATION '{loc}'
+        """
+    )
+    orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    ).createOrReplaceTempView("ddl_def_v1")
+    spark.sql(f"INSERT INTO {tbl} SELECT * FROM ddl_def_v1")
+    spark.sql(
+        f"ALTER TABLE {tbl} ADD COLUMN priority_class STRING"
+        f" DEFAULT 'UNSPECIFIED'"
+    )
+    orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    ).createOrReplaceTempView("ddl_def_v2")
+    spark.sql(f"INSERT INTO {tbl} SELECT * FROM ddl_def_v2")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, priority_class, count(*) AS n_orders
+        FROM {tbl} GROUP BY 1, 2
+        """
+    )
+
+
+@q(
+    "perf_cache_table",
+    """
+    WITH seg AS (
+      SELECT c_mktsegment, c_custkey FROM customer WHERE c_acctbal > 0
+    )
+    SELECT s.c_mktsegment,
+           count(DISTINCT s.c_custkey) AS n_customers,
+           count(o_orderkey) AS n_orders
+    FROM seg s JOIN orders ON o_custkey = s.c_custkey
+    GROUP BY 1
+    """,
+)
+def perf_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CACHE TABLE: a hot derived relation pinned columnar in executor
+    memory (InMemoryTableScan — plan-guarded by
+    tests/test_scale_plans.py::test_cache_table_serves_from_memory) and
+    served to a consuming join without re-reading parquet. The
+    materialized-intermediate pattern the shingle-cache uses on disk,
+    here in memory — at 100 TB this is the dashboard/BI accelerator for
+    dimensions that fit the cluster's storage memory. The cache is
+    dropped before returning so no other query inherits pinned memory."""
+    c = t(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("cache_cust_base")
+    spark.sql("DROP VIEW IF EXISTS cache_seg")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW cache_seg AS
+        SELECT c_mktsegment, c_custkey FROM cache_cust_base
+        WHERE c_acctbal > 0
+        """
+    )
+    spark.sql("CACHE TABLE cache_seg")
+    try:
+        o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+        out = (
+            spark.table("cache_seg")
+            .join(o, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(
+                F.count_distinct("c_custkey").alias("n_customers"),
+                F.count("o_orderkey").alias("n_orders"),
+            )
+        )
+        out.count()  # serve while cached (plan pinned in the test)
+        return out
+    finally:
+        spark.sql("UNCACHE TABLE IF EXISTS cache_seg")

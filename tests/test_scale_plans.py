@@ -501,3 +501,42 @@ def test_observe_metrics_ride_the_single_pass(spark, sf_dir):
     assert final.count("CollectMetrics") == 2
     assert final.count("FileScan parquet") == 1
     assert obs_a.get["n"] > obs_b.get["n"] > 0
+
+
+def test_cache_table_serves_from_memory(spark, sf_dir):
+    """While CACHE TABLE is active, the consuming join must read the
+    derived relation from the columnar in-memory store, not re-scan
+    parquet: InMemoryTableScan present, and only the ORDERS side still
+    scans files."""
+    from cdc_debezium_kafka_airflow_spark.queries.common import t as load
+    from pyspark.sql import functions as F
+
+    c = load(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("cache_cust_base_t")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY VIEW cache_seg_t AS
+        SELECT c_mktsegment, c_custkey FROM cache_cust_base_t
+        WHERE c_acctbal > 0
+        """
+    )
+    spark.sql("CACHE TABLE cache_seg_t")
+    try:
+        o = load(spark, sf_dir, "orders").select("o_custkey")
+        df = (
+            spark.table("cache_seg_t")
+            .join(o, F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n"))
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        # Spark 4 spells the cached read as a TableCacheQueryStage over
+        # "Scan In-memory table"; the customer FileScan that remains in the
+        # text is the cache's DEFINITION (inside InMemoryRelation), not an
+        # executed scan.
+        assert "TableCacheQueryStage" in final
+        assert "Scan In-memory table" in final
+    finally:
+        spark.sql("UNCACHE TABLE IF EXISTS cache_seg_t")
