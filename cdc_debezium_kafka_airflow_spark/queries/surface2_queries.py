@@ -480,6 +480,69 @@ def snk_pydatasource_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "snk_pydatasource_stream",
+    f"""
+    SELECT '{{"malformed":' || CAST(event_id AS VARCHAR) AS payload_json
+    FROM events
+    WHERE (event_id % 97 = 0 AND event_id % 10 < 8)
+      AND NOT (event_id % 20 = 8)
+    """,
+)
+def snk_pydatasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING write side of the Python DataSource API
+    (DataSourceStreamWriter, Spark 4): the DLQ audit rows flow through
+    ``writeStream.format("dlq_jsonl")`` — per micro-batch, tasks write uuid
+    part files and the driver commit publishes an atomic per-batch manifest
+    (``_batch-<id>.json``); readers resolve ONLY manifest-listed files, so
+    replayed/aborted attempts are invisible (the exactly-once contract).
+    Completes the connector matrix: batch reader + stream reader + batch
+    writer + stream writer, all pure Python. Round-trip must be exact —
+    the oracle is the same closed-form DLQ membership the batch sink uses.
+    """
+    import os
+    import shutil
+
+    from cdc_debezium_kafka_airflow_spark.operators.cdc import (
+        hoist_field,
+        parse_envelope,
+        split_dlq,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import (
+        build_changelog,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.pydatasource import (
+        DlqJsonSink,
+        committed_stream_files,
+    )
+
+    spark.dataSource.register(DlqJsonSink)
+    dlq = hoist_field(
+        split_dlq(parse_envelope(build_changelog(t(spark, sf_dir, "events"))))[1]
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join("/root/repo/.cache", f"dlq_stream_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    ck = os.path.join(base, "ck")
+    dlq.coalesce(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(
+        os.path.join(src, "*.parquet")
+    )
+    q_ = (
+        stream.writeStream.format("dlq_jsonl")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    files = committed_stream_files(out)
+    return spark.read.schema("payload_json string").json(files)
+
+
+@q(
     "cdc_scd2_history",
     f"""
     WITH {CH_CTE},

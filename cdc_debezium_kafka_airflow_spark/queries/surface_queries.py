@@ -167,3 +167,57 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle derives in closed form."""
     t(spark, sf_dir, "events")
     return jobs.windowed_event_counts_watermarked(spark, sf_dir)
+
+
+@q(
+    "udf_arrow_batches",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_lines,
+           round(sum(round(l_extendedprice * (1 - l_discount), 4)), 2)
+             AS revenue,
+           round(max(l_extendedprice * (1 - l_discount)), 4) AS max_disc_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def udf_arrow_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow``: the ZERO-COPY Python batch path — RecordBatches move
+    JVM -> Python without pandas materialization, transformed with
+    ``pyarrow.compute`` kernels (C++ vectorized, no per-row Python), and
+    flow straight back. One tier lower than pandas_udf (no index/object
+    overhead), the right interface when the Python side is itself
+    columnar — completing the UDF ladder: row UDF < pandas_udf <
+    mapInPandas < mapInArrow.
+
+    The per-row revenue is rounded to its exact 4dp lattice INSIDE the
+    Arrow kernel, so the downstream JVM sum is order-independent and the
+    oracle reproduces it bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+
+    def arrow_revenue(batches):
+        for batch in batches:
+            price = batch.column(1)
+            disc = batch.column(2)
+            raw = pc.multiply(
+                price, pc.subtract(pa.scalar(1.0, pa.float64()), disc)
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), pc.round(raw, 4), raw],
+                ["l_returnflag", "disc_price", "raw_disc_price"],
+            )
+
+    shaped = li.mapInArrow(
+        arrow_revenue,
+        "l_returnflag string, disc_price double, raw_disc_price double",
+    )
+    return shaped.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("disc_price"), 2).alias("revenue"),
+        F.round(F.max("raw_disc_price"), 4).alias("max_disc_price"),
+    )

@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
+    DataSourceStreamWriter,
 )
 
 from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import (
@@ -295,3 +296,73 @@ class DlqJsonSink(DataSource):
 
     def writer(self, schema, overwrite: bool) -> DlqJsonWriter:
         return DlqJsonWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> "DlqStreamWriter":
+        return DlqStreamWriter(self.options)
+
+
+class DlqStreamWriter(DataSourceStreamWriter):
+    """STREAMING twin of DlqJsonWriter: every micro-batch's tasks write
+    uuid part files, and the driver-side ``commit(messages, batchId)``
+    publishes a PER-BATCH manifest ``_batch-<id>.json`` naming exactly the
+    committed files. Idempotence: a replayed batch (restart after a crash
+    between write and checkpoint commit) REPLACES its manifest atomically,
+    so the orphaned first-attempt files are never visible to readers —
+    manifest-listed files are the only readable set, which is exactly the
+    exactly-once contract a transactional object-store sink provides."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return DlqCommitMessage(name, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+        import tempfile
+
+        manifest = {
+            "batch_id": batchId,
+            "files": sorted(m.filename for m in messages if m is not None),
+            "n_rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(manifest))
+        os.replace(tmp, os.path.join(self.path, f"_batch-{batchId}.json"))
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+def committed_stream_files(path: str) -> list:
+    """Reader-side manifest resolution: only files named by a per-batch
+    manifest exist; orphans from aborted/replayed attempts are invisible."""
+    import glob
+    import os
+
+    files = []
+    for mf in sorted(glob.glob(os.path.join(path, "_batch-*.json"))):
+        with open(mf) as f:
+            files.extend(
+                os.path.join(path, name) for name in json.load(f)["files"]
+            )
+    return files
