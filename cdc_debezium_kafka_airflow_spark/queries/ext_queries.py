@@ -2085,3 +2085,96 @@ def ext_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
         .limit(20)
     )
+
+
+@q(
+    "ext_hard_negatives",
+    f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    lab AS (SELECT doc_id, lang FROM documents),
+    q AS (
+      SELECT v.vec_id AS query_id, v.e, lab.lang AS query_lang
+      FROM v JOIN lab ON lab.doc_id = v.vec_id
+      WHERE v.vec_id % 50 = 0
+    ),
+    c AS (
+      SELECT v.vec_id AS neighbor_id, v.e, lab.lang AS neighbor_lang
+      FROM v JOIN lab ON lab.doc_id = v.vec_id
+    ),
+    s AS (
+      SELECT q.query_id, q.query_lang, c.neighbor_id, c.neighbor_lang,
+             list_inner_product(q.e, c.e) /
+               (sqrt(list_inner_product(q.e, q.e)) *
+                sqrt(list_inner_product(c.e, c.e))) AS sim
+      FROM q JOIN c ON c.neighbor_id <> q.query_id
+                   AND c.neighbor_lang <> q.query_lang
+    ),
+    r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id ASC) AS rn FROM s)
+    SELECT query_id, query_lang, neighbor_id, neighbor_lang,
+           round(sim, 6) AS cosine_sim, CAST(rn AS INT) AS rank
+    FROM r WHERE rn <= 5
+    """,
+)
+def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding-model training: for
+    every anchor document, the top-5 most semantically similar documents
+    from a DIFFERENT language class — maximally confusable out-of-class
+    examples, the pairs that sharpen a retrieval model's decision boundary
+    (in-batch random negatives are too easy).
+
+    Scale posture: the anchor set broadcasts with its labels; the class
+    filter rides the map-side join BEFORE any score is computed, so
+    excluded in-class pairs never materialize; top-k is the per-query
+    window heap. At production scale the exact scan swaps for the IVF-PQ
+    leg exactly as in ext_hybrid_rrf."""
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+        as_double,
+        cosine,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    lab = t(spark, sf_dir, "documents").select("doc_id", "lang")
+    qs = (
+        emb.filter(F.col("vec_id") % 50 == 0)
+        .join(lab, F.col("doc_id") == F.col("vec_id"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            as_double("embedding").alias("qvec"),
+            F.col("lang").alias("query_lang"),
+        )
+    )
+    cs = emb.join(lab, F.col("doc_id") == F.col("vec_id")).select(
+        F.col("vec_id").alias("neighbor_id"),
+        as_double("embedding").alias("cvec"),
+        F.col("lang").alias("neighbor_lang"),
+    )
+    scored = (
+        cs.join(F.broadcast(qs))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("neighbor_lang") != F.col("query_lang"))
+        )
+        .select(
+            "query_id",
+            "query_lang",
+            "neighbor_id",
+            "neighbor_lang",
+            cosine(F.col("qvec"), F.col("cvec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "query_lang",
+            "neighbor_id",
+            "neighbor_lang",
+            F.round("sim", 6).alias("cosine_sim"),
+            "rank",
+        )
+    )

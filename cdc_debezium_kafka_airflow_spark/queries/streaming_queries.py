@@ -463,6 +463,27 @@ def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_stateful_restart",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL 1 DAY AS w FROM events)
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           event_type, count(*) AS n_events
+    FROM events, wm
+    GROUP BY 1, 2
+    HAVING CAST(date_trunc('day', any_value(ts)) AS TIMESTAMP)
+             + INTERVAL 1 DAY <= any_value(wm.w)
+    """,
+)
+def stream_stateful_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed-aggregation STATE survives a query restart: phase 1 stops
+    mid-stream, a new query on the same checkpoint restores window state +
+    watermark, and the final emission equals a never-restarted run (full
+    counts for every window the end watermark closed)."""
+    t(spark, sf_dir, "events")
+    return jobs.stateful_restart_windowed(spark, sf_dir)
+
+
+@q(
     "stream_checkpoint_recovery",
     """
     SELECT o_orderstatus,

@@ -266,6 +266,67 @@ def chained_window_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stateful_restart_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_stateful_restart``: a WATERMARKED WINDOWED AGGREGATION
+    survives a query restart — phase 1 (events before day 15) runs under a
+    checkpoint and stops; a NEW query object on the SAME checkpoint ingests
+    the rest. Window state and the watermark are restored from the state
+    store, so windows spanning the boundary accumulate across both
+    processes and the final emitted set is identical to a never-restarted
+    run: every 1-day window closed by the end watermark, with full counts.
+    (The split is by event time, so phase 2 carries no late data and the
+    oracle stays closed-form.)"""
+    import shutil
+
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join("/root/repo/.cache", f"stateful_restart_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir = os.path.join(base, "source")
+    ckpt = os.path.join(base, "checkpoint")
+    out_dir = os.path.join(base, "out")
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    # mid-DAY cut: the day-15 window accumulates across BOTH processes, so
+    # a dropped/unreread state store would visibly undercount it
+    cut = "2024-01-15 12:00:00"
+    ev.filter(F.col("ts") < cut).coalesce(2).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+
+    def run_once() -> None:
+        stream = spark.readStream.schema(schema).parquet(
+            os.path.join(src_dir, "*.parquet")
+        )
+        agg = (
+            stream.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day").alias("win"), F.col("event_type"))
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                F.col("win.start").alias("day_start"),
+                "event_type",
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # phase 1 commits state + offsets, process "dies"
+    ev.filter(F.col("ts") >= cut).coalesce(2).write.mode("append").parquet(
+        src_dir
+    )
+    run_once()  # restart: state restored, remaining windows accumulate
+
+    return spark.read.parquet(out_dir)
+
+
 def stream_stream_interval_join(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
