@@ -85,6 +85,11 @@ def decode_bmp(data: bytes) -> tuple[int, int, float]:
     flipped = h < 0  # negative height = top-down storage
     h = abs(h)
     row_size = (3 * w + 3) // 4 * 4
+    # truncation guard: a short payload would otherwise yield short row
+    # slices and a silently WRONG mean (Python slicing never raises) —
+    # poison must be catchable, not quiet
+    if w <= 0 or h <= 0 or len(data) < offset + (h - 1) * row_size + 3 * w:
+        raise ValueError("truncated or empty BMP pixel data")
     total = 0
     for row_i in range(h):
         base = offset + row_i * row_size
@@ -428,6 +433,8 @@ def decode_bmp_pixels(data: bytes) -> tuple[int, int, list]:
     top_down = h < 0
     h = abs(h)
     row_size = (3 * w + 3) // 4 * 4
+    if w <= 0 or h <= 0 or len(data) < offset + (h - 1) * row_size + 3 * w:
+        raise ValueError("truncated or empty BMP pixel data")
     rows = []
     for row_i in range(h):
         base = offset + row_i * row_size

@@ -763,3 +763,96 @@ def sec_masked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return spark.table("sec_customer_masked")
+
+
+@q(
+    "fn_sql_scripting",
+    """
+    WITH g AS (SELECT o_orderstatus, count(*) AS c FROM orders GROUP BY 1)
+    SELECT CAST(sum(c) AS BIGINT) AS n_orders,
+           CAST(max(c) AS BIGINT) AS max_status_count,
+           CAST(count(*) AS INT) AS n_statuses
+    FROM g
+    """,
+)
+def fn_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scripting (Spark 4 BEGIN/DECLARE/FOR/IF control flow): the
+    procedural surface Airflow users reach for when a task is "run this
+    loop of SQL against the warehouse" (the reference pushes exactly such
+    scripted SQL through its hooks,
+    dags/cdc_data_integrity_dynamic_dag.py:50-55). The script iterates a
+    grouped cursor, accumulating into declared variables; the oracle is
+    the equivalent set-based aggregate — same numbers, proving the
+    procedural and relational forms agree."""
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        t(spark, sf_dir, "orders").createOrReplaceTempView("script_orders")
+        return spark.sql(
+            """
+            BEGIN
+              DECLARE total BIGINT DEFAULT 0;
+              DECLARE hi BIGINT DEFAULT 0;
+              DECLARE n_statuses INT DEFAULT 0;
+              FOR row AS SELECT o_orderstatus s, count(*) c
+                         FROM script_orders GROUP BY 1 ORDER BY 1 DO
+                SET total = total + row.c;
+                SET n_statuses = n_statuses + 1;
+                IF row.c > hi THEN SET hi = row.c; END IF;
+              END FOR;
+              SELECT total AS n_orders, hi AS max_status_count,
+                     n_statuses AS n_statuses;
+            END
+            """
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+@q(
+    "fn_ansi_safety",
+    """
+    SELECT l_linenumber,
+           count(*) AS n,
+           CAST(count(CASE WHEN TRY_CAST(l_returnflag AS INT) IS NULL
+                           THEN 1 END) AS BIGINT) AS n_uncastable,
+           round(sum(CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                          ELSE l_extendedprice / (l_linenumber - 1) END), 2)
+             AS safe_div_sum,
+           CAST(sum(CASE WHEN l_quantity > 25 THEN NULL
+                         ELSE CAST(l_quantity AS BIGINT) END)
+                AS BIGINT) AS guarded_sum
+    FROM lineitem
+    GROUP BY l_linenumber
+    """,
+)
+def fn_ansi_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-tolerant expression surface under ANSI mode: ``try_cast`` /
+    ``try_divide`` return NULL instead of failing the job — the
+    row-poison containment a 100 TB pipeline needs (one bad value must
+    not kill a 6-hour job; the DLQ split handles record-level poison,
+    try_* handles expression-level). The oracle spells each try_* as its
+    explicit NULL-guard CASE, proving the semantics equivalence."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linenumber").agg(
+        F.count("*").alias("n"),
+        F.count(
+            F.when(F.col("l_returnflag").try_cast("int").isNull(), F.lit(1))
+        ).alias("n_uncastable"),
+        F.round(
+            F.sum(
+                F.try_divide(
+                    F.col("l_extendedprice"), F.col("l_linenumber") - 1
+                )
+            ),
+            2,
+        ).alias("safe_div_sum"),
+        F.sum(
+            F.when(
+                F.col("l_quantity") > 25, F.lit(None).cast("long")
+            ).otherwise(F.col("l_quantity").cast("long"))
+        ).alias("guarded_sum"),
+    )

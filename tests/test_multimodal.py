@@ -155,3 +155,66 @@ def test_audio_spectrum_matches_independent_fft(spark, sf_dir):
         assert r.dominant_bin == k
         assert r.dominant_freq_hz == round(k * rate / n, 6)
         assert r.spectral_energy == round(float((spec**2).sum() / n), 4)
+
+
+def test_bmp_decoder_rejects_arbitrary_bytes():
+    """Codec robustness: arbitrary byte soup must raise a clean ValueError
+    (or parse, for byte strings that happen to be valid) — never crash with
+    an unhandled struct/index error. Poison payloads at 100 TB are a
+    certainty; the decode stage's failure mode must be catchable so the
+    DLQ split can route them."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from cdc_debezium_kafka_airflow_spark.operators.multimodal import (
+        decode_bmp,
+        decode_bmp_pixels,
+        decode_wav,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.binary(min_size=0, max_size=200))
+    def fuzz(payload):
+        for fn in (decode_bmp, decode_bmp_pixels, decode_wav):
+            try:
+                fn(payload)
+            except (ValueError, struct_error):
+                pass  # clean, catchable rejection
+
+    import struct
+
+    struct_error = struct.error
+    fuzz()
+
+
+def test_bmp_decoder_rejects_truncated_real_payload():
+    """Truncations of a VALID payload (the realistic corruption) must also
+    fail cleanly at every cut point."""
+    import struct
+
+    from cdc_debezium_kafka_airflow_spark.operators.multimodal import (
+        decode_bmp,
+        decode_bmp_pixels,
+        decode_wav,
+        render_bmp,
+        render_wav,
+    )
+
+    bmp, wav = render_bmp(42), render_wav(43)
+    # any cut strictly inside the pixel data MUST raise (a silent short
+    # read would produce a wrong mean) — and full payloads must parse
+    for cut in range(0, len(bmp)):
+        for fn in (decode_bmp, decode_bmp_pixels):
+            try:
+                fn(bmp[:cut])
+                assert cut >= len(bmp) - 3, (cut, len(bmp))  # padding only
+            except (ValueError, struct.error, IndexError):
+                pass
+    assert decode_bmp(bmp)[2] == decode_bmp(bytes(bmp))[2]
+    for cut in range(0, len(wav), 3):
+        try:
+            decode_wav(wav[:cut])
+            assert cut == len(wav)
+        except (ValueError, struct.error, IndexError):
+            pass
+    assert decode_wav(wav)[1] > 0
