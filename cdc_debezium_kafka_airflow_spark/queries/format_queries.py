@@ -764,3 +764,46 @@ def perf_cache_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         spark.sql("UNCACHE TABLE IF EXISTS cache_seg")
+
+
+@q(
+    "snk_bloom_parquet",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderkey IN (42, 4242, 9000, 12345)
+    GROUP BY o_orderstatus
+    """,
+)
+def snk_bloom_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet BLOOM FILTERS on the write path
+    (parquet.bloom.filter.enabled#col): point-lookup data skipping for
+    HIGH-CARDINALITY keys, where min/max footer ranges are useless (every
+    file spans nearly the full key domain). At 100 TB, a key-probe
+    ("find this order") consults each file's bloom filter and skips files
+    that definitely lack the key — the complement of snk_sorted_export's
+    range skipping. Sized via expected.ndv so the filter is bits-per-key,
+    not the unsized default.
+
+    The oracle proves the bloomed file is content-lossless under a point
+    IN-probe; tests/test_backfill.py::test_bloom_parquet_bigger_than_plain
+    proves the filters physically exist (file-size delta)."""
+    import shutil
+
+    path = _cache_dir(sf_dir, "bloom_orders")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders")
+    (
+        orders.write.option("parquet.bloom.filter.enabled#o_orderkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_orderkey", "100000")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).filter(
+        F.col("o_orderkey").isin(42, 4242, 9000, 12345)
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

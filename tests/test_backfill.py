@@ -189,3 +189,31 @@ def test_wap_valid_candidate_advances_and_invalid_preserves(spark, sf_dir, tmp_p
     assert not wap.write_audit_publish(bad, root, "v3", "o_orderkey")
     assert wap.current_version(root) == "v2"
     assert wap.read_published(spark, root).count() == n_v2
+
+
+def test_bloom_parquet_bigger_than_plain(spark, sf_dir):
+    """The bloom-filter write option must physically add filters: the
+    bloomed files carry measurably more bytes than a plain write of the
+    same data (bloom bitsets live after the data pages)."""
+    import glob
+    import os
+    import shutil
+
+    from cdc_debezium_kafka_airflow_spark.queries.common import t as load
+    from cdc_debezium_kafka_airflow_spark.queries.format_queries import (
+        _cache_dir,
+        snk_bloom_parquet,
+    )
+
+    snk_bloom_parquet(spark, sf_dir).collect()
+    bloom_path = _cache_dir(sf_dir, "bloom_orders")
+    plain_path = _cache_dir(sf_dir, "bloom_orders_plain")
+    shutil.rmtree(plain_path, ignore_errors=True)
+    load(spark, sf_dir, "orders").write.parquet(plain_path)
+
+    def total(p):
+        return sum(
+            os.path.getsize(f) for f in glob.glob(os.path.join(p, "*.parquet"))
+        )
+
+    assert total(bloom_path) > total(plain_path) + 4096
