@@ -92,3 +92,27 @@ def read_published(spark: SparkSession, root: str) -> DataFrame:
     if version is None:
         raise FileNotFoundError(f"nothing published under {root}")
     return spark.read.parquet(version_dir(root, version))
+
+
+def vacuum_unpublished(root: str, keep: int = 1) -> list:
+    """Remove version directories that are NOT the published version and
+    not among the `keep` most recent siblings — the orphan cleanup that
+    keeps a WAP table's storage bounded (failed candidates and superseded
+    snapshots accumulate forever otherwise). The published version is
+    never removable regardless of age. Returns the removed version names."""
+    import shutil
+
+    published = current_version(root)
+    vdir = os.path.join(root, "versions")
+    if not os.path.isdir(vdir):
+        return []
+    versions = sorted(os.listdir(vdir))
+    protected = set(versions[-keep:]) if keep > 0 else set()
+    if published is not None:
+        protected.add(published)
+    removed = []
+    for v in versions:
+        if v not in protected:
+            shutil.rmtree(os.path.join(vdir, v))
+            removed.append(v)
+    return removed

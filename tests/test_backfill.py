@@ -217,3 +217,22 @@ def test_bloom_parquet_bigger_than_plain(spark, sf_dir):
         )
 
     assert total(bloom_path) > total(plain_path) + 4096
+
+
+def test_wap_vacuum_never_removes_published(spark, sf_dir, tmp_path):
+    """Vacuum removes failed/superseded candidates but NEVER the published
+    version, which must stay fully readable afterward."""
+    from cdc_debezium_kafka_airflow_spark.operators import publish as wap
+    from cdc_debezium_kafka_airflow_spark.queries.common import t as load
+
+    root = str(tmp_path / "wapv")
+    orders = load(spark, sf_dir, "orders")
+    assert wap.write_audit_publish(orders, root, "v1", "o_orderkey")
+    corrupted = orders.unionAll(orders.limit(5))
+    assert not wap.write_audit_publish(corrupted, root, "v2", "o_orderkey")
+    n_published = wap.read_published(spark, root).count()
+
+    removed = wap.vacuum_unpublished(root, keep=0)
+    assert removed == ["v2"]  # the failed candidate goes, v1 stays
+    assert wap.current_version(root) == "v1"
+    assert wap.read_published(spark, root).count() == n_published
