@@ -856,3 +856,62 @@ def fn_ansi_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.col("l_quantity").cast("long"))
         ).alias("guarded_sum"),
     )
+
+
+@q(
+    "udtf_polymorphic",
+    """
+    SELECT event_type,
+           CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click,
+           CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchase,
+           count(*) AS n_rows
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 `analyze`): the output schema is
+    computed at PLAN TIME from the call's arguments — here a one-hot
+    encoder whose indicator columns derive from the constant key list, the
+    feature-engineering shape (a static-schema UDTF cannot express "one
+    column per requested category"). Consumes the input relation as a
+    TABLE(...) argument; downstream aggregation over the generated columns
+    is ordinary JVM codegen, and the oracle reproduces the one-hot sums as
+    CASE aggregates."""
+    from pyspark.sql.functions import udtf as udtf_deco
+    from pyspark.sql.types import IntegerType, LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeResult
+
+    class OneHot:
+        @staticmethod
+        def analyze(row, keys):
+            schema = StructType().add("event_id", LongType()).add(
+                "event_type", StringType()
+            )
+            for k in keys.value.split(","):
+                schema = schema.add(f"is_{k}", IntegerType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, row, keys: str):
+            ks = keys.split(",")
+            yield (
+                row["event_id"],
+                row["event_type"],
+                *[1 if row["event_type"] == k else 0 for k in ks],
+            )
+
+    spark.udtf.register("one_hot_poly", udtf_deco(OneHot))
+    t(spark, sf_dir, "events").createOrReplaceTempView("poly_events")
+    onehot = spark.sql(
+        "SELECT * FROM one_hot_poly(TABLE(poly_events), 'click,view,purchase')"
+    )
+    return onehot.groupBy("event_type").agg(
+        F.sum("is_click").cast("long").alias("n_click"),
+        F.sum("is_view").cast("long").alias("n_view"),
+        F.sum("is_purchase").cast("long").alias("n_purchase"),
+        F.count("*").alias("n_rows"),
+    )
