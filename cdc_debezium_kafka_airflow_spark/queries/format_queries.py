@@ -807,3 +807,50 @@ def snk_bloom_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@q(
+    "fn_metadata_columns",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(1 AS BIGINT) AS n_files,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def fn_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden ``_metadata`` columns: every file-source row exposes its
+    physical provenance (_metadata.file_path / file_name / row_index) —
+    the built-in lineage surface an auditor uses to answer "which file did
+    this row come from" without any custom bookkeeping. Here a
+    status-partitioned warehouse is read back WITH provenance: the
+    partition value is re-derived from the FILE PATH alone (proving the
+    hive layout round-trips) and per-partition file counts come from
+    counting distinct _metadata.file_name.
+
+    The write coalesces to one file per partition, so n_files is the
+    deterministic compaction contract the oracle can check."""
+    import shutil
+
+    path = _cache_dir(sf_dir, "meta_orders")
+    shutil.rmtree(path, ignore_errors=True)
+    orders = t(spark, sf_dir, "orders")
+    (
+        orders.coalesce(1)
+        .write.partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).select(
+        F.regexp_extract(
+            F.col("_metadata.file_path"), r"o_orderstatus=([^/]+)/", 1
+        ).alias("path_status"),
+        F.col("_metadata.file_name").alias("file_name"),
+        "o_totalprice",
+    )
+    return back.groupBy(F.col("path_status").alias("o_orderstatus")).agg(
+        F.count("*").alias("n_orders"),
+        F.count_distinct("file_name").alias("n_files"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
