@@ -2189,3 +2189,132 @@ def ext_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP_SQL = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_PHONE_SQL = "\\+\\d{1,2}-\\d{3}-\\d{4}"
+
+
+@q(
+    "ext_corpus_datasheet",
+    f"""
+    WITH d AS (SELECT doc_id, text, {NORM} AS t FROM documents),
+    m AS (
+      SELECT doc_id, text, t,
+             CAST(len(string_split(t, ' ')) AS INT) AS n_tokens,
+             (length(t) - length(regexp_replace(t, '[^a-z0-9 ]', '', 'g')))
+               / greatest(length(t), 1) AS punct_ratio,
+             CAST(len(list_filter(string_split(t, ' '),
+                  w -> w IN ('the','a','of','and','to','in','is','on')))
+               AS INT) AS n_stopwords,
+             {{counts}}
+      FROM d
+    ),
+    sq AS (
+      SELECT *,
+             round(0.5 * least(n_tokens / 200.0, 1.0)
+                   + 0.3 * least(n_stopwords / greatest(n_tokens, 1) * 5, 1.0)
+                   + 0.2 * (1.0 - punct_ratio), 6) AS q,
+             greatest(n_en, n_es, n_fr, n_de) AS mx
+      FROM m
+    ),
+    p AS (
+      SELECT *,
+             CASE WHEN mx <= 0 THEN 'und'
+                  WHEN n_en = mx THEN 'en'
+                  WHEN n_es = mx THEN 'es'
+                  WHEN n_fr = mx THEN 'fr'
+                  ELSE 'de' END AS plang,
+             (regexp_matches(text, '{{email}}')
+              OR regexp_matches(text, '{{phone}}')
+              OR regexp_matches(text, '{{ip}}')) AS has_pii
+      FROM sq
+    )
+    SELECT count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           round(avg(n_tokens), 4) AS avg_doc_tokens,
+           CAST(count(CASE WHEN plang = 'en' THEN 1 END) AS BIGINT) AS n_en,
+           CAST(count(CASE WHEN plang = 'es' THEN 1 END) AS BIGINT) AS n_es,
+           CAST(count(CASE WHEN plang = 'fr' THEN 1 END) AS BIGINT) AS n_fr,
+           CAST(count(CASE WHEN plang = 'de' THEN 1 END) AS BIGINT) AS n_de,
+           CAST(count(CASE WHEN plang = 'und' THEN 1 END) AS BIGINT)
+             AS n_und,
+           round(avg(q), 4) AS avg_quality,
+           CAST(count(CASE WHEN q < 0.3 THEN 1 END) AS BIGINT)
+             AS n_low_quality,
+           CAST(count(CASE WHEN has_pii THEN 1 END) AS BIGINT)
+             AS n_docs_with_pii,
+           CAST(count(CASE WHEN doc_id % 3 = 0 THEN 1 END) AS BIGINT)
+             AS n_image,
+           CAST(count(CASE WHEN doc_id % 3 = 1 THEN 1 END) AS BIGINT)
+             AS n_audio,
+           CAST(count(CASE WHEN doc_id % 3 = 2 THEN 1 END) AS BIGINT)
+             AS n_video
+    FROM p
+    """.replace("{counts}", _COUNTS)
+    .replace("{email}", _PII_EMAIL_SQL)
+    .replace("{phone}", _PII_PHONE_SQL)
+    .replace("{ip}", _PII_IP_SQL),
+)
+def ext_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datasheet-for-a-dataset (Gebru et al.): the ONE-ROW corpus report a
+    training run is gated on — volume (docs/tokens), predicted language
+    mix, quality profile, PII incidence, and modality mix — composed from
+    the same operators the individual queries use (text_metrics, lang_id,
+    PII patterns), so the numbers a reviewer signs off on are PROVABLY the
+    numbers the pipeline computes.
+
+    Scale posture: one pass over the corpus (all metrics are per-doc
+    map-side expressions), one global aggregate; the report costs one scan
+    no matter how many metrics it carries."""
+    from cdc_debezium_kafka_airflow_spark.operators.text import (
+        PII_EMAIL,
+        PII_IPV4,
+        PII_PHONE,
+        lang_id,
+        text_metrics,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    m = text_metrics(docs).select("doc_id", "n_tokens", "quality_score")
+    lang = lang_id(docs).select("doc_id", "predicted_lang")
+    has_pii = (
+        (F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), 0)) > 0)
+        | (F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), 0)) > 0)
+        | (F.size(F.regexp_extract_all("text", F.lit(PII_IPV4), 0)) > 0)
+    )
+    base = (
+        docs.select("doc_id", has_pii.alias("has_pii"))
+        .join(m, "doc_id")
+        .join(lang, "doc_id")
+    )
+
+    def n_lang(code):
+        return F.count(
+            F.when(F.col("predicted_lang") == code, F.lit(1))
+        ).alias(f"n_{code}")
+
+    def n_media(rem, name):
+        return F.count(
+            F.when(F.col("doc_id") % 3 == rem, F.lit(1))
+        ).alias(name)
+
+    return base.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_doc_tokens"),
+        n_lang("en"),
+        n_lang("es"),
+        n_lang("fr"),
+        n_lang("de"),
+        n_lang("und"),
+        F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        F.count(F.when(F.col("quality_score") < 0.3, F.lit(1))).alias(
+            "n_low_quality"
+        ),
+        F.count(F.when(F.col("has_pii"), F.lit(1))).alias("n_docs_with_pii"),
+        n_media(0, "n_image"),
+        n_media(1, "n_audio"),
+        n_media(2, "n_video"),
+    )
