@@ -704,8 +704,12 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression is written with identical operation order in both engines.
 
     Scale posture: the grid explodes per GROUP (bounded: hours in range),
-    not per row; all four neighbor lookups are two window passes over the
-    same (event_type, h) sort — one shuffle total, partition-local sort.
+    not per row. Three exchanges, all keyed on the metric family: the
+    hourly pre-aggregate (event_type, h), the per-family bounds aggregate,
+    and the grid-join + neighbor windows (event_type) — each is
+    family-partitioned, so at 100 TB the widest shuffle carries the HOURLY
+    table (calendar x families), never raw events; all four neighbor
+    lookups share the final partition-local sort.
     """
     e = t(spark, sf_dir, "events")
     hourly = (

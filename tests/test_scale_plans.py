@@ -540,3 +540,17 @@ def test_cache_table_serves_from_memory(spark, sf_dir):
         assert "Scan In-memory table" in final
     finally:
         spark.sql("UNCACHE TABLE IF EXISTS cache_seg_t")
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """sessionize_events' core claim: ONE user_id shuffle serves both
+    window functions AND the session aggregate — no second exchange."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational3 import (
+        sessionize_events,
+    )
+
+    df = sessionize_events(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange ") == 1, final
