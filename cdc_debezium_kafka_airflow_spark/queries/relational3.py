@@ -1002,3 +1002,52 @@ def agg_cms_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@q(
+    "sessionize_native",
+    """
+    WITH s AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w > INTERVAL 12 HOUR THEN 1 ELSE 0
+               END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s2 AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+           FROM s)
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           count(*) AS n_events, round(sum(value), 2) AS total_value
+    FROM s2 GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATIVE batch sessionization: ``F.session_window(ts, gap)`` in an
+    ordinary groupBy — the same dynamic-gap windows the streaming engine
+    uses (stream_session_window), here on a batch frame. Cross-validated
+    three ways: the oracle is the RELATIONAL lag-flag-cumsum spelling, the
+    manual twin is sessionize_events, and the streaming twin is
+    stream_session_window — all three must produce identical session
+    boundaries.
+
+    Boundary semantics, pinned EMPIRICALLY
+    (tests/test_relational2.py::test_session_window_boundary_semantics):
+    per-event windows [ts, ts+gap) merge when they overlap OR TOUCH, so an
+    event landing exactly prev+gap still JOINS the session — the lag rule
+    is strictly-greater, the same convention sessionize_events uses, and
+    the oracle spells exactly that."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "value")
+    return (
+        e.groupBy(F.session_window("ts", "12 hours"), F.col("user_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id", "session_start", "session_end", "n_events",
+            "total_value",
+        )
+    )

@@ -44,3 +44,30 @@ def test_session_windows_respect_gap(spark, sf_dir):
         ],
     )
     assert overlaps.count() == 0
+
+
+def test_session_window_boundary_semantics(spark):
+    """Pin the exact session_window boundary rule the sessionize_native
+    oracle encodes: per-event windows [ts, ts+gap) MERGE when they overlap
+    or touch, so an event landing exactly prev+gap still joins the session
+    — a new session needs a STRICTLY greater gap."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "2024-01-01 00:00:00.000000"),
+        (1, "2024-01-01 12:00:00.000001"),  # > gap -> new session
+        (2, "2024-01-01 00:00:00.000000"),
+        (2, "2024-01-01 12:00:00.000000"),  # == gap: windows TOUCH -> merge
+    ]
+    df = spark.createDataFrame(rows, "user_id long, s string").select(
+        "user_id", F.col("s").cast("timestamp").alias("ts")
+    )
+    out = (
+        df.groupBy(F.session_window("ts", "12 hours"), "user_id")
+        .agg(F.count("*").alias("n"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_sessions"))
+        .collect()
+    )
+    got = {r.user_id: r.n_sessions for r in out}
+    assert got == {1: 2, 2: 1}, got
