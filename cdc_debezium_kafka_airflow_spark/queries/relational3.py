@@ -1051,3 +1051,56 @@ def sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@q(
+    "fn_transpose",
+    """
+    WITH g AS (
+      SELECT l_returnflag,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_discount), 6) AS avg_disc
+      FROM lineitem GROUP BY 1
+    )
+    SELECT 'revenue' AS key,
+           max(CASE WHEN l_returnflag = 'A' THEN revenue END) AS A,
+           max(CASE WHEN l_returnflag = 'N' THEN revenue END) AS N,
+           max(CASE WHEN l_returnflag = 'R' THEN revenue END) AS R
+    FROM g
+    UNION ALL
+    SELECT 'avg_qty',
+           max(CASE WHEN l_returnflag = 'A' THEN avg_qty END),
+           max(CASE WHEN l_returnflag = 'N' THEN avg_qty END),
+           max(CASE WHEN l_returnflag = 'R' THEN avg_qty END)
+    FROM g
+    UNION ALL
+    SELECT 'avg_disc',
+           max(CASE WHEN l_returnflag = 'A' THEN avg_disc END),
+           max(CASE WHEN l_returnflag = 'N' THEN avg_disc END),
+           max(CASE WHEN l_returnflag = 'R' THEN avg_disc END)
+    FROM g
+    """,
+)
+def fn_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DataFrame.transpose`` (Spark 4): rows <-> columns for a compact
+    metrics frame — the report-layout flip (metrics as rows, groups as
+    columns) analysts otherwise hand-roll with a pivot+unpivot pair. The
+    first column becomes the new header, so the groups must be known and
+    bounded (here: the 3 return flags) — transpose is for SUMMARY frames,
+    never corpus-sized data; the heavy aggregation runs distributed
+    BEFORE the flip. The oracle spells the flip as conditional
+    aggregation."""
+    li = t(spark, sf_dir, "lineitem")
+    summary = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+    return summary.transpose()
