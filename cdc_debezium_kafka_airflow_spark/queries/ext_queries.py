@@ -2318,3 +2318,141 @@ def ext_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_media(1, "n_audio"),
         n_media(2, "n_video"),
     )
+
+
+@q(
+    "ext_leakage_safe_split",
+    f"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, source, string_split({NORM}, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, source,
+                  list_distinct(list_transform(
+                      range(1, greatest(len(w) - 2, 1) + 1),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+           FROM d),
+    sz AS (SELECT doc_id, len(s) AS set_size FROM sh),
+    ex AS (SELECT doc_id, source, unnest(s) AS shingle FROM sh),
+    inter AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_inter
+      FROM ex x JOIN ex y
+        ON x.source = y.source AND x.shingle = y.shingle
+       AND x.doc_id < y.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sz sa ON id_a = sa.doc_id
+      JOIN sz sb ON id_b = sb.doc_id
+      WHERE round(n_inter / (sa.set_size + sb.set_size - n_inter), 6) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    comp AS (SELECT node AS doc_id, min(label) AS cluster_id
+             FROM reach GROUP BY node),
+    full_map AS (
+      SELECT docs.doc_id, COALESCE(comp.cluster_id, docs.doc_id) AS cluster_id
+      FROM documents docs LEFT JOIN comp ON comp.doc_id = docs.doc_id
+    ),
+    rep AS (
+      SELECT docs.doc_id AS cluster_id,
+             CASE WHEN {BUCKET} < 90 THEN 'train'
+                  WHEN {BUCKET} < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents docs
+      WHERE docs.doc_id IN (SELECT DISTINCT cluster_id FROM full_map)
+    ),
+    assigned AS (
+      SELECT f.doc_id, f.cluster_id, r.split
+      FROM full_map f JOIN rep r USING (cluster_id)
+    ),
+    straddle AS (
+      SELECT max(n_splits) AS mx FROM (
+        SELECT cluster_id, count(DISTINCT split) AS n_splits
+        FROM assigned GROUP BY 1)
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT cluster_id) AS n_clusters,
+           CAST(any_value(straddle.mx) AS BIGINT) AS max_splits_per_cluster
+    FROM assigned, straddle
+    GROUP BY split
+    """,
+)
+def ext_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: the split is decided by the
+    content hash of each document's near-dup CLUSTER REPRESENTATIVE, so
+    every member of a duplicate cluster lands in the same split — closing
+    the eval-contamination hole a per-document split leaves open (near-dup
+    twins straddling the train/val boundary leak eval answers into
+    training; ext_train_val_split only guarantees this for EXACT
+    duplicates). max_splits_per_cluster rides in the compared output as
+    the machine-checked leakage invariant (must be 1).
+
+    Scale posture: the cluster map is the OUTPUT of the sub-quadratic
+    near-dup join (a fraction of the corpus); representatives join by
+    cluster_id (AQE-broadcastable), and the split expression stays a pure
+    content-hash map — deterministic across engines and runs. The oracle
+    recomputes the clusters by the recursive-closure algorithm, so the
+    whole chain (pair graph -> components -> co-assignment) is
+    cross-validated."""
+    from cdc_debezium_kafka_airflow_spark.operators.dedup import (
+        dup_clusters,
+        ngram_jaccard_pairs,
+    )
+    from cdc_debezium_kafka_airflow_spark.operators.sampling import (
+        content_bucket,
+    )
+    from cdc_debezium_kafka_airflow_spark.operators.text import normalize_text
+    from cdc_debezium_kafka_airflow_spark.sources.shingle_cache import (
+        shingled_documents,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    sh = shingled_documents(spark, sf_dir, unit="word", k=3).select(
+        "doc_id", F.col("source").alias("block"), "shingles"
+    )
+    comp = dup_clusters(
+        ngram_jaccard_pairs(k=3, threshold=0.5, unit="word", shingled=sh)
+    )
+    full_map = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+    )
+    b = content_bucket(normalize_text(F.col("text")))
+    rep = (
+        docs.join(
+            full_map.select("cluster_id").distinct(),
+            docs.doc_id == F.col("cluster_id"),
+            "left_semi",
+        )
+        .select(
+            F.col("doc_id").alias("cluster_id"),
+            F.when(b < 90, F.lit("train"))
+            .when(b < 95, F.lit("val"))
+            .otherwise(F.lit("test"))
+            .alias("split"),
+        )
+    )
+    assigned = full_map.join(rep, "cluster_id")
+    straddle = (
+        assigned.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .agg(F.max("n_splits").alias("mx"))
+    )
+    return (
+        assigned.join(F.broadcast(straddle))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("cluster_id").alias("n_clusters"),
+            F.max("mx").alias("max_splits_per_cluster"),
+        )
+    )
