@@ -2456,3 +2456,100 @@ def ext_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("mx").alias("max_splits_per_cluster"),
         )
     )
+
+
+@q(
+    "ext_eval_metrics",
+    f"""
+    WITH d AS (SELECT doc_id, lang AS gold, {NORM} AS t FROM documents),
+    m AS (SELECT doc_id, gold, {{counts}} FROM d),
+    p AS (
+      SELECT gold,
+             CASE WHEN greatest(n_en, n_es, n_fr, n_de) <= 0 THEN 'und'
+                  WHEN n_en = greatest(n_en, n_es, n_fr, n_de) THEN 'en'
+                  WHEN n_es = greatest(n_en, n_es, n_fr, n_de) THEN 'es'
+                  WHEN n_fr = greatest(n_en, n_es, n_fr, n_de) THEN 'fr'
+                  ELSE 'de' END AS pred
+      FROM m
+    ),
+    classes AS (SELECT DISTINCT gold AS c FROM p),
+    stats AS (
+      SELECT c,
+             (SELECT count(*) FROM p WHERE gold = c AND pred = c) AS tp,
+             (SELECT count(*) FROM p WHERE gold <> c AND pred = c) AS fp,
+             (SELECT count(*) FROM p WHERE gold = c AND pred <> c) AS fn
+      FROM classes
+    )
+    SELECT c AS class,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           round(tp * 1.0 / greatest(tp + fp, 1), 6) AS precision,
+           round(tp * 1.0 / greatest(tp + fn, 1), 6) AS recall,
+           round(2.0 * tp / greatest(2 * tp + fp + fn, 1), 6) AS f1
+    FROM stats
+    """.replace("{counts}", _COUNTS),
+)
+def ext_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed classifier evaluation: per-class TP/FP/FN, precision,
+    recall, F1 for the lang-id heuristic against the labeled gold — the
+    model-eval counterpart of the data ops (every quality classifier in
+    the pipeline needs exactly this scoreboard before its threshold gates
+    a corpus).
+
+    Scale posture: ONE pass builds the (gold, pred) pairs map-side; the
+    confusion counts are a single groupBy over |classes|^2 cells, and the
+    per-class metrics derive from that tiny table — ratios are computed
+    from exact integer counts with identical expressions, so they hash
+    bit-for-bit."""
+    from cdc_debezium_kafka_airflow_spark.operators.text import lang_id
+
+    preds = lang_id(t(spark, sf_dir, "documents")).select(
+        F.col("labeled_lang").alias("gold"),
+        F.col("predicted_lang").alias("pred"),
+    )
+    cells = preds.groupBy("gold", "pred").agg(F.count("*").alias("n"))
+    classes = preds.select(F.col("gold").alias("class")).distinct()
+    tp = cells.filter(F.col("gold") == F.col("pred")).select(
+        F.col("gold").alias("class"), F.col("n").alias("tp")
+    )
+    fp = (
+        cells.filter(F.col("gold") != F.col("pred"))
+        .groupBy(F.col("pred").alias("class"))
+        .agg(F.sum("n").alias("fp"))
+    )
+    fn = (
+        cells.filter(F.col("gold") != F.col("pred"))
+        .groupBy(F.col("gold").alias("class"))
+        .agg(F.sum("n").alias("fn"))
+    )
+    s = (
+        classes.join(tp, "class", "left")
+        .join(fp, "class", "left")
+        .join(fn, "class", "left")
+        .select(
+            "class",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("fp", F.lit(0)).alias("fp"),
+            F.coalesce("fn", F.lit(0)).alias("fn"),
+        )
+    )
+    return s.select(
+        "class",
+        "tp",
+        "fp",
+        "fn",
+        F.round(
+            F.col("tp") * 1.0 / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("tp") * 1.0 / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)),
+            6,
+        ).alias("recall"),
+        F.round(
+            2.0
+            * F.col("tp")
+            / F.greatest(2 * F.col("tp") + F.col("fp") + F.col("fn"), F.lit(1)),
+            6,
+        ).alias("f1"),
+    )
