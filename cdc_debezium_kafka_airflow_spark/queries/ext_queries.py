@@ -2553,3 +2553,70 @@ def ext_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f1"),
     )
+
+
+@q(
+    "ext_embedding_normalize",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    ex AS (SELECT vec_id, i AS dim, e[i] AS val
+           FROM v, LATERAL unnest(range(1, len(e) + 1)) AS t(i)),
+    stats AS (
+      SELECT CAST(dim AS INT) AS dim_idx,
+             round(avg(val), 6) AS mean_before,
+             round(stddev_pop(val), 6) AS std_before
+      FROM ex GROUP BY 1
+    ),
+    z AS (
+      SELECT ex.dim,
+             (ex.val - s.mean_before) / greatest(s.std_before, 1e-12) AS zv
+      FROM ex JOIN stats s ON s.dim_idx = ex.dim
+    )
+    SELECT s.dim_idx, s.mean_before, s.std_before,
+           round(abs(avg(zv)), 6) AS abs_mean_after,
+           round(stddev_pop(zv), 6) AS std_after
+    FROM z JOIN stats s ON s.dim_idx = z.dim
+    GROUP BY 1, 2, 3
+    """,
+)
+def ext_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding corpus — the
+    feature-scaling pass a whitening/PCA/IVF-training pipeline runs first
+    (un-normalized dimensions with large variance dominate distances).
+    Returns the per-dimension scoreboard: the fitted mean/std and the
+    post-normalization check (|mean| -> 0, std -> 1 — abs() so the -0.0
+    vs 0.0 representation can't split the hash).
+
+    Scale posture: posexplode to (dim, val) looks expensive but is the
+    RIGHT plan — partial aggregation collapses each task's contribution
+    to |dims| rows before either shuffle, so both stat passes move
+    64-row-per-task traffic regardless of corpus size; the fitted stats
+    broadcast back onto the standardization map. Stats are rounded to
+    6dp on BOTH engines BEFORE standardizing, making the z-values'
+    derivation identical."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    ex = emb.select(
+        F.posexplode("e").alias("pos", "val")
+    ).select((F.col("pos") + 1).alias("dim"), "val")
+    stats = ex.groupBy(F.col("dim").cast("int").alias("dim_idx")).agg(
+        F.round(F.avg("val"), 6).alias("mean_before"),
+        F.round(F.stddev_pop("val"), 6).alias("std_before"),
+    )
+    z = ex.join(
+        F.broadcast(stats), F.col("dim") == F.col("dim_idx")
+    ).select(
+        "dim_idx",
+        "mean_before",
+        "std_before",
+        (
+            (F.col("val") - F.col("mean_before"))
+            / F.greatest(F.col("std_before"), F.lit(1e-12))
+        ).alias("zv"),
+    )
+    return z.groupBy("dim_idx", "mean_before", "std_before").agg(
+        F.round(F.abs(F.avg("zv")), 6).alias("abs_mean_after"),
+        F.round(F.stddev_pop("zv"), 6).alias("std_after"),
+    )
