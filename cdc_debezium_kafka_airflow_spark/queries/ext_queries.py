@@ -2620,3 +2620,56 @@ def ext_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.abs(F.avg("zv")), 6).alias("abs_mean_after"),
         F.round(F.stddev_pop("zv"), 6).alias("std_after"),
     )
+
+
+@q("ext_pca_spectrum", None)
+def ext_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (operators/pca.py): covariance assembled from ONE
+    Gram-matrix row per partition (vectorized numpy in Arrow batches — a
+    partition of any size reduces to d^2+d+1 floats), eigendecomposition
+    on the 64x64 driver-side matrix, projection as a broadcast matmul.
+    Returns the eigen-spectrum scoreboard: per retained component, its
+    eigenvalue, explained-variance ratio, and the variance of the corpus
+    ACTUALLY PROJECTED onto it (must equal the eigenvalue — computed
+    distributed, so the claim is verified against the data, not assumed).
+
+    Rows-only (no SQL oracle eigendecomposes);
+    tests/test_dedup_similarity.py::test_pca_* pin orthonormality,
+    spectrum ordering, ratio normalization, eigenvalue/variance agreement
+    and partition-layout stability."""
+    from cdc_debezium_kafka_airflow_spark.operators.pca import (
+        fit_pca,
+        project_pca,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    mean, comps, vals = fit_pca(emb)
+    k = 8
+    proj = project_pca(emb, mean, comps, k)
+    pvar = (
+        proj.select(
+            F.posexplode("proj").alias("comp_idx", "pv")
+        )
+        .groupBy("comp_idx")
+        .agg(F.round(F.var_pop("pv"), 6).alias("projected_variance"))
+    )
+    total = float(vals.sum()) or 1.0
+    spectrum = spark.createDataFrame(
+        [
+            (i, round(float(vals[i]), 6), round(float(vals[i]) / total, 6))
+            for i in range(k)
+        ],
+        "comp_idx int, eigenvalue double, explained_ratio double",
+    )
+    return spectrum.join(pvar, "comp_idx").select(
+        "comp_idx",
+        "eigenvalue",
+        "explained_ratio",
+        "projected_variance",
+        (
+            F.abs(F.col("projected_variance") - F.col("eigenvalue")) < 1e-3
+        ).alias("variance_matches_eigenvalue"),
+    )

@@ -383,3 +383,59 @@ def test_model_artifact_disk_cache_bit_exact(spark, sf_dir):
         corpus, id_col="neighbor_id", vec_col="cvec", m=4, ksub=4,
         cache_key=fp).collect()))
     assert cb2 == cb
+
+
+def test_pca_components_orthonormal_and_ordered(spark, sf_dir):
+    """Fitted PCA invariants: components orthonormal, eigenvalues
+    descending and non-negative, explained ratios normalize to 1."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.operators.pca import fit_pca
+    from cdc_debezium_kafka_airflow_spark.queries.common import t as load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    mean, comps, vals = fit_pca(emb)
+    d = comps.shape[1]
+    assert comps.shape[0] == d and mean.shape == (d,)
+    assert np.allclose(comps @ comps.T, np.eye(d), atol=1e-8)
+    assert np.all(np.diff(vals) <= 1e-12)  # descending
+    assert np.all(vals >= 0)
+    assert abs(vals.sum() / vals.sum() - 1.0) < 1e-12
+
+
+def test_pca_projected_variance_equals_eigenvalue(spark, sf_dir):
+    """The query's core claim, asserted end-to-end: the corpus projected
+    onto component k has variance == eigenvalue k (computed distributed)."""
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import (
+        ext_pca_spectrum,
+    )
+
+    rows = ext_pca_spectrum(spark, sf_dir).collect()
+    assert len(rows) == 8
+    assert all(r.variance_matches_eigenvalue for r in rows)
+    ev = [r.eigenvalue for r in sorted(rows, key=lambda r: r.comp_idx)]
+    assert ev == sorted(ev, reverse=True)
+
+
+def test_pca_stable_across_partitioning(spark, sf_dir):
+    """Same spectrum (rounded) regardless of input partition layout — the
+    partial-Gram combination must be order-insensitive."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.operators.pca import fit_pca
+    from cdc_debezium_kafka_airflow_spark.queries.common import t as load
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+    _, _, v1 = fit_pca(emb)
+    _, _, v2 = fit_pca(emb.repartition(13))
+    assert np.allclose(v1, v2, atol=1e-9)
