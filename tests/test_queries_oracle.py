@@ -73,3 +73,25 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) >= 1
     assert set(df.columns) == {"table_name", "n_live_rows", "max_offset", "sum_value"}
+
+
+def test_comparator_catches_value_and_row_corruption(spark, sf_dir, con):
+    """Gate sensitivity: the multiset comparator must FAIL on a single
+    perturbed value, a dropped row, and a duplicated row — otherwise every
+    green above is meaningless."""
+    name = "q1_pricing_summary"
+    sdf = QUERIES[name](spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    res = con.execute(ORACLES[name])
+    ocols = [d[0] for d in res.description]
+    orows = res.fetchall()
+    assert _multiset(scols, srows) == _multiset(ocols, orows)
+
+    bad_value = [list(r) for r in srows]
+    bad_value[0][2] = (bad_value[0][2] or 0) + 0.01
+    assert _multiset(scols, [tuple(r) for r in bad_value]) != _multiset(
+        ocols, orows
+    )
+    assert _multiset(scols, srows[1:]) != _multiset(ocols, orows)
+    assert _multiset(scols, srows + srows[:1]) != _multiset(ocols, orows)
