@@ -651,7 +651,9 @@ def dq_anomaly_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_gap_fill",
     """
     WITH hourly AS (
-      SELECT event_type, date_trunc('hour', ts) AS h, round(avg(value), 6) AS v
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             round(sum(CAST(round(value * 1000000) AS BIGINT))
+                   / (count(*) * 1000000.0), 6) AS v
       FROM events GROUP BY 1, 2
     ),
     bounds AS (
@@ -712,10 +714,20 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookups share the final partition-local sort.
     """
     e = t(spark, sf_dir, "events")
+    # hourly average via per-row integer scaling (ROADMAP #7): the raw
+    # double avg rounds differently across engines when the sum's last ulp
+    # straddles a 6th-decimal boundary (observed at sf0.1); integer-scaled
+    # sums are partition-order-exact, so the avg is bit-identical
     hourly = (
         e.groupBy(
             "event_type", F.date_trunc("hour", "ts").alias("h")
-        ).agg(F.round(F.avg("value"), 6).alias("v"))
+        ).agg(
+            F.round(
+                F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                / (F.count("*") * F.lit(1000000.0)),
+                6,
+            ).alias("v")
+        )
     )
     grid = (
         hourly.groupBy("event_type")

@@ -221,3 +221,68 @@ def udf_arrow_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("disc_price"), 2).alias("revenue"),
         F.round(F.max("raw_disc_price"), 4).alias("max_disc_price"),
     )
+
+
+@q(
+    "udf_cogrouped_pandas",
+    """
+    SELECT c.c_custkey,
+           c.c_mktsegment,
+           count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS total_spend,
+           round(c.c_acctbal, 2) AS acctbal
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey % 10 = 0
+    GROUP BY c.c_custkey, c.c_mktsegment, c.c_acctbal
+    """,
+)
+def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED pandas UDF (`groupBy().cogroup(...).applyInPandas`): both
+    relations arrive at the worker ALREADY aligned per key as two pandas
+    frames — the per-entity reconciliation shape (a customer's profile
+    beside ALL their orders) without hand-writing the join. Completes the
+    pandas API matrix: scalar pandas_udf, grouped UDAF, mapInPandas,
+    applyInPandasWithState, and now the two-frame cogroup.
+
+    Scale posture: one co-partitioning shuffle on the key for both sides;
+    the Python work is Arrow-batched per key group. The oracle is the
+    equivalent relational LEFT JOIN + aggregate (cogroup must also emit
+    customers with zero orders — the empty-right-frame case)."""
+    cust = t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 10 == 0
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+
+    def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:  # orders for a customer outside the filter
+            return pd.DataFrame(
+                columns=[
+                    "c_custkey", "c_mktsegment", "n_orders", "total_spend",
+                    "acctbal",
+                ]
+            )
+        return pd.DataFrame(
+            {
+                "c_custkey": [int(key[0])],
+                "c_mktsegment": [left["c_mktsegment"].iloc[0]],
+                "n_orders": [int(len(right))],
+                "total_spend": [
+                    round(float(right["o_totalprice"].sum()), 2)
+                    if len(right)
+                    else 0.0
+                ],
+                "acctbal": [round(float(left["c_acctbal"].iloc[0]), 2)],
+            }
+        )
+
+    return (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            reconcile,
+            "c_custkey long, c_mktsegment string, n_orders long, "
+            "total_spend double, acctbal double",
+        )
+    )
