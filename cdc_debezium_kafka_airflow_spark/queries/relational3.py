@@ -1116,3 +1116,58 @@ def fn_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("l_returnflag")
     )
     return summary.transpose()
+
+
+@q(
+    "fn_collation",
+    """
+    WITH mixed AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority
+                  ELSE lower(o_orderpriority) END AS pri_mixed,
+             o_totalprice
+      FROM orders
+    )
+    SELECT upper(pri_mixed) AS priority_ci,
+           count(*) AS n_orders,
+           count(DISTINCT pri_mixed) AS n_raw_spellings,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM mixed
+    GROUP BY upper(pri_mixed)
+    """,
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String COLLATIONS (Spark 4): `collate(col, 'UTF8_LCASE')` makes
+    case-insensitivity a property of the COMPARISON, not a rewrite — the
+    grouping below unifies mixed-case spellings natively, where the
+    classic approach smears lower()/upper() over every predicate (and
+    breaks index/stats reuse). The oracle spells the same semantics with
+    explicit case folding; the Spark side groups on the collated value
+    directly. Output is canonicalized to upper() so both engines emit
+    identical group keys (the collated group's representative is
+    otherwise arrival-order-dependent)."""
+    o = t(spark, sf_dir, "orders")
+    mixed = o.select(
+        F.when(
+            F.col("o_orderkey") % 2 == 0, F.col("o_orderpriority")
+        )
+        .otherwise(F.lower("o_orderpriority"))
+        .alias("pri_mixed"),
+        "o_totalprice",
+    )
+    return (
+        mixed.groupBy(F.collate("pri_mixed", "UTF8_LCASE").alias("pri_ci"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count_distinct(
+                F.collate("pri_mixed", "UTF8_BINARY")
+            ).alias("n_raw_spellings"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.upper(F.col("pri_ci").cast("string")).alias("priority_ci"),
+            "n_orders",
+            "n_raw_spellings",
+            "revenue",
+        )
+    )
