@@ -484,6 +484,29 @@ def stream_stateful_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_dual_sink",
+    """
+    WITH g AS (
+      SELECT o_orderstatus, count(*) AS n_orders,
+             round(CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS BIGINT) / 100.0, 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderstatus, n_orders, revenue, 'bronze' AS sink FROM g
+    UNION ALL
+    SELECT o_orderstatus, n_orders, revenue, 'silver' FROM g
+    """,
+)
+def stream_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medallion fan-out: one trigger, two sinks (raw bronze append +
+    aggregated silver) multiplexed inside foreachBatch over a persisted
+    batch image — both sinks provably carry the same truth (the oracle
+    compares each against the batch table)."""
+    t(spark, sf_dir, "orders")
+    return jobs.dual_sink_medallion(spark, sf_dir)
+
+
+@q(
     "stream_checkpoint_recovery",
     """
     SELECT o_orderstatus,

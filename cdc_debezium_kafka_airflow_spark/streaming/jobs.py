@@ -327,6 +327,92 @@ def stateful_restart_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def dual_sink_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_dual_sink``: ONE trigger feeds TWO sinks — the medallion
+    fan-out (bronze: raw append; silver: running per-status aggregate)
+    without a second stream or an intermediate topic. foreachBatch is the
+    multiplexer: the batch frame is persisted once, written to the bronze
+    parquet append AND upserted into the silver summary, then released —
+    both sinks see exactly the same micro-batch, and the checkpoint makes
+    the pair replay-idempotent (bronze rides the batch-id manifest;
+    silver is recomputed-by-key MERGE semantics, here overwrite-by-key
+    into a per-batch-versioned parquet).
+
+    Returns bronze's per-status aggregate UNIONed with silver's content —
+    the oracle proves both sinks carry the same truth."""
+    import shutil
+
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join("/root/repo/.cache", f"dual_sink_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src_dir = os.path.join(base, "source")
+    bronze = os.path.join(base, "bronze")
+    silver = os.path.join(base, "silver")
+    ck = os.path.join(base, "ck")
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.coalesce(4).write.parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = spark.readStream.schema(schema).parquet(
+        os.path.join(src_dir, "*.parquet")
+    )
+
+    def fan_out(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").parquet(bronze)
+            # integer-scaled cents: silver re-sums per-batch sums, and
+            # nested double summation is the hash-boundary class ROADMAP #7
+            # documents — scaled BIGINTs stay exact through both levels
+            agg = batch_df.groupBy("o_orderstatus").agg(
+                F.count("*").alias("n_orders"),
+                F.sum(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                ).alias("revenue_cents"),
+            )
+            agg.write.mode("append").parquet(
+                os.path.join(silver, f"batch={batch_id}")
+            )
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(fan_out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    b = (
+        spark.read.parquet(bronze)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                / 100.0,
+                2,
+            ).alias("revenue"),
+        )
+        .withColumn("sink", F.lit("bronze"))
+    )
+    sv = (
+        spark.read.parquet(silver)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.round(F.sum("revenue_cents") / 100.0, 2).alias("revenue"),
+        )
+        .withColumn("sink", F.lit("silver"))
+    )
+    return b.unionByName(sv)
+
+
 def stream_stream_interval_join(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
