@@ -120,3 +120,93 @@ def test_cms_never_underestimates(spark, keys):
     assert est, "every key must get an estimate"
     for r in est:
         assert r.est >= r.cnt, (r.k, r.cnt, r.est)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=47),  # hour slot
+            st.integers(min_value=-1000, max_value=1000),  # scaled value
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_gap_fill_matches_reference_interpolation(spark, observed):
+    """For arbitrary sparse hourly series, the window-based gap filler must
+    equal a single-threaded reference: observed hours keep their value,
+    interior gaps interpolate linearly on the hour axis, edges carry the
+    nearest observed value."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    base = 1_700_000_000  # fixed epoch anchor (whole hours)
+    rows = [
+        (float(base + h * 3600), v / 10.0) for h, v in observed
+    ]
+    df = spark.createDataFrame(rows, "sec double, v double").select(
+        F.timestamp_seconds("sec").alias("h"), F.round("v", 6).alias("v")
+    )
+    hmin = min(h for h, _ in observed)
+    hmax = max(h for h, _ in observed)
+    grid = spark.createDataFrame(
+        [(float(base + h * 3600),) for h in range(hmin, hmax + 1)],
+        "sec double",
+    ).select(F.timestamp_seconds("sec").alias("h"))
+    j = grid.join(df, "h", "left")
+    wb = Window.orderBy("h")
+    back = wb.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = wb.rowsBetween(0, Window.unboundedFollowing)
+    obs_h = F.when(F.col("v").isNotNull(), F.col("h"))
+    ep = lambda c: F.unix_timestamp(c).cast("double")  # noqa: E731
+    f = j.select(
+        "h",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(back).alias("ph"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(fwd).alias("nh"),
+    )
+    interp = F.round(
+        F.col("pv")
+        + (F.col("nv") - F.col("pv"))
+        * (ep("h") - ep("ph"))
+        / (ep("nh") - ep("ph")),
+        6,
+    )
+    got = {
+        int((r[0].timestamp() - base) // 3600): r[1]
+        for r in f.select(
+            "h",
+            F.when(F.col("v").isNotNull(), F.col("v"))
+            .when(F.col("pv").isNull(), F.col("nv"))
+            .when(F.col("nv").isNull(), F.col("pv"))
+            .otherwise(interp)
+            .alias("filled"),
+        ).collect()
+    }
+
+    pts = sorted(observed)
+    expected = {}
+    for h in range(hmin, hmax + 1):
+        exact = next((v for hh, v in pts if hh == h), None)
+        if exact is not None:
+            expected[h] = round(exact / 10.0, 6)
+            continue
+        prev = max((p for p in pts if p[0] < h), default=None)
+        nxt = min((p for p in pts if p[0] > h), default=None)
+        if prev is None:
+            expected[h] = round(nxt[1] / 10.0, 6)
+        elif nxt is None:
+            expected[h] = round(prev[1] / 10.0, 6)
+        else:
+            pv, nv = round(prev[1] / 10.0, 6), round(nxt[1] / 10.0, 6)
+            frac = (h - prev[0]) / (nxt[0] - prev[0])
+            expected[h] = round(pv + (nv - pv) * frac, 6)
+    assert got == expected
