@@ -554,3 +554,32 @@ def test_sessionize_single_exchange(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("Exchange ") == 1, final
+
+
+def test_tpch_composites_broadcast_dims_and_heap_topk(spark, sf_dir):
+    """The decision-support composites' scale claims, pinned: q9's dims
+    (part, supplier+nation) ride broadcast hash joins with the orders join
+    as the only possible shuffle join; q10's top-20 is a heap
+    (TakeOrderedAndProject), not a global sort."""
+    from cdc_debezium_kafka_airflow_spark.queries.tpch_decision import (
+        q9_product_profit,
+        q10_returned_items,
+    )
+
+    p9 = (
+        q9_product_profit(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert p9.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in p9
+
+    p10 = (
+        q10_returned_items(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in p10
+    assert "BroadcastNestedLoopJoin" not in p10
