@@ -333,10 +333,10 @@ def dual_sink_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
     without a second stream or an intermediate topic. foreachBatch is the
     multiplexer: the batch frame is persisted once, written to the bronze
     parquet append AND upserted into the silver summary, then released —
-    both sinks see exactly the same micro-batch, and the checkpoint makes
-    the pair replay-idempotent (bronze rides the batch-id manifest;
-    silver is recomputed-by-key MERGE semantics, here overwrite-by-key
-    into a per-batch-versioned parquet).
+    both sinks see exactly the same micro-batch, and both are
+    replay-idempotent: each writes mode=overwrite into a
+    batch-id-versioned directory, so a crash-replayed batch replaces its
+    own output instead of duplicating it.
 
     Returns bronze's per-status aggregate UNIONed with silver's content —
     the oracle proves both sinks carry the same truth."""
@@ -362,9 +362,16 @@ def dual_sink_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def fan_out(batch_df: DataFrame, batch_id: int) -> None:
+        # replay idempotence: BOTH sinks write mode=overwrite into a
+        # batch-id-versioned directory — a crash-replayed micro-batch
+        # REPLACES its own output instead of duplicating it (a plain
+        # append would be at-least-once; the manifest-committed Python
+        # sink, snk_pydatasource_stream, is the other exactly-once shape)
         batch_df.persist()
         try:
-            batch_df.write.mode("append").parquet(bronze)
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(bronze, f"batch={batch_id}")
+            )
             # integer-scaled cents: silver re-sums per-batch sums, and
             # nested double summation is the hash-boundary class ROADMAP #7
             # documents — scaled BIGINTs stay exact through both levels
@@ -374,7 +381,7 @@ def dual_sink_medallion(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("o_totalprice") * 100).cast("long")
                 ).alias("revenue_cents"),
             )
-            agg.write.mode("append").parquet(
+            agg.write.mode("overwrite").parquet(
                 os.path.join(silver, f"batch={batch_id}")
             )
         finally:

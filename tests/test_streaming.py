@@ -346,3 +346,46 @@ def test_schema_evolving_stream_upsert_widens_additively(spark, sf_dir):
     assert got == want
     # both generations genuinely present in the final image
     assert all(0 < v2 < n for n, v2 in got.values())
+
+
+def test_dual_sink_batch_replay_is_idempotent(spark, sf_dir):
+    """Replaying a micro-batch through the dual-sink fan-out must REPLACE
+    its own output, not duplicate it — call the foreachBatch body twice
+    with the same batch id and assert bronze/silver contents are single."""
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.queries.common import t as load
+
+    base = "/root/repo/.cache/dual_sink_replay_test"
+    shutil.rmtree(base, ignore_errors=True)
+    bronze = os.path.join(base, "bronze")
+    silver = os.path.join(base, "silver")
+    batch = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).limit(100)
+    n = batch.count()
+
+    def fan_out(batch_df, batch_id):
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(bronze, f"batch={batch_id}")
+        )
+        batch_df.groupBy("o_orderstatus").agg(
+            F.count("*").alias("n_orders")
+        ).write.mode("overwrite").parquet(
+            os.path.join(silver, f"batch={batch_id}")
+        )
+
+    fan_out(batch, 7)
+    fan_out(batch, 7)  # the crash-replay
+    assert spark.read.parquet(bronze).count() == n
+    assert (
+        spark.read.parquet(silver)
+        .agg(F.sum("n_orders").alias("s"))
+        .collect()[0]
+        .s
+        == n
+    )
