@@ -288,6 +288,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= _TS("1997-01-01 00:00:00"))
         & (F.col("l_shipdate") < _TS("1997-04-01 00:00:00"))
     )
+    # persisted for its two consumers (the max subquery and the final
+    # join); NO eager unpersist — the returned frame is still lazy and the
+    # harness executes it later, so dropping the cache here would force a
+    # full recompute per consumer (the cdc_incremental_agg lesson from the
+    # round-3 review); the session cleans up, as other queries do
     revenue = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
@@ -297,18 +302,13 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    try:
-        mx = revenue.agg(F.max("total_revenue").alias("mx"))
-        s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-        out = (
-            revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
-            .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
-            .select("s_suppkey", "s_name", "total_revenue")
-        )
-        out.count()  # materialize while the view is pinned
-        return out
-    finally:
-        revenue.unpersist()
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx), F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
 
 
 @q(
