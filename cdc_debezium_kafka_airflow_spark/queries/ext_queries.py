@@ -2265,9 +2265,12 @@ def ext_corpus_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
     PII patterns), so the numbers a reviewer signs off on are PROVABLY the
     numbers the pipeline computes.
 
-    Scale posture: one pass over the corpus (all metrics are per-doc
-    map-side expressions), one global aggregate; the report costs one scan
-    no matter how many metrics it carries."""
+    Scale posture: every metric is a per-doc MAP-SIDE expression; as
+    written the three operator frames (metrics, lang, PII) are separate
+    column-pruned scans merged on doc_id — at 100 TB you'd inline the
+    three projections into one select (the operators share one
+    normalization) so the report costs a single scan; the final aggregate
+    is one row either way."""
     from cdc_debezium_kafka_airflow_spark.operators.text import (
         PII_EMAIL,
         PII_IPV4,
