@@ -782,3 +782,93 @@ def e2e_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "stage string, n_rows long, checksum long"
     )
+
+
+@q(
+    "cdc_incremental_snapshot",
+    f"""
+    WITH {MAT_CTE}
+    SELECT * FROM mat
+    """,
+)
+def cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked incremental snapshot — the DBLog watermark algorithm Debezium
+    uses to re-snapshot a table WITHOUT pausing the binlog stream (the
+    reference connector's `incremental` snapshot mode; DBLog: Andreoli et
+    al., Netflix, 2019). The simulation is faithful to the algorithm:
+
+      - streaming starts at offset s0 = max/4 (the connector was already
+        running); every binlog event after s0 is applied normally;
+      - the key space is cut into 8 primary-key-range chunks (DBLog chunks
+        by PK range so each SELECT is an index range scan);
+      - chunk i's read happens inside a watermark window (lo_i, hi_i]:
+        lo_i is the log offset when the chunk SELECT starts, and the read
+        returns each key's image as of lo_i;
+      - DBLog dedup rule: a chunk row is DISCARDED if its key has a binlog
+        event inside the chunk's own watermark window — the streamed event
+        is newer and must win (this is the race the algorithm exists for);
+      - surviving chunk rows re-enter the pipeline as op='r' reads carrying
+        their ORIGINAL last-change offset, so ordinary last-write-wins
+        arbitration (upsert_materialize) merges snapshot and stream.
+
+    The oracle is the straight full materialization: a hash match proves
+    the interleaved chunk/stream replay converges to EXACTLY the state a
+    from-the-beginning consumer reaches — deletes during the snapshot stay
+    deleted, keys updated inside a watermark window take the stream image,
+    and untouched keys surface only through their chunk.
+
+    Physical plan: the chunk id, lo and hi are pure COLUMN functions of
+    key_id (no driver loop over chunks), so the whole algorithm is two
+    keyed hash-aggregations (chunk-read materialize + final materialize)
+    plus one churn-sized anti-join for the dedup rule — every shuffle is on
+    (table_name, key_id) and the plan is independent of the chunk count.
+    At 100 TB the chunk boundaries come from source PK statistics and the
+    anti-join's right side stays bounded by churn-per-window, not by table
+    size.
+    """
+    u = _unwrapped(spark, sf_dir)
+    after_fields = [f.name for f in u.schema["after"].dataType.fields]
+    n_chunks = 8
+    cols = ["table_name", "key_id", "offset", "is_delete", "after"]
+    b = u.agg(
+        F.floor(F.max("offset") / 4).alias("s0"),
+        F.max("offset").alias("max_off"),
+        F.max("key_id").alias("max_key"),
+    )
+    uk = u.join(F.broadcast(b))
+    chunk = F.least(
+        F.lit(n_chunks - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("key_id") - 1) * n_chunks / F.col("max_key")),
+        ),
+    )
+    step = F.floor((F.col("max_off") - F.col("s0")) / (2 * n_chunks))
+    tagged = (
+        uk.withColumn("lo", F.col("s0") + chunk * step)
+        .withColumn("hi", F.col("s0") + (chunk + 1) * step)
+    )
+    # chunk read: each key's image as of ITS chunk's low watermark
+    snap_state = upsert_materialize(
+        tagged.filter(F.col("offset") <= F.col("lo")).select(cols)
+    )
+    # DBLog dedup: keys with a streamed event inside their chunk's window
+    win_keys = (
+        tagged.filter(
+            (F.col("offset") > F.col("lo")) & (F.col("offset") <= F.col("hi"))
+        )
+        .select("table_name", "key_id")
+        .distinct()
+    )
+    snap_log = (
+        snap_state.select(
+            "table_name",
+            F.col("user_id").alias("key_id"),
+            F.col("last_offset").alias("offset"),
+            F.lit(False).alias("is_delete"),
+            F.struct(*after_fields).alias("after"),
+        )
+        .join(win_keys, ["table_name", "key_id"], "left_anti")
+    )
+    binlog = uk.filter(F.col("offset") > F.col("s0")).select(cols)
+    return upsert_materialize(snap_log.unionByName(binlog))

@@ -142,3 +142,56 @@ def test_schema_evolve_widens_with_nulls(spark, sf_dir):
     widened = schema_evolve(v1, v2)
     assert set(widened.columns) == {"o_orderkey", "o_orderpriority"}
     assert widened.filter(F.col("o_orderpriority").isNull()).count() == 10
+
+
+def test_incremental_snapshot_dedup_rule_fires(spark, sf_dir):
+    """cdc_incremental_snapshot: the DBLog dedup rule must actually be
+    EXERCISED by the fixture (some chunk rows discarded because their key
+    has a streamed event inside the chunk's watermark window) — otherwise
+    the oracle match proves nothing about the race the algorithm handles —
+    and the reconciled state must equal the straight materialization."""
+    from pyspark.sql import functions as F
+    from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import (
+        QUERIES,
+        _unwrapped,
+    )
+    from cdc_debezium_kafka_airflow_spark.operators.cdc import (
+        upsert_materialize,
+    )
+
+    u = _unwrapped(spark, sf_dir)
+    n_chunks = 8
+    b = u.agg(
+        F.floor(F.max("offset") / 4).alias("s0"),
+        F.max("offset").alias("max_off"),
+        F.max("key_id").alias("max_key"),
+    )
+    uk = u.join(F.broadcast(b))
+    chunk = F.least(
+        F.lit(n_chunks - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("key_id") - 1) * n_chunks / F.col("max_key")),
+        ),
+    )
+    step = F.floor((F.col("max_off") - F.col("s0")) / (2 * n_chunks))
+    tagged = (
+        uk.withColumn("lo", F.col("s0") + chunk * step)
+        .withColumn("hi", F.col("s0") + (chunk + 1) * step)
+    )
+    # keys whose chunk read races a streamed event (the dedup rule's input)
+    n_win = (
+        tagged.filter(
+            (F.col("offset") > F.col("lo")) & (F.col("offset") <= F.col("hi"))
+        )
+        .select("table_name", "key_id")
+        .distinct()
+        .count()
+    )
+    assert n_win > 0, "fixture never exercises the watermark-window race"
+
+    got = QUERIES["cdc_incremental_snapshot"](spark, sf_dir)
+    want = upsert_materialize(u)
+    sym = got.exceptAll(want).count() + want.exceptAll(got).count()
+    assert sym == 0
+    assert got.count() == want.count()
