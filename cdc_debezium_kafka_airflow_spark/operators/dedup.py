@@ -597,3 +597,71 @@ def semantic_dedup(
     return prepped.groupBy("cell").applyInPandas(
         dedup_cell, "vec_id long, cell int, kept boolean, dup_of long"
     )
+
+
+def duplicated_span_metrics(
+    documents: DataFrame, text_col: str = "text", k: int = 5
+) -> DataFrame:
+    """Cross-document duplicated-span detection — the exact-substring dedup
+    family (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): a span (word k-gram) that appears verbatim in two or
+    more documents is boilerplate/template/copied text that the training
+    pipeline trims or down-weights even when the DOCUMENTS are not
+    near-duplicates of each other (licence headers, navigation chrome,
+    quoted passages). The suffix-array formulation finds character-level
+    repeats; the production-scale equivalent over a distributed store is
+    span-hash counting, which this implements:
+
+      1. per doc: distinct word-k-gram spans, each collapsed to md5 —
+         map-only (tokenize once, gram lambda over one materialized array);
+      2. span frequency: count docs per span hash — ONE shuffle keyed on
+         the span hash, with map-side partial aggregation (the skew story:
+         ultra-common boilerplate spans are hot keys, and partial agg
+         collapses them to one row per map task BEFORE the exchange);
+      3. join the per-doc span list back to the frequency table on the same
+         hash key (exchange reuse — no second shuffle layout) and fold to
+         per-doc totals: span count, spans shared with >=1 other doc,
+         duplicated-span fraction, and the keep/trim verdict.
+
+    At 100 TB the span-hash domain is what shuffles, bounded by total
+    corpus tokens, not doc pairs; fixed-width 128-bit keys keep exchange
+    rows narrow, and no doc pair is ever enumerated (contrast minhash LSH,
+    which emits candidate PAIRS — this is the cheaper operator when the
+    question is "which text is duplicated", not "which docs match").
+    """
+    from cdc_debezium_kafka_airflow_spark.operators.text import (
+        normalize_text,
+        ws_tokens,
+    )
+
+    tokd = documents.select(
+        "doc_id", ws_tokens(normalize_text(F.col(text_col))).alias("toks")
+    )
+    n = F.greatest(F.size("toks") - (k - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + j) for j in range(k)]
+            )
+        ),
+    )
+    exploded = tokd.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("h")
+    )
+    freq = exploded.groupBy("h").agg(F.count("*").alias("n_docs"))
+    return (
+        exploded.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_spans"),
+            F.sum((F.col("n_docs") >= 2).cast("int"))
+            .cast("int")
+            .alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_span_fraction",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+        )
+        .withColumn("keep", F.col("dup_span_fraction") <= 0.5)
+    )

@@ -2676,3 +2676,48 @@ def ext_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("projected_variance") - F.col("eigenvalue")) < 1e-3
         ).alias("variance_matches_eigenvalue"),
     )
+
+
+@q(
+    "ext_span_dedup",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split({NORM}, ' ') AS w FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(
+                 range(1, greatest(len(w) - 4, 1) + 1),
+                 i -> md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3],
+                                    w[i+4]))
+               )
+             ) AS spans
+      FROM d
+    ),
+    e AS (SELECT doc_id, unnest(spans) AS h FROM g),
+    f AS (SELECT h, count(*) AS n_docs FROM e GROUP BY h)
+    SELECT e.doc_id,
+           CAST(count(*) AS INT) AS n_spans,
+           CAST(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END) AS INT)
+             AS n_dup_spans,
+           round(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)
+                 / count(*), 6) AS dup_span_fraction,
+           (round(sum(CASE WHEN f.n_docs >= 2 THEN 1 ELSE 0 END)
+                  / count(*), 6) <= 0.5) AS keep
+    FROM e JOIN f USING (h)
+    GROUP BY e.doc_id
+    """,
+)
+def ext_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated-SPAN dedup (exact-substring family, Lee et
+    al. 2022): word-5-gram spans shared verbatim across documents are
+    counted via one span-hash shuffle (map-side partial agg absorbs
+    boilerplate skew), then folded to per-doc duplicated-span fractions and
+    a keep/trim verdict. Complements doc-level near-dup (minhash/simhash):
+    this finds COPIED TEXT inside otherwise-distinct documents."""
+    from cdc_debezium_kafka_airflow_spark.operators.dedup import (
+        duplicated_span_metrics,
+    )
+
+    return duplicated_span_metrics(t(spark, sf_dir, "documents"))

@@ -439,3 +439,34 @@ def test_pca_stable_across_partitioning(spark, sf_dir):
     _, _, v1 = fit_pca(emb)
     _, _, v2 = fit_pca(emb.repartition(13))
     assert np.allclose(v1, v2, atol=1e-9)
+
+
+def test_span_dedup_cross_doc_spans_exist(spark, sf_dir):
+    """ext_span_dedup is non-vacuous on the fixture: some spans ARE shared
+    across documents (else the oracle match proves nothing), no doc counts
+    more dup spans than spans, and the fraction is consistent."""
+    from pyspark.sql import functions as F
+    from cdc_debezium_kafka_airflow_spark.operators.dedup import (
+        duplicated_span_metrics,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    m = duplicated_span_metrics(load_table(spark, sf_dir, "documents"))
+    agg = m.agg(
+        F.sum("n_dup_spans").alias("dups"),
+        F.sum((F.col("n_dup_spans") > F.col("n_spans")).cast("int")).alias(
+            "bad"
+        ),
+        F.sum(
+            (
+                F.abs(
+                    F.col("dup_span_fraction")
+                    - F.round(F.col("n_dup_spans") / F.col("n_spans"), 6)
+                )
+                > 1e-9
+            ).cast("int")
+        ).alias("frac_bad"),
+    ).collect()[0]
+    assert agg.dups > 0
+    assert agg.bad == 0
+    assert agg.frac_bad == 0
