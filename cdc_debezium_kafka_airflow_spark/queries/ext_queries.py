@@ -301,11 +301,102 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checks.crossJoin(missed)
 
 
-@q("ext_dedup_simhash", None)  # xxhash64 not reproducible in DuckDB
+@q(
+    "ext_dedup_simhash",
+    f"""
+    WITH d AS (
+      SELECT md5(array_to_string(list_sort(string_split({NORM}, ' ')), ' '))
+               AS h
+      FROM documents
+    ),
+    g AS (SELECT h, count(*) AS c FROM d GROUP BY h)
+    SELECT CAST(coalesce(sum(c * (c - 1) / 2), 0) AS BIGINT)
+             AS n_multiset_dup_pairs,
+           CAST(0 AS BIGINT) AS n_missed_multiset_dups,
+           CAST(0 AS BIGINT) AS n_bad_rows
+    FROM g
+    """,
+)
 def ext_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit token-vote fingerprint, 16-bit band
-    blocking, hamming<=3."""
-    return simhash_near_pairs(t(spark, sf_dir, "documents"))
+    """SimHash near-dup pairs (64-bit token-vote fingerprint, 16-bit band
+    blocking, hamming<=3), driver-checkable via DERIVED deterministic
+    properties (xxhash64 is not reproducible in DuckDB, so — like
+    ext_dedup_minhash — the oracle asserts invariants that must hold
+    exactly):
+
+      - n_multiset_dup_pairs: doc pairs with IDENTICAL token multisets
+        (md5 of the sorted token list) — computed independently by both
+        engines, so this one is a genuine cross-engine value. Identical
+        multisets produce identical bit votes, hence identical simhash,
+        hence hamming 0.
+      - n_missed_multiset_dups: such pairs absent from the simhash output.
+        Hamming 0 collides on EVERY band, so recall for multiset dups is
+        deterministically 1.0 regardless of the hash seed — always 0.
+      - n_bad_rows: structural violations in the pair output — hamming
+        outside [0, 3], un-ordered pair (id_a >= id_b), or duplicate rows.
+
+    The multiset invariant is vacuous below sf0.1 (the fixture has no
+    identical-multiset pairs there; sf0.1 has 8) — the structural checks
+    still bind, and the cross-engine count matches at every SF.
+    """
+    docs = t(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs(docs).persist()
+    hd = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.array_sort(
+                    F.split(
+                        F.lower(
+                            F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+                        ),
+                        " ",
+                    )
+                ),
+            )
+        ).alias("h"),
+    )
+    dup_pairs = (
+        hd.alias("x")
+        .join(
+            hd.alias("y"),
+            (F.col("x.h") == F.col("y.h"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"), F.col("y.doc_id").alias("id_b")
+        )
+        .persist()
+    )
+    n_dup = dup_pairs.agg(
+        F.count("*").cast("long").alias("n_multiset_dup_pairs")
+    )
+    missed = dup_pairs.join(
+        pairs.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+    ).agg(F.count("*").cast("long").alias("n_missed_multiset_dups"))
+    bad = pairs.agg(
+        (
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("hamming") < 0)
+                        | (F.col("hamming") > 3)
+                        | (F.col("id_a") >= F.col("id_b")),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            + (
+                F.count("*")
+                - F.count_distinct(F.struct("id_a", "id_b"))
+            )
+        )
+        .cast("long")
+        .alias("n_bad_rows")
+    )
+    return n_dup.crossJoin(missed).crossJoin(bad)
 
 
 SIM_CTE = """
