@@ -872,3 +872,51 @@ def cdc_incremental_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     binlog = uk.filter(F.col("offset") > F.col("s0")).select(cols)
     return upsert_materialize(snap_log.unionByName(binlog))
+
+
+@q(
+    "cdc_outbox_router",
+    f"""
+    WITH {CH_CTE}
+    SELECT 'outbox.event.' || event_type AS topic,
+           user_id AS message_key,
+           off AS event_uuid,
+           event_type, ts, value, props
+    FROM ch WHERE op = 'c'
+    """,
+)
+def cdc_outbox_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The transactional-outbox EventRouter SMT (Debezium's
+    io.debezium.transforms.outbox.EventRouter — the standard way a service
+    publishes domain events atomically with its own writes: events are
+    INSERTed into an outbox table in the same transaction, Debezium captures
+    the inserts, and the router fans them out to per-aggregate-type topics).
+
+    Semantics reproduced:
+      - INSERT-only: the outbox table is append-only from the router's view;
+        op='u'/'d'/'r' records on it are skipped (route.tombstone.on.empty
+        behaviour + UPDATE/DELETE skip);
+      - route BY AGGREGATE TYPE: destination topic =
+        'outbox.event.' || aggregate type (here the domain event_type);
+      - message key = aggregate id (user_id) so one aggregate's events stay
+        totally ordered within a topic partition;
+      - the change event's offset rides along as the event UUID header the
+        consumer uses for idempotent processing.
+
+    Map-only over the already-parsed changelog (filter + projection — no
+    shuffle at all); at 100 TB the router is a stateless pass-through whose
+    output partitioning IS the (topic, key) Kafka layout.
+    """
+    u = _unwrapped(spark, sf_dir)
+    ins = u.filter(F.col("op") == "c")
+    return ins.select(
+        F.concat(F.lit("outbox.event."), F.col("after.event_type")).alias(
+            "topic"
+        ),
+        F.col("key_id").alias("message_key"),
+        F.col("offset").alias("event_uuid"),
+        F.col("after.event_type").alias("event_type"),
+        F.col("after.ts").alias("ts"),
+        F.col("after.value").alias("value"),
+        F.col("after.props").alias("props"),
+    )

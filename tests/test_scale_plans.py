@@ -583,3 +583,19 @@ def test_tpch_composites_broadcast_dims_and_heap_topk(spark, sf_dir):
     )
     assert "TakeOrderedAndProject" in p10
     assert "BroadcastNestedLoopJoin" not in p10
+
+
+def test_outbox_router_is_map_only(spark, sf_dir):
+    """The outbox EventRouter is a stateless pass-through: op filter +
+    topic/key projection over the parsed changelog — zero exchanges (the
+    (topic, key) layout IS the downstream Kafka partitioning)."""
+    from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import (
+        QUERIES,
+    )
+
+    plan = _plan(QUERIES["cdc_outbox_router"](spark, sf_dir))
+    # the shared parsed-changelog cache legitimately repartitions when BUILT;
+    # the router's own stage (above the InMemoryRelation boundary) must not
+    router_stage = plan.split("InMemoryRelation", 1)[0]
+    assert "Exchange" not in router_stage, plan
+    assert "InMemoryTableScan" in plan, plan
