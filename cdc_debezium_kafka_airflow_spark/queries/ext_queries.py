@@ -2812,3 +2812,97 @@ def ext_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return duplicated_span_metrics(t(spark, sf_dir, "documents"))
+
+
+@q(
+    "ext_bigram_perplexity",
+    f"""
+    WITH d AS (
+      SELECT doc_id, ['<s>'] || string_split({NORM}, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM d, unnest(range(1, len(w))) AS t(i)
+    ),
+    train_bg AS (SELECT * FROM bg WHERE doc_id % 5 <> 0),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM train_bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM train_bg GROUP BY w1),
+    vocab AS (SELECT count(DISTINCT w2) AS v FROM train_bg)
+    SELECT bg.doc_id,
+           CAST(count(*) AS INT) AS n_bigrams,
+           round(avg(-ln((coalesce(c2.n2, 0) + 1.0)
+                         / (coalesce(c1.n1, 0) + 1.0 * vocab.v))), 6)
+             AS avg_nll,
+           (round(avg(-ln((coalesce(c2.n2, 0) + 1.0)
+                          / (coalesce(c1.n1, 0) + 1.0 * vocab.v))), 6)
+            <= 8.0) AS keep
+    FROM bg
+    LEFT JOIN c2 USING (w1, w2)
+    LEFT JOIN c1 USING (w1)
+    CROSS JOIN vocab
+    GROUP BY bg.doc_id
+    """,
+)
+def ext_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality filter: a bigram LM with add-1
+    smoothing is TRAINED on the held-in 80% split (doc_id % 5 != 0 — in
+    production, the high-quality reference corpus, e.g. Wikipedia) and every
+    document is SCORED by its average negative log-likelihood under that
+    model; high-NLL documents are the gibberish/boilerplate/OCR-noise the
+    CCNet pipeline buckets away before training.
+
+      P(w2 | w1) = (c(w1,w2) + 1) / (c(w1) + |V|),  V = train w2 vocab
+      BOS '<s>' prepended so position-1 tokens are scored too; unseen
+      contexts fall back to the uniform 1/|V| via the same formula.
+
+    Physical plan: bigrams are built MAP-SIDE from each doc's token array
+    (transform over sequence — no self-join, no window shuffle); the two
+    count tables shuffle once each on their group keys with partial agg,
+    then the scoring join is plain shuffle equi-joins on (w1, w2)/(w1) —
+    at 100 TB both count tables are vocab-bounded, not corpus-bounded, and
+    the final fold is one doc_id aggregation. Float protocol: the NLL is
+    round(avg(ln ...), 6) on both engines (the unigram query's precedent);
+    the keep verdict compares the ROUNDED value so both engines decide on
+    identical inputs.
+    """
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.concat(
+            F.array(F.lit("<s>")),
+            F.split(normalize_text(F.col("text")), " "),
+        ).alias("w"),
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("w1"),
+                    F.element_at("w", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    train = bg.filter(F.col("doc_id") % 5 != 0)
+    c2 = train.groupBy("w1", "w2").agg(F.count("*").alias("n2"))
+    c1 = train.groupBy("w1").agg(F.count("*").alias("n1"))
+    vocab = train.agg(F.countDistinct("w2").alias("v"))
+    scored = (
+        bg.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    nll = -F.log(
+        (F.coalesce(F.col("n2"), F.lit(0)) + 1.0)
+        / (F.coalesce(F.col("n1"), F.lit(0)) + 1.0 * F.col("v"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.round(F.avg(nll), 6).alias("avg_nll"),
+        )
+        .withColumn("keep", F.col("avg_nll") <= 8.0)
+    )

@@ -305,3 +305,25 @@ def test_bpe_tokenize_reference(spark, sf_dir):
         tok_counts.items(), key=lambda kv: (-kv[1], kv[0])
     )[:20]
     assert got == expected
+
+
+def test_bigram_perplexity_scores_heldout_unseen_mass(spark, sf_dir):
+    """ext_bigram_perplexity: every document is scored (incl. the held-out
+    20%), NLL is strictly positive, and held-out docs actually contain
+    bigrams unseen in training (the smoothing path is exercised, not
+    decorative)."""
+    from pyspark.sql import functions as F
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import QUERIES
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    out = QUERIES["ext_bigram_perplexity"](spark, sf_dir).persist()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert out.count() == n_docs
+    assert out.filter(F.col("avg_nll") <= 0).count() == 0
+    # held-out docs must on average score WORSE than train docs (they carry
+    # unseen-bigram mass) — the property that makes the filter a filter
+    m = out.groupBy((F.col("doc_id") % 5 == 0).alias("held")).agg(
+        F.avg("avg_nll").alias("a")
+    )
+    rows = {r.held: r.a for r in m.collect()}
+    assert rows[True] > rows[False]
