@@ -2906,3 +2906,126 @@ def ext_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("keep", F.col("avg_nll") <= 8.0)
     )
+
+
+@q(
+    "ext_dsir_resample",
+    f"""
+    WITH d AS (
+      SELECT doc_id, lang, ['<s>'] || string_split({NORM}, ' ') AS w
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 8))
+                  AS BIGINT) % 1024 AS b
+      FROM d, unnest(range(1, len(w))) AS t(i)
+    ),
+    tgt AS (SELECT b, count(*) AS nt FROM bg WHERE lang = 'en' GROUP BY b),
+    raw AS (SELECT b, count(*) AS nr FROM bg GROUP BY b),
+    tot AS (SELECT (SELECT count(*) FROM bg WHERE lang = 'en') AS ct,
+                   (SELECT count(*) FROM bg) AS cr),
+    sc AS (
+      SELECT bg.doc_id,
+             CAST(count(*) AS INT) AS n_feats,
+             round(avg(ln(((coalesce(tgt.nt, 0) + 1.0) / (tot.ct + 1024.0))
+                          / ((raw.nr + 1.0) / (tot.cr + 1024.0)))), 6)
+               AS log_importance
+      FROM bg LEFT JOIN tgt USING (b) JOIN raw USING (b) CROSS JOIN tot
+      GROUP BY bg.doc_id
+    )
+    SELECT doc_id, n_feats, log_importance,
+           (row_number() OVER (ORDER BY log_importance DESC, doc_id ASC)
+              <= floor(0.2 * (SELECT count(*) FROM sc))) AS selected
+    FROM sc
+    """,
+)
+def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    score every raw document by how much it looks like the TARGET
+    distribution (here lang='en' — in production, the high-quality target
+    corpus) under hashed-bigram feature LMs, and keep the top 20%.
+
+      feature   = md5-hashed bigram bucket (1024 buckets, engine-portable
+                  via the md5-prefix trick the quality classifier uses)
+      weight    = mean over the doc's features of ln(p_target / p_raw),
+                  both add-1 smoothed — the importance log-ratio
+      selected  = deterministic top-20% by (rounded weight, doc_id); the
+                  paper resamples with gumbel noise, which is RNG — the
+                  rank formulation keeps the oracle exact and the
+                  production swap is one noise column.
+
+    Physical plan: bigram buckets are built map-side from each doc's token
+    array; both feature tables are 1024-row bounded (broadcast on the
+    Spark side, so scoring is a map pass); per-doc fold is one doc_id
+    aggregation. The final rank runs over DOC-level rows — bounded by
+    n_docs, not tokens; at 100 TB the selection threshold comes from an
+    approx-quantile of the weight distribution instead of a global sort.
+    Float protocol: weights rounded at 6dp on both engines before ranking,
+    ties broken by doc_id.
+    """
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.array(F.lit("<s>")),
+            F.split(normalize_text(F.col("text")), " "),
+        ).alias("w"),
+    )
+    bg = toks.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    " ",
+                                    F.element_at("w", i),
+                                    F.element_at("w", i + 1),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                    F.lit(1024),
+                ),
+            )
+        ).alias("b"),
+    )
+    tgt = bg.filter(F.col("lang") == "en").groupBy("b").agg(
+        F.count("*").alias("nt")
+    )
+    raw = bg.groupBy("b").agg(F.count("*").alias("nr"))
+    tot = bg.agg(
+        F.sum((F.col("lang") == "en").cast("long")).alias("ct"),
+        F.count("*").alias("cr"),
+    )
+    scored = (
+        bg.join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(raw), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    ratio = F.log(
+        ((F.coalesce(F.col("nt"), F.lit(0)) + 1.0) / (F.col("ct") + 1024.0))
+        / ((F.col("nr") + 1.0) / (F.col("cr") + 1024.0))
+    )
+    sc = scored.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_feats"),
+        F.round(F.avg(ratio), 6).alias("log_importance"),
+    )
+    n_docs = sc.count()
+    w = Window.orderBy(F.desc("log_importance"), F.asc("doc_id"))
+    return sc.withColumn(
+        "selected",
+        F.row_number().over(w) <= int(0.2 * n_docs),
+    )

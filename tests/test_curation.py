@@ -327,3 +327,24 @@ def test_bigram_perplexity_scores_heldout_unseen_mass(spark, sf_dir):
     )
     rows = {r.held: r.a for r in m.collect()}
     assert rows[True] > rows[False]
+
+
+def test_dsir_selects_target_like_docs(spark, sf_dir):
+    """ext_dsir_resample: the selected 20% must be enriched in the target
+    language relative to the corpus (the property DSIR exists for), and
+    exactly floor(0.2*n) docs are selected."""
+    from pyspark.sql import functions as F
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import QUERIES
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    out = QUERIES["ext_dsir_resample"](spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = out.join(docs, "doc_id").persist()
+    n = j.count()
+    n_sel = j.filter("selected").count()
+    assert n_sel == int(0.2 * n)
+    en_rate_sel = (
+        j.filter("selected").filter(F.col("lang") == "en").count() / n_sel
+    )
+    en_rate_all = j.filter(F.col("lang") == "en").count() / n
+    assert en_rate_sel > en_rate_all
