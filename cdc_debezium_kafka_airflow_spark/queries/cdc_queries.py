@@ -721,63 +721,49 @@ def e2e_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     single executable fact (MIGRATION.md walks the same path in prose).
     """
     ev = t(spark, sf_dir, "events")
-    ch = build_changelog(ev)
-    parsed = parse_envelope(ch)
-    main, dlq = split_dlq(parsed)
+    # the serialized stream is parsed ONCE through the shared persisted
+    # parse boundary (Kafka's materialization role) — the audit replays the
+    # same lineage every other CDC query consumes, and each audit stage is
+    # ONE consolidated aggregation over it (counts + checksums fused), not
+    # one Spark job per number
+    main, dlq = split_dlq(_parsed(spark, sf_dir))
     un = unwrap(main)
     mat = upsert_materialize(un).persist()
 
-    src_keyed = un.filter(~F.col("is_delete")).select(
-        "table_name", F.col("key_id").alias("key")
-    )
+    # serialize: the changelog is row-for-row over events, so its count and
+    # checksum come from one scan of the source table
+    s = ev.agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").cast("long").alias("s"),
+    ).collect()[0]
+    n_dlq = dlq.count()
+    u = un.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("is_delete").cast("long")).alias("d"),
+    ).collect()[0]
+    m = mat.agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 10000).cast("long")).alias("s"),
+        F.max("user_id").alias("mx"),
+    ).collect()[0]
+
     # independent sink-side recomputation feeds the integrity probe — but
     # deletes must drop keys, so the source side is the LIVE key set too
     live_src = mat.select("table_name", F.col("user_id").alias("key"))
     sink_keyed = mat.select("table_name", F.col("user_id").alias("key"))
-    integ = integrity_compare(live_src, sink_keyed, "key")
+    integ = integrity_compare(live_src, sink_keyed, "key").persist()
+    n_tables = integ.count()
     n_match = integ.filter(
         F.col("max_match") & F.col("count_match")
     ).count()
 
     rows = [
-        (
-            "serialize",
-            ch.count(),
-            int(
-                ev.agg(F.sum("event_id").cast("long").alias("s"))
-                .collect()[0]
-                .s
-            ),
-        ),
-        ("parse_dlq", main.count(), dlq.count()),
-        (
-            "unwrap",
-            un.count(),
-            un.filter(F.col("is_delete")).count(),
-        ),
-        (
-            "materialize",
-            mat.count(),
-            int(
-                mat.agg(
-                    F.sum(F.round(F.col("value") * 10000).cast("long")).alias(
-                        "s"
-                    )
-                )
-                .collect()[0]
-                .s
-            ),
-        ),
-        (
-            "integrity",
-            integ.count(),
-            n_match,
-        ),
-        (
-            "bi_query",
-            integ.count(),
-            int(mat.agg(F.max("user_id").alias("m")).collect()[0].m),
-        ),
+        ("serialize", int(s.n), int(s.s)),
+        ("parse_dlq", int(u.n), int(n_dlq)),
+        ("unwrap", int(u.n), int(u.d)),
+        ("materialize", int(m.n), int(m.s)),
+        ("integrity", n_tables, n_match),
+        ("bi_query", n_tables, int(m.mx)),
     ]
     return spark.createDataFrame(
         rows, "stage string, n_rows long, checksum long"
