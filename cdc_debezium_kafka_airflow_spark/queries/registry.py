@@ -12,6 +12,7 @@ from cdc_debezium_kafka_airflow_spark.queries import (
     relational,
     relational2,
     relational3,
+    relational4,
     tpch_decision,
     format_queries,
     streaming_queries,
@@ -23,6 +24,7 @@ _MODULES = [
     relational,
     relational2,
     relational3,
+    relational4,
     tpch_decision,
     cdc_queries,
     ext_queries,

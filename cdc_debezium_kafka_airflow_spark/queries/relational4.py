@@ -1,0 +1,540 @@
+"""Fourth wave of warehouse/extension surface: iterative graph analytics
+(integer-exact PageRank), blocked fuzzy entity resolution, integer-exact
+OLS trend regression, truncated-weight EWMA smoothing, deterministic
+mode + exact dispersion stats, and the Spark 4 SQL pipe-operator surface.
+
+Cross-engine float discipline (ROADMAP.md item 7): every aggregate that an
+oracle re-sums is computed in EXACT integer arithmetic (per-row scaling,
+floor division) so partition/summation order cannot flip a bit; doubles
+appear only in a fixed, identically-parenthesized tail of single IEEE ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from cdc_debezium_kafka_airflow_spark.queries.common import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank — iterative graph analytics, integer-exact across engines
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 10**12
+_PR_ITERS = 6
+_PR_TOPK = 20
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled-iteration PageRank as chained CTEs (DuckDB has no aggregate
+    in recursive CTEs, and unrolling keeps both engines on the identical
+    integer recurrence). All arithmetic is BIGINT with floor division (`//`,
+    positive operands), so the ranks are bit-identical to Spark's `div`
+    loop; DuckDB sums are CAST back from HUGEINT at every level."""
+    scale = _PR_SCALE
+    parts = [
+        f"""
+        WITH edges_u AS (
+          SELECT DISTINCT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        ),
+        edges AS (
+          SELECT src, dst FROM edges_u
+          UNION ALL
+          SELECT dst AS src, src AS dst FROM edges_u
+        ),
+        deg AS (
+          SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+          FROM edges GROUP BY src
+        ),
+        nodes AS (SELECT src AS node, outdeg FROM deg),
+        nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        pr0 AS (
+          SELECT node, outdeg, CAST({scale} AS BIGINT) // nn.n AS rank_i
+          FROM nodes, nn
+        )"""
+    ]
+    for i in range(_PR_ITERS):
+        parts.append(
+            f""",
+        inflow{i} AS (
+          SELECT e.dst AS node,
+                 CAST(sum(p.rank_i // p.outdeg) AS BIGINT) AS fl
+          FROM pr{i} p JOIN edges e ON e.src = p.node
+          GROUP BY e.dst
+        ),
+        pr{i + 1} AS (
+          SELECT nd.node, nd.outdeg,
+                 (15 * ({scale} // nn.n)) // 100
+                 + (85 * COALESCE(f.fl, 0)) // 100 AS rank_i
+          FROM nodes nd CROSS JOIN nn
+          LEFT JOIN inflow{i} f ON f.node = nd.node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                 AS node_kind,
+               node // 2 AS entity_key,
+               rank_i AS rank_e12
+        FROM pr{_PR_ITERS}
+        ORDER BY rank_i DESC, node ASC
+        LIMIT {_PR_TOPK}
+        """
+    )
+    return "".join(parts)
+
+
+@q("graph_pagerank", _pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank over the customer<->supplier trade graph (who
+    trades with whom, via orders |><| lineitem), the canonical iterative
+    graph workload the reference's warehouse cannot express in one SQL
+    statement. 6 damped iterations (d=0.85), ranks kept as BIGINT in units
+    of 1e-12 with floor division everywhere, so the recurrence is exact
+    integer arithmetic — bit-identical across engines and across any
+    partitioning of the sum (the float-PageRank everyone ships diverges in
+    the last ulp per iteration and can flip top-k boundaries).
+
+    Scale posture: the edge list is built once (distinct collapses the
+    587k-pair fact join at sf0.1), hash-partitioned and persisted; the
+    rank vector is |V| rows — joined map-side via broadcast here (15k
+    nodes); at 1e9+ nodes both sides hash-partition on `src` and the
+    partitioning is REUSED across iterations (the only per-iteration
+    shuffle is the inflow aggregation on dst). Plans stay linear in
+    iteration count; lineage is cut nowhere because 6 joins is well inside
+    planner comfort. Dangling nodes cannot exist (every edge is emitted in
+    both directions)."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    half = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = half.unionAll(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # edges annotated with the source's out-degree once, partitioned on src
+    # and persisted: the loop below re-reads this frame every iteration.
+    edges_deg = (
+        edges.join(deg, "src")
+        .repartition(F.col("src"))
+        .persist()
+    )
+    nodes = deg  # every node appears as a src (both directions emitted)
+    n = nodes.count()  # bounded: |V| = |customers| + |suppliers|
+    init = _PR_SCALE // n
+    teleport = (15 * init) // 100
+
+    ranks = nodes.select("src", "outdeg", F.lit(init).alias("rank_i"))
+    for _ in range(_PR_ITERS):
+        inflow = (
+            edges_deg.join(
+                F.broadcast(ranks.select("src", "rank_i")), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_i div outdeg").alias("contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("contrib").alias("fl"))
+        )
+        ranks = (
+            nodes.join(inflow, nodes.src == inflow.node, "left")
+            .select(
+                "src",
+                "outdeg",
+                (
+                    F.lit(teleport)
+                    + F.expr("85 * coalesce(fl, 0L) div 100")
+                ).alias("rank_i"),
+            )
+        )
+    out = (
+        ranks.select(
+            F.when(F.col("src") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_kind"),
+            F.expr("src div 2").alias("entity_key"),
+            F.col("rank_i").alias("rank_e12"),
+            F.col("src").alias("_node"),
+        )
+        .orderBy(F.col("rank_e12").desc(), F.col("_node").asc())
+        .limit(_PR_TOPK)
+        .drop("_node")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ent_resolution_fuzzy — blocked fuzzy entity matching
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ent_resolution_fuzzy",
+    """
+    WITH names AS (
+      SELECT p_name,
+             split_part(p_name, ' ', 2) AS block_key,
+             CAST(count(*) AS BIGINT) AS n_entities
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           a.block_key AS block_key,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+           a.n_entities * b.n_entities AS candidate_links
+    FROM names a JOIN names b
+      ON a.block_key = b.block_key AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 6
+    """,
+)
+def ent_resolution_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution with blocking: candidate record pairs are generated
+    ONLY within a cheap blocking key (the name's head noun), then scored
+    with edit distance — the classic record-linkage shape (Fellegi-Sunter
+    blocking stage). The quadratic compare runs over DISTINCT name strings,
+    not entity rows: 20k part rows collapse to 64 names at sf0.1, so the
+    pair space is |names_in_block|^2, and each surviving pair carries the
+    product of entity multiplicities as its candidate-link count. At 100 TB
+    the same plan holds: distinct-collapse is a map-side-combined agg, the
+    block self-join shuffles on block_key (skewed blocks get the salted
+    treatment of join_skew_salted), and edit distance runs JVM-side
+    (`levenshtein` codegen) on the collapsed pairs only."""
+    names = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count("*").alias("n_entities"))
+        .select(
+            "p_name",
+            F.element_at(F.split("p_name", " "), 2).alias("block_key"),
+            "n_entities",
+        )
+    )
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block_key") == F.col("b.block_key"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .filter(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")) <= 6)
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.col("a.block_key").alias("block_key"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+            .cast("long")
+            .alias("edit_dist"),
+            (F.col("a.n_entities") * F.col("b.n_entities")).alias(
+                "candidate_links"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_trend_regression — integer-exact OLS per series
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ts_trend_regression",
+    """
+    WITH base AS (
+      SELECT event_type,
+             (epoch_us(ts) - min(epoch_us(ts)) OVER (PARTITION BY event_type))
+               // 3600000000 AS x,
+             CAST(round(value * 100) AS BIGINT) AS y
+      FROM events
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM base GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)) / 100.0, 9)
+             AS slope_per_hour,
+           round(((sy * 1.0 / n)
+                  - ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx))
+                    * (sx * 1.0 / n)) / 100.0, 6) AS intercept
+    FROM sums
+    """,
+)
+def ts_trend_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series linear trend (OLS slope/intercept of metric value over
+    time) — the drift-detection primitive behind "is this connector's lag
+    growing?". Instead of regr_slope (whose internal double sums are
+    partition-order-dependent), the five sufficient statistics (n, Sx, Sy,
+    Sxy, Sxx) are EXACT integer sums over per-row scaled values (hours
+    since series start x cents), and slope/intercept come out of one fixed
+    sequence of IEEE ops over those exact integers — bit-identical across
+    engines and partitionings. Overflow budget at sf0.1: n*Sxy <= 2e16,
+    well inside int64; a 1e9-row series upgrades the sums to DECIMAL(38,0)
+    with the same recurrence.
+
+    Scale posture: ONE shuffle (the per-series aggregate; the min-epoch
+    window reuses the same hash partitioning), partial aggregation
+    map-side; no window sort is needed for the sums themselves — the
+    min() window is computed within the already-partitioned series."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    base = e.select(
+        "event_type",
+        F.expr(
+            "(unix_micros(ts) - min(unix_micros(ts)) OVER "
+            "(PARTITION BY event_type)) div 3600000000"
+        ).alias("x"),
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+    )
+    sums = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope_scaled = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * F.lit(
+        1.0
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return sums.select(
+        "event_type",
+        "n",
+        F.round(slope_scaled / 100.0, 9).alias("slope_per_hour"),
+        F.round(
+            (
+                (F.col("sy") * F.lit(1.0) / F.col("n"))
+                - slope_scaled * (F.col("sx") * F.lit(1.0) / F.col("n"))
+            )
+            / 100.0,
+            6,
+        ).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# win_ewma — truncated exponentially-weighted moving average
+# ---------------------------------------------------------------------------
+
+_EWMA_TERMS = 20  # alpha = 1/2, weights 2^(19-k): exact integer arithmetic
+
+
+def _ewma_oracle() -> str:
+    num = []
+    den = []
+    for k in range(_EWMA_TERMS):
+        w = 2 ** (_EWMA_TERMS - 1 - k)
+        src = "ys" if k == 0 else f"lag(ys, {k}) OVER w"
+        num.append(f"COALESCE({src}, 0) * {w}")
+        den.append(f"(CASE WHEN {src} IS NOT NULL THEN {w} ELSE 0 END)")
+    return f"""
+    WITH base AS (
+      SELECT event_id, event_type, ts,
+             CAST(round(value * 10000) AS BIGINT) AS ys
+      FROM events
+    )
+    SELECT event_id, event_type, ts,
+           round((({' + '.join(num)}) * 1.0
+                  / ({' + '.join(den)})) / 10000.0, 6) AS ewma_value
+    FROM base
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN {_EWMA_TERMS - 1} PRECEDING AND CURRENT ROW)
+    """
+
+
+@q("win_ewma", _ewma_oracle())
+def win_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (alpha=1/2) per metric series —
+    the smoothing pass behind alert dashboards. The recurrence is truncated
+    at 20 terms (weight 2^-20 < 1e-6 of the window, below the emitted 6dp),
+    which turns the order-dependent recursive definition into a FIXED
+    window expression: integer weights 2^(19-k) over per-row 1e4-scaled
+    values make numerator and denominator exact BIGINTs, so the single
+    closing division is bit-identical across engines. The denominator
+    renormalizes at series heads (fewer than 20 predecessors) — no warm-up
+    bias.
+
+    Scale posture: one hash exchange on the series key, partition-local
+    sort, single window pass (all 20 lags share one frame); no global
+    sort, no Python. Term count is compile-time constant: the projection
+    is one codegen stage."""
+    e = t(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 10000).cast("long").alias("ys"),
+    )
+    num = None
+    den = None
+    for k in range(_EWMA_TERMS):
+        wt = 2 ** (_EWMA_TERMS - 1 - k)
+        src = F.col("ys") if k == 0 else F.lag("ys", k).over(
+            Window.partitionBy("event_type").orderBy("ts", "event_id")
+        )
+        nterm = F.coalesce(src, F.lit(0)) * F.lit(wt)
+        dterm = F.when(src.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        num = nterm if num is None else num + nterm
+        den = dterm if den is None else den + dterm
+    return base.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round((num * F.lit(1.0) / den) / F.lit(10000.0), 6).alias(
+            "ewma_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_mode_stats — deterministic mode + integer-exact dispersion
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "agg_mode_stats",
+    """
+    WITH y AS (
+      SELECT event_type, user_id,
+             CAST(round(value * 100) AS BIGINT) AS ys
+      FROM events
+    ),
+    per_user AS (
+      SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n_u
+      FROM y GROUP BY event_type, user_id
+    ),
+    modal AS (
+      SELECT event_type, user_id AS modal_user, n_u AS modal_count
+      FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                        ORDER BY n_u DESC, user_id ASC) AS rn
+            FROM per_user)
+      WHERE rn = 1
+    ),
+    disp AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(ys) AS BIGINT) AS sx,
+             CAST(sum(ys * ys) AS BIGINT) AS sxx
+      FROM y GROUP BY event_type
+    )
+    SELECT d.event_type, d.n, m.modal_user, m.modal_count,
+           round(sqrt((d.n * d.sxx - d.sx * d.sx) * 1.0
+                      / (d.n * (d.n - 1))) / 100.0, 6) AS stddev_value
+    FROM disp d JOIN modal m ON m.event_type = d.event_type
+    """,
+)
+def agg_mode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mode + exact sample stddev per series. `mode()` in both
+    engines is tie-nondeterministic, so the modal user is derived from the
+    count table with an explicit (count DESC, user ASC) tie-break — the
+    reproducible form. Stddev comes from exact integer sums (cents-scaled):
+    sqrt((n*Sxx - Sx^2) / (n*(n-1))) is one fixed IEEE sequence over exact
+    BIGINTs, immune to partition order (stddev_samp's streaming-merge
+    doubles are not). Overflow budget: n*Sxx <= 1.3e18 at sf0.1; DECIMAL
+    upgrade path beyond.
+
+    Scale posture: two partial-agg shuffles, both hashed on event_type
+    (the second reuses the first's partitioning for the modal window);
+    broadcast-sized join output (|event_type| rows)."""
+    e = t(spark, sf_dir, "events")
+    y = e.select(
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("ys"),
+    )
+    per_user = y.groupBy("event_type", "user_id").agg(
+        F.count("*").alias("n_u")
+    )
+    rn = Window.partitionBy("event_type").orderBy(
+        F.col("n_u").desc(), F.col("user_id").asc()
+    )
+    modal = (
+        per_user.withColumn("rn", F.row_number().over(rn))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("modal_user"),
+            F.col("n_u").alias("modal_count"),
+        )
+    )
+    disp = y.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("ys").alias("sx"),
+        F.sum(F.col("ys") * F.col("ys")).alias("sxx"),
+    )
+    return disp.join(modal, "event_type").select(
+        "event_type",
+        "n",
+        "modal_user",
+        "modal_count",
+        F.round(
+            F.sqrt(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.lit(1.0)
+                / (F.col("n") * (F.col("n") - 1))
+            )
+            / 100.0,
+            6,
+        ).alias("stddev_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fn_pipe_syntax — Spark 4 SQL pipe operators
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "fn_pipe_syntax",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             / 100.0 AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def fn_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe-operator syntax (`|>`): the same logical plan as the
+    classic SELECT, expressed as a linear dataflow — FROM |> WHERE |>
+    AGGREGATE. Pipe stages lower to ordinary Catalyst operators (the WHERE
+    still pushes into the scan; the AGGREGATE is a hash aggregate with
+    map-side partials), so this is a parser surface, not a new engine path.
+    Revenue is summed in exact integer cents (per-row scale) and divided
+    once, keeping the hash bit-stable cross-engine."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe_v")
+    return spark.sql(
+        """
+        FROM orders_pipe_v
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE count(*) AS n_orders,
+                     sum(cast(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                       AS revenue
+           GROUP BY o_orderpriority
+        """
+    )

@@ -1,0 +1,141 @@
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from cdc_debezium_kafka_airflow_spark.queries.relational4 import (
+    _PR_SCALE,
+    agg_mode_stats,
+    ent_resolution_fuzzy,
+    graph_pagerank,
+    ts_trend_regression,
+    win_ewma,
+)
+
+
+def test_pagerank_mass_and_hub_dominance(spark, sf_dir):
+    rows = graph_pagerank(spark, sf_dir).collect()
+    assert len(rows) == 20
+    assert all(r.rank_e12 > 0 for r in rows)
+    # suppliers are the hubs of the bipartite trade graph (10 suppliers vs
+    # 150 customers at sf0.001): every top slot must be a supplier, and each
+    # supplier's rank must dwarf the uniform-init mass of a single node
+    assert rows[0].node_kind == "supplier"
+    assert rows[0].rank_e12 > _PR_SCALE // 160
+
+
+def test_pagerank_partition_invariance(spark, sf_dir):
+    """The integer-arithmetic claim: ranks are BIT-IDENTICAL regardless of
+    how the upstream frames are partitioned (a float PageRank would drift
+    in the last ulp when the inflow sum's reduction order changes)."""
+    base = {(r.node_kind, r.entity_key): r.rank_e12
+            for r in graph_pagerank(spark, sf_dir).collect()}
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        alt = {(r.node_kind, r.entity_key): r.rank_e12
+               for r in graph_pagerank(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base == alt
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_entity_resolution_matches_bruteforce(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+
+    rows = ent_resolution_fuzzy(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.name_a < r.name_b
+        assert r.name_a.split(" ")[1] == r.block_key
+        assert r.name_b.split(" ")[1] == r.block_key
+        assert r.edit_dist == _lev(r.name_a, r.name_b) <= 6
+    # brute force over the distinct-name universe reproduces the pair set
+    names = [x.p_name for x in
+             t(spark, sf_dir, "part").select("p_name").distinct().collect()]
+    expected = {
+        (a, b)
+        for a in names for b in names
+        if a < b and a.split(" ")[1] == b.split(" ")[1] and _lev(a, b) <= 6
+    }
+    assert {(r.name_a, r.name_b) for r in rows} == expected
+
+
+def test_trend_regression_matches_numpy(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+
+    got = {r.event_type: r for r in
+           ts_trend_regression(spark, sf_dir).collect()}
+    pdf = (
+        t(spark, sf_dir, "events")
+        .select("event_type", F.expr("unix_micros(ts)").alias("us"), "value")
+        .toPandas()
+    )
+    for et, g in pdf.groupby("event_type"):
+        x = ((g["us"] - g["us"].min()) // 3_600_000_000).to_numpy(float)
+        y = np.round(g["value"].to_numpy() * 100)  # the query's 2dp lattice
+        slope, intercept = np.polyfit(x, y, 1)
+        assert abs(got[et].slope_per_hour - slope / 100.0) < 1e-6, et
+        assert abs(got[et].intercept - intercept / 100.0) < 1e-4, et
+        assert got[et].n == len(g)
+
+
+def test_ewma_head_and_replay(spark, sf_dir):
+    rows = win_ewma(spark, sf_dir).collect()
+    by_series: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.ts, r.event_id)):
+        by_series.setdefault(r.event_type, []).append(r)
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+
+    raw = (
+        t(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", "event_type", "ts", "value")
+        .collect()
+    )
+    vals = {}
+    for r in sorted(raw, key=lambda r: (r.ts, r.event_id)):
+        vals.setdefault(r.event_type, []).append(round(r.value * 10000))
+    for et, series in by_series.items():
+        xs = vals[et]
+        assert len(series) == len(xs)
+        # python replay of the truncated integer recurrence
+        for i in (0, len(xs) // 2, len(xs) - 1):
+            lo = max(0, i - 19)
+            num = den = 0
+            for k, j in enumerate(range(i, lo - 1, -1)):
+                w = 2 ** (19 - k)
+                num += xs[j] * w
+                den += w
+            assert abs(series[i].ewma_value
+                       - round((num / den) / 10000.0, 6)) < 1e-9, (et, i)
+        # first element of the series is its own value
+        assert series[0].ewma_value == round(xs[0] / 10000.0, 6)
+
+
+def test_mode_stats_match_numpy(spark, sf_dir):
+    from collections import Counter
+
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+
+    got = {r.event_type: r for r in agg_mode_stats(spark, sf_dir).collect()}
+    pdf = t(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    ).toPandas()
+    for et, g in pdf.groupby("event_type"):
+        counts = Counter(g["user_id"])
+        best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+        assert got[et].modal_user == best[0], et
+        assert got[et].modal_count == best[1], et
+        sd = np.std(np.round(g["value"].to_numpy() * 100), ddof=1) / 100.0
+        assert abs(got[et].stddev_value - sd) < 1e-5, et
