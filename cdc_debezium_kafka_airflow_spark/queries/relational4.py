@@ -143,28 +143,34 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     init = _PR_SCALE // n
     teleport = (15 * init) // 100
 
-    ranks = nodes.select("src", "outdeg", F.lit(init).alias("rank_i"))
+    ranks = nodes.select("src", F.lit(init).alias("rank_i"))
     for _ in range(_PR_ITERS):
-        inflow = (
-            edges_deg.join(
-                F.broadcast(ranks.select("src", "rank_i")), "src"
-            )
+        # No explicit broadcast hint: an eager broadcast exchange would
+        # re-execute the entire prior-iteration chain once per iteration
+        # (O(iters^2) work — broadcast jobs re-plan upstream stages with
+        # fresh shuffle ids). As plain shuffle joins the whole loop is ONE
+        # job whose stages materialize exactly once; AQE still converts the
+        # |V|-row rank side to a broadcast AFTER its shuffle output exists,
+        # so the join is map-side without the re-execution tax.
+        #
+        # The contrib division uses the out-degree RIDING THE EDGE ROW, so
+        # the rank vector stays a bare (node, rank) pair; and because every
+        # edge is emitted in both directions, every node has >=1 in-edge —
+        # the inflow aggregation's key set IS the node universe, so no
+        # re-join against `nodes` is needed to keep isolated nodes alive
+        # (the oracle's LEFT JOIN is equivalently inner on this graph).
+        ranks = (
+            edges_deg.join(ranks, "src")
             .select(
-                F.col("dst").alias("node"),
+                F.col("dst").alias("src"),
                 F.expr("rank_i div outdeg").alias("contrib"),
             )
-            .groupBy("node")
-            .agg(F.sum("contrib").alias("fl"))
-        )
-        ranks = (
-            nodes.join(inflow, nodes.src == inflow.node, "left")
-            .select(
-                "src",
-                "outdeg",
+            .groupBy("src")
+            .agg(
                 (
                     F.lit(teleport)
-                    + F.expr("85 * coalesce(fl, 0L) div 100")
-                ).alias("rank_i"),
+                    + F.expr("85 * sum(contrib) div 100")
+                ).alias("rank_i")
             )
         )
     out = (
