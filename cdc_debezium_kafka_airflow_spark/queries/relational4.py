@@ -1,7 +1,9 @@
 """Fourth wave of warehouse/extension surface: iterative graph analytics
-(integer-exact PageRank), blocked fuzzy entity resolution, integer-exact
-OLS trend regression, truncated-weight EWMA smoothing, deterministic
-mode + exact dispersion stats, and the Spark 4 SQL pipe-operator surface.
+(integer-exact PageRank, BFS k-hop traversal), blocked fuzzy entity
+resolution, integer-exact OLS trend regression, truncated-weight EWMA
+smoothing, deterministic mode + exact dispersion stats, equal-width
+histograms, exact rank-sum ROC-AUC, and the Spark 4 SQL pipe-operator
+surface.
 
 Cross-engine float discipline (ROADMAP.md item 7): every aggregate that an
 oracle re-sums is computed in EXACT integer arithmetic (per-row scaling,
@@ -543,4 +545,250 @@ def fn_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS revenue
            GROUP BY o_orderpriority
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_bfs_hops — breadth-first traversal, min-hop frontier expansion
+# ---------------------------------------------------------------------------
+
+_BFS_MAX_HOPS = 4
+
+
+@q(
+    "graph_bfs_hops",
+    f"""
+    WITH RECURSIVE edges_u AS (
+      SELECT DISTINCT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_partkey % 97 = 0
+    ),
+    edges AS (
+      SELECT src, dst FROM edges_u
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges_u
+    ),
+    start AS (SELECT min(src) AS s FROM edges WHERE src % 2 = 1),
+    walk AS (
+      SELECT s AS node, 0 AS hop FROM start
+      UNION
+      SELECT e.dst, w.hop + 1
+      FROM walk w JOIN edges e ON e.src = w.node
+      WHERE w.hop < {_BFS_MAX_HOPS}
+    )
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+             AS node_kind,
+           node // 2 AS entity_key,
+           CAST(min(hop) AS BIGINT) AS hop
+    FROM walk GROUP BY node
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth-first k-hop traversal (min-hop per node) over a SPARSIFIED
+    trade graph — the reachability/exposure question ("every party within 4
+    hops of this supplier") that no single SQL statement answers. The edge
+    filter (l_partkey % 97) thins the bipartite graph to average degree of
+    a few, so the frontier genuinely grows per hop instead of saturating.
+
+    Frontier/visited BFS: each iteration expands the CURRENT frontier only
+    (join frontier |><| edges), dedups, and anti-joins the visited set — so
+    a node's hop is its FIRST discovery (min-hop), matching the oracle's
+    recursive-CTE + min(hop) form. Like graph_pagerank, no broadcast hints
+    inside the loop (eager broadcast exchanges re-execute prior iterations);
+    the frontier and visited frames stay lazy, the whole walk is one job.
+
+    Scale posture: per hop = one shuffle join (frontier vs edges,
+    hash-partitioned on node) + one distinct + one anti-join against
+    visited; frontier size is bounded by |V|, and at 1e9+ nodes both edges
+    and visited hash-partition on node id so the anti-join co-locates."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 97 == 0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    half = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    start = (
+        edges.filter(F.col("src") % 2 == 1)
+        .agg(F.min("src").alias("node"))
+    )
+    visited = start.select("node", F.lit(0).alias("hop"))
+    frontier = visited.select("node")
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        reached = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new = reached.join(
+            visited.select("node"), "node", "left_anti"
+        )
+        visited = visited.unionAll(
+            new.select("node", F.lit(hop).alias("hop"))
+        )
+        frontier = new.select("node")
+    out = visited.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_kind"),
+        F.expr("node div 2").alias("entity_key"),
+        F.col("hop").cast("long").alias("hop"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# agg_histogram — equal-width histogram with hand-rolled bucketing
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "agg_histogram",
+    """
+    WITH b AS (
+      SELECT least(CAST(floor(value / 25.0) AS BIGINT), 23) AS bucket,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b)
+    SELECT bucket,
+           bucket * 25.0 AS lo,
+           (bucket + 1) * 25.0 AS hi,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS BIGINT) * 1.0 / tot.n_total, 6) AS frac,
+           CAST(sum(cents) AS BIGINT) / 100.0 AS sum_value
+    FROM b CROSS JOIN tot
+    GROUP BY bucket, tot.n_total
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram of the metric distribution (the profiling
+    companion to dq_anomaly_iqr's quantile fences). Bucketing is a
+    hand-rolled `least(floor(value/25), 23)` rather than `width_bucket`:
+    the expression is a single IEEE divide + floor, bit-identical across
+    engines, where width_bucket implementations are free to compute the
+    bucket index with different internal arithmetic at exact boundaries.
+    Bucket sums in integer cents; one map-side-combined shuffle, plus a
+    1-row total broadcast for the fractions."""
+    e = t(spark, sf_dir, "events")
+    b = e.select(
+        F.least(F.floor(F.col("value") / 25.0).cast("long"), F.lit(23)).alias(
+            "bucket"
+        ),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    tot = b.agg(F.count("*").alias("n_total"))
+    return (
+        b.crossJoin(F.broadcast(tot))
+        .groupBy("bucket", "n_total")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 25.0).alias("lo"),
+            ((F.col("bucket") + 1) * 25.0).alias("hi"),
+            "n",
+            F.round(F.col("n") * F.lit(1.0) / F.col("n_total"), 6).alias(
+                "frac"
+            ),
+            (F.col("cents_sum") / 100.0).alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_auc_score — exact ROC-AUC via the rank-sum (Mann-Whitney) identity
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ext_auc_score",
+    """
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+             n_chars AS score
+      FROM documents
+    ),
+    ranked AS (
+      SELECT label,
+             rank() OVER (ORDER BY score) AS r_min,
+             CAST(count(*) OVER (PARTITION BY score) AS BIGINT) AS ties
+      FROM scored
+    ),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN label = 1
+                           THEN 2 * r_min + (ties - 1) ELSE 0 END) AS BIGINT)
+               AS sum2r_pos,
+             CAST(sum(label) AS BIGINT) AS n_pos,
+             CAST(sum(1 - label) AS BIGINT) AS n_neg
+      FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           round((sum2r_pos - n_pos * (n_pos + 1)) * 1.0
+                 / (2 * n_pos * n_neg), 9) AS auc
+    FROM agg
+    """,
+)
+def ext_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of a ranking signal (document length as an
+    English-document predictor) via the Mann-Whitney rank-sum identity —
+    the threshold-free twin of ext_eval_metrics' P/R/F1. AUC is usually
+    computed by sorting scores and trapezoiding the curve; the rank-sum
+    form AUC = (Σ_pos avgrank − n⁺(n⁺+1)/2) / (n⁺n⁻) needs only ONE global
+    rank. Tie handling (average ranks) is kept in integers by summing
+    2·avgrank = 2·r_min + (ties−1), so the whole statistic is exact BIGINT
+    arithmetic until a single closing division — bit-identical across
+    engines and partitionings, where a float-summed implementation is not.
+
+    Scale posture: a per-ROW global rank would be a single-partition window
+    (Spark gathers un-partitioned windows to one task). Instead the rank is
+    derived from a per-SCORE histogram: one map-side-combined groupBy
+    collapses the corpus to |distinct scores| rows, the cumsum window runs
+    over that bounded frame, and Σ_pos(2·avgrank) becomes
+    Σ_scores pos_cnt·(2·r_min + cnt − 1) — identical value, no wide sort.
+    The oracle spells the per-row rank form; the two are provably equal."""
+    d = t(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("label"),
+        F.col("n_chars").alias("score"),
+    )
+    hist = d.groupBy("score").agg(
+        F.count("*").alias("cnt"),
+        F.sum("label").alias("pos_cnt"),
+    )
+    wc = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ranked = hist.select(
+        "cnt",
+        "pos_cnt",
+        (F.coalesce(F.sum("cnt").over(wc), F.lit(0)) + 1).alias("r_min"),
+    )
+    agg = ranked.agg(
+        F.sum(
+            F.col("pos_cnt") * (2 * F.col("r_min") + (F.col("cnt") - 1))
+        ).alias("sum2r_pos"),
+        F.sum("pos_cnt").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos_cnt")).alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("sum2r_pos") - F.col("n_pos") * (F.col("n_pos") + 1))
+            * F.lit(1.0)
+            / (2 * F.col("n_pos") * F.col("n_neg")),
+            9,
+        ).alias("auc"),
     )

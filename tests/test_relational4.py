@@ -139,3 +139,111 @@ def test_mode_stats_match_numpy(spark, sf_dir):
         assert got[et].modal_count == best[1], et
         sd = np.std(np.round(g["value"].to_numpy() * 100), ddof=1) / 100.0
         assert abs(got[et].stddev_value - sd) < 1e-5, et
+
+
+def test_bfs_hops_match_python_replay(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+    from cdc_debezium_kafka_airflow_spark.queries.relational4 import (
+        _BFS_MAX_HOPS,
+        graph_bfs_hops,
+    )
+
+    got = {(r.node_kind, r.entity_key): r.hop
+           for r in graph_bfs_hops(spark, sf_dir).collect()}
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 97 == 0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    pairs = {
+        (r.o_custkey * 2, r.l_suppkey * 2 + 1)
+        for r in o.join(l, o.o_orderkey == l.l_orderkey).collect()
+    }
+    adj: dict[int, set[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    start = min(n for n in adj if n % 2 == 1)
+    dist = {start: 0}
+    frontier = [start]
+    for hop in range(1, _BFS_MAX_HOPS + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = hop
+                    nxt.append(v)
+        frontier = nxt
+    expected = {
+        ("customer" if n % 2 == 0 else "supplier", n // 2): h
+        for n, h in dist.items()
+    }
+    assert got == expected
+
+
+def test_incremental_join_equals_full_recompute(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.operators.cdc import (
+        upsert_materialize,
+    )
+    from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import (
+        _unwrapped,
+        cdc_incremental_join,
+    )
+
+    inc = {tuple(r) for r in cdc_incremental_join(spark, sf_dir).collect()}
+    mat = upsert_materialize(_unwrapped(spark, sf_dir))
+
+    def pick(name, p):
+        return mat.filter(F.col("table_name") == name).select(
+            F.col("user_id").alias("key_id"),
+            F.col("event_id").alias(f"{p}_event_id"),
+            F.col("last_offset").alias(f"{p}_offset"),
+            F.round(F.col("value") * 10000).cast("long").alias(f"{p}_v"),
+        )
+
+    full = {
+        tuple(r)
+        for r in pick("ventas", "a").join(
+            pick("pagos_clientes", "b"), "key_id"
+        ).collect()
+    }
+    assert inc == full
+
+
+def test_histogram_accounts_for_every_row(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+    from cdc_debezium_kafka_airflow_spark.queries.relational4 import (
+        agg_histogram,
+    )
+
+    rows = agg_histogram(spark, sf_dir).collect()
+    n_total = t(spark, sf_dir, "events").count()
+    assert sum(r.n for r in rows) == n_total
+    assert abs(sum(r.frac for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0 <= r.bucket <= 23
+        assert r.hi - r.lo == 25.0
+
+
+def test_auc_matches_direct_computation(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+    from cdc_debezium_kafka_airflow_spark.queries.relational4 import (
+        ext_auc_score,
+    )
+
+    row = ext_auc_score(spark, sf_dir).collect()[0]
+    docs = t(spark, sf_dir, "documents").select("lang", "n_chars").collect()
+    pos = sorted(d.n_chars for d in docs if d.lang == "en")
+    neg = sorted(d.n_chars for d in docs if d.lang != "en")
+    assert row.n_pos == len(pos) and row.n_neg == len(neg)
+    # O(n^2) reference on the tiny fixture: P(score_pos > score_neg) + .5 ties
+    wins = ties = 0
+    for p in pos:
+        for ng in neg:
+            if p > ng:
+                wins += 1
+            elif p == ng:
+                ties += 1
+    expected = (wins + 0.5 * ties) / (len(pos) * len(neg))
+    assert abs(row.auc - round(expected, 9)) < 1e-9
