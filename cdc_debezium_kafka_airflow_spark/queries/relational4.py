@@ -792,3 +792,204 @@ def ext_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("auc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_batch_inference — iterator mapInPandas, per-partition model init
+# ---------------------------------------------------------------------------
+
+_INF_DIM = 4  # features: n_chars, n_spaces, n_digits, n_vowels
+
+
+def _inference_weights() -> list[float]:
+    """Deterministic pseudo-model: w_j = ((j+1)*2654435761 % 1000 - 500)/1e5.
+    Knuth-hash spread, exactly representable decimals (multiples of 1e-5)."""
+    return [
+        (((j + 1) * 2654435761) % 1000 - 500) / 100000.0
+        for j in range(_INF_DIM)
+    ]
+
+
+def _inference_oracle() -> str:
+    w = _inference_weights()
+    feats = [
+        "length(text)",
+        "(length(text) - length(replace(text, ' ', '')))",
+        "length(regexp_replace(text, '[^0-9]', '', 'g'))",
+        "length(regexp_replace(text, '[^aeiou]', '', 'g'))",
+    ]
+    dot = " + ".join(f"({f}) * {w[j]!r}" for j, f in enumerate(feats))
+    return f"""
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-({dot}))), 9) AS score,
+           (1.0 / (1.0 + exp(-({dot}))) > 0.5) AS accepted
+    FROM documents
+    """
+
+
+@q("ext_batch_inference", _inference_oracle())
+def ext_batch_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch-model-inference serving pattern: `mapInPandas` with an
+    ITERATOR body — the model is constructed ONCE per task (per-partition
+    init, before the batch loop), then applied to every Arrow batch with
+    one vectorized matmul. This is the exact plumbing a real embedding /
+    classifier / LLM-scoring pass over a 100 TB corpus uses: model load
+    amortizes over the partition, data streams through Arrow batches
+    without materializing the partition, and the output schema is declared
+    up front. The "model" here is a deterministic linear layer + sigmoid
+    (weights are exact 1e-5 decimals; features are integer counts), so the
+    scores are closed-form and the oracle recomputes them in SQL — the
+    plumbing is real, the weights are the only fake.
+
+    Scale posture: map-only (ZERO shuffles); each task holds one model
+    instance and O(batch) memory. Batch size rides
+    spark.sql.execution.arrow.maxRecordsPerBatch; the same body serves
+    GPU inference by swapping the numpy matmul."""
+    import pandas as pd  # noqa: F401 (signature typing)
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    weights = _inference_weights()
+
+    def infer(batches):
+        import numpy as np
+
+        w = np.asarray(weights)  # per-partition model init, ONCE per task
+
+        def featurize(texts):
+            n_chars = texts.str.len()
+            n_spaces = n_chars - texts.str.replace(" ", "", regex=False).str.len()
+            n_digits = texts.str.count(r"[0-9]")
+            n_vowels = texts.str.count(r"[aeiou]")
+            import numpy as _np
+
+            return _np.stack(
+                [n_chars, n_spaces, n_digits, n_vowels], axis=1
+            ).astype(float)
+
+        for pdf in batches:  # Arrow batch loop — model NOT rebuilt per batch
+            z = featurize(pdf["text"]) @ w
+            score = (1.0 / (1.0 + np.exp(-z))).round(9)
+            yield pdf.assign(score=score, accepted=score > 0.5)[
+                ["doc_id", "score", "accepted"]
+            ]
+
+    return d.mapInPandas(
+        infer, "doc_id long, score double, accepted boolean"
+    )
+
+
+# ---------------------------------------------------------------------------
+# graph_triangles — triangle counting / global clustering coefficient
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "graph_triangles",
+    """
+    WITH bip AS (
+      SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_partkey % 97 = 0
+    ),
+    proj AS (
+      SELECT DISTINCT a.s AS u, b.s AS v
+      FROM bip a JOIN bip b ON a.c = b.c AND a.s < b.s
+    ),
+    deg AS (
+      SELECT u AS node, count(*) AS d FROM (
+        SELECT u FROM proj UNION ALL SELECT v FROM proj
+      ) GROUP BY u
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM proj e1
+      JOIN proj e2 ON e2.u = e1.v
+      JOIN proj e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    wedges AS (
+      SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM proj) AS n_proj_edges,
+           tri.n_triangles,
+           wedges.n_wedges,
+           round(CASE WHEN wedges.n_wedges = 0 THEN 0.0
+                      ELSE 3.0 * tri.n_triangles / wedges.n_wedges END, 9)
+             AS clustering_coeff
+    FROM tri, wedges
+    """,
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + global clustering coefficient on the co-purchase
+    projection (suppliers connected when they share a customer, over the
+    sparsified trade graph) — the third graph-algorithm class after ranking
+    (PageRank) and traversal (BFS). The count uses the ordered-edge
+    convention (u < v everywhere): each triangle {a<b<c} appears exactly
+    once as e1=(a,b), e2=(b,c), e3=(a,c), so the 3-way self-join needs no
+    division by 6. The wedge count Σ d(d−1)/2 stays in exact integers; the
+    coefficient is one closing division.
+
+    Scale posture: the projection is the expensive step (pairs within a
+    customer's supplier set — quadratic per customer, the classic
+    hub-explosion), bounded here by the sparsifier; at scale hot customers
+    get degree-capped or sampled first (standard triangle-count practice).
+    The 3-way join shuffles on edge endpoints; ordering (u<v) halves the
+    edge list and kills the symmetric duplicates before any join."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 97 == 0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    bip = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = bip.alias("a")
+    b = bip.alias("b")
+    proj = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .select(F.col("a.s").alias("u"), F.col("b.s").alias("v"))
+        .distinct()
+        .persist()
+    )
+    deg = (
+        proj.select(F.col("u").alias("node"))
+        .unionAll(proj.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    e1 = proj.alias("e1")
+    e2 = proj.alias("e2")
+    e3 = proj.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    wedges = deg.agg(
+        F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges")
+    )
+    n_edges = proj.agg(F.count("*").alias("n_proj_edges"))
+    return (
+        n_edges.crossJoin(tri)
+        .crossJoin(wedges)
+        .select(
+            "n_proj_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges")
+                ),
+                9,
+            ).alias("clustering_coeff"),
+        )
+    )

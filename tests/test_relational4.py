@@ -247,3 +247,68 @@ def test_auc_matches_direct_computation(spark, sf_dir):
                 ties += 1
     expected = (wins + 0.5 * ties) / (len(pos) * len(neg))
     assert abs(row.auc - round(expected, 9)) < 1e-9
+
+
+def test_batch_inference_matches_python_model(spark, sf_dir):
+    import math
+
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+    from cdc_debezium_kafka_airflow_spark.queries.relational4 import (
+        _inference_weights,
+        ext_batch_inference,
+    )
+
+    got = {r.doc_id: r for r in ext_batch_inference(spark, sf_dir).collect()}
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    w = _inference_weights()
+    assert len(got) == len(docs)
+    for d in docs:
+        txt = d.text
+        feats = [
+            len(txt),
+            txt.count(" "),
+            sum(c.isdigit() for c in txt),
+            sum(c in "aeiou" for c in txt),
+        ]
+        z = sum(f * wj for f, wj in zip(feats, w))
+        score = round(1.0 / (1.0 + math.exp(-z)), 9)
+        assert abs(got[d.doc_id].score - score) < 1e-9, d.doc_id
+        assert got[d.doc_id].accepted == (score > 0.5)
+
+
+def test_triangles_match_python_recount(spark, sf_dir):
+    from itertools import combinations
+
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+    from cdc_debezium_kafka_airflow_spark.queries.relational4 import (
+        graph_triangles,
+    )
+
+    row = graph_triangles(spark, sf_dir).collect()[0]
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 97 == 0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    by_cust: dict[int, set[int]] = {}
+    for r in o.join(l, o.o_orderkey == l.l_orderkey).collect():
+        by_cust.setdefault(r.o_custkey, set()).add(r.l_suppkey)
+    proj = set()
+    for sup in by_cust.values():
+        for u, v in combinations(sorted(sup), 2):
+            proj.add((u, v))
+    adj: dict[int, set[int]] = {}
+    for u, v in proj:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tris = sum(
+        1
+        for (u, v) in proj
+        for w_ in adj[u] & adj[v]
+        if v < w_
+    )
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    assert row.n_proj_edges == len(proj)
+    assert row.n_triangles == tris
+    assert row.n_wedges == wedges
