@@ -854,3 +854,58 @@ def fn_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("file_name").alias("n_files"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+@q(
+    "src_avro",
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           max(ts) AS max_ts,
+           CAST(max(length(props)) AS BIGINT) AS max_props_len
+    FROM events GROUP BY event_type
+    """,
+)
+def src_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source/sink WITHOUT the spark-avro jar: a pure-Python Avro
+    Object Container File codec (public spec subset: zigzag-varint longs,
+    IEEE doubles, length-prefixed strings, [null,T] unions,
+    timestamp-micros logical type, sync-marked blocks) behind the Python
+    DataSource API (sources/avro_py.py). Events are written once through
+    the avro_py WRITER (per-task part files + commit manifest), read back
+    through the avro_py READER (one task per committed file, Arrow batch
+    per file, schema derived from the container header — no schema option
+    needed), and aggregated; the oracle runs the same aggregate on the
+    original parquet, so a single corrupted varint, wrong union branch, or
+    micros drift anywhere in the round-trip flips the hash.
+
+    Closes ROADMAP.md 12b (Debezium shops commonly run Avro on the wire):
+    format coverage is now parquet/JSON/CSV/ORC/JDBC/Avro + the DataSource
+    API. Scale: the container's block structure supports split reads; this
+    connector partitions per FILE (documented), sized by writer tasks."""
+    import json as _json
+    import shutil
+
+    from cdc_debezium_kafka_airflow_spark.sources.avro_py import (
+        AvroDataSource,
+        EVENTS_AVRO_SCHEMA,
+    )
+
+    spark.dataSource.register(AvroDataSource)
+    path = _cache_dir(sf_dir, "events_avro")
+    fp = source_fingerprint(sf_dir, "events")
+    if not cache_is_fresh(path, fp):
+        shutil.rmtree(path, ignore_errors=True)
+        t(spark, sf_dir, "events").write.format("avro_py").option(
+            "path", path
+        ).option(
+            "avro_schema", _json.dumps(EVENTS_AVRO_SCHEMA)
+        ).mode("append").save()
+        write_fingerprint(path, fp)
+    df = spark.read.format("avro_py").option("path", path).load()
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.max("ts").alias("max_ts"),
+        F.max(F.length("props")).cast("long").alias("max_props_len"),
+    )

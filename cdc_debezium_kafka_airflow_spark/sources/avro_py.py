@@ -1,0 +1,463 @@
+"""Pure-Python Avro Object Container File source + sink via Spark 4's
+Python DataSource API — closing the format hole left by the spark-avro
+module jar being absent from this distribution (ROADMAP.md 12b).
+
+Implements the subset of the PUBLIC Avro 1.x specification
+(https://avro.apache.org/docs/current/specification/ — container file
+layout, binary encoding) that a Debezium/warehouse pipeline needs:
+
+  - container file: magic ``Obj\\x01``, file-metadata map (``avro.schema``
+    JSON + ``avro.codec``), 16-byte sync marker, then data blocks of
+    (record count, byte size, records, sync marker);
+  - binary encoding: zigzag-varint longs/ints, little-endian IEEE doubles,
+    length-prefixed UTF-8 strings/bytes, booleans, nulls;
+  - records of primitives, nullable fields as ``["null", T]`` unions
+    (branch index + payload), and the ``timestamp-micros`` logical type
+    (long micros since epoch <-> naive datetime).
+
+Codec is ``null`` (uncompressed); ``deflate`` (zlib) is accepted on read.
+
+The connector follows this repo's DataSource conventions:
+``spark.read.format("avro_py")`` partitions one task per committed file and
+yields Arrow RecordBatches per block; ``df.write.format("avro_py")`` has
+each task stream its rows to one ``part-<uuid>.avro`` and a driver-side
+commit publish the ``_SUCCESS`` manifest naming exactly the committed
+files (the same two-phase protocol as the DLQ JSON sink).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import io
+import json
+import os
+import struct
+import zlib
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+MAGIC = b"Obj\x01"
+_EPOCH = _dt.datetime(1970, 1, 1)
+_US = _dt.timedelta(microseconds=1)
+
+
+# ---------------------------------------------------------------------------
+# binary primitives (Avro spec: zigzag varint, IEEE doubles, len-prefixed)
+# ---------------------------------------------------------------------------
+
+
+def encode_long(n: int) -> bytes:
+    """Zigzag + base-128 varint (Avro spec 'Binary Encoding > Primitives')."""
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def decode_long(buf: io.BufferedIOBase) -> int:
+    shift = 0
+    accum = 0
+    while True:
+        (b,) = buf.read(1)
+        accum |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (accum >> 1) ^ -(accum & 1)
+
+
+def encode_string(s: str) -> bytes:
+    raw = s.encode("utf-8")
+    return encode_long(len(raw)) + raw
+
+
+def decode_string(buf: io.BufferedIOBase) -> str:
+    return buf.read(decode_long(buf)).decode("utf-8")
+
+
+def encode_double(x: float) -> bytes:
+    return struct.pack("<d", x)
+
+
+def decode_double(buf: io.BufferedIOBase) -> float:
+    return struct.unpack("<d", buf.read(8))[0]
+
+
+# ---------------------------------------------------------------------------
+# schema-driven record codec (records of primitives + [null, T] unions)
+# ---------------------------------------------------------------------------
+
+
+def _ts_to_micros(v) -> int:
+    return (v - _EPOCH) // _US
+
+
+def _micros_to_ts(us: int) -> _dt.datetime:
+    return _EPOCH + us * _US
+
+
+def _leaf_type(field_schema):
+    """(type_name, nullable) for a primitive or ["null", primitive] union."""
+    fs = field_schema
+    nullable = False
+    if isinstance(fs, list):
+        if len(fs) != 2 or "null" not in fs[:1] + fs[1:]:
+            raise ValueError(f"unsupported union: {fs}")
+        nullable = True
+        fs = fs[1] if fs[0] == "null" else fs[0]
+    if isinstance(fs, dict):
+        if fs.get("logicalType") == "timestamp-micros":
+            return "timestamp-micros", nullable
+        fs = fs["type"]
+    return fs, nullable
+
+
+def encode_value(type_name: str, v) -> bytes:
+    if type_name in ("long", "int"):
+        return encode_long(int(v))
+    if type_name == "timestamp-micros":
+        return encode_long(v if isinstance(v, int) else _ts_to_micros(v))
+    if type_name == "double":
+        return encode_double(float(v))
+    if type_name == "float":
+        return struct.pack("<f", float(v))
+    if type_name == "string":
+        return encode_string(v)
+    if type_name == "bytes":
+        return encode_long(len(v)) + bytes(v)
+    if type_name == "boolean":
+        return b"\x01" if v else b"\x00"
+    if type_name == "null":
+        return b""
+    raise ValueError(f"unsupported Avro type: {type_name}")
+
+
+def decode_value(type_name: str, buf: io.BufferedIOBase):
+    if type_name in ("long", "int"):
+        return decode_long(buf)
+    if type_name == "timestamp-micros":
+        return _micros_to_ts(decode_long(buf))
+    if type_name == "double":
+        return decode_double(buf)
+    if type_name == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if type_name == "string":
+        return decode_string(buf)
+    if type_name == "bytes":
+        return buf.read(decode_long(buf))
+    if type_name == "boolean":
+        return buf.read(1) == b"\x01"
+    if type_name == "null":
+        return None
+    raise ValueError(f"unsupported Avro type: {type_name}")
+
+
+def encode_record(schema: dict, values) -> bytes:
+    out = bytearray()
+    for field, v in zip(schema["fields"], values):
+        tname, nullable = _leaf_type(field["type"])
+        if nullable:
+            if v is None:
+                out += encode_long(0)  # union branch 0 = null
+                continue
+            out += encode_long(1)  # union branch 1 = value
+        elif v is None:
+            raise ValueError(f"null in non-nullable field {field['name']}")
+        out += encode_value(tname, v)
+    return bytes(out)
+
+
+def decode_record(schema: dict, buf: io.BufferedIOBase) -> tuple:
+    vals = []
+    for field in schema["fields"]:
+        tname, nullable = _leaf_type(field["type"])
+        if nullable:
+            if decode_long(buf) == 0:
+                vals.append(None)
+                continue
+        vals.append(decode_value(tname, buf))
+    return tuple(vals)
+
+
+# ---------------------------------------------------------------------------
+# container file
+# ---------------------------------------------------------------------------
+
+
+def write_container(
+    path: str,
+    schema: dict,
+    rows,
+    sync: bytes,
+    records_per_block: int = 4000,
+) -> int:
+    """Write one Avro Object Container File (codec null); returns rows."""
+    n = 0
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        meta = {
+            "avro.schema": json.dumps(schema).encode(),
+            "avro.codec": b"null",
+        }
+        f.write(encode_long(len(meta)))
+        for k, v in sorted(meta.items()):
+            f.write(encode_string(k))
+            f.write(encode_long(len(v)) + v)
+        f.write(encode_long(0))  # map terminator
+        f.write(sync)
+
+        block = bytearray()
+        count = 0
+
+        def flush():
+            nonlocal block, count
+            if count:
+                f.write(encode_long(count))
+                f.write(encode_long(len(block)))
+                f.write(block)
+                f.write(sync)
+            block, count = bytearray(), 0
+
+        for values in rows:
+            block += encode_record(schema, values)
+            count += 1
+            n += 1
+            if count >= records_per_block:
+                flush()
+        flush()
+    return n
+
+
+def container_schema(path: str) -> dict:
+    """Parse just the header's embedded schema (works on empty files)."""
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError(f"not an Avro container file: {path}")
+        while True:
+            cnt = decode_long(f)
+            if cnt == 0:
+                break
+            if cnt < 0:
+                cnt = -cnt
+                decode_long(f)
+            for _ in range(cnt):
+                k = decode_string(f)
+                v = f.read(decode_long(f))
+                if k == "avro.schema":
+                    return json.loads(v.decode())
+    raise ValueError(f"no avro.schema in {path}")
+
+
+def read_container(path: str):
+    """Yield (schema, row_tuple) records from an Avro container file."""
+    with open(path, "rb") as f:
+        if f.read(4) != MAGIC:
+            raise ValueError(f"not an Avro container file: {path}")
+        meta = {}
+        while True:
+            cnt = decode_long(f)
+            if cnt == 0:
+                break
+            if cnt < 0:  # spec: negative count followed by byte size
+                cnt = -cnt
+                decode_long(f)
+            for _ in range(cnt):
+                k = decode_string(f)
+                meta[k] = f.read(decode_long(f))
+        schema = json.loads(meta["avro.schema"].decode())
+        codec = meta.get("avro.codec", b"null").decode()
+        if codec not in ("null", "deflate"):
+            raise ValueError(f"unsupported codec: {codec}")
+        sync = f.read(16)
+        while True:
+            head = f.read(1)
+            if not head:
+                return
+            f.seek(-1, os.SEEK_CUR)
+            count = decode_long(f)
+            size = decode_long(f)
+            payload = f.read(size)
+            if codec == "deflate":
+                payload = zlib.decompress(payload, -15)
+            if f.read(16) != sync:
+                raise ValueError(f"sync marker mismatch in {path}")
+            buf = io.BytesIO(payload)
+            for _ in range(count):
+                yield schema, decode_record(schema, buf)
+
+
+# ---------------------------------------------------------------------------
+# Spark DataSource plumbing
+# ---------------------------------------------------------------------------
+
+EVENTS_AVRO_SCHEMA = {
+    "type": "record",
+    "name": "event",
+    "fields": [
+        {"name": "event_id", "type": "long"},
+        {
+            "name": "ts",
+            "type": {"type": "long", "logicalType": "timestamp-micros"},
+        },
+        {"name": "user_id", "type": "long"},
+        {"name": "event_type", "type": "string"},
+        {"name": "value", "type": "double"},
+        {"name": "props", "type": ["null", "string"]},
+    ],
+}
+
+EVENTS_AVRO_DDL = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+_AVRO_TO_ARROW = {
+    "long": "int64",
+    "int": "int32",
+    "double": "float64",
+    "float": "float32",
+    "string": "string",
+    "boolean": "bool",
+    "bytes": "binary",
+    "timestamp-micros": "timestamp[us]",
+}
+
+
+class AvroFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+def committed_avro_files(path: str) -> list[str]:
+    manifest = os.path.join(path, "_SUCCESS")
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            names = json.load(f)["files"]
+        return [os.path.join(path, n) for n in names]
+    return sorted(
+        os.path.join(path, n)
+        for n in os.listdir(path)
+        if n.endswith(".avro")
+    )
+
+
+class AvroReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options["path"]
+
+    def partitions(self):
+        return [AvroFilePartition(p) for p in committed_avro_files(self.path)]
+
+    def read(self, partition: AvroFilePartition):
+        import pyarrow as pa
+
+        rows = []
+        schema = None
+        for schema, tup in read_container(partition.path):
+            rows.append(tup)
+        if schema is None:
+            return
+        names = [f["name"] for f in schema["fields"]]
+        types = [
+            pa.type_for_alias(_AVRO_TO_ARROW[_leaf_type(f["type"])[0]])
+            for f in schema["fields"]
+        ]
+        arrays = [
+            pa.array([r[i] for r in rows], type=types[i])
+            for i in range(len(names))
+        ]
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+
+class AvroCommitMessage(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class AvroWriter(DataSourceWriter):
+    """Task-side: one ``part-<uuid>.avro`` per task (schema from the write
+    option), driver-side commit publishes the ``_SUCCESS`` manifest."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.schema = json.loads(options["avro_schema"])
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.avro"
+        sync = uuid.uuid4().bytes
+        fields = [f["name"] for f in self.schema["fields"]]
+        n = write_container(
+            os.path.join(self.path, name),
+            self.schema,
+            (tuple(row[f] for f in fields) for row in iterator),
+            sync,
+        )
+        return AvroCommitMessage(name, n)
+
+    def commit(self, messages):
+        manifest = {
+            "files": sorted(m.filename for m in messages),
+            "n_rows": sum(m.n_rows for m in messages),
+        }
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(json.dumps(manifest))
+
+    def abort(self, messages):
+        for m in messages:
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+
+class AvroDataSource(DataSource):
+    """``format("avro_py")``: read/write Avro container files without the
+    spark-avro jar. Read side needs no schema option (it comes from the
+    file header); write side takes the Avro schema JSON via
+    ``option("avro_schema", ...)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "avro_py"
+
+    def schema(self) -> str:
+        # derive DDL from the first file's embedded schema
+        files = committed_avro_files(self.options["path"])
+        schema = container_schema(files[0])
+        ddl = []
+        for fld in schema["fields"]:
+            tname, _ = _leaf_type(fld["type"])
+            spark_t = {
+                "long": "long",
+                "int": "int",
+                "double": "double",
+                "float": "float",
+                "string": "string",
+                "boolean": "boolean",
+                "bytes": "binary",
+                "timestamp-micros": "timestamp_ntz",
+            }[tname]
+            ddl.append(f"{fld['name']} {spark_t}")
+        return ", ".join(ddl)
+
+    def reader(self, schema) -> AvroReader:
+        return AvroReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> AvroWriter:
+        return AvroWriter(self.options)

@@ -312,3 +312,84 @@ def test_triangles_match_python_recount(spark, sf_dir):
     assert row.n_proj_edges == len(proj)
     assert row.n_triangles == tris
     assert row.n_wedges == wedges
+
+
+# ---------------------------------------------------------------------------
+# avro_py codec (tests live here to avoid a new session-scoped spark module)
+# ---------------------------------------------------------------------------
+
+
+def test_avro_codec_spec_examples_and_roundtrip(tmp_path):
+    import datetime
+    import io
+
+    from cdc_debezium_kafka_airflow_spark.sources import avro_py as av
+
+    # zigzag varint examples straight from the Avro specification
+    for n, hexs in [(0, "00"), (-1, "01"), (1, "02"), (-64, "7f"),
+                    (64, "8001")]:
+        assert av.encode_long(n).hex() == hexs, n
+        assert av.decode_long(io.BytesIO(bytes.fromhex(hexs))) == n
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 12, 30, 0, 123456), 7, "click",
+         3.141592653589793, '{"a":1}'),
+        (2, datetime.datetime(2024, 1, 2), 8, "view", -0.0, None),
+        (3, datetime.datetime(2024, 1, 3), 9, "ünïcode", 1e-308, "x" * 1000),
+    ]
+    p = str(tmp_path / "t.avro")
+    n = av.write_container(p, av.EVENTS_AVRO_SCHEMA, iter(rows), b"S" * 16,
+                           records_per_block=2)
+    assert n == 3
+    back = [tup for _, tup in av.read_container(p)]
+    # tuple equality is BIT-exact for the doubles (-0.0 keeps its sign bit,
+    # 1e-308 subnormal-adjacent survives) and exercises the null union +
+    # multi-block + unicode paths
+    assert back == rows
+    assert av.container_schema(p)["name"] == "event"
+
+
+def test_avro_corrupted_sync_marker_detected(tmp_path):
+    import datetime
+
+    from cdc_debezium_kafka_airflow_spark.sources import avro_py as av
+
+    p = str(tmp_path / "t.avro")
+    rows = [(1, datetime.datetime(2024, 1, 1), 2, "a", 1.0, None)]
+    av.write_container(p, av.EVENTS_AVRO_SCHEMA, iter(rows), b"S" * 16)
+    raw = bytearray(open(p, "rb").read())
+    raw[-1] ^= 0xFF  # flip last sync byte
+    open(p, "wb").write(bytes(raw))
+    import pytest
+
+    with pytest.raises(ValueError, match="sync marker"):
+        list(av.read_container(p))
+
+
+def test_avro_spark_roundtrip_exact(spark, sf_dir, tmp_path):
+    import json
+
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+    from cdc_debezium_kafka_airflow_spark.sources.avro_py import (
+        AvroDataSource,
+        EVENTS_AVRO_SCHEMA,
+    )
+
+    spark.dataSource.register(AvroDataSource)
+    src = t(spark, sf_dir, "events")
+    path = str(tmp_path / "events_avro")
+    src.write.format("avro_py").option("path", path).option(
+        "avro_schema", json.dumps(EVENTS_AVRO_SCHEMA)
+    ).mode("append").save()
+    back = spark.read.format("avro_py").option("path", path).load()
+    # exact multiset equality, every column, both directions
+    a = {tuple(r) for r in src.collect()}
+    b = {tuple(r) for r in back.collect()}
+    assert a == b
+    # manifest governs visibility: an orphan file must be invisible
+    import os
+
+    with open(os.path.join(path, "part-orphan.avro"), "wb") as f:
+        f.write(b"garbage")
+    assert spark.read.format("avro_py").option("path", path).load().count() \
+        == len(a)
