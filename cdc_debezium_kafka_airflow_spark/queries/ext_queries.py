@@ -742,7 +742,10 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(3 + doc_id % 4 AS INT) AS h,
              CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS INT)
                AS rate,
-             CAST(40 + doc_id % 57 AS INT) AS n_samp
+             CAST(40 + doc_id % 57 AS INT) AS n_samp,
+             CAST(4 + doc_id % 4 AS INT) AS vw,
+             CAST(3 + doc_id % 3 AS INT) AS vh,
+             CAST(3 + doc_id % 4 AS INT) AS vn
       FROM documents
     )
     SELECT m.doc_id, m.media_type,
@@ -750,21 +753,26 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN 54 + m.h * ((3 * m.w + 3) // 4 * 4)
                 WHEN m.media_type = 'audio'
                 THEN 44 + 2 * m.n_samp
-                ELSE octet_length(encode(m.text)) END AS BIGINT) AS n_bytes,
-           CASE WHEN m.media_type = 'video'
-                THEN list_aggregate(list_transform(
-                       range(1, least(length(m.text), 64) + 1),
-                       i -> ascii(substr(m.text, CAST(i AS INT), 1))), 'sum')
-                     % 997
-                ELSE NULL END AS checksum_mod,
-           CASE WHEN m.media_type = 'image' THEN m.w ELSE NULL END AS width,
-           CASE WHEN m.media_type = 'image' THEN m.h ELSE NULL END AS height,
+                ELSE 224 + m.vn * (8 + m.vh * ((3 * m.vw + 3) // 4 * 4))
+                END AS BIGINT) AS n_bytes,
+           CASE WHEN m.media_type = 'image' THEN m.w
+                WHEN m.media_type = 'video' THEN m.vw ELSE NULL END AS width,
+           CASE WHEN m.media_type = 'image' THEN m.h
+                WHEN m.media_type = 'video' THEN m.vh ELSE NULL END AS height,
            CASE WHEN m.media_type = 'image'
                 THEN 3 * list_aggregate(flatten(list_transform(
                        range(0, m.h), y -> list_transform(range(0, m.w),
                          x -> (m.doc_id * 31 + 7 * x + 13 * y) % 256))),
                        'sum')
                      / (3 * m.w * m.h)
+                WHEN m.media_type = 'video'
+                THEN 3 * list_aggregate(flatten(list_transform(
+                       range(0, m.vn), f -> flatten(list_transform(
+                         range(0, m.vh), y -> list_transform(range(0, m.vw),
+                           x -> (m.doc_id * 31 + 7 * x + 13 * y + 19 * f)
+                                % 256))))),
+                       'sum')
+                     / (3 * m.vw * m.vh * m.vn)
                 ELSE NULL END AS mean_pixel,
            CASE WHEN m.media_type = 'audio' THEN m.rate
                 ELSE NULL END AS sample_rate,
@@ -776,6 +784,10 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                        'sum')
                      / m.n_samp
                 ELSE NULL END AS mean_abs_amp,
+           CASE WHEN m.media_type = 'video' THEN m.vn
+                ELSE NULL END AS n_frames,
+           CASE WHEN m.media_type = 'video' THEN 10.0
+                ELSE NULL END AS fps,
            round(sqrt(list_aggregate(list_transform(e.embedding::DOUBLE[],
                x -> x * x), 'sum')), 6) AS emb_l2_norm
     FROM m JOIN embeddings e ON e.vec_id = m.doc_id
@@ -786,10 +798,13 @@ def ext_multimodal_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow-batched feature stage actually parses (header + bottom-up padded
     pixel rows -> width/height/mean_pixel); audio docs carry a REAL
     RIFF/WAVE 16-bit PCM payload parsed back chunk-by-chunk
-    (-> sample_rate/n_samples/mean_abs_amp); video docs keep byte-level stub
-    features; joined with the doc's embedding (text + vector + media side by
-    side). The oracle predicts the decoded features in closed form from the
-    deterministic pixel/sample functions."""
+    (-> sample_rate/n_samples/mean_abs_amp); video docs carry a REAL
+    uncompressed RIFF/AVI container whose chunk tree is walked back
+    (avih header + raw-DIB frame chunks -> width/height/n_frames/fps/
+    mean_pixel over all frames); joined with the doc's embedding (text +
+    vector + media side by side). The oracle predicts every decoded
+    feature in closed form from the deterministic pixel/sample/frame
+    functions — including the exact AVI container byte size."""
     docs = t(spark, sf_dir, "documents")
     feats = extract_media_features(attach_media(docs))
     emb = t(spark, sf_dir, "embeddings")
@@ -1639,6 +1654,20 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                            THEN 1 ELSE 0 END) AS INT) AS zero_crossings,
              round(sqrt(sum(CAST(v AS DOUBLE) * v) / max(n)), 6) AS rms
       FROM sv GROUP BY doc_id
+    ),
+    vi AS (
+      SELECT doc_id, 4 + doc_id % 4 AS w, 3 + doc_id % 3 AS h,
+             3 + doc_id % 4 AS n
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    viq AS (
+      SELECT doc_id, 'video' AS media_type,
+        CAST((doc_id*31 + 19*(n//2)) % 256 AS DOUBLE) AS q00,
+        CAST((doc_id*31 + 7*(w//2) + 19*(n//2)) % 256 AS DOUBLE) AS q01,
+        CAST((doc_id*31 + 13*(h//2) + 19*(n//2)) % 256 AS DOUBLE) AS q10,
+        CAST((doc_id*31 + 7*(w//2) + 13*(h//2) + 19*(n//2)) % 256 AS DOUBLE)
+          AS q11
+      FROM vi
     )
     SELECT doc_id, media_type, q00, q01, q10, q11,
            CAST(NULL AS INT) AS zero_crossings, CAST(NULL AS DOUBLE) AS rms
@@ -1646,16 +1675,23 @@ def ext_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT doc_id, 'audio', NULL, NULL, NULL, NULL, zero_crossings, rms
     FROM dsp
+    UNION ALL
+    SELECT doc_id, media_type, q00, q01, q10, q11,
+           CAST(NULL AS INT), CAST(NULL AS DOUBLE)
+    FROM viq
     """,
 )
 def ext_media_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode -> transform over real media bytes: images (actual BMP
     payloads) are nearest-neighbor resampled to a 2x2 grayscale thumbnail;
-    audio (actual RIFF/WAVE PCM) gets zero-crossing count + RMS amplitude.
-    The oracle re-derives every feature ANALYTICALLY from the deterministic
-    generators, so a hash match proves the byte-level decode + resample /
-    DSP round-trip — not just the arithmetic. (FFT features live in
-    operators.multimodal.audio_spectrum, pytest-verified — no SQL FFT.)"""
+    audio (actual RIFF/WAVE PCM) gets zero-crossing count + RMS amplitude;
+    video (actual RIFF/AVI containers) gets FRAME SAMPLING — the middle
+    raw-DIB frame located by walking the chunk tree, then thumbnailed like
+    the image path. The oracle re-derives every feature ANALYTICALLY from
+    the deterministic generators, so a hash match proves the byte-level
+    decode + resample / frame-sample / DSP round-trip — not just the
+    arithmetic. (FFT features live in operators.multimodal.audio_spectrum,
+    pytest-verified — no SQL FFT.)"""
     from cdc_debezium_kafka_airflow_spark.operators.multimodal import (
         attach_media,
         transform_media,

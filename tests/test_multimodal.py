@@ -2,8 +2,10 @@
 
 The image and audio paths are REAL: a spec-conformant 24-bpp BMP / RIFF-WAVE
 16-bit PCM file is rendered at attach time and the feature stage parses it
-back (BMP header + bottom-up padded rows; RIFF chunk walk). Video features
-remain deterministic byte-level stubs (no codecs in this container).
+back (BMP header + bottom-up padded rows; RIFF chunk walk). Video is real
+at the same level: an uncompressed RIFF/AVI container of raw-DIB frames is
+rendered and its chunk tree walked back (avih header + per-frame '00db'
+chunks) — codec-free by construction, so no codec library is needed.
 """
 
 from __future__ import annotations
@@ -14,13 +16,16 @@ from pyspark.sql import types as T
 
 from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
 from cdc_debezium_kafka_airflow_spark.operators.multimodal import (
-    _decode_stub,
+    _avi_pixel,
     _wav_sample,
     attach_media,
+    avi_spec,
     bmp_dims,
+    decode_avi,
     decode_bmp,
     decode_wav,
     extract_media_features,
+    render_avi,
     render_bmp,
     render_wav,
     wav_spec,
@@ -109,22 +114,57 @@ def test_feature_extraction_real_image_decode(spark, sf_dir):
         | (F.col("mean_abs_amp") > 2048)
     )
     assert auds.count() > 0 and bad_aud.count() == 0
-    # video rows keep byte-level features; ASCII fixture: n_bytes==len
+    # video rows decoded from the real AVI container
     vids = others.filter(F.col("media_type") == "video")
-    joined = vids.join(docs, on="doc_id")
-    assert joined.filter(F.col("n_bytes") != F.length("text")).count() == 0
-    assert (
-        vids.filter(
-            (F.col("checksum_mod") < 0) | (F.col("checksum_mod") >= 997)
-        ).count()
-        == 0
+    bad_vid = vids.filter(
+        (F.col("width") != (F.col("doc_id") % 4 + 4))
+        | (F.col("height") != (F.col("doc_id") % 3 + 3))
+        | (F.col("n_frames") != (F.col("doc_id") % 4 + 3))
+        | (F.col("fps") != 10.0)
+        | F.col("mean_pixel").isNull()
+        | (F.col("mean_pixel") < 0)
+        | (F.col("mean_pixel") > 255)
     )
+    assert vids.count() > 0 and bad_vid.count() == 0
     feats.unpersist()
 
 
-def test_real_codec_decode_is_stubbed_for_video():
-    with pytest.raises(NotImplementedError):
-        _decode_stub("video", b"\x00\x00\x00\x18ftyp", real_decode=True)
+def test_avi_roundtrip_local():
+    """Pure-python render -> decode roundtrip for the AVI container: header
+    dims/frame-count/fps recovered, per-frame pixel mean matches the
+    closed-form generator, and the container size follows the exact RIFF
+    layout formula (224 header bytes + per-frame chunks)."""
+    for doc_id in range(2, 41, 3):  # video-typed ids
+        data = render_avi(doc_id)
+        w, h, n = avi_spec(doc_id)
+        row_size = (3 * w + 3) // 4 * 4
+        assert len(data) == 224 + n * (8 + row_size * h)
+        dw, dh, dn, fps, mean = decode_avi(data)
+        assert (dw, dh, dn, fps) == (w, h, n, 10.0)
+        expect = sum(
+            _avi_pixel(doc_id, f, x, y)
+            for f in range(n) for y in range(h) for x in range(w)
+        ) / (w * h * n)
+        assert abs(mean - expect) < 1e-9
+
+
+def test_decode_avi_rejects_poison():
+    import struct as _s
+
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFF\x10\x00\x00\x00WAVE" + b"\x00" * 16)
+    good = render_avi(2)
+    with pytest.raises(ValueError):
+        decode_avi(good[: len(good) - 5])  # truncated final frame
+    # frame-count mismatch: chop the last whole frame chunk but keep the
+    # RIFF and movi sizes consistent so ONLY the avih cross-check catches it
+    w, h, n = avi_spec(2)
+    fsize = (3 * w + 3) // 4 * 4 * h
+    chopped = bytearray(good[: len(good) - (8 + fsize)])
+    _s.pack_into("<I", chopped, 4, len(chopped) - 8)
+    _s.pack_into("<I", chopped, 216, 4 + (n - 1) * (8 + fsize))
+    with pytest.raises(ValueError, match="frame count mismatch"):
+        decode_avi(bytes(chopped))
 
 
 def test_audio_spectrum_matches_independent_fft(spark, sf_dir):
