@@ -786,7 +786,7 @@ def ext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE NULL END AS mean_abs_amp,
            CASE WHEN m.media_type = 'video' THEN m.vn
                 ELSE NULL END AS n_frames,
-           CASE WHEN m.media_type = 'video' THEN 10.0
+           CASE WHEN m.media_type = 'video' THEN CAST(10.0 AS DOUBLE)
                 ELSE NULL END AS fps,
            round(sqrt(list_aggregate(list_transform(e.embedding::DOUBLE[],
                x -> x * x), 'sum')), 6) AS emb_l2_norm

@@ -541,8 +541,8 @@ def fn_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_pipe_v
         |> WHERE o_orderstatus = 'F'
         |> AGGREGATE count(*) AS n_orders,
-                     sum(cast(round(o_totalprice * 100) AS BIGINT)) / 100.0
-                       AS revenue
+                     sum(cast(round(o_totalprice * 100) AS BIGINT))
+                       / cast(100.0 AS DOUBLE) AS revenue
            GROUP BY o_orderpriority
         """
     )
@@ -662,8 +662,8 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b)
     SELECT bucket,
-           bucket * 25.0 AS lo,
-           (bucket + 1) * 25.0 AS hi,
+           CAST(bucket * 25.0 AS DOUBLE) AS lo,
+           CAST((bucket + 1) * 25.0 AS DOUBLE) AS hi,
            CAST(count(*) AS BIGINT) AS n,
            round(CAST(count(*) AS BIGINT) * 1.0 / tot.n_total, 6) AS frac,
            CAST(sum(cents) AS BIGINT) / 100.0 AS sum_value
@@ -991,5 +991,72 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 9,
             ).alias("clustering_coeff"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sec_crypto_shred — GDPR deletion via key destruction
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "sec_crypto_shred",
+    """
+    SELECT event_id, user_id,
+           CASE WHEN user_id % 7 = 3 THEN NULL ELSE props END AS props_out,
+           (user_id % 7 = 3) AS is_shredded,
+           CAST(28 AS BIGINT) AS envelope_overhead
+    FROM events
+    """,
+)
+def sec_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto-shredding: the GDPR-deletion pattern where per-subject data is
+    stored ENCRYPTED under a per-subject key, and "forgetting" a subject is
+    one row delete in the key table — no petabyte rewrite (the complement
+    of cdc_forget_user's anti-join purge, which rewrites state). The
+    payload column is genuinely AES-GCM encrypted (per-user AES-256 key),
+    the key table is then pruned of the forget cohort (user_id % 7 == 3),
+    and decryption joins the surviving keys back: shredded subjects come
+    back NULL because the key no longer exists, not because a filter hid
+    them. The emitted envelope_overhead (ciphertext − plaintext = 12-byte
+    IV + 16-byte GCM tag = 28) proves every row actually passed through
+    the cipher; the oracle states the end-to-end CONTRACT (non-forgotten
+    rows decrypt byte-identically, forgotten rows are unreadable).
+
+    Scale posture: encrypt/decrypt are JVM codegen expressions (map-only);
+    the key table is |subjects| rows, broadcast into the decrypt join; at
+    100 TB the encrypted warehouse never moves during a deletion request —
+    only the key table changes, which is the entire point."""
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "props")
+    keys = (
+        e.select("user_id")
+        .distinct()
+        .withColumn(
+            "enc_key", F.md5(F.concat(F.lit("k"), F.col("user_id")))
+        )
+    )
+    stored = (
+        e.join(F.broadcast(keys), "user_id")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("aes_encrypt(props, enc_key, 'GCM')").alias("ct"),
+            F.octet_length("props").alias("pt_len"),
+        )
+    )
+    surviving = keys.filter(F.col("user_id") % 7 != 3)
+    return (
+        stored.join(F.broadcast(surviving), "user_id", "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr(
+                "cast(aes_decrypt(ct, enc_key, 'GCM') as string)"
+            ).alias("props_out"),
+            F.col("enc_key").isNull().alias("is_shredded"),
+            (F.octet_length("ct") - F.col("pt_len"))
+            .cast("long")
+            .alias("envelope_overhead"),
         )
     )

@@ -393,3 +393,23 @@ def test_avro_spark_roundtrip_exact(spark, sf_dir, tmp_path):
         f.write(b"garbage")
     assert spark.read.format("avro_py").option("path", path).load().count() \
         == len(a)
+
+
+def test_crypto_shred_contract(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+    from cdc_debezium_kafka_airflow_spark.queries.relational4 import (
+        sec_crypto_shred,
+    )
+
+    got = {r.event_id: r for r in sec_crypto_shred(spark, sf_dir).collect()}
+    src = t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "props"
+    ).collect()
+    assert len(got) == len(src)
+    for s in src:
+        r = got[s.event_id]
+        assert r.envelope_overhead == 28  # every row went through AES-GCM
+        if s.user_id % 7 == 3:
+            assert r.is_shredded and r.props_out is None
+        else:
+            assert not r.is_shredded and r.props_out == s.props
