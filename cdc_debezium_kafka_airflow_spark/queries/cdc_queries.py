@@ -979,3 +979,75 @@ def cdc_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fin = upsert_materialize(un.join(touched, "key_id"))
     delta = pick(fin, ta, "a").join(pick(fin, tb, "b"), "key_id")
     return carried.unionByName(delta)
+
+
+@q(
+    "cdc_time_weighted_avg",
+    f"""
+    WITH {CH_CTE},
+    led AS (
+      SELECT *, lead(off) OVER (PARTITION BY table_name, key_id
+                                ORDER BY off) AS next_off
+      FROM ch
+    ),
+    mo AS (SELECT max(off) AS m FROM ch),
+    v AS (
+      SELECT table_name, key_id,
+             (COALESCE(next_off - 1, mo.m) - off + 1) AS dur,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM led CROSS JOIN mo
+      WHERE op <> 'd'
+    )
+    SELECT table_name, key_id,
+           CAST(count(*) AS BIGINT) AS n_versions,
+           CAST(sum(dur) AS BIGINT) AS total_dur,
+           round((CAST(sum(dur * cents) AS BIGINT) * 1.0
+                  / CAST(sum(dur) AS BIGINT)) / 100.0, 6) AS twap
+    FROM v GROUP BY table_name, key_id
+    """,
+)
+def cdc_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average over SCD2 validity intervals (the TWAP
+    semantic): each version of a key contributes its value weighted by HOW
+    LONG it was the live state (validity span in log offsets — swap in
+    epoch time where the log carries wall-clock), so a value that held for
+    90% of history dominates a flash update — the temporal-aggregation
+    semantic a plain AVG over versions gets wrong. Deletes contribute
+    nothing (no live span); open intervals extend to the log head.
+    Numerator and denominator are exact integer sums (span x cents), one
+    closing division — bit-stable cross-engine.
+
+    Scale posture: the lead() window shares the (table, key) partitioning
+    every CDC materialization in this engine uses (one shuffle serves the
+    SCD2 close and this aggregate); the aggregate is map-side partial on
+    the same keys, and the 1-row max-offset broadcast bounds open
+    intervals. Reference parity: consultas_bi.sql averages live state
+    only; this answers the temporal version of those BI questions."""
+    from cdc_debezium_kafka_airflow_spark.operators.cdc import scd2_history
+
+    un = _unwrapped(spark, sf_dir)
+    versions = scd2_history(un)
+    mo = un.agg(F.max("offset").alias("m"))
+    v = versions.crossJoin(F.broadcast(mo)).select(
+        "table_name",
+        "key_id",
+        (
+            F.coalesce(F.col("valid_to_offset"), F.col("m"))
+            - F.col("valid_from_offset")
+            + 1
+        ).alias("dur"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return v.groupBy("table_name", "key_id").agg(
+        F.count("*").alias("n_versions"),
+        F.sum("dur").alias("total_dur"),
+        F.round(
+            (
+                F.sum(F.col("dur") * F.col("cents"))
+                * F.lit(1.0)
+                / F.sum("dur")
+            )
+            / 100.0,
+            6,
+        ).alias("twap"),
+    )

@@ -413,3 +413,39 @@ def test_crypto_shred_contract(spark, sf_dir):
             assert r.is_shredded and r.props_out is None
         else:
             assert not r.is_shredded and r.props_out == s.props
+
+
+def test_twap_matches_python_replay(spark, sf_dir):
+    from collections import defaultdict
+
+    from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import (
+        _unwrapped,
+        cdc_time_weighted_avg,
+    )
+
+    got = {(r.table_name, r.key_id): r
+           for r in cdc_time_weighted_avg(spark, sf_dir).collect()}
+    un = _unwrapped(spark, sf_dir).select(
+        "table_name", "key_id", "offset", "is_delete", "after.value"
+    ).collect()
+    mo = max(r.offset for r in un)
+    hist = defaultdict(list)
+    for r in sorted(un, key=lambda r: r.offset):
+        hist[(r.table_name, r.key_id)].append(r)
+    expect = {}
+    for k, rows in hist.items():
+        spans = []
+        for i, r in enumerate(rows):
+            if r.is_delete:
+                continue
+            nxt = rows[i + 1].offset - 1 if i + 1 < len(rows) else mo
+            spans.append((nxt - r.offset + 1, round(r.value * 100)))
+        if spans:
+            num = sum(d * c for d, c in spans)
+            den = sum(d for d, _ in spans)
+            expect[k] = (len(spans), den, round((num * 1.0 / den) / 100.0, 6))
+    assert set(got) == set(expect)
+    for k, (nv, dur, twap) in expect.items():
+        r = got[k]
+        assert (r.n_versions, r.total_dur) == (nv, dur), k
+        assert abs(r.twap - twap) < 1e-9, k
