@@ -599,3 +599,52 @@ def test_outbox_router_is_map_only(spark, sf_dir):
     router_stage = plan.split("InMemoryRelation", 1)[0]
     assert "Exchange" not in router_stage, plan
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_graph_and_entity_queries_avoid_cartesian(spark, sf_dir):
+    """The graph family's self-joins and the fuzzy-match block join are all
+    equi-keyed: a regression that drops a join key degenerates into
+    BroadcastNestedLoop/Cartesian — fine at fixture scale, fatal at 100 TB.
+    (graph_triangles legitimately ends with two 1-row cross joins to glue
+    its scalar aggregates — assert no cartesian among the EDGE joins by
+    bounding the count.)"""
+    from cdc_debezium_kafka_airflow_spark.queries.relational4 import (
+        ent_resolution_fuzzy,
+        graph_bfs_hops,
+        graph_pagerank,
+        graph_triangles,
+    )
+
+    for fn in (graph_pagerank, graph_bfs_hops):
+        plan = _plan(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, fn.__name__
+    # entity resolution: block key is the equi side, name< and lev<=6 ride
+    # as join/filter conditions — never a cartesian pair enumeration
+    plan = _plan(ent_resolution_fuzzy(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # triangles: the three EDGE joins must be hash/merge joins; only the
+    # final scalar-aggregate glue (1-row x 1-row) may be nested-loop
+    plan = _plan(graph_triangles(spark, sf_dir))
+    assert plan.count("CartesianProduct") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) <= 2
+
+
+def test_pagerank_reuses_persisted_edges(spark, sf_dir):
+    """The loop must read the edge list from the persisted InMemoryRelation
+    (built once), not re-derive the fact join per iteration."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational4 import (
+        graph_pagerank,
+    )
+
+    plan = _plan(graph_pagerank(spark, sf_dir))
+    # every iteration body scans the cache (InMemoryTableScan); the embedded
+    # InMemoryRelation text repeats the BUILD plan's file scans, so counting
+    # FileScan occurrences would be meaningless — count cache reads instead
+    from cdc_debezium_kafka_airflow_spark.queries.relational4 import (
+        _PR_ITERS,
+    )
+
+    assert plan.count("InMemoryTableScan") >= _PR_ITERS
