@@ -1060,3 +1060,135 @@ def sec_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("envelope_overhead"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_gopher_gate — composite rule-based quality gate with per-rule reasons
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "['the','a','of','and','is','to','in']"
+
+
+@q(
+    "ext_gopher_gate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                          ' ') AS ws
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CAST(list_aggregate(list_transform(ws, w -> length(w)), 'sum')
+                  AS BIGINT) AS sum_len,
+             CAST(list_aggregate(list_transform(ws, w -> length(w)), 'max')
+                  AS BIGINT) AS max_word_len,
+             CAST(len(list_filter(ws, w -> list_contains({_STOP_SQL}, w)))
+                  AS BIGINT) AS n_stop_hits,
+             CAST(len(list_distinct(list_filter(ws,
+                  w -> list_contains({_STOP_SQL}, w)))) AS BIGINT)
+               AS n_distinct_stop
+      FROM toks
+    ),
+    verdicts AS (
+      SELECT doc_id, n_words, max_word_len, n_distinct_stop,
+             round(sum_len * 1.0 / n_words, 6) AS mean_word_len,
+             (n_words < 30)                         AS r_too_short,
+             (n_words > 100000)                     AS r_too_long,
+             (sum_len * 10 < n_words * 30
+              OR sum_len * 10 > n_words * 100)      AS r_word_len,
+             (max_word_len > 15)                    AS r_giant_word,
+             (n_distinct_stop < 2)                  AS r_no_stopwords
+      FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, max_word_len, n_distinct_stop,
+           NOT (r_too_short OR r_too_long OR r_word_len OR r_giant_word
+                OR r_no_stopwords) AS keep,
+           list_sort(list_filter([
+             CASE WHEN r_too_short THEN 'too_short' ELSE NULL END,
+             CASE WHEN r_too_long THEN 'too_long' ELSE NULL END,
+             CASE WHEN r_word_len THEN 'word_len_band' ELSE NULL END,
+             CASE WHEN r_giant_word THEN 'giant_word' ELSE NULL END,
+             CASE WHEN r_no_stopwords THEN 'no_stopwords' ELSE NULL END],
+             x -> x IS NOT NULL)) AS reasons
+    FROM verdicts
+    """,
+)
+def ext_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite rule-based quality gate in the Gopher/RefinedWeb style:
+    every document is scored against the WHOLE rule bundle in one pass and
+    carries the sorted list of rules it failed — the auditable form a
+    production pipeline needs (rule hit-rates per source, "why was this
+    dropped", threshold tuning), versus the boolean-only filters
+    (ext_text_quality, ext_repetition_filter) that say only keep/drop.
+    Rules active on this corpus: word-count band, mean-word-length band
+    (kept exact with the cross-multiplied integer comparison
+    sum_len*10 <=> n_words*{{30,100}} — no float threshold), giant-word
+    cap, distinct-stopword floor. All JVM string expressions, map-only,
+    ZERO shuffles; the reasons array is built from per-rule booleans so
+    new rules are one line each."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))
+    ws = F.split(norm, " ")
+    stop = ["the", "a", "of", "and", "is", "to", "in"]
+    lens = F.transform(ws, lambda w: F.length(w))
+    m = d.select(
+        "doc_id",
+        F.size(ws).cast("long").alias("n_words"),
+        F.aggregate(lens, F.lit(0), lambda a, x: a + x)
+        .cast("long")
+        .alias("sum_len"),
+        F.array_max(lens).cast("long").alias("max_word_len"),
+        F.size(F.array_distinct(F.filter(ws, lambda w: w.isin(*stop))))
+        .cast("long")
+        .alias("n_distinct_stop"),
+    )
+    r = m.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("sum_len") * F.lit(1.0) / F.col("n_words"), 6).alias(
+            "mean_word_len"
+        ),
+        "max_word_len",
+        "n_distinct_stop",
+        (F.col("n_words") < 30).alias("r_too_short"),
+        (F.col("n_words") > 100000).alias("r_too_long"),
+        (
+            (F.col("sum_len") * 10 < F.col("n_words") * 30)
+            | (F.col("sum_len") * 10 > F.col("n_words") * 100)
+        ).alias("r_word_len"),
+        (F.col("max_word_len") > 15).alias("r_giant_word"),
+        (F.col("n_distinct_stop") < 2).alias("r_no_stopwords"),
+    )
+    rules = [
+        ("too_short", "r_too_short"),
+        ("too_long", "r_too_long"),
+        ("word_len_band", "r_word_len"),
+        ("giant_word", "r_giant_word"),
+        ("no_stopwords", "r_no_stopwords"),
+    ]
+    reasons = F.sort_array(
+        F.filter(
+            F.array(
+                *[
+                    F.when(F.col(c), F.lit(name)).otherwise(F.lit(None))
+                    for name, c in rules
+                ]
+            ),
+            lambda x: x.isNotNull(),
+        )
+    )
+    failed = None
+    for _, c in rules:
+        failed = F.col(c) if failed is None else failed | F.col(c)
+    return r.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "max_word_len",
+        "n_distinct_stop",
+        (~failed).alias("keep"),
+        reasons.alias("reasons"),
+    )

@@ -449,3 +449,35 @@ def test_twap_matches_python_replay(spark, sf_dir):
         r = got[k]
         assert (r.n_versions, r.total_dur) == (nv, dur), k
         assert abs(r.twap - twap) < 1e-9, k
+
+
+def test_gopher_gate_rules_consistent(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+    from cdc_debezium_kafka_airflow_spark.queries.relational4 import (
+        ext_gopher_gate,
+    )
+
+    rows = ext_gopher_gate(spark, sf_dir).collect()
+    docs = {d.doc_id: d.text for d in
+            t(spark, sf_dir, "documents").select("doc_id", "text").collect()}
+    stop = {"the", "a", "of", "and", "is", "to", "in"}
+    assert len(rows) == len(docs)
+    n_dropped = 0
+    for r in rows:
+        words = " ".join(docs[r.doc_id].strip().lower().split()).split(" ")
+        assert r.n_words == len(words)
+        expect_reasons = set()
+        if len(words) < 30:
+            expect_reasons.add("too_short")
+        sum_len = sum(len(w) for w in words)
+        if sum_len * 10 < len(words) * 30 or sum_len * 10 > len(words) * 100:
+            expect_reasons.add("word_len_band")
+        if max(len(w) for w in words) > 15:
+            expect_reasons.add("giant_word")
+        if len({w for w in words if w in stop}) < 2:
+            expect_reasons.add("no_stopwords")
+        assert sorted(expect_reasons) == list(r.reasons), r.doc_id
+        assert r.keep == (not expect_reasons)
+        n_dropped += not r.keep
+    # the gate must actually discriminate on this corpus
+    assert 0 < n_dropped < len(rows)
