@@ -1903,3 +1903,134 @@ def stream_stream_semi_anti_join(
     return out.groupBy("o_orderpriority").agg(
         F.count_distinct("o_orderkey").alias("n_orders")
     )
+
+
+def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary-state sessionization finalized by EVENT-TIME TIMEOUT — the
+    one GroupStateTimeout mode the other stateful jobs don't exercise
+    (they run NoTimeout). Per-user sessions (1-hour inactivity gap) are
+    built in ``applyInPandasWithState``; a session emits when EITHER the
+    user's next event arrives beyond the gap (in-data close) OR the state
+    times out because the event-time watermark passed last_ts + gap
+    (timeout close — how a production sessionizer emits a user who simply
+    left). The replay is six chronological 5-day files, one per
+    micro-batch, so watermarks genuinely advance BETWEEN batches and the
+    timeout path actually fires; Spark's trailing no-data micro-batch
+    (noDataMicroBatches, on by default) flushes the last timeouts.
+
+    Cross-close consistency argument (why timeout-close can never disagree
+    with gap-close): a timeout for user U fires in batch N only if U has no
+    data in N and wm_N > last+gap; chronological files mean U's next event
+    ts' >= max(ts of batch N-1's file) >= wm_N + delay > last+gap+delay, so
+    the next event would have started a NEW session under gap logic anyway.
+
+    The final cut is closed-form: the LAST session of a user emits iff
+    last_ts + gap <= final watermark (max event ts - delay); later sessions
+    stay in state forever — exactly what the oracle reproduces.
+    """
+    import shutil
+
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        cache_is_fresh,
+        source_fingerprint,
+        write_fingerprint,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    replay_dir = os.path.join("/root/repo/.cache", f"events_sess_{tag}")
+    fp = source_fingerprint(sf_dir, "events") + ":sess1"
+    if not cache_is_fresh(replay_dir, fp):
+        shutil.rmtree(replay_dir, ignore_errors=True)
+        e = load_table(spark, sf_dir, "events").select(
+            "ts", "user_id", "event_id"
+        )
+        bounds = [
+            ("2024-01-01", "2024-01-06"),
+            ("2024-01-06", "2024-01-11"),
+            ("2024-01-11", "2024-01-16"),
+            ("2024-01-16", "2024-01-21"),
+            ("2024-01-21", "2024-01-26"),
+            ("2024-01-26", "2024-02-01"),
+        ]
+        for i, (lo, hi) in enumerate(bounds):
+            mode = "overwrite" if i == 0 else "append"
+            e.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).coalesce(
+                1
+            ).write.mode(mode).parquet(replay_dir)
+        write_fingerprint(replay_dir, fp)
+
+    schema = spark.read.parquet(replay_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(replay_dir, "*.parquet"))
+    )
+
+    GAP_US = 3_600_000_000
+    GAP_MS = 3_600_000
+
+    def update(key, pdfs, state):
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "start_us": [start_us],
+                    "last_us": [last_us],
+                    "n_events": [n],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        # microsecond-exact event times, deterministic order
+        us = (
+            rows["ts"].astype("int64").to_numpy()
+        )  # pandas datetime64[us/ns] -> int (us after //1000 if ns)
+        if rows["ts"].dtype.str.endswith("[ns]"):
+            us = us // 1000
+        order = sorted(range(len(us)), key=lambda i: (us[i], int(rows["event_id"].iloc[i])))
+        out = []
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = None
+            n = 0
+        for i in order:
+            t_us = int(us[i])
+            if start_us is None:
+                start_us, last_us, n = t_us, t_us, 1
+            elif t_us - last_us > GAP_US:
+                out.append((key[0], start_us, last_us, n))
+                start_us, last_us, n = t_us, t_us, 1
+            else:
+                last_us, n = t_us, n + 1
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + GAP_MS)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "start_us", "last_us", "n_events"]
+            )
+
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            "user_id long, start_us long, last_us long, n_events long",
+            "start_us long, last_us long, n long",
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    out = _run_to_memory(sessions, "append", parts="8")
+    return out.select(
+        "user_id",
+        F.timestamp_micros(F.col("start_us")).alias("session_start"),
+        F.timestamp_micros(F.col("last_us")).alias("session_last"),
+        "n_events",
+    )

@@ -389,3 +389,38 @@ def test_dual_sink_batch_replay_is_idempotent(spark, sf_dir):
         .s
         == n
     )
+
+
+def test_session_timeout_emits_final_sessions_via_timeout(spark, sf_dir):
+    """A user's FINAL session has no successor event, so it can only emit
+    through the EventTimeTimeout path — its presence in the output proves
+    the timeout machinery actually fired (not just in-data closes)."""
+    from collections import defaultdict
+
+    from cdc_debezium_kafka_airflow_spark.queries.streaming_queries import (
+        stream_session_timeout,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    rows = stream_session_timeout(spark, sf_dir).collect()
+    assert rows
+    last_emitted = defaultdict(lambda: None)
+    for r in rows:
+        cur = last_emitted[r.user_id]
+        if cur is None or r.session_last > cur:
+            last_emitted[r.user_id] = r.session_last
+    # per-user true last event
+    true_last = {
+        r.user_id: r.mx
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("mx"))
+        .collect()
+    }
+    # at least one user's emitted final session ENDS at their true last
+    # event — that session had no successor, so only a timeout emitted it
+    n_timeout_closed = sum(
+        1 for u, ts in last_emitted.items() if true_last.get(u) == ts
+    )
+    assert n_timeout_closed > 0
