@@ -909,3 +909,68 @@ def src_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("max_ts"),
         F.max(F.length("props")).cast("long").alias("max_props_len"),
     )
+
+
+@q(
+    "snk_avro_stream",
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           max(ts) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def snk_avro_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Avro archival sink: the events replay (4 files, one per
+    micro-batch) streams through the avro_py STREAM writer — per-batch
+    uuid part files + an atomically-replaced `_batch-<id>.json` manifest,
+    the exactly-once contract — producing a standards-conformant Avro
+    archive (the Kafka-topic -> Avro-files job Debezium shops run for
+    long-term retention). Read back through the avro_py reader, which
+    resolves ONLY manifest-listed files, and aggregated; the oracle runs
+    the same aggregate over the original parquet, so any loss, duplicate,
+    or codec corruption across the stream -> archive -> read path flips
+    the hash."""
+    import json as _json
+    import shutil
+
+    from cdc_debezium_kafka_airflow_spark.sources.avro_py import (
+        AvroDataSource,
+        EVENTS_AVRO_SCHEMA,
+    )
+    from cdc_debezium_kafka_airflow_spark.streaming.jobs import (
+        temp_checkpoint_dir,
+    )
+
+    spark.dataSource.register(AvroDataSource)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    base = os.path.join("/root/repo/.cache", f"avro_stream_{tag}")
+    src = os.path.join(base, "src")
+    out = os.path.join(base, "out")
+    shutil.rmtree(base, ignore_errors=True)
+    t(spark, sf_dir, "events").repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*.parquet"))
+    )
+    ck = temp_checkpoint_dir()
+    try:
+        q_ = (
+            stream.writeStream.format("avro_py")
+            .option("path", out)
+            .option("avro_schema", _json.dumps(EVENTS_AVRO_SCHEMA))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q_.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    back = spark.read.format("avro_py").option("path", out).load()
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.max("ts").alias("max_ts"),
+    )

@@ -37,6 +37,7 @@ import zlib
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -341,11 +342,25 @@ class AvroFilePartition(InputPartition):
 
 
 def committed_avro_files(path: str) -> list[str]:
+    """Manifest-gated file resolution: batch-write `_SUCCESS`, else the
+    stream sink's per-batch `_batch-*.json` manifests, else (no manifest
+    protocol in play — externally produced directory) a plain glob."""
+    import glob
+
     manifest = os.path.join(path, "_SUCCESS")
     if os.path.exists(manifest):
         with open(manifest) as f:
             names = json.load(f)["files"]
         return [os.path.join(path, n) for n in names]
+    batch_manifests = sorted(glob.glob(os.path.join(path, "_batch-*.json")))
+    if batch_manifests:
+        files: list[str] = []
+        for mf in batch_manifests:
+            with open(mf) as f:
+                files.extend(
+                    os.path.join(path, n) for n in json.load(f)["files"]
+                )
+        return files
     return sorted(
         os.path.join(path, n)
         for n in os.listdir(path)
@@ -461,3 +476,62 @@ class AvroDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> AvroWriter:
         return AvroWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> "AvroStreamWriter":
+        return AvroStreamWriter(self.options)
+
+
+class AvroStreamWriter(DataSourceStreamWriter):
+    """STREAMING Avro sink: every micro-batch's tasks write uuid .avro part
+    files; the driver-side ``commit(messages, batchId)`` publishes a
+    per-batch manifest ``_batch-<id>.json`` naming exactly the committed
+    files (atomic replace), so a replayed batch's orphaned first attempt is
+    never visible — the same exactly-once manifest contract as the DLQ
+    stream sink, now producing a standards-conformant Avro archive (the
+    Kafka-topic -> Avro-files archival job Debezium deployments run)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.schema = json.loads(options["avro_schema"])
+
+    def write(self, iterator):
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.avro"
+        fields = [f["name"] for f in self.schema["fields"]]
+        n = write_container(
+            os.path.join(self.path, name),
+            self.schema,
+            (tuple(row[f] for f in fields) for row in iterator),
+            uuid.uuid4().bytes,
+        )
+        return AvroCommitMessage(name, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import tempfile
+
+        manifest = {
+            "batch_id": batchId,
+            "files": sorted(
+                m.filename for m in messages if m is not None
+            ),
+            "n_rows": sum(m.n_rows for m in messages if m is not None),
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.path, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps(manifest))
+        os.replace(
+            tmp, os.path.join(self.path, f"_batch-{batchId}.json")
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.filename))
+            except OSError:
+                pass
+
+

@@ -481,3 +481,47 @@ def test_gopher_gate_rules_consistent(spark, sf_dir):
         n_dropped += not r.keep
     # the gate must actually discriminate on this corpus
     assert 0 < n_dropped < len(rows)
+
+
+def test_avro_stream_sink_manifest_gates_visibility(spark, sf_dir, tmp_path):
+    """Multi-batch stream through the avro_py STREAM writer: per-batch
+    manifests exist, orphan files are invisible to the reader, and the
+    archive round-trips the events exactly."""
+    import glob
+    import json
+    import os
+
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+    from cdc_debezium_kafka_airflow_spark.sources.avro_py import (
+        AvroDataSource,
+        EVENTS_AVRO_SCHEMA,
+    )
+
+    spark.dataSource.register(AvroDataSource)
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    t(spark, sf_dir, "events").repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*.parquet"))
+        .writeStream.format("avro_py")
+        .option("path", out)
+        .option("avro_schema", json.dumps(EVENTS_AVRO_SCHEMA))
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    manifests = glob.glob(os.path.join(out, "_batch-*.json"))
+    assert len(manifests) >= 3  # one per micro-batch
+    n_src = t(spark, sf_dir, "events").count()
+    back = spark.read.format("avro_py").option("path", out).load()
+    assert back.count() == n_src
+    # orphan (crashed-attempt) file must stay invisible
+    with open(os.path.join(out, "part-orphan.avro"), "wb") as f:
+        f.write(b"junk")
+    assert spark.read.format("avro_py").option("path", out).load().count() \
+        == n_src
