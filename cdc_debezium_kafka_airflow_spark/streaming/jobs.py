@@ -1942,19 +1942,17 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     replay_dir = os.path.join("/root/repo/.cache", f"events_sess_{tag}")
-    fp = source_fingerprint(sf_dir, "events") + ":sess1"
+    fp = source_fingerprint(sf_dir, "events") + ":sess2"
     if not cache_is_fresh(replay_dir, fp):
         shutil.rmtree(replay_dir, ignore_errors=True)
         e = load_table(spark, sf_dir, "events").select(
             "ts", "user_id", "event_id"
         )
         bounds = [
-            ("2024-01-01", "2024-01-06"),
-            ("2024-01-06", "2024-01-11"),
-            ("2024-01-11", "2024-01-16"),
-            ("2024-01-16", "2024-01-21"),
-            ("2024-01-21", "2024-01-26"),
-            ("2024-01-26", "2024-02-01"),
+            ("2024-01-01", "2024-01-09"),
+            ("2024-01-09", "2024-01-17"),
+            ("2024-01-17", "2024-01-25"),
+            ("2024-01-25", "2024-02-01"),
         ]
         for i, (lo, hi) in enumerate(bounds):
             mode = "overwrite" if i == 0 else "append"
