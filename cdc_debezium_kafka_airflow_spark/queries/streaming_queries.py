@@ -648,7 +648,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
-                       OR ts - lag(ts) OVER w > INTERVAL 1 HOUR
+                       OR ts - lag(ts) OVER w > INTERVAL 12 HOUR
                   THEN 1 ELSE 0 END AS brk
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -670,7 +670,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, session_start, session_last, n_events
     FROM sess, m
     WHERE sid < max_sid                                  -- in-data close
-       OR session_last + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR  -- timeout
+       OR session_last + INTERVAL 12 HOUR <= mx - INTERVAL 1 HOUR -- timeout
     """,
 )
 def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -678,11 +678,12 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     EventTimeTimeout) — completes the arbitrary-state API matrix beyond the
     NoTimeout stateful jobs. Six chronological replay batches advance the
     watermark so timeouts genuinely fire; a session emits on in-data close
-    (next event beyond the gap) or on timeout (watermark passed
+    (next event beyond the 12 h gap — the batch sessionize_events twin's
+    gap, so the two cross-validate) or on timeout (watermark passed
     last + gap). The oracle reproduces both cuts: every non-final session
     emits, and a user's FINAL session emits iff last + gap <= final
     watermark (global max ts - 1h delay) — the exact cut pinned against
-    this build (903/906 sessions at sf0.001). Open sessions correctly
-    never emit; at 100 TB they are the still-active users."""
+    this build. Open sessions correctly never emit; at 100 TB they are
+    the still-active users."""
     t(spark, sf_dir, "events")
     return jobs.stream_session_timeout(spark, sf_dir)

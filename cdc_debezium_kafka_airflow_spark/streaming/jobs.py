@@ -1942,7 +1942,7 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     replay_dir = os.path.join("/root/repo/.cache", f"events_sess_{tag}")
-    fp = source_fingerprint(sf_dir, "events") + ":sess2"
+    fp = source_fingerprint(sf_dir, "events") + ":sess3"
     if not cache_is_fresh(replay_dir, fp):
         shutil.rmtree(replay_dir, ignore_errors=True)
         e = load_table(spark, sf_dir, "events").select(
@@ -1968,8 +1968,8 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(os.path.join(replay_dir, "*.parquet"))
     )
 
-    GAP_US = 3_600_000_000
-    GAP_MS = 3_600_000
+    GAP_US = 43_200_000_000  # 12 h — the same gap as sessionize_events,
+    GAP_MS = 43_200_000      # so the batch twin cross-validates the stream
 
     def update(key, pdfs, state):
         if state.hasTimedOut:
