@@ -3065,3 +3065,313 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "selected",
         F.row_number().over(w) <= int(0.2 * n_docs),
     )
+
+
+@q(
+    "ext_temperature_mix",
+    f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM documents GROUP BY lang
+    ),
+    lo AS (SELECT CAST(min(n_l) AS BIGINT) AS n_min FROM counts),
+    thr AS (
+      SELECT c.lang,
+             c.n_l,
+             CAST(floor(100.0 * sqrt(CAST(lo.n_min AS DOUBLE)
+                                     / CAST(c.n_l AS DOUBLE)))
+                  AS BIGINT) AS keep_threshold
+      FROM counts c CROSS JOIN lo
+    )
+    SELECT d.doc_id, d.lang, t.n_l, t.keep_threshold,
+           CAST({BUCKET} AS BIGINT) AS bucket,
+           ({BUCKET} < t.keep_threshold) AS kept
+    FROM documents d JOIN thr t ON t.lang = d.lang
+    """,
+)
+def ext_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling (the mT5/multilingual-corpus
+    rebalancing rule): per-language acceptance rate proportional to
+    n_l^(alpha-1) with alpha=1/2, normalized so the SMALLEST language keeps
+    everything — sqrt(n_min/n_l) — which flattens the language distribution
+    toward the temperature instead of capping hard like ext_domain_caps.
+    Selection itself stays the deterministic content-hash gate (same
+    100-bucket md5 as every sampling op here), so membership is exact and
+    cross-engine reproducible; the only float is one sqrt of an exact
+    integer ratio, floored to a whole bucket threshold on both engines.
+
+    Scale posture: the per-language count table is |langs| rows broadcast
+    back; the verdict is map-only after it. Swapping alpha re-weights
+    without re-hashing — the hash gate is stable across mixture configs,
+    so successive experiments share cache-friendly membership."""
+    from cdc_debezium_kafka_airflow_spark.operators.sampling import (
+        content_bucket,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_l"))
+    n_min = counts.agg(F.min("n_l").alias("n_min"))
+    thr = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        "n_l",
+        F.floor(
+            100.0
+            * F.sqrt(
+                F.col("n_min").cast("double") / F.col("n_l").cast("double")
+            )
+        )
+        .cast("long")
+        .alias("keep_threshold"),
+    )
+    b = content_bucket(normalize_text(F.col("text")))
+    return (
+        d.join(F.broadcast(thr), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "n_l",
+            "keep_threshold",
+            b.cast("long").alias("bucket"),
+            (b < F.col("keep_threshold")).alias("kept"),
+        )
+    )
+
+
+_E2E_STOP = "['the','a','of','and','is','to','in']"
+_E2E_SH = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(ws) - 2, 1) + 1), "
+    "i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))"
+)
+
+
+@q(
+    "e2e_corpus_pipeline",
+    f"""
+    WITH feats AS (
+      SELECT doc_id, {NORM} AS t, string_split({NORM}, ' ') AS ws,
+             CAST({BUCKET} AS BIGINT) AS b
+      FROM documents
+    ),
+    gate AS (
+      SELECT * FROM feats
+      WHERE NOT (
+        len(ws) < 30 OR len(ws) > 100000
+        OR list_aggregate(list_transform(ws, w -> length(w)), 'sum') * 10
+             < len(ws) * 30
+        OR list_aggregate(list_transform(ws, w -> length(w)), 'sum') * 10
+             > len(ws) * 100
+        OR list_aggregate(list_transform(ws, w -> length(w)), 'max') > 15
+        OR len(list_distinct(list_filter(ws,
+             w -> list_contains({_E2E_STOP}, w)))) < 2)
+    ),
+    keeper AS (SELECT min(doc_id) AS doc_id FROM gate GROUP BY md5(t)),
+    dedd AS (SELECT g.* FROM gate g JOIN keeper k ON k.doc_id = g.doc_id),
+    ev_sh AS (
+      SELECT DISTINCT unnest({_E2E_SH}) AS sg FROM feats WHERE b >= 90
+    ),
+    tr_tot AS (
+      SELECT doc_id, CAST(len({_E2E_SH}) AS BIGINT) AS n_sh_total
+      FROM dedd WHERE b < 90
+    ),
+    tr_sh AS (
+      SELECT doc_id, unnest({_E2E_SH}) AS sg FROM dedd WHERE b < 90
+    ),
+    contaminated AS (
+      SELECT s.doc_id
+      FROM tr_sh s JOIN ev_sh USING (sg) JOIN tr_tot tt ON tt.doc_id = s.doc_id
+      GROUP BY s.doc_id, tt.n_sh_total
+      HAVING CAST(count(*) AS BIGINT) * 5 >= tt.n_sh_total * 4
+    ),
+    clean AS (
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens, b % 8 AS shard
+      FROM dedd WHERE b < 90
+        AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    packed AS (
+      SELECT doc_id, shard,
+             (CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                   AS BIGINT) - n_tokens) // 256 AS pack_id
+      FROM clean
+    )
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS stage_id, 'input' AS stage,
+             (SELECT count(*) FROM feats) AS rows_in,
+             (SELECT count(*) FROM feats) AS rows_out,
+             (SELECT CAST(sum(doc_id) AS BIGINT) FROM feats) AS checksum
+      UNION ALL
+      SELECT 1, 'quality_gate',
+             (SELECT count(*) FROM feats),
+             (SELECT count(*) FROM gate),
+             (SELECT CAST(sum(doc_id) AS BIGINT) FROM gate)
+      UNION ALL
+      SELECT 2, 'exact_dedup',
+             (SELECT count(*) FROM gate),
+             (SELECT count(*) FROM dedd),
+             (SELECT CAST(sum(doc_id) AS BIGINT) FROM dedd)
+      UNION ALL
+      SELECT 3, 'decontaminate',
+             (SELECT count(*) FROM dedd WHERE b < 90),
+             (SELECT count(*) FROM clean),
+             (SELECT CAST(sum(doc_id) AS BIGINT) FROM clean)
+      UNION ALL
+      SELECT 4, 'pack_sequences',
+             (SELECT count(*) FROM clean),
+             (SELECT count(DISTINCT (shard, pack_id)) FROM packed),
+             (SELECT CAST(sum(doc_id * 31 + shard * 1000000 + pack_id)
+                          AS BIGINT) FROM packed)
+    )
+    """,
+)
+def e2e_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline as ONE audited lineage — the corpus-side
+    twin of e2e_reference_pipeline: quality gate (the Gopher rule bundle)
+    -> exact dedup (md5 collapse, min doc_id survives) -> eval-split
+    decontamination (the eval side is the FULL corpus's hash split —
+    benchmarks exist regardless of what the gate kept; a train doc drops
+    when >=80% of its distinct word-3-grams appear in the eval split, the
+    near-verbatim-quotation case, spelled as the exact integer
+    cross-multiplication n_shared*5 >= n_total*4 — the synthetic corpus's
+    tiny vocabulary makes the standalone >=2-shared rule degenerate HERE,
+    and the coverage fraction is what production decontamination tunes
+    anyway) -> greedy 256-token sequence
+    packing sharded by content hash. Each stage consumes the previous
+    stage's frame and leaves one audit row (rows in/out + an integer
+    checksum over the surviving membership — for packing, over the exact
+    doc->pack assignment), so a defect anywhere surfaces as a wrong
+    downstream row. Every stage reuses the semantics of its standalone
+    oracle-proven operator (ext_gopher_gate, ext_dedup_exact,
+    ext_decontaminate, ext_seq_packing).
+
+    Scale posture: the normalized/tokenized base materializes ONCE
+    (persisted) and serves all stages; the gate is map-only; dedup is one
+    md5 shuffle; decontamination's join is eval-sized (distinct shingles
+    of the <=10% split); packing is parallel bounded-state cumsums per
+    shard. The audit aggregates are one extra reduce per stage over
+    already-materialized frames."""
+    from cdc_debezium_kafka_airflow_spark.sources.shingle_cache import (
+        shingled_documents,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    # the shingle table is the corpus's materialized intermediate (same
+    # fingerprint-cached parquet the dedup/decontamination family starts
+    # from): doc_id, bucket, distinct word-3-gram shingles — the expensive
+    # HOF work is read back, not recomputed
+    sc_ = shingled_documents(spark, sf_dir).select(
+        "doc_id", F.col("bucket").cast("long").alias("b"), "shingles"
+    )
+    norm = normalize_text(F.col("text"))
+    stop = ["the", "a", "of", "and", "is", "to", "in"]
+    feats = (
+        docs.select("doc_id", norm.alias("t"), F.split(norm, " ").alias("ws"))
+        .join(sc_, "doc_id")
+        .persist()
+    )
+    lens = F.transform(F.col("ws"), lambda w: F.length(w))
+    n_words = F.size("ws")
+    sum_len = F.aggregate(lens, F.lit(0), lambda a, x: a + x)
+    bad = (
+        (n_words < 30)
+        | (n_words > 100000)
+        | (sum_len * 10 < n_words * 30)
+        | (sum_len * 10 > n_words * 100)
+        | (F.array_max(lens) > 15)
+        | (
+            F.size(
+                F.array_distinct(
+                    F.filter(F.col("ws"), lambda w: w.isin(*stop))
+                )
+            )
+            < 2
+        )
+    )
+    gate = feats.filter(~bad).persist()
+    keeper = gate.groupBy(F.md5("t").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    dedd = gate.join(keeper.select("doc_id"), "doc_id").persist()
+    ev_sh = (
+        feats.filter(F.col("b") >= 90)
+        .select(F.explode("shingles").alias("sg"))
+        .distinct()
+    )
+    tr = dedd.filter(F.col("b") < 90)
+    tr_sh = tr.select("doc_id", F.explode("shingles").alias("sg"))
+    tr_tot = tr.select(
+        "doc_id", F.size("shingles").cast("long").alias("n_sh_total")
+    )
+    contaminated = (
+        tr_sh.join(ev_sh, "sg")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .join(tr_tot, "doc_id")
+        .filter(F.col("n_shared") * 5 >= F.col("n_sh_total") * 4)
+        .select("doc_id")
+    )
+    clean = (
+        tr.join(contaminated, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_tokens"),
+            (F.col("b") % 8).alias("shard"),
+        )
+        .persist()
+    )
+    packed = clean.select(
+        "doc_id",
+        "shard",
+        F.expr(
+            "(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) "
+            "- n_tokens) div 256"
+        ).alias("pack_id"),
+    )
+
+    # ONE aggregation per stage frame (the e2e_reference_pipeline lesson:
+    # separate count/sum subtrees re-run the stage lineage once each; a
+    # single combined aggregate runs it once), glued by 1-row cross joins.
+    def summ(df, prefix, ck_col):
+        return df.agg(
+            F.count("*").alias(f"{prefix}_n"),
+            F.sum(ck_col).cast("long").alias(f"{prefix}_ck"),
+        )
+
+    stats = (
+        summ(feats, "s0", F.col("doc_id"))
+        .crossJoin(summ(gate, "s1", F.col("doc_id")))
+        .crossJoin(summ(dedd, "s2", F.col("doc_id")))
+        .crossJoin(tr.agg(F.count("*").alias("tr_n")))
+        .crossJoin(summ(clean, "s3", F.col("doc_id")))
+        .crossJoin(
+            packed.agg(
+                F.countDistinct("shard", "pack_id")
+                .cast("long")
+                .alias("s4_n"),
+                F.sum(
+                    F.col("doc_id") * 31
+                    + F.col("shard") * 1000000
+                    + F.col("pack_id")
+                )
+                .cast("long")
+                .alias("s4_ck"),
+            )
+        )
+        .persist()
+    )
+
+    def row(stage_id, stage, rows_in, rows_out, ck):
+        return stats.select(
+            F.lit(stage_id).cast("long").alias("stage_id"),
+            F.lit(stage).alias("stage"),
+            F.col(rows_in).alias("rows_in"),
+            F.col(rows_out).alias("rows_out"),
+            F.col(ck).alias("checksum"),
+        )
+
+    out = (
+        row(0, "input", "s0_n", "s0_n", "s0_ck")
+        .unionByName(row(1, "quality_gate", "s0_n", "s1_n", "s1_ck"))
+        .unionByName(row(2, "exact_dedup", "s1_n", "s2_n", "s2_ck"))
+        .unionByName(row(3, "decontaminate", "tr_n", "s3_n", "s3_ck"))
+        .unionByName(row(4, "pack_sequences", "s3_n", "s4_n", "s4_ck"))
+    )
+    return out

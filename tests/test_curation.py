@@ -348,3 +348,44 @@ def test_dsir_selects_target_like_docs(spark, sf_dir):
     )
     en_rate_all = j.filter(F.col("lang") == "en").count() / n
     assert en_rate_sel > en_rate_all
+
+
+def test_temperature_mix_flattens_distribution(spark, sf_dir):
+    """After temperature sampling the kept-doc language ratio max/min must
+    shrink toward sqrt of the raw ratio (alpha=1/2), and the smallest
+    language must keep everything."""
+    from collections import Counter
+
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import QUERIES
+
+    rows = QUERIES["ext_temperature_mix"](spark, sf_dir).collect()
+    raw = Counter(r.lang for r in rows)
+    kept = Counter(r.lang for r in rows if r.kept)
+    raw_ratio = max(raw.values()) / min(raw.values())
+    kept_ratio = max(kept.values()) / min(kept.values())
+    assert kept_ratio < raw_ratio  # flattened
+    smallest = min(raw, key=raw.get)
+    assert kept[smallest] == raw[smallest]  # rate 1.0 for the floor lang
+    for r in rows:
+        assert r.kept == (r.bucket < r.keep_threshold)
+
+
+def test_corpus_pipeline_funnel_consistency(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import QUERIES
+
+    rows = {r.stage_id: r for r in
+            QUERIES["e2e_corpus_pipeline"](spark, sf_dir).collect()}
+    assert [rows[i].stage for i in range(5)] == [
+        "input", "quality_gate", "exact_dedup", "decontaminate",
+        "pack_sequences",
+    ]
+    # each stage consumes the previous stage's output (decontaminate's
+    # input is the train SLICE of the dedup output, so <=)
+    assert rows[1].rows_in == rows[0].rows_out
+    assert rows[2].rows_in == rows[1].rows_out
+    assert rows[3].rows_in <= rows[2].rows_out
+    assert rows[4].rows_in == rows[3].rows_out
+    # monotone shrink and nothing degenerates to empty
+    assert rows[0].rows_out >= rows[1].rows_out >= rows[2].rows_out
+    assert 0 < rows[3].rows_out <= rows[3].rows_in
+    assert 0 < rows[4].rows_out < rows[4].rows_in  # packs << docs
