@@ -1192,3 +1192,145 @@ def ext_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~failed).alias("keep"),
         reasons.alias("reasons"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fn_pandas_api — the pandas-on-Spark surface (ps.merge_asof)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "fn_pandas_api",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    pur AS (
+      SELECT user_id, ts AS p_ts,
+             CAST(round(value * 10000) AS BIGINT) AS p_val
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT c.event_id, c.user_id, c.ts, p.p_val,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY p.p_ts DESC) AS rn
+      FROM clicks c JOIN pur p
+        ON p.user_id = c.user_id AND p.p_ts <= c.ts
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           j.p_val / 10000.0 AS last_purchase_value
+    FROM clicks c LEFT JOIN (SELECT * FROM j WHERE rn = 1) j
+      ON j.event_id = c.event_id
+    """,
+)
+def fn_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pandas API on Spark (`pyspark.pandas`): a pandas user's
+    `merge_asof` — each click annotated with the user's most recent prior
+    purchase — runs unchanged against the distributed engine
+    (`df.pandas_api()` -> `ps.merge_asof(..., by=user, direction=
+    backward)` -> `.to_spark()`). This is the migration surface for teams
+    whose notebooks speak pandas, not SQL.
+
+    Scale note: ps.merge_asof plans a real distributed as-of (broadcast
+    or sort-merge under the hood), but the CONVENIENCE layer inherits
+    pandas semantics (global sort_values). The engine's scale path for
+    the same semantics is join_range_asof (tagged union + one shuffle +
+    carry-forward); this query exists to prove API parity, and the values
+    are pinned against the same SQL oracle. The purchase value rides the
+    4dp integer lattice so the re-emitted double is bit-stable."""
+    import pyspark.pandas as ps
+
+    e = t(spark, sf_dir, "events")
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+    )
+    pur = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            (F.round(F.col("value") * 10000).cast("long") / F.lit(10000.0))
+            .alias("last_purchase_value"),
+        )
+    )
+    a = clicks.pandas_api().sort_values("ts")
+    b = pur.pandas_api().sort_values("p_ts")
+    m = ps.merge_asof(
+        a,
+        b,
+        left_on="ts",
+        right_on="p_ts",
+        by="user_id",
+        direction="backward",
+    )
+    return m.to_spark().select(
+        "event_id", "user_id", "ts", "last_purchase_value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_dedup_minhash_mllib — the official ml.feature.MinHashLSH surface
+# ---------------------------------------------------------------------------
+
+
+@q("ext_dedup_minhash_mllib", None)
+def ext_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs through Spark MLlib's OFFICIAL LSH API
+    (`ml.feature.MinHashLSH` — the Spark mapping SURVEY.md §2 names for
+    ext_dedup_near), as the library twin of the native implementation in
+    operators/dedup.py: shingle arrays (the same fingerprint-cached word-
+    3-gram table every dedup op starts from) -> HashingTF binary sparse
+    vectors (2^18 features, deterministic MurmurHash) -> MinHashLSH with a
+    FIXED seed -> approxSimilarityJoin at Jaccard distance <= 0.6, a < b.
+
+    Rows-only by design (the emitted distance is Jaccard over the HASHED
+    feature space — engine-specific representation, like the IVF/PQ
+    families); pytest pins the semantics instead: exact duplicates appear
+    at distance 0, hashed distance tracks TRUE shingle Jaccard within the
+    collision tolerance, and the pair set is deterministic run-to-run.
+
+    Scale posture: MinHashLSH's join is the banded OR-amplified candidate
+    join (numHashTables bands) + exact verify — the same sub-quadratic
+    shape as the native operator; the native one additionally prunes by
+    estimate vectors before moving shingle arrays (operators/dedup.py:201),
+    which is why it remains the recommended path at 100 TB."""
+    from cdc_debezium_kafka_airflow_spark.sources.shingle_cache import (
+        shingled_documents,
+    )
+
+    sc_ = shingled_documents(spark, sf_dir).select("doc_id", "shingles")
+    return mllib_minhash_pairs(sc_, threshold=0.6)
+
+
+def mllib_minhash_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
+    """(doc_id, shingles) -> candidate pairs via HashingTF + MinHashLSH
+    (fixed seed, 8 hash tables); shared by the registered query and the
+    planted-duplicate pytest."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    tf = HashingTF(
+        inputCol="shingles",
+        outputCol="features",
+        numFeatures=1 << 18,
+        binary=True,
+    )
+    feats = tf.transform(shingled).filter(F.size("shingles") > 0)
+    mh = MinHashLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=8,
+        seed=20240814,
+    )
+    model = mh.fit(feats)
+    return (
+        model.approxSimilarityJoin(
+            feats, feats, threshold, distCol="jaccard_dist"
+        )
+        .filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+    )

@@ -525,3 +525,44 @@ def test_avro_stream_sink_manifest_gates_visibility(spark, sf_dir, tmp_path):
         f.write(b"junk")
     assert spark.read.format("avro_py").option("path", out).load().count() \
         == n_src
+
+
+def test_mllib_minhash_semantics(spark, sf_dir):
+    """The official ml.feature.MinHashLSH surface: planted exact dup at
+    distance 0, near-dup found, hashed distance tracks true shingle
+    Jaccard, and the fixture-level pair set is seed-deterministic."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational4 import (
+        ext_dedup_minhash_mllib,
+        mllib_minhash_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    words = base.split()
+    near = " ".join(words[:-2] + ["tonight", "friend"])
+    other = "completely different content about warehouse query engines ok"
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)], "doc_id long, text string"
+    )
+    from cdc_debezium_kafka_airflow_spark.operators.dedup import word_shingles
+    from cdc_debezium_kafka_airflow_spark.operators.text import normalize_text
+    from pyspark.sql import functions as F2
+
+    sh = docs.select(
+        "doc_id", word_shingles(normalize_text(F2.col("text"))).alias("shingles")
+    )
+    pairs = {(r.doc_a, r.doc_b): r.jaccard_dist
+             for r in mllib_minhash_pairs(sh, 0.95).collect()}
+    assert pairs[(1, 2)] == 0.0                   # exact dup
+    assert (1, 3) in pairs and 0 < pairs[(1, 3)] < 0.5  # near dup
+    assert not any(4 in p for p in pairs)         # unrelated doc clean
+    # true-jaccard agreement for the near pair
+    s1 = set(sh.filter("doc_id = 1").first().shingles)
+    s3 = set(sh.filter("doc_id = 3").first().shingles)
+    true_jd = 1 - len(s1 & s3) / len(s1 | s3)
+    assert abs(pairs[(1, 3)] - true_jd) < 0.02
+    # fixture-level determinism (fixed seed)
+    a = {(r.doc_a, r.doc_b, r.jaccard_dist)
+         for r in ext_dedup_minhash_mllib(spark, sf_dir).collect()}
+    b = {(r.doc_a, r.doc_b, r.jaccard_dist)
+         for r in ext_dedup_minhash_mllib(spark, sf_dir).collect()}
+    assert a == b and a
