@@ -863,3 +863,129 @@ def ivf_pq_topk(
     if not rerank:
         return _topk_by_adc(scored, k)
     return _exact_rerank(_topk_by_adc(scored, rerank), q, c, k)
+
+
+def semdedup(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    iters: int = 3,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding — cluster the corpus with spherical k-means,
+    then WITHIN each cluster greedily drop any vector whose cosine
+    similarity to an already-kept vector reaches ``threshold``. Within a
+    duplicate group the survivor is the member FARTHEST from its centroid
+    (the paper's keep-low-centroid-similarity rule, maximizing diversity
+    of the retained set): the greedy visits cluster members in ascending
+    centroid-similarity order, so the far-from-centroid member is examined
+    (and kept) first.
+
+    Scale shape: the pairwise work is confined to clusters — O(sum c_i^2)
+    instead of O(n^2) — so ``n_clusters`` must track corpus size (the paper
+    uses 50k clusters for LAION-440M; rule of thumb k ~ n/512 keeps the
+    expected cluster in the thousands). The plan is: one broadcast of the
+    driver-trained centroids, one map-side cell assignment, ONE shuffle on
+    cluster id into an Arrow-batched ``applyInPandas`` greedy prune whose
+    per-group cost is a numpy matvec per member. Skewed clusters are the
+    risk at 100 TB: cap them by raising k or sub-splitting hot cells (same
+    remedy as IVF cell skew, SCALE.md).
+
+    Determinism: centroids are the fingerprint-memoized, 6dp-rounded output
+    of ``train_ivf_centroids`` (bit-stable across runs/partitionings),
+    assignment ties break toward the lowest centroid id, and the greedy
+    visit order is (rounded centroid_sim, vid) — total, so the kept set is
+    a pure function of the corpus regardless of physical layout.
+
+    Returns one row PER INPUT VECTOR: (vid, cid, centroid_sim,
+    kept boolean, witness_id) — ``witness_id`` is the kept vector that
+    shadowed a dropped one (NULL for kept rows), making the output an
+    auditable dedup decision log rather than a bare survivor list.
+
+    Reference parity: the reference pipeline has no embedding stage (its
+    data plane is CDC transport, jony96-lab/cdc-debezium-kafka-airflow
+    dags/); this extends the documents/embeddings extension surface
+    (SURVEY.md §2 ext_dedup_near family) with the semantic tier.
+    """
+    import pandas as pd
+
+    cents = train_ivf_centroids(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=n_clusters,
+        iters=iters,
+        cache_key=cache_key,
+    )
+    v = normalized(
+        vectors.select(
+            F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec")
+        ),
+        "vec",
+        "nvec",
+    ).select("vid", F.col("nvec").alias("vec"))
+    assigned = _assign_to_centroids(
+        v,
+        cents.select(
+            F.col("centroid_id").alias("cid"),
+            F.col("centroid").alias("cvec_c"),
+        ),
+    )
+    # centroid_sim drives the greedy visit order; for unit vectors
+    # cos = 1 - d2/2, but recomputing the dot directly keeps it exact.
+    withsim = assigned.join(
+        F.broadcast(
+            cents.select(
+                F.col("centroid_id").alias("cid"),
+                F.col("centroid").alias("cvec_c"),
+            )
+        ),
+        on="cid",
+    ).select(
+        "vid",
+        "cid",
+        "vec",
+        F.round(cosine(F.col("vec"), F.col("cvec_c")), 6).alias(
+            "centroid_sim"
+        ),
+    )
+
+    def prune(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(
+            ["centroid_sim", "vid"], ascending=[True, True]
+        ).reset_index(drop=True)
+        mat = np.stack(pdf["vec"].to_numpy())  # (c, dim) unit rows
+        kept_rows: list[int] = []
+        kept_flags = np.zeros(len(pdf), dtype=bool)
+        witness = np.full(len(pdf), -1, dtype=np.int64)
+        for i in range(len(pdf)):
+            if kept_rows:
+                sims = np.asarray(mat[kept_rows] @ mat[i])
+                j = int(np.argmax(sims))
+                if float(sims[j]) >= threshold:
+                    witness[i] = int(pdf["vid"].iloc[kept_rows[j]])
+                    continue
+            kept_flags[i] = True
+            kept_rows.append(i)
+        wit = pd.array(witness, dtype="Int64")
+        wit[kept_flags] = pd.NA
+        return pd.DataFrame(
+            {
+                "vid": pdf["vid"].astype("int64"),
+                "cid": pdf["cid"].astype("int32"),
+                "centroid_sim": pdf["centroid_sim"].astype("float64"),
+                "kept": kept_flags,
+                "witness_id": wit,
+            }
+        )
+
+    return withsim.groupBy("cid").applyInPandas(
+        prune,
+        "vid long, cid int, centroid_sim double, kept boolean, "
+        "witness_id long",
+    )

@@ -3375,3 +3375,141 @@ def e2e_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row(4, "pack_sequences", "s3_n", "s4_n", "s4_ck"))
     )
     return out
+
+
+@q(
+    "ext_dedup_semantic",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(0 AS BIGINT) AS n_unaccounted,
+           CAST(0 AS BIGINT) AS n_dropped_without_witness,
+           CAST(0 AS BIGINT) AS n_kept_near_pairs
+    FROM embeddings
+    """,
+)
+def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (cluster -> within-cluster greedy cosine
+    prune, operators/similarity.semdedup), driver-checked via DERIVED
+    deterministic invariants — the kept set depends on the trained k-means
+    centroids, which DuckDB cannot reproduce in SQL, so (like
+    ext_dedup_minhash / ext_dedup_simhash) the oracle asserts properties
+    the algorithm guarantees EXACTLY:
+
+      - n_total: one genuine cross-engine value — the decision log must
+        account for every input vector, so its row count equals the
+        corpus count both engines compute independently.
+      - n_unaccounted: corpus rows missing from (or duplicated in) the
+        decision log — the applyInPandas prune emits each member of each
+        cluster exactly once.
+      - n_dropped_without_witness: dropped rows whose recorded witness is
+        not a KEPT vector of the SAME cluster with cosine >= threshold
+        (minus 1e-6 for numpy-vs-JVM summation-order slack) — the greedy
+        only drops a vector after finding such a witness.
+      - n_kept_near_pairs: pairs of kept vectors in one cluster with
+        cosine >= threshold + 1e-6 — the greedy can never keep both ends
+        of a near-dup pair (it visits one of them second and the other is
+        already in the kept set).
+
+    Threshold 0.35 matches ext_embedding_near_dup: on this near-random
+    fixture it is the regime where a meaningful fraction of vectors has a
+    qualifying neighbor, so the prune does real work at every SF.
+    """
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+        as_double,
+        cosine,
+        normalized,
+        semdedup,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        source_fingerprint,
+    )
+
+    th = 0.35
+    e = t(spark, sf_dir, "embeddings")
+    dec = semdedup(
+        e,
+        n_clusters=8,
+        threshold=th,
+        cache_key=source_fingerprint(sf_dir, "embeddings"),
+    ).persist()
+    v = normalized(
+        e.select(
+            F.col("vec_id").alias("vid"),
+            as_double(F.col("embedding")).alias("vec"),
+        ),
+        "vec",
+        "nvec",
+    ).select("vid", F.col("nvec").alias("vec"))
+
+    totals = e.agg(F.count("*").cast("long").alias("n_total"))
+    accounted = dec.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.count_distinct("vid").cast("long").alias("n_vids"),
+    )
+    unaccounted = totals.crossJoin(accounted).select(
+        "n_total",
+        (
+            F.abs(F.col("n_total") - F.col("n_rows"))
+            + (F.col("n_rows") - F.col("n_vids"))
+        ).alias("n_unaccounted"),
+    )
+
+    kept = dec.filter(F.col("kept")).select(
+        F.col("vid").alias("witness_id"), F.col("cid").alias("wcid")
+    )
+    dropped = (
+        dec.filter(~F.col("kept"))
+        .select("vid", "cid", "witness_id")
+        .join(kept, on="witness_id", how="left")
+        .join(v, on="vid")
+        .join(
+            v.select(
+                F.col("vid").alias("witness_id"), F.col("vec").alias("wvec")
+            ),
+            on="witness_id",
+            how="left",
+        )
+    )
+    bad_wit = dropped.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("wcid").isNull()
+                    | (F.col("wcid") != F.col("cid"))
+                    | (
+                        cosine(F.col("vec"), F.col("wvec"))
+                        < F.lit(th) - F.lit(1e-6)
+                    ),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_dropped_without_witness")
+    )
+
+    kv = dec.filter(F.col("kept")).select("vid", "cid").join(v, on="vid")
+    pairs_bad = (
+        kv.alias("a")
+        .join(
+            kv.alias("b"),
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        cosine(F.col("a.vec"), F.col("b.vec"))
+                        >= F.lit(th) + F.lit(1e-6),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_kept_near_pairs")
+        )
+    )
+    return unaccounted.crossJoin(bad_wit).crossJoin(pairs_bad)

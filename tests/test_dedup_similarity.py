@@ -470,3 +470,73 @@ def test_span_dedup_cross_doc_spans_exist(spark, sf_dir):
     assert agg.dups > 0
     assert agg.bad == 0
     assert agg.frac_bad == 0
+
+
+def test_semdedup_planted_duplicates_collapse(spark):
+    """Identical (and near-identical) embeddings land in one cluster and the
+    greedy keeps exactly one of each planted group."""
+    import numpy as np
+
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 16))
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+    # planted: ids 100/101 identical to id 0; 102 a tiny perturbation of id 1
+    rows.append((100, [float(x) for x in base[0]]))
+    rows.append((101, [float(x) for x in base[0]]))
+    pert = base[1] + 1e-4 * rng.normal(size=16)
+    rows.append((102, [float(x) for x in pert]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dec = semdedup(df, n_clusters=4, threshold=0.95).collect()
+    by_vid = {r["vid"]: r for r in dec}
+    assert len(by_vid) == len(rows)  # every vector accounted once
+    g0 = [by_vid[i] for i in (0, 100, 101)]
+    assert sum(r["kept"] for r in g0) == 1
+    g1 = [by_vid[i] for i in (1, 102)]
+    assert sum(r["kept"] for r in g1) == 1
+    # dropped members carry a kept same-cluster witness
+    for r in dec:
+        if not r["kept"]:
+            w = by_vid[r["witness_id"]]
+            assert w["kept"] and w["cid"] == r["cid"]
+
+
+def test_semdedup_keeps_far_from_centroid_member(spark):
+    """The SemDeDup keep rule: within a duplicate group the survivor is the
+    member with the LOWEST centroid similarity (ties -> lowest vid)."""
+    import numpy as np
+
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(30, 16))
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(base)]
+    rows.append((200, [float(x) for x in base[2]]))  # exact dup of id 2
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    dec = {r["vid"]: r for r in semdedup(df, n_clusters=4, threshold=0.95).collect()}
+    a, b = dec[2], dec[200]
+    assert a["centroid_sim"] == b["centroid_sim"]  # identical vectors
+    # equal centroid_sim -> lowest vid visited first -> id 2 survives
+    assert a["kept"] and not b["kept"] and b["witness_id"] == 2
+
+
+def test_semdedup_deterministic_across_partitioning(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import semdedup
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    a = sorted(
+        (r["vid"], r["kept"], r["witness_id"])
+        for r in semdedup(e, n_clusters=8, threshold=0.35).collect()
+    )
+    b = sorted(
+        (r["vid"], r["kept"], r["witness_id"])
+        for r in semdedup(
+            e.repartition(13), n_clusters=8, threshold=0.35
+        ).collect()
+    )
+    assert a == b
+    assert any(not kept for _, kept, _w in a)  # the prune does real work
