@@ -338,6 +338,42 @@ def _assign_to_centroids(v: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
+def nearest_cell_expr(
+    centroid_rows: list[tuple[int, list[float]]], vec_col: str = "nvec"
+) -> Column:
+    """MAP-ONLY nearest-centroid assignment: the (small) trained centroid
+    set is inlined as array literals and the argmin runs as one row-local
+    expression — no broadcast exchange, no groupBy shuffle. For the k <=
+    a-few-hundred regime (a streaming micro-batch assigning against a
+    once-trained index) this collapses the join+min_by two-stage shape of
+    ``_assign_to_centroids`` into zero extra stages: the cell id is just
+    another projected column, so a foreachBatch append's ONLY shuffle is
+    the storage-partition co-location. Ties break toward the lowest
+    centroid id (same contract as ``_assign_to_centroids``).
+
+    ``vec_col`` must already be unit-normalized (assignment in normalized
+    space — see train_ivf_centroids).
+    """
+    candidates = [
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    # ONE literal call per centroid (a py4j round-trip per
+                    # element would dominate the whole per-batch cost)
+                    F.lit([float(x) for x in cvec]),
+                    lambda x, c: (x - c) * (x - c),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("d2"),
+            F.lit(int(cid)).alias("cid"),
+        )
+        for cid, cvec in centroid_rows
+    ]
+    return F.array_min(F.array(*candidates))["cid"]
+
+
 def ivf_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 10, n_centroids: int = 8,
     n_probe: int = 2, cache_key: str | None = None,
@@ -909,6 +945,11 @@ def semdedup(
     data plane is CDC transport, jony96-lab/cdc-debezium-kafka-airflow
     dags/); this extends the documents/embeddings extension surface
     (SURVEY.md §2 ext_dedup_near family) with the semantic tier.
+
+    Twin: ``operators/dedup.semantic_dedup`` is the assignment-as-INPUT
+    half (given cells, lowest-id keep rule, exact relational oracle);
+    this is the full recipe including cluster training, checked by
+    derived invariants (see ext_dedup_semantic).
     """
     import pandas as pd
 

@@ -1258,6 +1258,7 @@ def streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cdc_debezium_kafka_airflow_spark.operators.similarity import (
         as_double,
+        nearest_cell_expr,
         normalized,
         train_ivf_centroids,
     )
@@ -1284,6 +1285,17 @@ def streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
     )
     cents = train_ivf_centroids(corpus, k=8, cache_key=fp)
+    # the index artifact is 8 x 64 doubles — inline it as expression
+    # literals so per-batch assignment is MAP-ONLY (no broadcast exchange,
+    # no min_by shuffle; see nearest_cell_expr). The collect is bounded by
+    # the centroid count, i.e. the size of the trained index, not the data.
+    cent_rows = [
+        (r["centroid_id"], r["centroid"]) for r in cents.collect()
+    ]
+
+    # build the argmin expression ONCE — Column objects are plan fragments,
+    # reusable across every micro-batch's DataFrame
+    cell_expr = nearest_cell_expr(cent_rows, "nvec").alias("cell")
 
     def assign(df: DataFrame) -> DataFrame:
         v = normalized(
@@ -1291,21 +1303,7 @@ def streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec",
             "nvec",
         )
-        j = v.join(F.broadcast(cents))
-        d2 = F.aggregate(
-            F.zip_with("nvec", "centroid", lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        return (
-            j.select("vec_id", "centroid_id", d2.alias("d2"))
-            .groupBy("vec_id")
-            .agg(
-                F.min_by("centroid_id", F.struct("d2", "centroid_id")).alias(
-                    "cell"
-                )
-            )
-        )
+        return v.select("vec_id", cell_expr)
 
     index_dir = os.path.join("/root/repo/.cache", f"ann_index_{tag}")
     shutil.rmtree(index_dir, ignore_errors=True)
