@@ -353,6 +353,10 @@ def nearest_cell_expr(
 
     ``vec_col`` must already be unit-normalized (assignment in normalized
     space — see train_ivf_centroids).
+
+    Returns the winning ``struct(d2, cid)`` — project ``["cid"]`` for the
+    bare cell id, or derive the centroid similarity as ``1 - d2/2`` (exact
+    for unit vectors up to summation rounding).
     """
     candidates = [
         F.struct(
@@ -371,7 +375,7 @@ def nearest_cell_expr(
         )
         for cid, cvec in centroid_rows
     ]
-    return F.array_min(F.array(*candidates))["cid"]
+    return F.array_min(F.array(*candidates))
 
 
 def ivf_topk(
@@ -923,10 +927,11 @@ def semdedup(
     Scale shape: the pairwise work is confined to clusters — O(sum c_i^2)
     instead of O(n^2) — so ``n_clusters`` must track corpus size (the paper
     uses 50k clusters for LAION-440M; rule of thumb k ~ n/512 keeps the
-    expected cluster in the thousands). The plan is: one broadcast of the
-    driver-trained centroids, one map-side cell assignment, ONE shuffle on
-    cluster id into an Arrow-batched ``applyInPandas`` greedy prune whose
-    per-group cost is a numpy matvec per member. Skewed clusters are the
+    expected cluster in the thousands). The plan is: driver-trained
+    centroids inlined as expression literals (map-only cell assignment +
+    centroid similarity, no broadcast exchange — nearest_cell_expr), then
+    ONE shuffle on cluster id into an Arrow-batched ``applyInPandas``
+    greedy prune whose per-group cost is a numpy matvec per member. Skewed clusters are the
     risk at 100 TB: cap them by raising k or sub-splitting hot cells (same
     remedy as IVF cell skew, SCALE.md).
 
@@ -961,6 +966,14 @@ def semdedup(
         iters=iters,
         cache_key=cache_key,
     )
+    # assignment + centroid_sim are MAP-ONLY (centroids inlined as
+    # literals, see nearest_cell_expr): for unit vectors cos = 1 - d2/2,
+    # so the winning struct's d2 doubles as the similarity — the cogroup
+    # co-location below is the operator's ONLY shuffle. The collect is
+    # bounded by the index size (k x dim doubles), never the corpus.
+    cent_rows = [
+        (r["centroid_id"], r["centroid"]) for r in cents.collect()
+    ]
     v = normalized(
         vectors.select(
             F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec")
@@ -968,28 +981,12 @@ def semdedup(
         "vec",
         "nvec",
     ).select("vid", F.col("nvec").alias("vec"))
-    assigned = _assign_to_centroids(
-        v,
-        cents.select(
-            F.col("centroid_id").alias("cid"),
-            F.col("centroid").alias("cvec_c"),
-        ),
-    )
-    # centroid_sim drives the greedy visit order; for unit vectors
-    # cos = 1 - d2/2, but recomputing the dot directly keeps it exact.
-    withsim = assigned.join(
-        F.broadcast(
-            cents.select(
-                F.col("centroid_id").alias("cid"),
-                F.col("centroid").alias("cvec_c"),
-            )
-        ),
-        on="cid",
-    ).select(
+    best = nearest_cell_expr(cent_rows, "vec")
+    withsim = v.select(
         "vid",
-        "cid",
+        best["cid"].alias("cid"),
         "vec",
-        F.round(cosine(F.col("vec"), F.col("cvec_c")), 6).alias(
+        F.round(F.lit(1.0) - best["d2"] / F.lit(2.0), 6).alias(
             "centroid_sim"
         ),
     )

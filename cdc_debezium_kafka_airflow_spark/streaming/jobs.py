@@ -1295,7 +1295,7 @@ def streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # build the argmin expression ONCE — Column objects are plan fragments,
     # reusable across every micro-batch's DataFrame
-    cell_expr = nearest_cell_expr(cent_rows, "nvec").alias("cell")
+    cell_expr = nearest_cell_expr(cent_rows, "nvec")["cid"].alias("cell")
 
     def assign(df: DataFrame) -> DataFrame:
         v = normalized(
