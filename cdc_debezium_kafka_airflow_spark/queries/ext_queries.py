@@ -3416,7 +3416,7 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from cdc_debezium_kafka_airflow_spark.operators.similarity import (
         as_double,
-        cosine,
+        dot,
         normalized,
         semdedup,
     )
@@ -3477,7 +3477,9 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("wcid").isNull()
                     | (F.col("wcid") != F.col("cid"))
                     | (
-                        cosine(F.col("vec"), F.col("wvec"))
+                        # unit vectors: cosine == dot (cosine() would
+                        # re-derive both norms per pair, 3x the HOF work)
+                        dot(F.col("vec"), F.col("wvec"))
                         < F.lit(th) - F.lit(1e-6)
                     ),
                     F.lit(1),
@@ -3501,7 +3503,7 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(
                 F.sum(
                     F.when(
-                        cosine(F.col("a.vec"), F.col("b.vec"))
+                        dot(F.col("a.vec"), F.col("b.vec"))
                         >= F.lit(th) + F.lit(1e-6),
                         F.lit(1),
                     ).otherwise(F.lit(0))
