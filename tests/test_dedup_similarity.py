@@ -540,3 +540,51 @@ def test_semdedup_deterministic_across_partitioning(spark, sf_dir):
     )
     assert a == b
     assert any(not kept for _, kept, _w in a)  # the prune does real work
+
+
+def test_nearest_cell_expr_matches_join_assignment(spark, sf_dir):
+    """The map-only literal-argmin assignment (nearest_cell_expr) and the
+    join+min_by shape (_assign_to_centroids) implement one contract —
+    nearest centroid, ties to the lowest id — and must agree cell-for-cell
+    on the fixture corpus."""
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+        _assign_to_centroids,
+        as_double,
+        nearest_cell_expr,
+        normalized,
+        train_ivf_centroids,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(
+        e, id_col="vec_id", vec_col="embedding", k=8
+    )
+    cent_rows = [(r["centroid_id"], r["centroid"]) for r in cents.collect()]
+    v = normalized(
+        e.select(
+            F.col("vec_id").alias("vid"),
+            as_double(F.col("embedding")).alias("vec"),
+        ),
+        "vec",
+        "nvec",
+    ).select("vid", F.col("nvec").alias("vec"))
+    via_expr = {
+        r["vid"]: r["cid"]
+        for r in v.select(
+            "vid", nearest_cell_expr(cent_rows, "vec")["cid"].alias("cid")
+        ).collect()
+    }
+    via_join = {
+        r["vid"]: r["cid"]
+        for r in _assign_to_centroids(
+            v,
+            cents.select(
+                F.col("centroid_id").alias("cid"),
+                F.col("centroid").alias("cvec_c"),
+            ),
+        ).collect()
+    }
+    assert via_expr == via_join
