@@ -3515,3 +3515,124 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return unaccounted.crossJoin(bad_wit).crossJoin(pairs_bad)
+
+
+@q(
+    "ext_corpus_prune_d4",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_total,
+           CAST(0 AS BIGINT) AS n_unaccounted,
+           CAST(0 AS BIGINT) AS n_quota_violation,
+           CAST(0 AS BIGINT) AS n_rank_violation
+    FROM embeddings
+    """,
+)
+def ext_corpus_prune_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style corpus pruning (Tirumala et al. 2023, arXiv:2308.12284):
+    SemDeDup first, then SSL-prototype pruning (Sorscher et al. 2022,
+    arXiv:2206.14486) — per cluster, drop the most PROTOTYPICAL 10% of the
+    dedup survivors (highest centroid similarity; near-dups are gone, so
+    what remains closest to the centroid is the least informative mass).
+    Composes directly on the semdedup decision log, which already carries
+    (cid, centroid_sim, kept): the prune is one window rank per cluster —
+    at 100 TB, one shuffle over the SURVIVOR set, keyed by the same cell
+    id the index pipeline assigns.
+
+    Derived-invariant oracle (the kept set depends on trained centroids,
+    like ext_dedup_semantic):
+      - n_total: genuine cross-engine value — every corpus vector is
+        accounted for in the three-way split (dedup-dropped /
+        prototype-pruned / retained).
+      - n_unaccounted: split sizes must sum to the corpus count.
+      - n_quota_violation: clusters where the pruned count differs from
+        floor(0.1 * survivors) — the quota is exact arithmetic.
+      - n_rank_violation: rows whose prune flag disagrees with an
+        INDEPENDENTLY recomputed (centroid_sim desc, vid asc) rank over
+        the emitted log — pins the keep-least-prototypical rule against
+        refactor drift.
+    """
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import semdedup
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        source_fingerprint,
+    )
+
+    frac = 0.10
+    e = t(spark, sf_dir, "embeddings")
+    dec = semdedup(
+        e,
+        n_clusters=8,
+        threshold=0.35,
+        cache_key=source_fingerprint(sf_dir, "embeddings"),
+    )
+    kept = dec.filter(F.col("kept")).select("vid", "cid", "centroid_sim")
+    w = Window.partitionBy("cid").orderBy(
+        F.col("centroid_sim").desc(), F.col("vid").asc()
+    )
+    quota = F.floor(
+        F.lit(frac) * F.count("*").over(Window.partitionBy("cid"))
+    ).cast("int")
+    flagged = kept.select(
+        "vid",
+        "cid",
+        "centroid_sim",
+        (F.row_number().over(w) <= quota).alias("pruned"),
+        quota.alias("quota"),
+    ).persist()
+
+    totals = e.agg(F.count("*").cast("long").alias("n_total"))
+    n_dedup_dropped = dec.filter(~F.col("kept")).count()
+    acct = totals.crossJoin(
+        flagged.agg(
+            F.count("*").cast("long").alias("n_surv"),
+            F.sum(F.col("pruned").cast("long")).alias("n_pruned"),
+        )
+    ).select(
+        "n_total",
+        F.abs(
+            F.col("n_total")
+            - (F.lit(n_dedup_dropped) + F.col("n_surv"))
+        ).alias("n_unaccounted"),
+    )
+    quota_bad = (
+        flagged.groupBy("cid", "quota")
+        .agg(F.sum(F.col("pruned").cast("long")).alias("actual"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("actual") != F.col("quota"), F.lit(1)
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_quota_violation")
+        )
+    )
+    # independent second pass over the EMITTED log: recompute the rank and
+    # compare flags (drift guard, not a tautology of the same plan nodes)
+    w2 = Window.partitionBy("cid").orderBy(
+        F.col("centroid_sim").desc(), F.col("vid").asc()
+    )
+    rank_bad = (
+        flagged.select(
+            "cid",
+            "pruned",
+            "quota",
+            F.row_number().over(w2).alias("rk"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        (F.col("rk") <= F.col("quota")) != F.col("pruned"),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_rank_violation")
+        )
+    )
+    return acct.crossJoin(quota_bad).crossJoin(rank_bad)

@@ -588,3 +588,28 @@ def test_nearest_cell_expr_matches_join_assignment(spark, sf_dir):
         ).collect()
     }
     assert via_expr == via_join
+
+
+def test_d4_prune_drops_most_prototypical(spark, sf_dir):
+    """The D4 composite prunes exactly floor(10%) of each cluster's dedup
+    survivors, and every pruned vector is at least as centroid-similar as
+    every retained one (ties broken by vid)."""
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import (
+        ext_corpus_prune_d4,
+    )
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import semdedup
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    row = ext_corpus_prune_d4(spark, sf_dir).collect()[0]
+    assert row["n_unaccounted"] == 0
+    assert row["n_quota_violation"] == 0
+    assert row["n_rank_violation"] == 0
+    # cross-check one cluster end-to-end in python
+    e = load_table(spark, sf_dir, "embeddings")
+    dec = semdedup(e, n_clusters=8, threshold=0.35).collect()
+    surv = [r for r in dec if r["kept"] and r["cid"] == dec[0]["cid"]]
+    surv.sort(key=lambda r: (-r["centroid_sim"], r["vid"]))
+    q = int(0.10 * len(surv))
+    assert q >= 0 and len(surv) > 0
