@@ -3418,20 +3418,16 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double,
         dot,
         normalized,
-        semdedup,
     )
-    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
-        source_fingerprint,
+    from cdc_debezium_kafka_airflow_spark.sources.semdedup_cache import (
+        semdedup_decision_log,
     )
 
     th = 0.35
     e = t(spark, sf_dir, "embeddings")
-    dec = semdedup(
-        e,
-        n_clusters=8,
-        threshold=th,
-        cache_key=source_fingerprint(sf_dir, "embeddings"),
-    ).persist()
+    # the decision log is a fingerprint-cached materialized intermediate
+    # (sources/semdedup_cache.py), shared with ext_corpus_prune_d4
+    dec = semdedup_decision_log(spark, sf_dir, n_clusters=8, threshold=th)
     v = normalized(
         e.select(
             F.col("vec_id").alias("vid"),
@@ -3551,19 +3547,13 @@ def ext_corpus_prune_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
         the emitted log — pins the keep-least-prototypical rule against
         refactor drift.
     """
-    from cdc_debezium_kafka_airflow_spark.operators.similarity import semdedup
-    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
-        source_fingerprint,
+    from cdc_debezium_kafka_airflow_spark.sources.semdedup_cache import (
+        semdedup_decision_log,
     )
 
     frac = 0.10
     e = t(spark, sf_dir, "embeddings")
-    dec = semdedup(
-        e,
-        n_clusters=8,
-        threshold=0.35,
-        cache_key=source_fingerprint(sf_dir, "embeddings"),
-    )
+    dec = semdedup_decision_log(spark, sf_dir, n_clusters=8, threshold=0.35)
     kept = dec.filter(F.col("kept")).select("vid", "cid", "centroid_sim")
     w = Window.partitionBy("cid").orderBy(
         F.col("centroid_sim").desc(), F.col("vid").asc()
