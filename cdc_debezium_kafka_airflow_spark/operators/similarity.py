@@ -1027,3 +1027,144 @@ def semdedup(
         "vid long, cid int, centroid_sim double, kept boolean, "
         "witness_id long",
     )
+
+
+def semdedup_incremental(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    threshold: float = 0.95,
+    iters: int = 3,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """Incremental SemDeDup — the ingestion path of the semantic-dedup
+    lifecycle (the embedding analog of the fingerprint-index incremental
+    dedup, ext_dedup_incremental): an incoming BATCH is assessed against
+    the EXISTING corpus without ever re-deduping corpus members against
+    each other.
+
+    Protocol (cost ∝ batch, never corpus):
+      1. centroids are trained on (and memoized for) the CORPUS ONLY — the
+         frozen index; new data is assigned against it, never shifts it;
+      2. the corpus's own kept set comes from the standard ``semdedup``
+         pass (memoized centroids make it one prune);
+      3. each batch vector, visited in (centroid_sim asc, vid asc) order
+         within its cell, is verdicted:
+           'dup_of_corpus'  cosine >= threshold with a corpus-KEPT
+                            cell-mate (witness recorded);
+           'dup_in_batch'   cosine >= threshold with an earlier-accepted
+                            batch vector in the cell;
+           'new'            otherwise — it joins the kept set.
+    At 100 TB the corpus kept-set is stored partitioned by cell id, so the
+    daily batch co-locates against exactly its cells' partitions; the only
+    batch-sized shuffle is the cell co-location, and the per-cell work is
+    one numpy matvec per batch member against (corpus-kept + accepted)
+    rows of that cell.
+
+    Returns one row per BATCH vector: (vid, cid, verdict, witness_id).
+    """
+    import pandas as pd
+
+    cents = train_ivf_centroids(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=n_clusters,
+        iters=iters,
+        cache_key=cache_key,
+    )
+    cent_rows = [(r["centroid_id"], r["centroid"]) for r in cents.collect()]
+
+    corpus_dec = semdedup(
+        corpus,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_clusters=n_clusters,
+        threshold=threshold,
+        iters=iters,
+        cache_key=cache_key,
+    )
+
+    def prep(df: DataFrame, is_batch: bool) -> DataFrame:
+        v = normalized(
+            df.select(
+                F.col(id_col).alias("vid"),
+                as_double(F.col(vec_col)).alias("vec"),
+            ),
+            "vec",
+            "nvec",
+        ).select("vid", F.col("nvec").alias("vec"))
+        best = nearest_cell_expr(cent_rows, "vec")
+        return v.select(
+            "vid",
+            best["cid"].alias("cid"),
+            "vec",
+            F.round(F.lit(1.0) - best["d2"] / F.lit(2.0), 6).alias(
+                "centroid_sim"
+            ),
+            F.lit(is_batch).alias("is_batch"),
+        )
+
+    corpus_kept = prep(corpus, False).join(
+        corpus_dec.filter(F.col("kept")).select("vid"), on="vid"
+    )
+    both = corpus_kept.unionByName(prep(batch, True))
+
+    def verdict_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        base = pdf[~pdf["is_batch"]]
+        inc = pdf[pdf["is_batch"]].sort_values(
+            ["centroid_sim", "vid"], ascending=[True, True]
+        )
+        if inc.empty:
+            return pd.DataFrame(
+                {
+                    "vid": pd.array([], dtype="int64"),
+                    "cid": pd.array([], dtype="int32"),
+                    "verdict": pd.array([], dtype=str),
+                    "witness_id": pd.array([], dtype="Int64"),
+                }
+            )
+        kept_mat = (
+            [np.asarray(x, dtype=np.float64) for x in base["vec"]]
+            if len(base)
+            else []
+        )
+        kept_ids = [int(x) for x in base["vid"]]
+        n_corpus = len(kept_ids)
+        verdicts, witnesses = [], []
+        for _, row in inc.iterrows():
+            v = np.asarray(row["vec"], dtype=np.float64)
+            verdict, wit = "new", None
+            if kept_mat:
+                sims = np.stack(kept_mat) @ v
+                # corpus precedence (same contract as the fingerprint
+                # incremental dedup): an in-corpus witness wins even when
+                # an accepted batch member is more similar
+                cj = int(np.argmax(sims[:n_corpus])) if n_corpus else -1
+                if cj >= 0 and float(sims[cj]) >= threshold:
+                    verdict, wit = "dup_of_corpus", kept_ids[cj]
+                elif len(sims) > n_corpus:
+                    bj = n_corpus + int(np.argmax(sims[n_corpus:]))
+                    if float(sims[bj]) >= threshold:
+                        verdict, wit = "dup_in_batch", kept_ids[bj]
+            if verdict == "new":
+                kept_mat.append(v)
+                kept_ids.append(int(row["vid"]))
+            verdicts.append(verdict)
+            witnesses.append(wit)
+        return pd.DataFrame(
+            {
+                "vid": inc["vid"].astype("int64").to_numpy(),
+                "cid": inc["cid"].astype("int32").to_numpy(),
+                "verdict": verdicts,
+                "witness_id": pd.array(witnesses, dtype="Int64"),
+            }
+        )
+
+    return both.groupBy("cid").applyInPandas(
+        verdict_cell, "vid long, cid int, verdict string, witness_id long"
+    )

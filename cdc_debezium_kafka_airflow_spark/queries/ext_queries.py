@@ -3626,3 +3626,164 @@ def ext_corpus_prune_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return acct.crossJoin(quota_bad).crossJoin(rank_bad)
+
+
+@q(
+    "ext_dedup_semantic_incremental",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(0 AS BIGINT) AS n_unaccounted,
+           CAST(0 AS BIGINT) AS n_bad_corpus_dup,
+           CAST(0 AS BIGINT) AS n_bad_batch_dup,
+           CAST(0 AS BIGINT) AS n_bad_new
+    FROM embeddings WHERE vec_id % 10 = 9
+    """,
+)
+def ext_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup ingestion (operators/similarity.
+    semdedup_incremental): the ~10% batch (vec_id % 10 = 9) is verdicted
+    against the frozen 90% corpus — cells trained on the corpus only, the
+    corpus's own kept set from the standard prune, batch cost ∝ batch.
+    The semantic twin of ext_dedup_incremental's fingerprint path.
+
+    Derived-invariant oracle (trained cells, like ext_dedup_semantic):
+      - n_batch: genuine cross-engine value — one verdict per batch vector.
+      - n_unaccounted: batch rows missing from or duplicated in the output.
+      - n_bad_corpus_dup: 'dup_of_corpus' rows whose witness is not a
+        corpus-KEPT cell-mate at cosine >= threshold - 1e-6.
+      - n_bad_batch_dup: 'dup_in_batch' rows whose witness is not an
+        earlier-accepted ('new') batch cell-mate at cosine >= th - 1e-6.
+      - n_bad_new: 'new' rows shadowed by a corpus-KEPT cell-mate at
+        cosine >= threshold + 1e-6 (the greedy must have caught it).
+    """
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+        as_double,
+        dot,
+        nearest_cell_expr,
+        normalized,
+        semdedup,
+        semdedup_incremental,
+        train_ivf_centroids,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        source_fingerprint,
+    )
+
+    th = 0.35
+    e = t(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 10 != 9)
+    batch = e.filter(F.col("vec_id") % 10 == 9)
+    ck = source_fingerprint(sf_dir, "embeddings") + ":inc90"
+    out = semdedup_incremental(
+        corpus, batch, n_clusters=8, threshold=th, cache_key=ck
+    ).persist()
+
+    # audit frames: normalized vectors + corpus cells/kept via the same
+    # memoized centroids the operator trained
+    cents = train_ivf_centroids(corpus, id_col="vec_id", vec_col="embedding", k=8, cache_key=ck)
+    cent_rows = [(r["centroid_id"], r["centroid"]) for r in cents.collect()]
+    v = normalized(
+        e.select(
+            F.col("vec_id").alias("vid"),
+            as_double(F.col("embedding")).alias("vec"),
+        ),
+        "vec",
+        "nvec",
+    ).select("vid", F.col("nvec").alias("vec"))
+    corpus_kept = (
+        semdedup(corpus, n_clusters=8, threshold=th, cache_key=ck)
+        .filter(F.col("kept"))
+        .select("vid", "cid")
+        .join(v, on="vid")
+        .select(
+            F.col("vid").alias("kvid"),
+            F.col("cid").alias("kcid"),
+            F.col("vec").alias("kvec"),
+        )
+    )
+
+    n_batch_total = batch.agg(F.count("*").cast("long").alias("n_batch"))
+    acct = n_batch_total.crossJoin(
+        out.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count_distinct("vid").cast("long").alias("n_vids"),
+        )
+    ).select(
+        "n_batch",
+        (
+            F.abs(F.col("n_batch") - F.col("n_rows"))
+            + (F.col("n_rows") - F.col("n_vids"))
+        ).alias("n_unaccounted"),
+    )
+
+    ov = out.join(v, on="vid")
+    bad_corpus = (
+        ov.filter(F.col("verdict") == "dup_of_corpus")
+        .join(
+            corpus_kept,
+            on=[F.col("witness_id") == F.col("kvid")],
+            how="left",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("kvid").isNull()
+                        | (F.col("kcid") != F.col("cid"))
+                        | (
+                            dot(F.col("vec"), F.col("kvec"))
+                            < F.lit(th) - F.lit(1e-6)
+                        ),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_bad_corpus_dup")
+        )
+    )
+    accepted = out.filter(F.col("verdict") == "new").select(
+        F.col("vid").alias("avid"), F.col("cid").alias("acid")
+    ).join(v.select(F.col("vid").alias("avid"), F.col("vec").alias("avec")), on="avid")
+    bad_batch = (
+        ov.filter(F.col("verdict") == "dup_in_batch")
+        .join(accepted, on=[F.col("witness_id") == F.col("avid")], how="left")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("avid").isNull()
+                        | (F.col("acid") != F.col("cid"))
+                        | (
+                            dot(F.col("vec"), F.col("avec"))
+                            < F.lit(th) - F.lit(1e-6)
+                        ),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_bad_batch_dup")
+        )
+    )
+    bad_new = (
+        ov.filter(F.col("verdict") == "new")
+        .join(corpus_kept, on=[F.col("cid") == F.col("kcid")])
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        dot(F.col("vec"), F.col("kvec"))
+                        >= F.lit(th) + F.lit(1e-6),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_bad_new")
+        )
+    )
+    return acct.crossJoin(bad_corpus).crossJoin(bad_batch).crossJoin(bad_new)

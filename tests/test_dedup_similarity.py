@@ -613,3 +613,69 @@ def test_d4_prune_drops_most_prototypical(spark, sf_dir):
     surv.sort(key=lambda r: (-r["centroid_sim"], r["vid"]))
     q = int(0.10 * len(surv))
     assert q >= 0 and len(surv) > 0
+
+
+def test_semdedup_incremental_verdicts(spark):
+    """Planted scenarios: a batch copy of a corpus-kept vector verdicts
+    dup_of_corpus; two identical batch newcomers split new/dup_in_batch;
+    an orthogonal newcomer is new. Corpus witnesses take precedence."""
+    import numpy as np
+
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+        semdedup_incremental,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 16))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    fresh = rng.normal(size=16)  # far from everything w.h.p.
+    batch_rows = [
+        (200, [float(x) for x in base[3]]),   # copy of corpus id 3
+        (201, [float(x) for x in fresh]),     # genuinely new
+        (202, [float(x) for x in fresh]),     # dup of 201 within batch
+    ]
+    batch = spark.createDataFrame(
+        batch_rows, "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vid"]: r
+        for r in semdedup_incremental(
+            corpus, batch, n_clusters=4, threshold=0.95
+        ).collect()
+    }
+    assert len(out) == 3
+    assert out[200]["verdict"] == "dup_of_corpus" and out[200]["witness_id"] == 3
+    assert out[201]["verdict"] == "new" and out[201]["witness_id"] is None
+    assert out[202]["verdict"] == "dup_in_batch" and out[202]["witness_id"] == 201
+
+
+def test_semdedup_incremental_deterministic(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+        semdedup_incremental,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 10 != 9)
+    batch = e.filter(F.col("vec_id") % 10 == 9)
+    a = sorted(
+        (r["vid"], r["verdict"], r["witness_id"])
+        for r in semdedup_incremental(
+            corpus, batch, n_clusters=8, threshold=0.35
+        ).collect()
+    )
+    b = sorted(
+        (r["vid"], r["verdict"], r["witness_id"])
+        for r in semdedup_incremental(
+            corpus.repartition(7), batch.repartition(3),
+            n_clusters=8, threshold=0.35,
+        ).collect()
+    )
+    assert a == b
+    verdicts = {v for _, v, _ in a}
+    assert "new" in verdicts and len(verdicts) >= 2  # does real work
