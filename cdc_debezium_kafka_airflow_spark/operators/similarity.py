@@ -1038,6 +1038,7 @@ def semdedup_incremental(
     threshold: float = 0.95,
     iters: int = 3,
     cache_key: str | None = None,
+    corpus_decisions: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup — the ingestion path of the semantic-dedup
     lifecycle (the embedding analog of the fingerprint-index incremental
@@ -1077,14 +1078,20 @@ def semdedup_incremental(
     )
     cent_rows = [(r["centroid_id"], r["centroid"]) for r in cents.collect()]
 
-    corpus_dec = semdedup(
-        corpus,
-        id_col=id_col,
-        vec_col=vec_col,
-        n_clusters=n_clusters,
-        threshold=threshold,
-        iters=iters,
-        cache_key=cache_key,
+    # callers that already hold the corpus decision log (e.g. to audit it)
+    # pass it in, so the corpus prune runs once per job, not per consumer
+    corpus_dec = (
+        corpus_decisions
+        if corpus_decisions is not None
+        else semdedup(
+            corpus,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_clusters=n_clusters,
+            threshold=threshold,
+            iters=iters,
+            cache_key=cache_key,
+        )
     )
 
     def prep(df: DataFrame, is_batch: bool) -> DataFrame:

@@ -3659,11 +3659,9 @@ def ext_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     from cdc_debezium_kafka_airflow_spark.operators.similarity import (
         as_double,
         dot,
-        nearest_cell_expr,
         normalized,
         semdedup,
         semdedup_incremental,
-        train_ivf_centroids,
     )
     from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
         source_fingerprint,
@@ -3674,14 +3672,16 @@ def ext_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     corpus = e.filter(F.col("vec_id") % 10 != 9)
     batch = e.filter(F.col("vec_id") % 10 == 9)
     ck = source_fingerprint(sf_dir, "embeddings") + ":inc90"
+    corpus_dec = semdedup(
+        corpus, n_clusters=8, threshold=th, cache_key=ck
+    ).persist()
     out = semdedup_incremental(
-        corpus, batch, n_clusters=8, threshold=th, cache_key=ck
+        corpus, batch, n_clusters=8, threshold=th, cache_key=ck,
+        corpus_decisions=corpus_dec,
     ).persist()
 
-    # audit frames: normalized vectors + corpus cells/kept via the same
-    # memoized centroids the operator trained
-    cents = train_ivf_centroids(corpus, id_col="vec_id", vec_col="embedding", k=8, cache_key=ck)
-    cent_rows = [(r["centroid_id"], r["centroid"]) for r in cents.collect()]
+    # audit frames: normalized vectors; corpus cells/kept come from the
+    # shared decision log (one prune per job)
     v = normalized(
         e.select(
             F.col("vec_id").alias("vid"),
@@ -3691,7 +3691,7 @@ def ext_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         "nvec",
     ).select("vid", F.col("nvec").alias("vec"))
     corpus_kept = (
-        semdedup(corpus, n_clusters=8, threshold=th, cache_key=ck)
+        corpus_dec
         .filter(F.col("kept"))
         .select("vid", "cid")
         .join(v, on="vid")
