@@ -237,7 +237,11 @@ def ent_resolution_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_entities"))
         .select(
             "p_name",
-            F.element_at(F.split("p_name", " "), 2).alias("block_key"),
+            # coalesce to '' so a one-word name matches DuckDB split_part
+            # semantics ('' key) instead of a never-joining NULL key
+            F.coalesce(
+                F.element_at(F.split("p_name", " "), 2), F.lit("")
+            ).alias("block_key"),
             "n_entities",
         )
     )

@@ -676,7 +676,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization finalized by EVENT-TIME TIMEOUT (GroupStateTimeout.
     EventTimeTimeout) — completes the arbitrary-state API matrix beyond the
-    NoTimeout stateful jobs. Six chronological replay batches advance the
+    NoTimeout stateful jobs. Four chronological replay batches advance the
     watermark so timeouts genuinely fire; a session emits on in-data close
     (next event beyond the 12 h gap — the batch sessionize_events twin's
     gap, so the two cross-validate) or on timeout (watermark passed

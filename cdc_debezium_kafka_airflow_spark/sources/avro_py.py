@@ -110,19 +110,25 @@ def _micros_to_ts(us: int) -> _dt.datetime:
 
 
 def _leaf_type(field_schema):
-    """(type_name, nullable) for a primitive or ["null", primitive] union."""
+    """(type_name, null_branch) for a primitive or two-branch null union.
+
+    ``null_branch`` is ``None`` for a non-nullable field, else the union
+    index of the ``"null"`` branch (0 for ``["null", T]``, 1 for
+    ``[T, "null"]``) — the record codec must use the actual index, since
+    externally produced files are free to order the branches either way.
+    """
     fs = field_schema
-    nullable = False
+    null_branch = None
     if isinstance(fs, list):
-        if len(fs) != 2 or "null" not in fs[:1] + fs[1:]:
+        if len(fs) != 2 or "null" not in fs:
             raise ValueError(f"unsupported union: {fs}")
-        nullable = True
-        fs = fs[1] if fs[0] == "null" else fs[0]
+        null_branch = fs.index("null")
+        fs = fs[1 - null_branch]
     if isinstance(fs, dict):
         if fs.get("logicalType") == "timestamp-micros":
-            return "timestamp-micros", nullable
+            return "timestamp-micros", null_branch
         fs = fs["type"]
-    return fs, nullable
+    return fs, null_branch
 
 
 def encode_value(type_name: str, v) -> bytes:
@@ -168,12 +174,12 @@ def decode_value(type_name: str, buf: io.BufferedIOBase):
 def encode_record(schema: dict, values) -> bytes:
     out = bytearray()
     for field, v in zip(schema["fields"], values):
-        tname, nullable = _leaf_type(field["type"])
-        if nullable:
+        tname, null_branch = _leaf_type(field["type"])
+        if null_branch is not None:
             if v is None:
-                out += encode_long(0)  # union branch 0 = null
+                out += encode_long(null_branch)
                 continue
-            out += encode_long(1)  # union branch 1 = value
+            out += encode_long(1 - null_branch)
         elif v is None:
             raise ValueError(f"null in non-nullable field {field['name']}")
         out += encode_value(tname, v)
@@ -183,9 +189,9 @@ def encode_record(schema: dict, values) -> bytes:
 def decode_record(schema: dict, buf: io.BufferedIOBase) -> tuple:
     vals = []
     for field in schema["fields"]:
-        tname, nullable = _leaf_type(field["type"])
-        if nullable:
-            if decode_long(buf) == 0:
+        tname, null_branch = _leaf_type(field["type"])
+        if null_branch is not None:
+            if decode_long(buf) == null_branch:
                 vals.append(None)
                 continue
         vals.append(decode_value(tname, buf))

@@ -1906,12 +1906,12 @@ def stream_stream_semi_anti_join(
 def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arbitrary-state sessionization finalized by EVENT-TIME TIMEOUT — the
     one GroupStateTimeout mode the other stateful jobs don't exercise
-    (they run NoTimeout). Per-user sessions (1-hour inactivity gap) are
+    (they run NoTimeout). Per-user sessions (12-hour inactivity gap) are
     built in ``applyInPandasWithState``; a session emits when EITHER the
     user's next event arrives beyond the gap (in-data close) OR the state
     times out because the event-time watermark passed last_ts + gap
     (timeout close — how a production sessionizer emits a user who simply
-    left). The replay is six chronological 5-day files, one per
+    left). The replay is four chronological ~8-day files, one per
     micro-batch, so watermarks genuinely advance BETWEEN batches and the
     timeout path actually fires; Spark's trailing no-data micro-batch
     (noDataMicroBatches, on by default) flushes the last timeouts.
@@ -2006,7 +2006,10 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 last_us, n = t_us, n + 1
         state.update((start_us, last_us, n))
-        state.setTimeoutTimestamp(last_us // 1000 + GAP_MS)
+        # ceil to ms: a floored timeout could fire <1ms before the exact
+        # microsecond cut the oracle uses (session_last + gap), flipping a
+        # boundary session between engines
+        state.setTimeoutTimestamp((last_us + 999) // 1000 + GAP_MS)
         if out:
             yield pd.DataFrame(
                 out, columns=["user_id", "start_us", "last_us", "n_events"]

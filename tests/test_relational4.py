@@ -349,6 +349,35 @@ def test_avro_codec_spec_examples_and_roundtrip(tmp_path):
     assert av.container_schema(p)["name"] == "event"
 
 
+def test_avro_reversed_union_branch_order(tmp_path):
+    """Externally produced files may declare null unions as [T, "null"];
+    the codec must use the ACTUAL null-branch index, not assume 0 (the
+    round-4 advisor finding): a value is then union branch 0 and null is
+    branch 1, and misreading that desyncs the whole stream."""
+    import io
+
+    from cdc_debezium_kafka_airflow_spark.sources import avro_py as av
+
+    schema = {
+        "type": "record",
+        "name": "ext",
+        "fields": [
+            {"name": "k", "type": "long"},
+            {"name": "v", "type": ["string", "null"]},  # reversed order
+        ],
+    }
+    rows = [(1, "a"), (2, None), (3, "c")]
+    p = str(tmp_path / "ext.avro")
+    assert av.write_container(p, schema, iter(rows), b"R" * 16) == 3
+    assert [tup for _, tup in av.read_container(p)] == rows
+    # wire check: value payload is union branch 0 (zigzag 0x00), null is
+    # branch 1 (zigzag 0x02)
+    assert av.encode_record(schema, (1, "a")) == bytes.fromhex("02 00 02 61".replace(" ", ""))
+    assert av.encode_record(schema, (2, None)) == bytes.fromhex("04 02")
+    buf = io.BytesIO(av.encode_record(schema, (3, "c")))
+    assert av.decode_record(schema, buf) == (3, "c") and not buf.read()
+
+
 def test_avro_corrupted_sync_marker_detected(tmp_path):
     import datetime
 
