@@ -543,6 +543,7 @@ def semantic_dedup(
     cell_col: str = "label",
     vec_col: str = "embedding",
     threshold: float = 0.35,
+    max_cell_size: int = 4096,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: within each cluster cell, a
     document is a semantic duplicate if some LOWER-id cell-mate's embedding
@@ -554,14 +555,28 @@ def semantic_dedup(
     already computes (streaming/jobs.streaming_index_append assigns it and
     partitions the store by it), which is exactly the SemDeDup recipe:
     k-means first, exact pairwise only WITHIN a cell. The pairwise step runs
-    as one BLAS matmul per cell inside applyInPandas (Arrow-batched; a cell
-    is bounded by construction — k is chosen so cells fit one task), so the
-    shuffle moves each vector once, keyed by cell, and nothing quadratic
-    crosses the wire. Cosines are rounded to 6 decimals before the
-    threshold compare (the repo's cross-engine float convention —
-    ext_embedding_near_dup does the same)."""
+    as one BLAS matmul per cell inside applyInPandas (Arrow-batched), so
+    the shuffle moves each vector once, keyed by cell, and nothing
+    quadratic crosses the wire. Cosines are rounded to 6 decimals before
+    the threshold compare (the repo's cross-engine float convention —
+    ext_embedding_near_dup does the same).
+
+    Skew bound: a cell the upstream assignment leaves over
+    ``max_cell_size`` is recursively sub-clustered in-task
+    (similarity._split_over_cap, deterministic local spherical k-means in
+    the cell's vec_id order), the lowest-id rule then applies PER FINAL
+    BLOCK, and the emitted ``cell`` is the final block id (upstream cell
+    id when unsplit; negative path encoding when split) — the same
+    worst-cell bound, id scheme, and accepted cross-block approximation
+    as similarity.semdedup. The matmul runs per final block (block x
+    block, never c x c), so per-cell compute and peak memory are
+    O(c * cap) and O(cap^2)."""
     import numpy as np
     import pandas as pd
+
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+        _split_over_cap,
+    )
 
     def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("vec_id").reset_index(drop=True)
@@ -569,18 +584,34 @@ def semantic_dedup(
             [np.asarray(x, dtype=np.float64) for x in pdf["vec"]],
         )
         v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-        sims = np.round(v @ v.T, 6)
         n = len(pdf)
         ids = pdf["vec_id"].to_numpy()
+        block = np.empty(n, dtype=np.int64)
+        if max_cell_size and n > max_cell_size:
+            _split_over_cap(
+                v,
+                np.arange(n),
+                max_cell_size,
+                int(pdf["cell"].iloc[0]) + 1,
+                0,
+                block,
+            )
+        else:
+            block[:] = int(pdf["cell"].iloc[0]) if n else 0
         dup_of = np.full(n, -1, dtype=np.int64)
-        for i in range(1, n):
-            hits = np.nonzero(sims[i, :i] >= threshold)[0]
-            if hits.size:
-                dup_of[i] = ids[hits[0]]  # lowest id: rows sorted by vec_id
+        for b in np.unique(block):
+            idx = np.nonzero(block == b)[0]  # ascending -> vec_id order
+            vb = v[idx]
+            sims = np.round(vb @ vb.T, 6)
+            for i in range(1, len(idx)):
+                hits = np.nonzero(sims[i, :i] >= threshold)[0]
+                if hits.size:
+                    # lowest id: rows sorted by vec_id
+                    dup_of[idx[i]] = ids[idx[hits[0]]]
         return pd.DataFrame(
             {
                 "vec_id": ids,
-                "cell": pdf["cell"],
+                "cell": block,
                 "kept": dup_of < 0,
                 "dup_of": pd.array(
                     [None if d < 0 else int(d) for d in dup_of],
@@ -595,7 +626,7 @@ def semantic_dedup(
         F.col(vec_col).cast("array<double>").alias("vec"),
     )
     return prepped.groupBy("cell").applyInPandas(
-        dedup_cell, "vec_id long, cell int, kept boolean, dup_of long"
+        dedup_cell, "vec_id long, cell long, kept boolean, dup_of long"
     )
 
 

@@ -905,6 +905,83 @@ def ivf_pq_topk(
     return _exact_rerank(_topk_by_adc(scored, rerank), q, c, k)
 
 
+#: sub-block id encoding base for over-cap cell splits: each recursion
+#: level multiplies the parent block id by _SUB_BASE, so ids stay unique
+#: and deterministic without any cross-task coordination. With int64 ids,
+#: depth 5 x 127-way splits supports ~2.7e8 top-level clusters.
+_SUB_BASE = 128
+_SUB_MAX_DEPTH = 5
+
+
+def _split_over_cap(mat, order_idx, cap: int, path: int, depth: int, out):
+    """Recursively sub-cluster an over-cap cell (numpy-local, deterministic).
+
+    ``mat`` is the cell's (c, dim) unit-row matrix; ``order_idx`` the row
+    indices of this block in the cell's canonical (centroid_sim, vid) visit
+    order. Splits use spherical k-means seeded by greedy farthest-point
+    from the first row IN THAT ORDER — a pure function of the cell's
+    contents, independent of physical partitioning. Recursion continues
+    until every final block holds <= cap rows; at _SUB_MAX_DEPTH the
+    remainder is chunked in visit order (a guaranteed-cap terminal the
+    k-means objective can't defeat).
+
+    Block ids: ``path`` starts at cid+1 and appends one base-128 digit in
+    [1, 127] per level; a LEAF writes ``-path`` into ``out``. Negation
+    keeps split ids disjoint from unsplit cells (which keep their
+    non-negative centroid id), and all-nonzero digits make variable-depth
+    paths injective — no two leaves, in any cells, can collide.
+    """
+    import numpy as np
+
+    c = len(order_idx)
+    if c <= cap:
+        out[order_idx] = -path
+        return
+    if depth >= _SUB_MAX_DEPTH:
+        n_chunks = -(-c // cap)
+        if n_chunks >= _SUB_BASE:
+            raise ValueError(
+                f"cell of {c} rows cannot be cap-chunked at depth "
+                f"{depth} (would need {n_chunks} >= {_SUB_BASE} chunks)"
+            )
+        for j in range(c):
+            out[order_idx[j]] = -(path * _SUB_BASE + 1 + j // cap)
+        return
+    nb = min(-(-c // cap), _SUB_BASE - 1)
+    sub = mat[order_idx]
+    # greedy farthest-point seeding from the canonical first row
+    seeds = [0]
+    best = sub @ sub[0]
+    for _ in range(1, nb):
+        cand = int(np.argmin(best))  # least similar to any chosen seed
+        seeds.append(cand)
+        best = np.maximum(best, sub @ sub[cand])
+    cent = sub[seeds].copy()
+    for _ in range(3):
+        sims = sub @ cent.T  # (c, nb)
+        assign = np.argmax(sims, axis=1)  # ties -> lowest sub id
+        for s in range(nb):
+            members = sub[assign == s]
+            if len(members):
+                m = members.sum(axis=0)
+                nrm = float(np.linalg.norm(m))
+                if nrm > 0.0:
+                    cent[s] = m / nrm
+    sims = sub @ cent.T
+    assign = np.argmax(sims, axis=1)
+    for s in range(nb):
+        mask = assign == s
+        if mask.any():
+            _split_over_cap(
+                mat,
+                order_idx[mask],
+                cap,
+                path * _SUB_BASE + 1 + s,
+                depth + 1,
+                out,
+            )
+
+
 def semdedup(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -913,6 +990,7 @@ def semdedup(
     threshold: float = 0.95,
     iters: int = 3,
     cache_key: str | None = None,
+    max_cell_size: int = 4096,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication by embedding — cluster the corpus with spherical k-means,
@@ -931,9 +1009,24 @@ def semdedup(
     centroids inlined as expression literals (map-only cell assignment +
     centroid similarity, no broadcast exchange — nearest_cell_expr), then
     ONE shuffle on cluster id into an Arrow-batched ``applyInPandas``
-    greedy prune whose per-group cost is a numpy matvec per member. Skewed clusters are the
-    risk at 100 TB: cap them by raising k or sub-splitting hot cells (same
-    remedy as IVF cell skew, SCALE.md).
+    greedy prune whose per-group cost is a numpy matvec per member.
+
+    Skew bound (the worst cell, not the average): ``max_cell_size`` is a
+    HARD cap on the greedy's compare set. A cell k-means leaves over the
+    cap — real web-scale embeddings produce skewed clusters — is
+    recursively sub-clustered in-task by deterministic local spherical
+    k-means (``_split_over_cap``) until every final block holds <= cap
+    rows, so per-member work is O(cap) matvec and the cell's total
+    quadratic term is O(c * cap), never O(c^2). The emitted ``cid`` is
+    the FINAL block id (original centroid id when unsplit; NEGATIVE
+    path-encoded base-128 sub-block id when split — sign-disjoint from
+    unsplit cells, injective across depths), which keeps every per-cell
+    invariant — witness in same cid, no kept near-pair within cid —
+    exact by construction. Near-pairs that straddle sub-blocks can
+    survive; that is the SemDeDup paper's own accepted approximation for
+    bounding cluster cost (arXiv:2303.09540 uses fixed k for the same
+    reason), and the trade is auditable in the log (block ids reveal the
+    split).
 
     Determinism: centroids are the fingerprint-memoized, 6dp-rounded output
     of ``train_ivf_centroids`` (bit-stable across runs/partitionings),
@@ -997,11 +1090,25 @@ def semdedup(
         pdf = pdf.sort_values(
             ["centroid_sim", "vid"], ascending=[True, True]
         ).reset_index(drop=True)
+        n = len(pdf)
         mat = np.stack(pdf["vec"].to_numpy())  # (c, dim) unit rows
-        kept_rows: list[int] = []
-        kept_flags = np.zeros(len(pdf), dtype=bool)
-        witness = np.full(len(pdf), -1, dtype=np.int64)
-        for i in range(len(pdf)):
+        block = np.empty(n, dtype=np.int64)
+        if max_cell_size and n > max_cell_size:
+            _split_over_cap(
+                mat,
+                np.arange(n),
+                max_cell_size,
+                int(pdf["cid"].iloc[0]) + 1,
+                0,
+                block,
+            )
+        else:
+            block[:] = int(pdf["cid"].iloc[0]) if n else 0
+        kept_by_block: dict[int, list[int]] = {}
+        kept_flags = np.zeros(n, dtype=bool)
+        witness = np.full(n, -1, dtype=np.int64)
+        for i in range(n):
+            kept_rows = kept_by_block.setdefault(int(block[i]), [])
             if kept_rows:
                 sims = np.asarray(mat[kept_rows] @ mat[i])
                 j = int(np.argmax(sims))
@@ -1015,7 +1122,7 @@ def semdedup(
         return pd.DataFrame(
             {
                 "vid": pdf["vid"].astype("int64"),
-                "cid": pdf["cid"].astype("int32"),
+                "cid": block,
                 "centroid_sim": pdf["centroid_sim"].astype("float64"),
                 "kept": kept_flags,
                 "witness_id": wit,
@@ -1024,7 +1131,7 @@ def semdedup(
 
     return withsim.groupBy("cid").applyInPandas(
         prune,
-        "vid long, cid int, centroid_sim double, kept boolean, "
+        "vid long, cid long, centroid_sim double, kept boolean, "
         "witness_id long",
     )
 
@@ -1135,31 +1242,38 @@ def semdedup_incremental(
                     "witness_id": pd.array([], dtype="Int64"),
                 }
             )
-        kept_mat = (
-            [np.asarray(x, dtype=np.float64) for x in base["vec"]]
-            if len(base)
-            else []
-        )
         kept_ids = [int(x) for x in base["vid"]]
         n_corpus = len(kept_ids)
+        dim = len(inc["vec"].iloc[0])
+        # one growing (capacity-doubled) matrix: corpus-kept rows first,
+        # then accepted batch rows — each batch member costs exactly ONE
+        # matvec over the live prefix, never a restack of the whole cell
+        cap = max(16, n_corpus + len(inc))
+        mat = np.empty((cap, dim), dtype=np.float64)
+        for i, x in enumerate(base["vec"]):
+            mat[i] = x
+        size = n_corpus
         verdicts, witnesses = [], []
         for _, row in inc.iterrows():
             v = np.asarray(row["vec"], dtype=np.float64)
             verdict, wit = "new", None
-            if kept_mat:
-                sims = np.stack(kept_mat) @ v
+            if size:
+                sims = mat[:size] @ v
                 # corpus precedence (same contract as the fingerprint
                 # incremental dedup): an in-corpus witness wins even when
                 # an accepted batch member is more similar
                 cj = int(np.argmax(sims[:n_corpus])) if n_corpus else -1
                 if cj >= 0 and float(sims[cj]) >= threshold:
                     verdict, wit = "dup_of_corpus", kept_ids[cj]
-                elif len(sims) > n_corpus:
+                elif size > n_corpus:
                     bj = n_corpus + int(np.argmax(sims[n_corpus:]))
                     if float(sims[bj]) >= threshold:
                         verdict, wit = "dup_in_batch", kept_ids[bj]
             if verdict == "new":
-                kept_mat.append(v)
+                if size == len(mat):
+                    mat = np.concatenate([mat, np.empty_like(mat)])
+                mat[size] = v
+                size += 1
                 kept_ids.append(int(row["vid"]))
             verdicts.append(verdict)
             witnesses.append(wit)

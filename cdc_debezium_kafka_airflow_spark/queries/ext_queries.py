@@ -1448,7 +1448,7 @@ def ext_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
        AND round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.35
       GROUP BY a.vec_id
     )
-    SELECT e.vec_id, CAST(e.label AS INT) AS cell,
+    SELECT e.vec_id, CAST(e.label AS BIGINT) AS cell,
            d.dup_of IS NULL AS kept, d.dup_of
     FROM embeddings e LEFT JOIN d ON e.vec_id = d.vec_id
     """,

@@ -138,6 +138,44 @@ def test_shuffle_shards_partition_independent(spark):
     assert run(1) == run(13)
 
 
+def test_semantic_dedup_mega_cell_cap(spark):
+    """A cell over ``max_cell_size`` is sub-split in-task: every final
+    block (the emitted cell id) holds <= cap rows, split ids are negative
+    path encodings, exact planted duplicates still collapse, dup_of stays
+    a lower-id SAME-BLOCK member, and the verdict is layout-independent."""
+    import random
+
+    from cdc_debezium_kafka_airflow_spark.operators.dedup import semantic_dedup
+
+    rng = random.Random(5)
+    rows = []
+    for vid in range(300):  # all in ONE upstream cell
+        vec = [round(rng.uniform(-1, 1), 3) for _ in range(8)]
+        rows.append((vid, vec, 2))
+    rows.append((900, rows[4][1], 2))  # exact dup of vid 4
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    cap = 48
+    out = semantic_dedup(df, threshold=0.999, max_cell_size=cap).collect()
+    by_id = {r.vec_id: r for r in out}
+    assert len(out) == len(rows)
+    sizes: dict[int, int] = {}
+    for r in out:
+        sizes[r.cell] = sizes.get(r.cell, 0) + 1
+    assert max(sizes.values()) <= cap and min(sizes) < 0
+    # identical vectors share every split path -> the planted dup dies
+    assert by_id[900].cell == by_id[4].cell
+    assert not by_id[900].kept and by_id[900].dup_of == 4
+    for r in out:
+        if not r.kept:
+            assert r.dup_of < r.vec_id and by_id[r.dup_of].cell == r.cell
+    again = semantic_dedup(
+        df.repartition(9), threshold=0.999, max_cell_size=cap
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
 def test_semantic_dedup_cell_permutation_invariant(spark):
     """Property: the kept set must not depend on how rows are partitioned
     or ordered on arrival — only on (id, cell, vector)."""

@@ -523,6 +523,80 @@ def test_semdedup_keeps_far_from_centroid_member(spark):
     assert a["kept"] and not b["kept"] and b["witness_id"] == 2
 
 
+def test_semdedup_mega_cell_cap_bounds_block_size(spark):
+    """Planted mega-cluster: one tight direction swallows (almost) the whole
+    corpus, so k-means produces a cell far over ``max_cell_size``. The cap
+    must (a) bound every FINAL block (the emitted cid) to <= cap rows — the
+    per-task quadratic term becomes O(c*cap), no straggler — while (b) all
+    decision-log invariants stay exact per final block: accounting, witness
+    kept+same-cid+over-threshold, no kept near-pair within a cid, planted
+    exact dups still collapse (identical vectors share every sub-split
+    path), and (c) the outcome is deterministic across physical layout."""
+    import numpy as np
+
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(23)
+    hub = rng.normal(size=16)
+    hub /= np.linalg.norm(hub)
+    rows = []
+    for i in range(400):  # one mega-cluster: hub + small noise
+        v = hub + 0.05 * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    # planted exact dups inside the mega-cluster
+    for j, src in ((1000, 3), (1001, 3), (1002, 7)):
+        rows.append((j, rows[src][1]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cap = 32
+    dec = semdedup(
+        df, n_clusters=4, threshold=0.999, max_cell_size=cap
+    ).collect()
+    by_vid = {r["vid"]: r for r in dec}
+    assert len(by_vid) == len(rows)  # accounting
+    sizes: dict[int, int] = {}
+    for r in dec:
+        sizes[r["cid"]] = sizes.get(r["cid"], 0) + 1
+    assert max(sizes.values()) <= cap  # the hard bound
+    assert len(sizes) > len(rows) // cap - 1  # the split really happened
+    # split block ids are NEGATIVE path encodings, sign-disjoint from the
+    # unsplit centroid-id range
+    assert min(sizes) < 0
+    for r in dec:  # witness validity per final block
+        if not r["kept"]:
+            w = by_vid[r["witness_id"]]
+            assert w["kept"] and w["cid"] == r["cid"]
+    # planted exact dups: identical vectors follow the same split path, so
+    # each planted group still collapses to one survivor
+    for pair in ((3, 1000, 1001), (7, 1002)):
+        grp = [by_vid[i] for i in pair]
+        assert len({r["cid"] for r in grp}) == 1
+        assert sum(r["kept"] for r in grp) == 1
+    # no kept near-pair within any final block (the greedy's guarantee)
+    vecs = {i: np.array(v) / np.linalg.norm(v) for i, v in rows}
+    kept_by_cid: dict[int, list[int]] = {}
+    for r in dec:
+        if r["kept"]:
+            kept_by_cid.setdefault(r["cid"], []).append(r["vid"])
+    for members in kept_by_cid.values():
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                assert (
+                    float(vecs[members[x]] @ vecs[members[y]])
+                    < 0.999 + 1e-9
+                )
+    # determinism across partitioning
+    again = sorted(
+        (r["vid"], r["cid"], r["kept"], r["witness_id"])
+        for r in semdedup(
+            df.repartition(7), n_clusters=4, threshold=0.999,
+            max_cell_size=cap,
+        ).collect()
+    )
+    assert again == sorted(
+        (r["vid"], r["cid"], r["kept"], r["witness_id"]) for r in dec
+    )
+
+
 def test_semdedup_deterministic_across_partitioning(spark, sf_dir):
     from cdc_debezium_kafka_airflow_spark.operators.similarity import semdedup
     from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
