@@ -378,6 +378,94 @@ def nearest_cell_expr(
     return F.array_min(F.array(*candidates))
 
 
+#: dispatch threshold for nearest-cell assignment: below this the trained
+#: centroids are inlined as expression literals (map-only argmin, no
+#: exchange — measured fastest for micro-batch assignment against a small
+#: index); above it the literal expression tree itself becomes the
+#: bottleneck (it grows linearly in k, and Catalyst re-analyzes it per
+#: plan), so a broadcast join + min_by takes over.
+NEAREST_CELL_LITERAL_MAX = 256
+
+
+def nearest_cell_assigner(
+    centroid_rows: list[tuple[int, list[float]]],
+    vec_col: str = "nvec",
+    id_col: str = "vid",
+    cid_col: str = "cid",
+    d2_col: str = "d2",
+    literal_max: int | None = None,
+):
+    """ONE entry point for nearest-centroid assignment with k-threshold
+    dispatch (round-4 advisory: callers must not be able to pick the wrong
+    shape by hand). Returns ``assign(df) -> df`` that appends ``cid_col``
+    (winning centroid id, ties -> lowest id) and ``d2_col`` (its squared
+    euclidean distance; for unit vectors cosine = 1 - d2/2), preserving
+    every input column.
+
+    - k <= ``NEAREST_CELL_LITERAL_MAX``: the centroids are inlined as
+      array literals and the argmin is a row-local expression
+      (``nearest_cell_expr``) — MAP-ONLY, built once here and reused as a
+      plan fragment across every DataFrame the closure is applied to
+      (e.g. each streaming micro-batch).
+    - k above the threshold: broadcast join against a centroid DataFrame
+      + ``min_by`` keyed on ``id_col`` — ONE shuffle, payload packed
+      inside the min_by struct so no second join re-attaches the input
+      columns. The two shapes are equivalence-pinned
+      (tests/test_dedup_similarity.py) including the tie-break.
+
+    ``vec_col`` must be unit-normalized (assignment in normalized space,
+    see ``train_ivf_centroids``); ``id_col`` must be row-unique (it is the
+    min_by group key on the join path).
+    """
+    lmax = NEAREST_CELL_LITERAL_MAX if literal_max is None else literal_max
+    if len(centroid_rows) <= lmax:
+        best = nearest_cell_expr(centroid_rows, vec_col)
+
+        def assign(df: DataFrame) -> DataFrame:
+            return df.select(
+                "*",
+                best["cid"].alias(cid_col),
+                best["d2"].alias(d2_col),
+            )
+
+        return assign
+
+    rows = [
+        (int(cid), [float(x) for x in cvec]) for cid, cvec in centroid_rows
+    ]
+
+    def assign(df: DataFrame) -> DataFrame:
+        cdf = df.sparkSession.createDataFrame(
+            rows, "__nc_cid int, __nc_vec array<double>"
+        )
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.col("__nc_vec"),
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        j = df.join(F.broadcast(cdf)).withColumn("__nc_d2", d2)
+        payload = F.struct(
+            *[F.col(c) for c in df.columns],
+            F.col("__nc_cid").alias(cid_col),
+            F.col("__nc_d2").alias(d2_col),
+        )
+        return (
+            j.groupBy(F.col(id_col).alias("__nc_gid"))
+            .agg(
+                F.min_by(
+                    payload, F.struct(F.col("__nc_d2"), F.col("__nc_cid"))
+                ).alias("__nc_b")
+            )
+            .select("__nc_b.*")
+        )
+
+    return assign
+
+
 def ivf_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 10, n_centroids: int = 8,
     n_probe: int = 2, cache_key: str | None = None,
@@ -1074,12 +1162,14 @@ def semdedup(
         "vec",
         "nvec",
     ).select("vid", F.col("nvec").alias("vec"))
-    best = nearest_cell_expr(cent_rows, "vec")
-    withsim = v.select(
+    assign = nearest_cell_assigner(
+        cent_rows, vec_col="vec", id_col="vid", cid_col="cid", d2_col="__d2"
+    )
+    withsim = assign(v).select(
         "vid",
-        best["cid"].alias("cid"),
+        "cid",
         "vec",
-        F.round(F.lit(1.0) - best["d2"] / F.lit(2.0), 6).alias(
+        F.round(F.lit(1.0) - F.col("__d2") / F.lit(2.0), 6).alias(
             "centroid_sim"
         ),
     )
@@ -1201,6 +1291,10 @@ def semdedup_incremental(
         )
     )
 
+    assign = nearest_cell_assigner(
+        cent_rows, vec_col="vec", id_col="vid", cid_col="cid", d2_col="__d2"
+    )
+
     def prep(df: DataFrame, is_batch: bool) -> DataFrame:
         v = normalized(
             df.select(
@@ -1210,12 +1304,11 @@ def semdedup_incremental(
             "vec",
             "nvec",
         ).select("vid", F.col("nvec").alias("vec"))
-        best = nearest_cell_expr(cent_rows, "vec")
-        return v.select(
+        return assign(v).select(
             "vid",
-            best["cid"].alias("cid"),
+            "cid",
             "vec",
-            F.round(F.lit(1.0) - best["d2"] / F.lit(2.0), 6).alias(
+            F.round(F.lit(1.0) - F.col("__d2") / F.lit(2.0), 6).alias(
                 "centroid_sim"
             ),
             F.lit(is_batch).alias("is_batch"),

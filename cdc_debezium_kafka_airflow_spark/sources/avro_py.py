@@ -36,9 +36,9 @@ import zlib
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
+    DataSourceStreamArrowWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -247,6 +247,265 @@ def write_container(
     return n
 
 
+# ---------------------------------------------------------------------------
+# vectorized (Arrow-batch) encoder — byte-identical to the row codec
+# ---------------------------------------------------------------------------
+
+
+def _varint_flat(vals):
+    """Vectorized zigzag-varint encode of an int64 array.
+
+    Returns ``(flat, lens)``: ``flat`` is one uint8 array holding every
+    row's varint back to back in row order, ``lens`` the per-row byte
+    counts — the segment shape the ragged scatter in
+    ``_encode_rows_arrow`` assembles from. No per-row Python: the 7-bit
+    groups are built as an (n, 10) matrix and masked flat.
+    """
+    import numpy as np
+
+    v = np.ascontiguousarray(vals, dtype=np.int64)
+    n = len(v)
+    z = (v.astype(np.uint64) << np.uint64(1)) ^ (
+        v >> np.int64(63)
+    ).astype(np.uint64)
+    lens = np.ones(n, dtype=np.int64)
+    t = z >> np.uint64(7)
+    while t.any():
+        lens += (t != 0).astype(np.int64)
+        t >>= np.uint64(7)
+    m = np.empty((n, 10), dtype=np.uint8)
+    cur = z.copy()
+    for i in range(10):
+        m[:, i] = (cur & np.uint64(0x7F)).astype(np.uint8)
+        cur >>= np.uint64(7)
+    cols = np.arange(10, dtype=np.int64)[None, :]
+    m |= (cols < (lens - 1)[:, None]).astype(np.uint8) << 7
+    flat = m[cols < lens[:, None]]
+    return flat, lens
+
+
+def _prim_np(arr, np_dtype):
+    """Values buffer of a primitive Arrow array as numpy (slice-aware)."""
+    import numpy as np
+
+    return np.frombuffer(
+        arr.buffers()[1], dtype=np_dtype, count=arr.offset + len(arr)
+    )[arr.offset :]
+
+
+def _bool_np(arr):
+    """Bit-packed Arrow boolean array as a uint8 0/1 numpy array."""
+    import numpy as np
+
+    bits = np.unpackbits(
+        np.frombuffer(arr.buffers()[1], dtype=np.uint8), bitorder="little"
+    )
+    return bits[arr.offset : arr.offset + len(arr)]
+
+
+def _null_mask(arr):
+    import numpy as np
+
+    if arr.null_count == 0:
+        return np.zeros(len(arr), dtype=bool)
+    return arr.is_null().to_numpy(zero_copy_only=False)
+
+
+def _string_flat(arr):
+    """(flat data bytes, per-row byte lens) of an Arrow string/binary
+    array, honoring slice offsets; null rows contribute 0 bytes."""
+    import numpy as np
+    import pyarrow as pa
+
+    off_dtype = (
+        np.int64
+        if (
+            pa.types.is_large_string(arr.type)
+            or pa.types.is_large_binary(arr.type)
+        )
+        else np.int32
+    )
+    offsets = np.frombuffer(
+        arr.buffers()[1],
+        dtype=off_dtype,
+        count=arr.offset + len(arr) + 1,
+    )[arr.offset :].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2] or b"", dtype=np.uint8)
+    lens = np.diff(offsets)
+    null = _null_mask(arr)
+    if null.any():
+        lens = np.where(null, 0, lens)
+    if int(lens.sum()) == int(offsets[-1] - offsets[0]) and (
+        not null.any()
+    ):
+        flat = data[offsets[0] : offsets[-1]]
+    else:
+        # gather only the live extents (null slots may carry garbage)
+        starts = offsets[:-1]
+        cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        idx = np.repeat(starts - cum, lens) + np.arange(int(lens.sum()))
+        flat = data[idx]
+    return flat, lens
+
+
+def _field_segments(field_schema, col):
+    """Encode one Arrow column into a list of (flat, lens) segments whose
+    row-order concatenation is exactly the row codec's field encoding."""
+    import numpy as np
+
+    tname, null_branch = _leaf_type(field_schema)
+    n = len(col)
+    segs: list = []
+    null = _null_mask(col)
+    if null_branch is not None:
+        # single-byte zigzag union branch index per row
+        branch = np.where(
+            null, np.uint8(2 * null_branch), np.uint8(2 * (1 - null_branch))
+        ).astype(np.uint8)
+        segs.append((branch, np.ones(n, dtype=np.int64)))
+    elif null.any():
+        raise ValueError(
+            f"null in non-nullable field (arrow column {col.type})"
+        )
+
+    def mask_out(flat, lens):
+        """Zero out null rows: drop their bytes from flat, set len 0."""
+        if not null.any():
+            return flat, lens
+        keep = np.repeat(~null, lens)
+        return flat[keep], np.where(null, 0, lens)
+
+    if tname in ("long", "int", "timestamp-micros"):
+        import pyarrow as pa
+
+        vals = col
+        if tname == "timestamp-micros" or col.type != pa.int64():
+            if tname == "int":
+                vals = col.cast(pa.int32())
+                raw = _prim_np(vals, np.int32).astype(np.int64)
+            else:
+                vals = col.cast(pa.int64())
+                raw = _prim_np(vals, np.int64)
+        else:
+            raw = _prim_np(vals, np.int64)
+        if null.any():
+            raw = np.where(null, 0, raw)  # placeholder, masked below
+        segs.append(mask_out(*_varint_flat(raw)))
+    elif tname == "double":
+        raw = _prim_np(col, "<f8")
+        flat = np.frombuffer(
+            np.ascontiguousarray(raw).tobytes(), dtype=np.uint8
+        )
+        segs.append(mask_out(flat, np.full(n, 8, dtype=np.int64)))
+    elif tname == "float":
+        raw = _prim_np(col, "<f4")
+        flat = np.frombuffer(
+            np.ascontiguousarray(raw).tobytes(), dtype=np.uint8
+        )
+        segs.append(mask_out(flat, np.full(n, 4, dtype=np.int64)))
+    elif tname in ("string", "bytes"):
+        flat, lens = _string_flat(col)
+        lflat, llens = _varint_flat(lens)
+        if null.any():
+            keep = np.repeat(~null, llens)
+            lflat, llens = lflat[keep], np.where(null, 0, llens)
+        segs.append((lflat, llens))
+        segs.append((flat, lens))
+    elif tname == "boolean":
+        flat = _bool_np(col)
+        segs.append(mask_out(flat, np.ones(n, dtype=np.int64)))
+    elif tname == "null":
+        pass
+    else:
+        raise ValueError(f"unsupported Avro type: {tname}")
+    return segs
+
+
+def _encode_rows_arrow(schema: dict, batch) -> bytes:
+    """Encode an Arrow RecordBatch slice as a block body — the byte-exact
+    concatenation of ``encode_record`` over its rows, assembled with one
+    ragged scatter (no per-row Python; the round-4 scale fix for the
+    Python Avro sink's hot path)."""
+    import numpy as np
+
+    n = batch.num_rows
+    if n == 0:
+        return b""
+    segments: list = []
+    for i, field in enumerate(schema["fields"]):
+        segments.extend(_field_segments(field["type"], batch.column(i)))
+    lens_mat = np.stack([l for _, l in segments])  # (S, n)
+    rec_len = lens_mat.sum(axis=0)
+    rec_off = np.concatenate(([0], np.cumsum(rec_len)[:-1]))
+    seg_off = np.concatenate(
+        (np.zeros((1, n), dtype=np.int64), np.cumsum(lens_mat, axis=0)[:-1])
+    )
+    out = np.empty(int(rec_len.sum()), dtype=np.uint8)
+    for s, (flat, lens) in enumerate(segments):
+        total = int(lens.sum())
+        if total == 0:
+            continue
+        starts = rec_off + seg_off[s]
+        cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        idx = np.repeat(starts - cum, lens) + np.arange(total)
+        out[idx] = flat
+    return out.tobytes()
+
+
+def write_container_arrow(
+    path: str,
+    schema: dict,
+    batches,
+    sync: bytes,
+    records_per_block: int = 4000,
+) -> int:
+    """Arrow-batched twin of ``write_container``: same header, the same
+    4000-record blocking and sync markers — byte-identical output for the
+    same logical rows (pinned by test_avro_arrow_writer_byte_identical) —
+    but each block body is one vectorized ``_encode_rows_arrow`` instead
+    of per-row ``struct.pack``. The production wire remains the JVM
+    spark-avro module (COVERAGE.md); this keeps the jar-less fallback off
+    the bench's weak list."""
+    n = 0
+    with open(path, "wb") as f:
+        f.write(MAGIC)
+        meta = {
+            "avro.schema": json.dumps(schema).encode(),
+            "avro.codec": b"null",
+        }
+        f.write(encode_long(len(meta)))
+        for k, v in sorted(meta.items()):
+            f.write(encode_string(k))
+            f.write(encode_long(len(v)) + v)
+        f.write(encode_long(0))  # map terminator
+        f.write(sync)
+
+        block = bytearray()
+        count = 0
+
+        def flush():
+            nonlocal block, count
+            if count:
+                f.write(encode_long(count))
+                f.write(encode_long(len(block)))
+                f.write(block)
+                f.write(sync)
+            block, count = bytearray(), 0
+
+        for b in batches:
+            off = 0
+            while off < b.num_rows:
+                take = min(records_per_block - count, b.num_rows - off)
+                block += _encode_rows_arrow(schema, b.slice(off, take))
+                count += take
+                off += take
+                n += take
+                if count >= records_per_block:
+                    flush()
+        flush()
+    return n
+
+
 def container_schema(path: str) -> dict:
     """Parse just the header's embedded schema (works on empty files)."""
     with open(path, "rb") as f:
@@ -408,9 +667,11 @@ class AvroCommitMessage(WriterCommitMessage):
         self.n_rows = n_rows
 
 
-class AvroWriter(DataSourceWriter):
+class AvroWriter(DataSourceArrowWriter):
     """Task-side: one ``part-<uuid>.avro`` per task (schema from the write
-    option), driver-side commit publishes the ``_SUCCESS`` manifest."""
+    option), driver-side commit publishes the ``_SUCCESS`` manifest.
+    Arrow-batched: tasks hand whole RecordBatches to the vectorized
+    encoder, never per-row Python."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
@@ -421,13 +682,11 @@ class AvroWriter(DataSourceWriter):
 
         os.makedirs(self.path, exist_ok=True)
         name = f"part-{uuid.uuid4().hex}.avro"
-        sync = uuid.uuid4().bytes
-        fields = [f["name"] for f in self.schema["fields"]]
-        n = write_container(
+        n = write_container_arrow(
             os.path.join(self.path, name),
             self.schema,
-            (tuple(row[f] for f in fields) for row in iterator),
-            sync,
+            iterator,
+            uuid.uuid4().bytes,
         )
         return AvroCommitMessage(name, n)
 
@@ -487,14 +746,16 @@ class AvroDataSource(DataSource):
         return AvroStreamWriter(self.options)
 
 
-class AvroStreamWriter(DataSourceStreamWriter):
+class AvroStreamWriter(DataSourceStreamArrowWriter):
     """STREAMING Avro sink: every micro-batch's tasks write uuid .avro part
     files; the driver-side ``commit(messages, batchId)`` publishes a
     per-batch manifest ``_batch-<id>.json`` naming exactly the committed
     files (atomic replace), so a replayed batch's orphaned first attempt is
     never visible — the same exactly-once manifest contract as the DLQ
     stream sink, now producing a standards-conformant Avro archive (the
-    Kafka-topic -> Avro-files archival job Debezium deployments run)."""
+    Kafka-topic -> Avro-files archival job Debezium deployments run).
+    Arrow-batched encode (round-4 scale fix): the wire bytes come from
+    ``write_container_arrow``'s ragged scatter, not per-record packing."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
@@ -505,11 +766,10 @@ class AvroStreamWriter(DataSourceStreamWriter):
 
         os.makedirs(self.path, exist_ok=True)
         name = f"part-{uuid.uuid4().hex}.avro"
-        fields = [f["name"] for f in self.schema["fields"]]
-        n = write_container(
+        n = write_container_arrow(
             os.path.join(self.path, name),
             self.schema,
-            (tuple(row[f] for f in fields) for row in iterator),
+            iterator,
             uuid.uuid4().bytes,
         )
         return AvroCommitMessage(name, n)

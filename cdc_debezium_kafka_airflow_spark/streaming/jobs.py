@@ -1258,7 +1258,7 @@ def streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cdc_debezium_kafka_airflow_spark.operators.similarity import (
         as_double,
-        nearest_cell_expr,
+        nearest_cell_assigner,
         normalized,
         train_ivf_centroids,
     )
@@ -1293,9 +1293,14 @@ def streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["centroid_id"], r["centroid"]) for r in cents.collect()
     ]
 
-    # build the argmin expression ONCE — Column objects are plan fragments,
-    # reusable across every micro-batch's DataFrame
-    cell_expr = nearest_cell_expr(cent_rows, "nvec")["cid"].alias("cell")
+    # build the assigner ONCE — at k=8 it dispatches to the literal-argmin
+    # shape whose Column is a plan fragment reused across every
+    # micro-batch; at index scale (k in the thousands) the same entry
+    # point routes to broadcast join + min_by instead
+    assigner = nearest_cell_assigner(
+        cent_rows, vec_col="nvec", id_col="vec_id",
+        cid_col="cell", d2_col="__d2",
+    )
 
     def assign(df: DataFrame) -> DataFrame:
         v = normalized(
@@ -1303,7 +1308,7 @@ def streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec",
             "nvec",
         )
-        return v.select("vec_id", cell_expr)
+        return assigner(v).select("vec_id", "cell")
 
     index_dir = os.path.join("/root/repo/.cache", f"ann_index_{tag}")
     shutil.rmtree(index_dir, ignore_errors=True)

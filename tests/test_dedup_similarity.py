@@ -616,6 +616,55 @@ def test_semdedup_deterministic_across_partitioning(spark, sf_dir):
     assert any(not kept for _, kept, _w in a)  # the prune does real work
 
 
+def test_nearest_cell_assigner_dispatch_both_regimes(spark, sf_dir):
+    """The single assignment entry point dispatches by k: literal argmin
+    at/below the threshold (no join in the plan), broadcast join + min_by
+    above it (join present, exactly one grouping shuffle) — and the two
+    regimes agree row-for-row on (cid, d2), including the lowest-cid
+    tie-break, with every input column preserved in both."""
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+        as_double,
+        nearest_cell_assigner,
+        normalized,
+        train_ivf_centroids,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = train_ivf_centroids(e, id_col="vec_id", vec_col="embedding", k=8)
+    cent_rows = [(r["centroid_id"], r["centroid"]) for r in cents.collect()]
+    v = normalized(
+        e.select(
+            F.col("vec_id").alias("vid"),
+            as_double(F.col("embedding")).alias("vec"),
+            F.col("label").alias("extra"),  # a carried passenger column
+        ),
+        "vec",
+        "nvec",
+    ).select("vid", F.col("nvec").alias("vec"), "extra")
+
+    lit_df = nearest_cell_assigner(cent_rows, vec_col="vec")(v)
+    join_df = nearest_cell_assigner(cent_rows, vec_col="vec", literal_max=0)(v)
+    assert lit_df.columns == join_df.columns == [
+        "vid", "vec", "extra", "cid", "d2"
+    ]
+    lit_plan = lit_df._jdf.queryExecution().executedPlan().toString()
+    join_plan = join_df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in lit_plan  # map-only regime
+    assert "Join" in join_plan  # broadcast regime engaged
+    got_lit = {
+        r["vid"]: (r["cid"], round(r["d2"], 9), r["extra"])
+        for r in lit_df.collect()
+    }
+    got_join = {
+        r["vid"]: (r["cid"], round(r["d2"], 9), r["extra"])
+        for r in join_df.collect()
+    }
+    assert got_lit == got_join
+
+
 def test_nearest_cell_expr_matches_join_assignment(spark, sf_dir):
     """The map-only literal-argmin assignment (nearest_cell_expr) and the
     join+min_by shape (_assign_to_centroids) implement one contract —

@@ -349,6 +349,126 @@ def test_avro_codec_spec_examples_and_roundtrip(tmp_path):
     assert av.container_schema(p)["name"] == "event"
 
 
+def test_avro_arrow_writer_byte_identical(tmp_path):
+    """write_container_arrow (the vectorized ragged-scatter encoder the
+    Spark sinks now use) must produce BYTE-identical files to the row
+    codec for the same logical rows and sync marker — covering nulls,
+    unicode, negative/large varints, -0.0, multi-block boundaries, and a
+    batch split that straddles a block boundary."""
+    import datetime
+
+    import pyarrow as pa
+
+    from cdc_debezium_kafka_airflow_spark.sources import avro_py as av
+
+    rows = []
+    for i in range(10_001):  # > 2 blocks at 4000/block, partial tail
+        rows.append(
+            (
+                i * 37 - 5_000_000,
+                datetime.datetime(2024, 1, 1) + datetime.timedelta(
+                    microseconds=i * 999_983
+                ),
+                -i,
+                f"évt-{i}" if i % 3 else "",
+                -0.0 if i % 5 == 0 else i * 1.5e-3,
+                None if i % 4 == 0 else f'{{"k":{i}}}',
+            )
+        )
+    p_row = str(tmp_path / "row.avro")
+    p_arrow = str(tmp_path / "arrow.avro")
+    sync = b"\x07" * 16
+    n1 = av.write_container(p_row, av.EVENTS_AVRO_SCHEMA, iter(rows), sync)
+    names = [f["name"] for f in av.EVENTS_AVRO_SCHEMA["fields"]]
+    types = [
+        pa.int64(),
+        pa.timestamp("us"),
+        pa.int64(),
+        pa.string(),
+        pa.float64(),
+        pa.string(),
+    ]
+    # feed as three uneven RecordBatches so batch boundaries straddle
+    # block boundaries (the carry logic in write_container_arrow)
+    cuts = [0, 1500, 7777, len(rows)]
+    batches = []
+    for a, b in zip(cuts, cuts[1:]):
+        chunk = rows[a:b]
+        arrays = [
+            pa.array([r[i] for r in chunk], type=types[i])
+            for i in range(len(names))
+        ]
+        batches.append(pa.RecordBatch.from_arrays(arrays, names=names))
+    n2 = av.write_container_arrow(
+        p_arrow, av.EVENTS_AVRO_SCHEMA, iter(batches), sync
+    )
+    assert n1 == n2 == len(rows)
+    assert open(p_row, "rb").read() == open(p_arrow, "rb").read()
+    # sliced batches (nonzero arrow offsets) hit the same bytes
+    p_sliced = str(tmp_path / "sliced.avro")
+    one = pa.Table.from_batches(batches).combine_chunks().to_batches()[0]
+    av.write_container_arrow(
+        p_sliced,
+        av.EVENTS_AVRO_SCHEMA,
+        iter([one.slice(0, 4096), one.slice(4096)]),
+        sync,
+    )
+    assert open(p_sliced, "rb").read() == open(p_row, "rb").read()
+
+
+def test_avro_arrow_writer_all_primitive_types(tmp_path):
+    """Every supported Avro leaf type (and both union orders) through the
+    vectorized encoder, checked against the row codec byte-for-byte."""
+    import pyarrow as pa
+
+    from cdc_debezium_kafka_airflow_spark.sources import avro_py as av
+
+    schema = {
+        "type": "record",
+        "name": "alltypes",
+        "fields": [
+            {"name": "l", "type": "long"},
+            {"name": "i", "type": "int"},
+            {"name": "d", "type": "double"},
+            {"name": "f", "type": "float"},
+            {"name": "s", "type": "string"},
+            {"name": "by", "type": "bytes"},
+            {"name": "b", "type": "boolean"},
+            {"name": "nl", "type": ["null", "long"]},
+            {"name": "ns", "type": ["string", "null"]},  # reversed union
+            {"name": "nb", "type": ["null", "boolean"]},
+        ],
+    }
+    rows = [
+        (2**62, -7, 1e-308, 2.5, "αβ", b"\x00\xff", True, None, "x", False),
+        (-1, 0, -0.0, -2.5, "", b"", False, 42, None, None),
+        (0, 2**31 - 1, 3.14, 0.0, "z" * 300, b"\x01" * 70, True, -(2**40),
+         "ünï", True),
+    ]
+    sync = b"\x09" * 16
+    p_row = str(tmp_path / "r.avro")
+    p_arr = str(tmp_path / "a.avro")
+    av.write_container(p_row, schema, iter(rows), sync)
+    arrays = [
+        pa.array([r[0] for r in rows], pa.int64()),
+        pa.array([r[1] for r in rows], pa.int32()),
+        pa.array([r[2] for r in rows], pa.float64()),
+        pa.array([r[3] for r in rows], pa.float32()),
+        pa.array([r[4] for r in rows], pa.string()),
+        pa.array([r[5] for r in rows], pa.binary()),
+        pa.array([r[6] for r in rows], pa.bool_()),
+        pa.array([r[7] for r in rows], pa.int64()),
+        pa.array([r[8] for r in rows], pa.string()),
+        pa.array([r[9] for r in rows], pa.bool_()),
+    ]
+    batch = pa.RecordBatch.from_arrays(
+        arrays, names=[f["name"] for f in schema["fields"]]
+    )
+    av.write_container_arrow(p_arr, schema, iter([batch]), sync)
+    assert open(p_row, "rb").read() == open(p_arr, "rb").read()
+    assert [tup for _, tup in av.read_container(p_arr)] == rows
+
+
 def test_avro_reversed_union_branch_order(tmp_path):
     """Externally produced files may declare null unions as [T, "null"];
     the codec must use the ACTUAL null-branch index, not assume 0 (the
