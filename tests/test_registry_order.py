@@ -46,14 +46,8 @@ REQUIRED_IN_WINDOW = {
     "win_analytic",
     "sort_limit_topk",
     "set_ops",
-    "fn_string",
-    "fn_datetime",
-    "fn_math",
-    "fn_json",
-    "fn_array_map",
-    "udf_surface",
-    "udtf_surface",
-    "udaf_grouped_pandas",
+    "fn_string",  # flagship for the §2 fn_* line; siblings rotate
+    "udf_surface",  # flagship for the §2 udf line; UDTF/UDAF rotate
     # §2.D streaming
     "stream_tumbling",
     "stream_watermark",
@@ -89,3 +83,24 @@ def test_no_duplicates_and_oracle_keys_subset():
     names = list(registry.QUERIES)
     assert len(names) == len(set(names))
     assert set(registry.ORACLES) <= set(registry.QUERIES)
+
+
+def test_rotation_fills_window_and_is_deterministic():
+    """The non-flagship window slots rotate: they fill the window exactly,
+    never collide with the pinned head, come from the name-sorted ring at
+    the round-keyed offset, and a re-import would select the same set."""
+    head = list(registry.QUERIES)[: len(registry._PRIORITY)]
+    rotation = list(registry.QUERIES)[
+        len(registry._PRIORITY) : registry.VERIFIED_WINDOW
+    ]
+    assert rotation == registry.ROTATION
+    assert not set(rotation) & set(registry._PRIORITY)
+    assert len(head) + len(rotation) == registry.VERIFIED_WINDOW
+    pool = sorted(
+        k for k in registry.QUERIES if k not in set(registry._PRIORITY)
+    )
+    slots = registry.VERIFIED_WINDOW - len(registry._PRIORITY)
+    off = ((registry._round_key() - 1) * slots) % len(pool)
+    assert rotation == [
+        pool[(off + i) % len(pool)] for i in range(slots)
+    ]
