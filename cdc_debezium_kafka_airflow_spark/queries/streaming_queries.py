@@ -200,6 +200,26 @@ def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_foreachbatch_upsert_pg",
+    f"""
+    WITH {MAT_CTE}
+    SELECT * FROM mat
+    """,
+)
+def stream_foreachbatch_upsert_pg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """snk_jdbc_upsert through the SECOND live dialect: the PostgreSQL
+    ``INSERT ... ON CONFLICT`` statement the reference sink runs
+    (register-postgres-sink.json:15) rendered by
+    ``PostgresOnConflictDialect`` and executed VERBATIM against a live
+    DuckDB over DB-API (DuckDB shares Postgres's ON CONFLICT dialect) —
+    proving the dialect-dispatch seam with a second engine actually
+    driving the SQL, not just a rendered string. Same protocol, guard,
+    and oracle as the Derby MERGE twin ``stream_foreachbatch_upsert``."""
+    t(spark, sf_dir, "events")
+    return jobs.foreach_batch_upsert_dbapi(spark, sf_dir)
+
+
+@q(
     "ctl_retry_upsert",
     f"""
     WITH {MAT_CTE}

@@ -8,10 +8,12 @@ database dialect — ``INSERT ... ON CONFLICT ... DO UPDATE`` on Postgres,
 foreachBatch sink: one protocol (stage table -> set-based upsert with a
 ``last_offset`` idempotency guard), one statement renderer per dialect.
 
-Only the Derby dialect is exercised end-to-end here (the embedded JDBC
-engine shipped with Spark — no Postgres server exists in this harness); the
-Postgres renderer is unit-tested at the SQL level and carries the exact
-production statement a deployment would run.
+BOTH dialects are exercised end-to-end: Derby MERGE over JDBC
+(foreach_batch_upsert — the embedded JDBC engine shipped with Spark), and
+the Postgres ON CONFLICT statement executed VERBATIM against a live DuckDB
+over DB-API (foreach_batch_upsert_dbapi — DuckDB shares Postgres's ON
+CONFLICT dialect; no Postgres server exists in this harness, and the
+statement is the exact production string a deployment would run).
 
 Shared semantics every dialect must preserve:
   - conflict key = (join_hash, table_name, key_id): the numeric surrogate

@@ -89,3 +89,51 @@ def test_already_exists_detection():
     assert pg.is_already_exists(Exception('ERROR: relation "x" already exists'))
     assert pg.is_already_exists(Exception("SQLSTATE 42P07"))
     assert not pg.is_already_exists(Exception("deadlock detected"))
+
+
+def test_postgres_dialect_drives_live_duckdb():
+    """The rendered Postgres ON CONFLICT statement must RUN, not just
+    render: DuckDB shares the dialect (unique-index conflict target,
+    EXCLUDED, DO UPDATE ... WHERE), so the exact string executes against a
+    live engine — newer-wins update, stale-version no-op, idempotent
+    replay, and the engine's real 'already exists' error all verified."""
+    import duckdb
+
+    d = PostgresOnConflictDialect()
+    cols = ["table_name", "key_id", "payload", "last_offset"]
+    sql = d.upsert_sql("tgt", "stage", cols, "last_offset")
+    con = duckdb.connect()
+    con.execute(
+        'CREATE TABLE tgt ("join_hash" BIGINT, "table_name" VARCHAR, '
+        '"key_id" VARCHAR, "payload" VARCHAR, "last_offset" BIGINT)'
+    )
+    con.execute(d.key_index_sql("tgt"))
+    con.execute("CREATE TABLE stage AS SELECT * FROM tgt LIMIT 0")
+    con.execute(
+        "INSERT INTO stage VALUES (1,'t','k1','v1',10),(2,'t','k2','v2',5)"
+    )
+    con.execute(sql)
+    con.execute("DELETE FROM stage")
+    con.execute(
+        "INSERT INTO stage VALUES "
+        "(1,'t','k1','v1-new',20),(2,'t','k2','v2-stale',3),"
+        "(3,'t','k3','v3',7)"
+    )
+    con.execute(sql)
+    want = [
+        (1, "t", "k1", "v1-new", 20),  # newer offset won
+        (2, "t", "k2", "v2", 5),  # stale offset was a no-op
+        (3, "t", "k3", "v3", 7),  # fresh key inserted
+    ]
+    got = con.execute("SELECT * FROM tgt ORDER BY join_hash").fetchall()
+    assert got == want
+    con.execute(sql)  # replayed batch: fully idempotent
+    assert (
+        con.execute("SELECT * FROM tgt ORDER BY join_hash").fetchall()
+        == want
+    )
+    try:
+        con.execute(d.key_index_sql("tgt"))
+        raise AssertionError("duplicate index DDL should fail")
+    except Exception as exc:
+        assert d.is_already_exists(exc)
