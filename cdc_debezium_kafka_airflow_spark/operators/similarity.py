@@ -1122,10 +1122,14 @@ def semdedup(
     visit order is (rounded centroid_sim, vid) — total, so the kept set is
     a pure function of the corpus regardless of physical layout.
 
-    Returns one row PER INPUT VECTOR: (vid, cid, centroid_sim,
-    kept boolean, witness_id) — ``witness_id`` is the kept vector that
-    shadowed a dropped one (NULL for kept rows), making the output an
-    auditable dedup decision log rather than a bare survivor list.
+    Returns one row PER INPUT VECTOR: (vid, cid, cell, centroid_sim,
+    kept boolean, witness_id) — ``cid`` is the final greedy block (the
+    invariant key), ``cell`` the ASSIGNMENT cell (the trained centroid id,
+    i.e. the storage-partition key the index pipeline shares — equal to
+    ``cid`` unless the cap split the cell), and ``witness_id`` the kept
+    vector that shadowed a dropped one (NULL for kept rows), making the
+    output an auditable dedup decision log rather than a bare survivor
+    list.
 
     Reference parity: the reference pipeline has no embedding stage (its
     data plane is CDC transport, jony96-lab/cdc-debezium-kafka-airflow
@@ -1213,6 +1217,7 @@ def semdedup(
             {
                 "vid": pdf["vid"].astype("int64"),
                 "cid": block,
+                "cell": pdf["cid"].astype("int64"),
                 "centroid_sim": pdf["centroid_sim"].astype("float64"),
                 "kept": kept_flags,
                 "witness_id": wit,
@@ -1221,7 +1226,7 @@ def semdedup(
 
     return withsim.groupBy("cid").applyInPandas(
         prune,
-        "vid long, cid long, centroid_sim double, kept boolean, "
+        "vid long, cid long, cell long, centroid_sim double, kept boolean, "
         "witness_id long",
     )
 
@@ -1236,6 +1241,7 @@ def semdedup_incremental(
     iters: int = 3,
     cache_key: str | None = None,
     corpus_decisions: DataFrame | None = None,
+    corpus_kept: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental SemDeDup — the ingestion path of the semantic-dedup
     lifecycle (the embedding analog of the fingerprint-index incremental
@@ -1259,7 +1265,12 @@ def semdedup_incremental(
     daily batch co-locates against exactly its cells' partitions; the only
     batch-sized shuffle is the cell co-location, and the per-cell work is
     one numpy matvec per batch member against (corpus-kept + accepted)
-    rows of that cell.
+    rows of that cell. That stored artifact is
+    ``sources/semdedup_cache.corpus_kept_set`` — pass it as
+    ``corpus_kept`` (columns vid, cell, centroid_sim, vec) and the corpus
+    side is read straight from its cell partitions: no corpus re-prune,
+    no corpus re-assignment, no decision-log join. ``corpus_decisions``
+    remains for callers holding only the raw log.
 
     Returns one row per BATCH vector: (vid, cid, verdict, witness_id).
     """
@@ -1274,22 +1285,6 @@ def semdedup_incremental(
         cache_key=cache_key,
     )
     cent_rows = [(r["centroid_id"], r["centroid"]) for r in cents.collect()]
-
-    # callers that already hold the corpus decision log (e.g. to audit it)
-    # pass it in, so the corpus prune runs once per job, not per consumer
-    corpus_dec = (
-        corpus_decisions
-        if corpus_decisions is not None
-        else semdedup(
-            corpus,
-            id_col=id_col,
-            vec_col=vec_col,
-            n_clusters=n_clusters,
-            threshold=threshold,
-            iters=iters,
-            cache_key=cache_key,
-        )
-    )
 
     assign = nearest_cell_assigner(
         cent_rows, vec_col="vec", id_col="vid", cid_col="cid", d2_col="__d2"
@@ -1314,10 +1309,37 @@ def semdedup_incremental(
             F.lit(is_batch).alias("is_batch"),
         )
 
-    corpus_kept = prep(corpus, False).join(
-        corpus_dec.filter(F.col("kept")).select("vid"), on="vid"
-    )
-    both = corpus_kept.unionByName(prep(batch, True))
+    if corpus_kept is not None:
+        # the materialized per-cell kept-set artifact: already normalized,
+        # already cell-assigned — the corpus side is a straight read
+        kept_side = corpus_kept.select(
+            "vid",
+            F.col("cell").cast("int").alias("cid"),
+            "vec",
+            "centroid_sim",
+            F.lit(False).alias("is_batch"),
+        )
+    else:
+        # callers that already hold the corpus decision log (e.g. to audit
+        # it) pass it in, so the corpus prune runs once per job, not per
+        # consumer
+        corpus_dec = (
+            corpus_decisions
+            if corpus_decisions is not None
+            else semdedup(
+                corpus,
+                id_col=id_col,
+                vec_col=vec_col,
+                n_clusters=n_clusters,
+                threshold=threshold,
+                iters=iters,
+                cache_key=cache_key,
+            )
+        )
+        kept_side = prep(corpus, False).join(
+            corpus_dec.filter(F.col("kept")).select("vid"), on="vid"
+        )
+    both = kept_side.unionByName(prep(batch, True))
 
     def verdict_cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import numpy as np

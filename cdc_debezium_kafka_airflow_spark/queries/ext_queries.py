@@ -3660,11 +3660,13 @@ def ext_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         as_double,
         dot,
         normalized,
-        semdedup,
         semdedup_incremental,
     )
     from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
         source_fingerprint,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.semdedup_cache import (
+        corpus_kept_set,
     )
 
     th = 0.35
@@ -3672,34 +3674,34 @@ def ext_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     corpus = e.filter(F.col("vec_id") % 10 != 9)
     batch = e.filter(F.col("vec_id") % 10 == 9)
     ck = source_fingerprint(sf_dir, "embeddings") + ":inc90"
-    corpus_dec = semdedup(
-        corpus, n_clusters=8, threshold=th, cache_key=ck
-    ).persist()
+    # the SHARED stored artifact (one per corpus version, partitioned by
+    # assignment cell): corpus side of the verdict AND every audit frame
+    # read it — no per-run corpus re-prune, no decision-log join, and the
+    # same store the streaming index job seeds from
+    # (stream_index_append_dedup)
+    _, kept_art = corpus_kept_set(
+        spark, sf_dir, corpus=corpus, corpus_tag="inc90",
+        n_clusters=8, threshold=th, cache_key=ck,
+    )
     out = semdedup_incremental(
         corpus, batch, n_clusters=8, threshold=th, cache_key=ck,
-        corpus_decisions=corpus_dec,
+        corpus_kept=kept_art,
     ).persist()
 
-    # audit frames: normalized vectors; corpus cells/kept come from the
-    # shared decision log (one prune per job)
+    # audit frames: batch vectors normalized in-query; corpus kept
+    # vectors come pre-normalized from the artifact's cell partitions
     v = normalized(
-        e.select(
+        batch.select(
             F.col("vec_id").alias("vid"),
             as_double(F.col("embedding")).alias("vec"),
         ),
         "vec",
         "nvec",
     ).select("vid", F.col("nvec").alias("vec"))
-    corpus_kept = (
-        corpus_dec
-        .filter(F.col("kept"))
-        .select("vid", "cid")
-        .join(v, on="vid")
-        .select(
-            F.col("vid").alias("kvid"),
-            F.col("cid").alias("kcid"),
-            F.col("vec").alias("kvec"),
-        )
+    corpus_kept = kept_art.select(
+        F.col("vid").alias("kvid"),
+        F.col("cell").alias("kcid"),
+        F.col("vec").alias("kvec"),
     )
 
     n_batch_total = batch.agg(F.count("*").cast("long").alias("n_batch"))

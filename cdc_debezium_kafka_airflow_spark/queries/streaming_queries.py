@@ -353,6 +353,29 @@ def stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_index_append_dedup",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_appended,
+           TRUE AS seed_matches_artifact,
+           TRUE AS append_matches_assignment
+    FROM embeddings WHERE vec_id % 10 = 9
+    """,
+)
+def stream_index_append_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-dedup -> ANN-index lifecycle over ONE shared stored
+    artifact: the corpus kept-set (semdedup_cache.corpus_kept_set,
+    partitioned by assignment cell — the same artifact, same cache key,
+    ext_dedup_semantic_incremental verdicts against) file-level SEEDS the
+    index store with zero recompute; the daily batch then streams in,
+    cell-assigned and appended partition-locally. The oracle pins the
+    genuine batch count; the two flags are the in-engine single-join
+    audit: seeds match the artifact cell-for-cell, appends match the
+    one-shot assignment."""
+    t(spark, sf_dir, "events")  # session confs
+    return jobs.streaming_index_append_dedup(spark, sf_dir)
+
+
+@q(
     "stream_domain_quota",
     """
     SELECT doc_id, source AS domain,

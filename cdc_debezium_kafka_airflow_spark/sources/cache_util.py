@@ -20,7 +20,8 @@ _FP_NAME = "_FINGERPRINT"
 # semantics (not just when the source fixture changes): round 2 proved the
 # source-only fingerprint insufficient — a JSONL cache written through a
 # broken ts reader stayed "fresh" because the fixture bytes hadn't moved.
-CACHE_CODE_VERSION = "v4"  # v4: semdedup decision-log cid is a LONG block id
+CACHE_CODE_VERSION = "v5"  # v5: semdedup decision log carries the
+# assignment `cell` beside the final block `cid`
 
 
 def source_fingerprint(sf_dir: str, table: str = "events") -> str:

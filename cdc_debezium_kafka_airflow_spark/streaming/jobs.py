@@ -1501,6 +1501,184 @@ def streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_index_append_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic-dedup -> ANN-index lifecycle over ONE shared stored
+    artifact (round-4 verdict item 6): the corpus kept-set
+    (``semdedup_cache.corpus_kept_set`` — the SAME artifact, same cache
+    key, that ``ext_dedup_semantic_incremental`` verdicts against) SEEDS
+    the cell-partitioned index store by a FILE-LEVEL clone — zero
+    recompute, partition layout preserved because the artifact is already
+    partitioned by assignment cell — and the daily embedding batch
+    (vec_id % 10 == 9, the incremental job's batch) then streams in,
+    each micro-batch cell-assigned through the shared
+    ``nearest_cell_assigner`` and appended partition-locally.
+
+    At 100 TB this is the point of the artifact: the index serves the
+    DEDUPED corpus without re-reading or re-assigning it (the seed is a
+    metadata/file operation), and only batch-sized work happens per day.
+
+    Single-action audit (one full-outer join, one aggregation): the index
+    must hold exactly artifact-rows (as seeds, cell-for-cell) plus
+    batch-rows (as appends, in the cell the one-shot assignment gives) —
+    emitted as (n_appended, seed_matches_artifact,
+    append_matches_assignment).
+    """
+    import shutil
+
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+        as_double,
+        nearest_cell_assigner,
+        normalized,
+        train_ivf_centroids,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        cache_is_fresh,
+        source_fingerprint,
+        write_fingerprint,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.semdedup_cache import (
+        corpus_kept_set,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = source_fingerprint(sf_dir, "embeddings")
+    ck = fp + ":inc90"
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 10 != 9)
+    batch_df = e.filter(F.col("vec_id") % 10 == 9)
+
+    kept_dir, kept_art = corpus_kept_set(
+        spark, sf_dir, corpus=corpus, corpus_tag="inc90",
+        n_clusters=8, threshold=0.35, cache_key=ck,
+    )
+
+    # batch replay source (4 files -> multiple micro-batches), cached
+    replay_dir = os.path.join("/root/repo/.cache", f"emb_batch_replay_{tag}")
+    if not cache_is_fresh(replay_dir, fp):
+        batch_df.repartition(4).write.mode("overwrite").parquet(replay_dir)
+        write_fingerprint(replay_dir, fp)
+
+    # SEED: file-level clone of the kept-set artifact — the index starts
+    # as the deduped corpus with zero Spark jobs run
+    index_dir = os.path.join("/root/repo/.cache", f"ann_index_dedup_{tag}")
+    shutil.rmtree(index_dir, ignore_errors=True)
+    shutil.copytree(kept_dir, index_dir)
+
+    cents = train_ivf_centroids(corpus, k=8, cache_key=ck)
+    cent_rows = [(r["centroid_id"], r["centroid"]) for r in cents.collect()]
+    assigner = nearest_cell_assigner(
+        cent_rows, vec_col="vec", id_col="vid", cid_col="cell",
+        d2_col="__d2",
+    )
+
+    def assign(df: DataFrame) -> DataFrame:
+        v = normalized(
+            df.select(
+                F.col("vec_id").alias("vid"),
+                as_double(F.col("embedding")).alias("vec"),
+            ),
+            "vec",
+            "nvec",
+        ).select("vid", F.col("nvec").alias("vec"))
+        return assigner(v).select(
+            "vid",
+            F.lit(None).cast("long").alias("block_id"),  # not yet verdicted
+            F.round(
+                F.lit(1.0) - F.col("__d2") / F.lit(2.0), 6
+            ).alias("centroid_sim"),
+            "vec",
+            "cell",
+        )
+
+    file_schema = spark.read.parquet(replay_dir).schema
+    stream = (
+        spark.readStream.schema(file_schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(replay_dir)
+    )
+
+    def append_batch(batch: DataFrame, batch_id: int) -> None:
+        assign(batch).repartition("cell").write.mode("append").partitionBy(
+            "cell"
+        ).parquet(index_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    ckpt = temp_checkpoint_dir()
+    try:
+        q = (
+            stream.writeStream.foreachBatch(append_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    # single-action audit: index vs (artifact ∪ one-shot batch assignment)
+    idx = spark.read.parquet(index_dir).select(
+        "vid",
+        F.col("cell").cast("long").alias("icell"),
+        F.col("block_id").isNotNull().alias("is_seed"),
+    )
+    expected = kept_art.select(
+        "vid",
+        F.col("cell").cast("long").alias("ecell"),
+        F.lit(True).alias("expect_seed"),
+    ).unionByName(
+        assign(batch_df).select(
+            "vid",
+            F.col("cell").cast("long").alias("ecell"),
+            F.lit(False).alias("expect_seed"),
+        )
+    )
+    row = (
+        idx.join(expected, "vid", "full")
+        .agg(
+            F.sum(
+                (F.col("is_seed") == F.lit(False)).cast("long")
+            ).alias("n_appended"),
+            F.sum(
+                (
+                    F.col("expect_seed")
+                    & (
+                        F.col("icell").isNull()
+                        | (F.col("icell") != F.col("ecell"))
+                        | ~F.coalesce(F.col("is_seed"), F.lit(False))
+                    )
+                ).cast("long")
+            ).alias("seed_bad"),
+            F.sum(
+                (
+                    ~F.coalesce(F.col("expect_seed"), F.lit(True))
+                    & (
+                        F.col("icell").isNull()
+                        | (F.col("icell") != F.col("ecell"))
+                        | F.coalesce(F.col("is_seed"), F.lit(True))
+                    )
+                ).cast("long")
+            ).alias("append_bad"),
+            F.sum(F.col("ecell").isNull().cast("long")).alias("orphan"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(row.n_appended or 0),
+                (row.seed_bad or 0) == 0 and (row.orphan or 0) == 0,
+                (row.append_bad or 0) == 0,
+            )
+        ],
+        "n_appended long, seed_matches_artifact boolean, "
+        "append_matches_assignment boolean",
+    )
+
+
 def documents_range_replay_dir(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> str:

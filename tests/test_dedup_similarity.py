@@ -616,6 +616,54 @@ def test_semdedup_deterministic_across_partitioning(spark, sf_dir):
     assert any(not kept for _, kept, _w in a)  # the prune does real work
 
 
+def test_corpus_kept_set_artifact_two_consumers(spark, sf_dir):
+    """The materialized kept-set is ONE artifact with the claimed layout
+    (directory-partitioned by assignment cell) and consuming it as
+    semdedup_incremental's corpus side yields verdicts IDENTICAL to the
+    derive-per-run path — so the incremental job and the index seed read
+    the same store without a semantics change."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+        semdedup_incremental,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        source_fingerprint,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.semdedup_cache import (
+        corpus_kept_set,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = e.filter(F.col("vec_id") % 10 != 9)
+    batch = e.filter(F.col("vec_id") % 10 == 9)
+    ck = source_fingerprint(sf_dir, "embeddings") + ":inc90"
+    kept_dir, kept_art = corpus_kept_set(
+        spark, sf_dir, corpus=corpus, corpus_tag="inc90",
+        n_clusters=8, threshold=0.35, cache_key=ck,
+    )
+    # layout: hive-partitioned by assignment cell
+    cells = [d for d in os.listdir(kept_dir) if d.startswith("cell=")]
+    assert len(cells) >= 2
+    via_artifact = sorted(
+        (r["vid"], r["cid"], r["verdict"], r["witness_id"])
+        for r in semdedup_incremental(
+            corpus, batch, n_clusters=8, threshold=0.35, cache_key=ck,
+            corpus_kept=kept_art,
+        ).collect()
+    )
+    via_derive = sorted(
+        (r["vid"], r["cid"], r["verdict"], r["witness_id"])
+        for r in semdedup_incremental(
+            corpus, batch, n_clusters=8, threshold=0.35, cache_key=ck,
+        ).collect()
+    )
+    assert via_artifact == via_derive and len(via_artifact) == batch.count()
+
+
 def test_nearest_cell_assigner_dispatch_both_regimes(spark, sf_dir):
     """The single assignment entry point dispatches by k: literal argmin
     at/below the threshold (no join in the plan), broadcast join + min_by
