@@ -1,6 +1,37 @@
 """The main correctness gate: every queries() entry vs its DuckDB oracle at
 sf0.001 (the driver runs the same comparison at sf0.01) — row count, column
-names, order-insensitive value multiset."""
+names, order-insensitive value multiset.
+
+ORACLE DTYPE CHECKLIST (hard-won, rounds 1-5 — run through this for every
+NEW query/oracle pair before trusting a green local run):
+
+1. Emit ONLY long / double / string / boolean / timestamp columns — never
+   DECIMAL. Spark: ``x / 100.0`` makes DecimalType (the literal is
+   Decimal) — divide by ``F.lit(100.0)`` cast double or use
+   ``cast("double")``. DuckDB: bare numeric literals (``10.0``,
+   ``bucket * 25.0``) are DECIMAL too — wrap in ``CAST(... AS DOUBLE)``.
+2. DuckDB ``sum(<integer>)`` returns HUGEINT (-> float64 under Arrow,
+   flipping the hash): always ``CAST(sum(x) AS BIGINT)``.
+3. Cross-engine floats: integer-scale per row (cents / 1e4 lattices),
+   aggregate in EXACT integers, apply ONE closing IEEE op with identical
+   parenthesization in both engines. Never round an aggregated double
+   sum; round per-row before aggregating if rounding is needed.
+4. ``round(x, n)`` display differences: .xx5 values round differently
+   across engines' float formatting — if a column can land on the .5
+   boundary, scale to integers instead of rounding.
+5. Column NAMES must match the oracle exactly (the driver sorts columns
+   by name before hashing): alias every aggregate in BOTH the Spark code
+   (``.alias("sum_qty")``) and the SQL (``AS sum_qty``).
+6. Timestamps: read events via sources/tables.load_table (the fixture's
+   ts encoding changes between rounds); keep naive (ntz) semantics on
+   both sides.
+7. NULL-vs-empty divergences: Spark ``element_at`` returns NULL where
+   DuckDB ``split_part`` returns '' — coalesce explicitly (the
+   ent_resolution_fuzzy lesson).
+8. This pytest compares ``repr`` of fetchall values (catches Decimal
+   leaks the Arrow/pandas canonicalization hides); the driver compares
+   Arrow-canonicalized hashes — a query must pass BOTH, so run this gate
+   locally even when check_oracles.py is green."""
 
 from __future__ import annotations
 
