@@ -991,3 +991,117 @@ def snk_avro_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("sum_value"),
         F.max("ts").alias("max_ts"),
     )
+
+
+@q(
+    "snk_index_compact",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           TRUE AS content_identical,
+           TRUE AS files_reduced
+    FROM embeddings
+    """,
+)
+def snk_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files COMPACTION of a continuously-appended cell-partitioned
+    store (the OPTIMIZE job every append-mode index/warehouse needs): four
+    append rounds fragment each cell into ~4 small files — exactly what
+    stream_index_append's per-micro-batch appends produce over a day —
+    then the compactor rewrites the store with ONE shuffle keyed on the
+    partition column (`repartition("cell")` routes every cell to a single
+    task, so `partitionBy` emits one file per cell), byte-preserving the
+    rows. The audit proves content identity in ONE full-outer join (no
+    row lost, duplicated, or moved across cells) and that the file count
+    actually dropped; at 100 TB this job runs per-partition-subset with
+    the same plan, and the read-side win is fewer tasks + working
+    row-group statistics. Reference parity: the reference's sink tables
+    get this from Postgres autovacuum; a lake store must schedule it."""
+    import os as _os
+
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+        as_double,
+        nearest_cell_assigner,
+        normalized,
+        train_ivf_centroids,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        source_fingerprint,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    fp = source_fingerprint(sf_dir, "embeddings")
+    cents = train_ivf_centroids(e, k=8, cache_key=fp)
+    cent_rows = [(r["centroid_id"], r["centroid"]) for r in cents.collect()]
+    assigner = nearest_cell_assigner(
+        cent_rows, vec_col="vec", id_col="vid", cid_col="cell",
+        d2_col="__d2",
+    )
+    v = normalized(
+        e.select(
+            F.col("vec_id").alias("vid"),
+            as_double(F.col("embedding")).alias("vec"),
+        ),
+        "vec",
+        "nvec",
+    ).select("vid", F.col("nvec").alias("vec"))
+    assigned = assigner(v).select("vid", "vec", "cell")
+
+    frag_dir = _cache_dir(sf_dir, "index_frag")
+    compact_dir = _cache_dir(sf_dir, "index_compact")
+    import shutil
+
+    shutil.rmtree(frag_dir, ignore_errors=True)
+    shutil.rmtree(compact_dir, ignore_errors=True)
+    # four append rounds -> ~4 files per cell (the day's fragmentation)
+    for quarter in range(4):
+        assigned.filter(F.col("vid") % 4 == quarter).repartition(
+            "cell"
+        ).write.mode("append").partitionBy("cell").parquet(frag_dir)
+
+    def n_files(d: str) -> int:
+        return sum(
+            1
+            for root, _dirs, files in _os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    files_before = n_files(frag_dir)
+    store = spark.read.parquet(frag_dir)
+    # the compactor: ONE shuffle on the partition key -> one task per
+    # cell -> one output file per cell
+    store.repartition("cell").write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(compact_dir)
+    files_after = n_files(compact_dir)
+
+    before = store.select(
+        "vid", F.col("cell").cast("long").alias("bcell")
+    )
+    after = spark.read.parquet(compact_dir).select(
+        "vid", F.col("cell").cast("long").alias("acell")
+    )
+    row = (
+        before.join(after, "vid", "full")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                (
+                    F.col("bcell").isNull()
+                    | F.col("acell").isNull()
+                    | (F.col("bcell") != F.col("acell"))
+                ).cast("long")
+            ).alias("n_mismatch"),
+        )
+        .collect()[0]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(row.n_rows),
+                (row.n_mismatch or 0) == 0,
+                files_after < files_before,
+            )
+        ],
+        "n_rows long, content_identical boolean, files_reduced boolean",
+    )

@@ -353,6 +353,38 @@ def stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_scd2_upsert",
+    f"""
+    WITH {CH_CTE},
+    led AS (
+      SELECT *, lead(off) OVER (PARTITION BY table_name, key_id
+                                ORDER BY off) AS next_off
+      FROM ch
+    )
+    SELECT table_name, key_id,
+           off AS valid_from_offset,
+           next_off - 1 AS valid_to_offset,
+           (next_off IS NULL) AS is_current,
+           event_id, ts, user_id, event_type, value, props
+    FROM led WHERE op <> 'd'
+    """,
+)
+def stream_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SCD Type 2 sink: changelog micro-batches maintain a
+    validity-interval HISTORY table in a live DuckDB via the set-based
+    accumulate+repair protocol — ON CONFLICT-idempotent op inserts, then
+    one windowed UPDATE...FROM that recomputes the interval chains of
+    ONLY the touched keys, which makes the sink tolerant of OUT-OF-ORDER
+    micro-batches (the replay's hash-partitioned files deliver offsets
+    out of order — the real late-data case). The oracle is the whole-log
+    batch SCD2 SQL (cdc_scd2_history's), so any missed close, double
+    insert, or wrong interval across micro-batch boundaries flips the
+    hash."""
+    t(spark, sf_dir, "events")
+    return jobs.foreach_batch_scd2(spark, sf_dir)
+
+
+@q(
     "stream_index_append_dedup",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_appended,

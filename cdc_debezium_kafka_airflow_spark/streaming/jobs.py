@@ -1186,6 +1186,154 @@ def foreach_batch_upsert_dbapi(
     )
 
 
+def foreach_batch_scd2(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = 8,
+) -> DataFrame:
+    """STREAMING SCD Type 2 sink: the changelog micro-batches maintain a
+    warehouse HISTORY table (validity-interval rows, the standard Debezium
+    downstream pattern — the history twin of the upsert sink) in a live
+    database, here DuckDB over DB-API (same live-engine seam as
+    ``foreach_batch_upsert_dbapi``; production points the same two
+    statements at Postgres).
+
+    Set-based two-statement protocol per micro-batch (no per-row logic),
+    tolerant of OUT-OF-ORDER arrival (the changelog replay's files are
+    hash-partitioned, so a later micro-batch can deliver earlier offsets
+    — the same late-data problem a real CDC consumer has):
+      1. ACCUMULATE: every batch op (version images AND delete markers)
+         lands in the ops table via ``ON CONFLICT DO NOTHING`` on the
+         (key, offset) unique index — replays are no-ops;
+      2. REPAIR: one windowed ``UPDATE ... FROM`` recomputes the
+         validity-interval chain of ONLY the keys the batch touched
+         (lead(offset) over each touched key's full accumulated history;
+         deletes participate in the window — they close the preceding
+         version — but are never current). Cost ∝ touched keys' history,
+         never the table; an in-order stream degenerates to the classic
+         close-current+insert, and a late op splices itself into the
+         chain with its predecessor's valid_to repaired in the same
+         statement.
+
+    The oracle is the BATCH SCD2 SQL over the whole log
+    (cdc_scd2_history's), so any missed close, double insert, or wrong
+    interval across micro-batch boundaries flips the hash.
+    """
+    import duckdb
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    db_path = os.path.join("/root/repo/.cache", f"duckdb_scd2_{tag}.db")
+    for suffix in ("", ".wal"):
+        try:
+            os.remove(db_path + suffix)
+        except OSError:
+            pass
+    con = duckdb.connect(db_path)
+    created = {"done": False}
+
+    insert_sql = """
+        INSERT INTO SCD2_HISTORY
+        SELECT join_hash, table_name, key_id, valid_from_offset,
+               is_delete, NULL, FALSE,
+               event_id, ts, user_id, event_type, value, props
+        FROM SCD2_STAGE
+        ON CONFLICT DO NOTHING
+    """
+    repair_sql = """
+        UPDATE SCD2_HISTORY h
+        SET valid_to_offset = r.valid_to_offset, is_current = r.is_current
+        FROM (
+          SELECT join_hash, table_name, key_id, valid_from_offset,
+                 lead(valid_from_offset) OVER w - 1 AS valid_to_offset,
+                 (lead(valid_from_offset) OVER w IS NULL
+                  AND NOT is_delete) AS is_current
+          FROM SCD2_HISTORY
+          WHERE join_hash IN (SELECT DISTINCT join_hash FROM SCD2_STAGE)
+          WINDOW w AS (PARTITION BY join_hash, table_name, key_id
+                       ORDER BY valid_from_offset)
+        ) r
+        WHERE h.join_hash = r.join_hash
+          AND h.table_name = r.table_name
+          AND h.key_id = r.key_id
+          AND h.valid_from_offset = r.valid_from_offset
+          AND (h.valid_to_offset IS DISTINCT FROM r.valid_to_offset
+               OR h.is_current IS DISTINCT FROM r.is_current)
+    """
+
+    def scd2_batch(batch: DataFrame, batch_id: int) -> None:
+        staged = batch.select(
+            F.xxhash64("table_name", "key_id").alias("join_hash"),
+            "table_name",
+            "key_id",
+            F.col("offset").alias("valid_from_offset"),
+            "is_delete",
+            F.col("after.event_id").alias("event_id"),
+            F.col("after.ts").alias("ts"),
+            F.col("after.user_id").alias("user_id"),
+            F.col("after.event_type").alias("event_type"),
+            F.col("after.value").alias("value"),
+            F.col("after.props").alias("props"),
+        )
+        pdf = staged.toPandas()  # bounded by the micro-batch
+        con.register("stage_df", pdf)
+        if not created["done"]:
+            con.execute(
+                "CREATE TABLE SCD2_HISTORY ("
+                "join_hash BIGINT, table_name VARCHAR, key_id BIGINT, "
+                "valid_from_offset BIGINT, is_delete BOOLEAN, "
+                "valid_to_offset BIGINT, is_current BOOLEAN, "
+                "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+                "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+            )
+            con.execute(
+                "CREATE UNIQUE INDEX SCD2_KEY ON SCD2_HISTORY "
+                "(join_hash, table_name, key_id, valid_from_offset)"
+            )
+            created["done"] = True
+        con.execute(
+            "CREATE OR REPLACE TABLE SCD2_STAGE AS SELECT * FROM stage_df"
+        )
+        con.execute(insert_sql)
+        con.execute(repair_sql)
+        con.unregister("stage_df")
+
+    unwrapped = unwrap(
+        split_dlq(
+            parse_envelope(
+                changelog_stream(spark, sf_dir, max_files_per_trigger)
+            )
+        )[0]
+    )
+    import shutil
+
+    ck = temp_checkpoint_dir()
+    try:
+        q = (
+            unwrapped.writeStream.foreachBatch(scd2_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+        back_pdf = con.execute(
+            "SELECT table_name, key_id, valid_from_offset, "
+            "valid_to_offset, is_current, event_id, ts, user_id, "
+            "event_type, value, props FROM SCD2_HISTORY "
+            "WHERE NOT is_delete"
+        ).fetch_df()
+        con.close()
+    return spark.createDataFrame(
+        back_pdf,
+        "table_name string, key_id long, valid_from_offset long, "
+        "valid_to_offset long, is_current boolean, event_id long, "
+        "ts timestamp, user_id long, event_type string, value double, "
+        "props string",
+    )
+
+
 def two_gen_replay_dir(spark: SparkSession, sf_dir: str) -> str:
     """Build (fingerprint-cached) the TWO-GENERATION changelog replay log:
     generation 1 = even event_ids with the v1 envelope, generation 2 = odd
