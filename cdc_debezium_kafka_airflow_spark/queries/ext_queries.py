@@ -2945,6 +2945,103 @@ def ext_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_perplexity_buckets",
+    f"""
+    WITH d AS (
+      SELECT doc_id, ['<s>'] || string_split({NORM}, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM d, unnest(range(1, len(w))) AS t(i)
+    ),
+    train_bg AS (SELECT * FROM bg WHERE doc_id % 5 <> 0),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM train_bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM train_bg GROUP BY w1),
+    vocab AS (SELECT count(DISTINCT w2) AS v FROM train_bg),
+    -- per-doc NLL, identical formula/rounding to ext_bigram_perplexity
+    scored AS (
+      SELECT bg.doc_id,
+             round(avg(-ln((coalesce(c2.n2, 0) + 1.0)
+                           / (coalesce(c1.n1, 0) + 1.0 * vocab.v))), 6)
+               AS avg_nll
+      FROM bg
+      LEFT JOIN c2 USING (w1, w2)
+      LEFT JOIN c1 USING (w1)
+      CROSS JOIN vocab
+      GROUP BY bg.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, avg_nll,
+             row_number() OVER (ORDER BY avg_nll, doc_id) AS rk,
+             count(*) OVER () AS n
+      FROM scored
+    )
+    SELECT CASE WHEN rk * 3 <= n THEN 'head'
+                WHEN rk * 3 <= 2 * n THEN 'middle'
+                ELSE 'tail' END AS tier,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(avg_nll), 6) AS min_nll,
+           round(max(avg_nll), 6) AS max_nll
+    FROM ranked GROUP BY tier
+    """,
+)
+def ext_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity BUCKETING (Wenzek et al. 2020, the step after the
+    LM filter): the corpus splits into head / middle / tail thirds by LM
+    score — head feeds high-quality training mixes, middle is kept with
+    down-weighting, tail is dropped or mined separately. Cuts are exact
+    integer rank thirds over (avg_nll, doc_id), so the tiering is a pure
+    function of the corpus (no ntile distribution ambiguity).
+
+    Scale shape — exact global rank WITHOUT a global row sort (the
+    ROC-AUC histogram-rank-sum pattern): per-doc NLL reuses the
+    ext_bigram_perplexity plan (vocab-bounded count tables); then (1) one
+    aggregation onto the 6dp-ROUNDED NLL VALUE DOMAIN (bounded by distinct
+    scores, not docs), (2) a running total over that sorted value domain
+    gives each value's start rank, (3) a PARTITIONED window (per value,
+    ordered by doc_id) sub-ranks docs within a value. No stage ever sorts
+    all docs in one task; the only single-partition window runs over the
+    value histogram."""
+    from pyspark.sql.window import Window
+
+    scored = ext_bigram_perplexity(spark, sf_dir).select(
+        "doc_id", "avg_nll"
+    )
+    hist = scored.groupBy("avg_nll").agg(F.count("*").alias("cnt"))
+    wv = Window.orderBy("avg_nll").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    starts = hist.select(
+        "avg_nll",
+        F.coalesce(F.sum("cnt").over(wv), F.lit(0)).alias("start_rk"),
+    )
+    wd = Window.partitionBy("avg_nll").orderBy("doc_id")
+    ranked = (
+        scored.join(starts, on="avg_nll")
+        .select(
+            "doc_id",
+            "avg_nll",
+            (F.col("start_rk") + F.row_number().over(wd)).alias("rk"),
+        )
+        .crossJoin(
+            F.broadcast(scored.agg(F.count("*").alias("n")))
+        )
+    )
+    tiered = ranked.select(
+        "avg_nll",
+        F.when(F.col("rk") * 3 <= F.col("n"), "head")
+        .when(F.col("rk") * 3 <= 2 * F.col("n"), "middle")
+        .otherwise("tail")
+        .alias("tier"),
+    )
+    return tiered.groupBy("tier").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.min("avg_nll"), 6).alias("min_nll"),
+        F.round(F.max("avg_nll"), 6).alias("max_nll"),
+    )
+
+
+@q(
     "ext_dsir_resample",
     f"""
     WITH d AS (
