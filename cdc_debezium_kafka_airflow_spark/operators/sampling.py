@@ -252,49 +252,30 @@ def pack_sequences_split(
     ).withColumn("chunk_tokens", chunk)
 
 
-def decontaminate_bloom(
-    shingled: DataFrame,
-    min_shared: int = 2,
-    bits_per_key: int = 16,
-    n_hashes: int = 8,
-) -> DataFrame:
-    """``decontaminate`` with a broadcast-Bloom prefilter on the train side —
-    the runtime-filter pattern for the 100 TB regime.
+def build_shingle_bloom_udf(
+    eval_sh: DataFrame, bits_per_key: int = 16, n_hashes: int = 8
+):
+    """Build the broadcast-Bloom membership UDF over an eval shingle set.
 
-    The plain join already keeps the shuffle eval-sized on the EVAL side,
-    but every exploded train shingle still flows into the join to discover
-    it matches nothing. Here the eval shingle set (benchmarks — small by
-    construction) is collapsed to xxhash64 pairs, built into a Bloom bitset
-    driver-side, and shipped inside a pandas UDF: train shingles are
-    discarded MAP-SIDE unless the filter says "maybe", so the join input
-    shrinks from |train shingles| to |contaminated| + fp x |train| (fp ≈
-    2^-n_hashes at 16 bits/key). The surviving candidates still pass through
-    the exact equi-join — the Bloom has no false negatives, so the result is
-    IDENTICAL to ``decontaminate`` (same oracle), the filter only removes
-    provable non-matches.
-
-    Hashing: h1 = xxhash64(sg), h2 = xxhash64('b', sg) — both JVM
-    expressions — combined Kirsch-Mitzenmacher style (h1 + i*h2 mod m), so
-    build and probe use bit-identical hashes; the UDF does pure vectorized
-    numpy bit tests on the broadcast bitset.
-    """
+    Returns ``(maybe_contaminated_udf, h1_col_fn, h2_col_fn)`` where the
+    UDF tests xxhash64 pair columns against a driver-built bitset
+    (Kirsch-Mitzenmacher double hashing; no false negatives). Factored out
+    of ``decontaminate_bloom`` so the STREAMING decontamination job builds
+    the filter once and probes it per micro-batch."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    sh = shingled.select("doc_id", "split", F.explode("shingles").alias("sg"))
-    h1c = F.xxhash64(F.col("sg"))
-    h2c = F.xxhash64(F.lit("b"), F.col("sg"))
-
-    eval_sh = (
-        sh.filter(F.col("split") != "train")
-        .groupBy("sg")
-        .agg(F.countDistinct("doc_id").alias("n_eval_docs"))
-    )
+    h1c = lambda c: F.xxhash64(c)  # noqa: E731
+    h2c = lambda c: F.xxhash64(F.lit("b"), c)  # noqa: E731
     # bounded driver pull: hash PAIRS only (16 bytes/shingle), of the
     # benchmark-sized eval side — never text, never the train side
     pairs = (
-        eval_sh.select(h1c.alias("h1"), h2c.alias("h2")).distinct().collect()
+        eval_sh.select(
+            h1c(F.col("sg")).alias("h1"), h2c(F.col("sg")).alias("h2")
+        )
+        .distinct()
+        .collect()
     )
     n_keys = max(len(pairs), 1)
     m = int(n_keys * bits_per_key)
@@ -327,10 +308,51 @@ def decontaminate_bloom(
                 break
         return pd.Series(hit)
 
+    return maybe_contaminated, h1c, h2c
+
+
+def decontaminate_bloom(
+    shingled: DataFrame,
+    min_shared: int = 2,
+    bits_per_key: int = 16,
+    n_hashes: int = 8,
+) -> DataFrame:
+    """``decontaminate`` with a broadcast-Bloom prefilter on the train side —
+    the runtime-filter pattern for the 100 TB regime.
+
+    The plain join already keeps the shuffle eval-sized on the EVAL side,
+    but every exploded train shingle still flows into the join to discover
+    it matches nothing. Here the eval shingle set (benchmarks — small by
+    construction) is collapsed to xxhash64 pairs, built into a Bloom bitset
+    driver-side, and shipped inside a pandas UDF: train shingles are
+    discarded MAP-SIDE unless the filter says "maybe", so the join input
+    shrinks from |train shingles| to |contaminated| + fp x |train| (fp ≈
+    2^-n_hashes at 16 bits/key). The surviving candidates still pass through
+    the exact equi-join — the Bloom has no false negatives, so the result is
+    IDENTICAL to ``decontaminate`` (same oracle), the filter only removes
+    provable non-matches.
+
+    Hashing: h1 = xxhash64(sg), h2 = xxhash64('b', sg) — both JVM
+    expressions — combined Kirsch-Mitzenmacher style (h1 + i*h2 mod m), so
+    build and probe use bit-identical hashes; the UDF does pure vectorized
+    numpy bit tests on the broadcast bitset
+    (``build_shingle_bloom_udf``).
+    """
+    sh = shingled.select("doc_id", "split", F.explode("shingles").alias("sg"))
+
+    eval_sh = (
+        sh.filter(F.col("split") != "train")
+        .groupBy("sg")
+        .agg(F.countDistinct("doc_id").alias("n_eval_docs"))
+    )
+    maybe_contaminated, h1c, h2c = build_shingle_bloom_udf(
+        eval_sh, bits_per_key=bits_per_key, n_hashes=n_hashes
+    )
+
     candidates = (
         sh.filter(F.col("split") == "train")
-        .withColumn("_h1", h1c)
-        .withColumn("_h2", h2c)
+        .withColumn("_h1", h1c(F.col("sg")))
+        .withColumn("_h2", h2c(F.col("sg")))
         .filter(maybe_contaminated(F.col("_h1"), F.col("_h2")))
         .drop("_h1", "_h2")
     )

@@ -353,6 +353,30 @@ def stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_decontaminate",
+    None,  # oracle assigned below: ext_decontaminate's exact SQL
+)
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING eval-set decontamination: incoming documents are screened
+    AT INGEST against the benchmark Bloom bitset (built once, shared with
+    ext_decontaminate_bloom) — per micro-batch: content-hash split,
+    map-side shingle + Bloom prefilter, exact eval equi-join on the
+    survivors. Per-doc verdicts are micro-batch-local, so the streamed
+    result equals the batch operator's and reuses its EXACT oracle."""
+    t(spark, sf_dir, "documents")  # session confs
+    return jobs.stream_decontaminate(spark, sf_dir)
+
+
+def _borrow_decontaminate_oracle() -> None:
+    from cdc_debezium_kafka_airflow_spark.queries import ext_queries
+
+    ORACLES["stream_decontaminate"] = ext_queries.ORACLES["ext_decontaminate"]
+
+
+_borrow_decontaminate_oracle()
+
+
+@q(
     "stream_scd2_upsert",
     f"""
     WITH {CH_CTE},

@@ -1827,6 +1827,119 @@ def streaming_index_append_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING eval-set decontamination — the runtime-filter pattern
+    applied at ingest time: a 100 TB training corpus doesn't get
+    decontaminated in one batch job, it is SCREENED AS IT ARRIVES. The
+    benchmark-sized eval shingle set is built once (from the shingle cache)
+    into a broadcast Bloom bitset (``build_shingle_bloom_udf`` — shared
+    with the batch twin ``ext_decontaminate_bloom``); each micro-batch of
+    incoming documents is normalized, content-hash split (only train docs
+    proceed), shingled map-side, Bloom-prefiltered map-side, and only the
+    survivors hit the exact eval equi-join; per-doc contamination verdicts
+    append to the result store.
+
+    Per-doc aggregation is micro-batch-local (a document arrives whole),
+    so the streamed result is IDENTICAL to the batch operator's — the
+    oracle is ext_decontaminate's exact SQL, and any Bloom false negative,
+    split drift, or lost batch flips the hash. Cost per batch ∝ batch
+    shingles (map-side) + contaminated survivors (join), never corpus.
+    """
+    import shutil
+
+    from cdc_debezium_kafka_airflow_spark.operators.dedup import (
+        word_shingles,
+    )
+    from cdc_debezium_kafka_airflow_spark.operators.sampling import (
+        build_shingle_bloom_udf,
+        content_bucket,
+    )
+    from cdc_debezium_kafka_airflow_spark.operators.text import (
+        normalize_text,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.shingle_cache import (
+        shingled_documents,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+
+    # static side, built once: eval shingle counts + the Bloom bitset
+    sh_all = shingled_documents(spark, sf_dir, unit="word", k=3)
+    eval_sh = (
+        sh_all.filter(F.col("bucket") >= 90)
+        .select("doc_id", F.explode("shingles").alias("sg"))
+        .groupBy("sg")
+        .agg(F.countDistinct("doc_id").alias("n_eval_docs"))
+    )
+    maybe_contaminated, h1c, h2c = build_shingle_bloom_udf(eval_sh)
+    eval_b = F.broadcast(eval_sh)
+
+    # full-text replay source (the quota job's replay projects text away)
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        cache_is_fresh,
+        source_fingerprint,
+        write_fingerprint,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    replay_dir = os.path.join("/root/repo/.cache", f"docs_text_replay_{tag}")
+    fp = source_fingerprint(sf_dir, "documents")
+    if not cache_is_fresh(replay_dir, fp):
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).repartition(4).write.mode("overwrite").parquet(replay_dir)
+        write_fingerprint(replay_dir, fp)
+    out_dir = os.path.join("/root/repo/.cache", f"stream_decon_{tag}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    def decon_batch(batch: DataFrame, batch_id: int) -> None:
+        normed = batch.select(
+            "doc_id", normalize_text(F.col("text")).alias("t")
+        )
+        train = normed.filter(content_bucket(F.col("t")) < 90)
+        sh = train.select(
+            "doc_id", F.explode(word_shingles(F.col("t"), 3)).alias("sg")
+        )
+        cand = (
+            sh.withColumn("_h1", h1c(F.col("sg")))
+            .withColumn("_h2", h2c(F.col("sg")))
+            .filter(maybe_contaminated(F.col("_h1"), F.col("_h2")))
+            .drop("_h1", "_h2")
+        )
+        flagged = (
+            cand.join(eval_b, "sg")
+            .groupBy("doc_id")
+            .agg(
+                F.count("*").cast("long").alias("n_shared_shingles"),
+                F.sum("n_eval_docs").cast("long").alias("eval_doc_hits"),
+            )
+            .filter(F.col("n_shared_shingles") >= 2)
+        )
+        flagged.write.mode("append").parquet(out_dir)
+
+    file_schema = spark.read.parquet(replay_dir).schema
+    stream = (
+        spark.readStream.schema(file_schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(replay_dir)
+    )
+    ck = temp_checkpoint_dir()
+    try:
+        q = (
+            stream.writeStream.foreachBatch(decon_batch)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+    return spark.read.parquet(out_dir).select(
+        "doc_id", "n_shared_shingles", "eval_doc_hits"
+    )
+
+
 def documents_range_replay_dir(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> str:
