@@ -137,3 +137,84 @@ def test_postgres_dialect_drives_live_duckdb():
         raise AssertionError("duplicate index DDL should fail")
     except Exception as exc:
         assert d.is_already_exists(exc)
+
+
+def test_scd2_repair_protocol_out_of_order_batches():
+    """The streaming SCD2 sink's accumulate+repair SQL (jobs.foreach_batch_
+    scd2) must converge to the whole-log SCD2 result under ARBITRARY
+    batch order and replays. Planted scenario: one key's ops arrive as
+    [later version], [replay], [earlier version + delete], [re-insert] —
+    the late batch must splice in and repair its predecessor's valid_to
+    in the same statement."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE SCD2_HISTORY (join_hash BIGINT, table_name VARCHAR, "
+        "key_id BIGINT, valid_from_offset BIGINT, is_delete BOOLEAN, "
+        "valid_to_offset BIGINT, is_current BOOLEAN, payload VARCHAR)"
+    )
+    con.execute(
+        "CREATE UNIQUE INDEX SCD2_KEY ON SCD2_HISTORY "
+        "(join_hash, table_name, key_id, valid_from_offset)"
+    )
+    insert_sql = (
+        "INSERT INTO SCD2_HISTORY SELECT join_hash, table_name, key_id, "
+        "valid_from_offset, is_delete, NULL, FALSE, payload FROM SCD2_STAGE "
+        "ON CONFLICT DO NOTHING"
+    )
+    repair_sql = """
+        UPDATE SCD2_HISTORY h
+        SET valid_to_offset = r.valid_to_offset, is_current = r.is_current
+        FROM (
+          SELECT join_hash, table_name, key_id, valid_from_offset,
+                 lead(valid_from_offset) OVER w - 1 AS valid_to_offset,
+                 (lead(valid_from_offset) OVER w IS NULL
+                  AND NOT is_delete) AS is_current
+          FROM SCD2_HISTORY
+          WHERE join_hash IN (SELECT DISTINCT join_hash FROM SCD2_STAGE)
+          WINDOW w AS (PARTITION BY join_hash, table_name, key_id
+                       ORDER BY valid_from_offset)
+        ) r
+        WHERE h.join_hash = r.join_hash AND h.table_name = r.table_name
+          AND h.key_id = r.key_id
+          AND h.valid_from_offset = r.valid_from_offset
+          AND (h.valid_to_offset IS DISTINCT FROM r.valid_to_offset
+               OR h.is_current IS DISTINCT FROM r.is_current)
+    """
+    # ops for key (t,1): v@10, v@20, d@30, v@40 (re-insert, current)
+    # and key (t,2): v@15, d@25 (deleted key, no current row)
+    batches = [
+        [(1, "t", 1, 40, False, "k1-v40"), (2, "t", 2, 15, False, "k2-v15")],
+        [(1, "t", 1, 40, False, "k1-v40")],  # replayed batch
+        [(1, "t", 1, 10, False, "k1-v10"), (1, "t", 1, 30, True, "k1-d30"),
+         (2, "t", 2, 25, True, "k2-d25")],  # LATE batch: earlier offsets
+        [(1, "t", 1, 20, False, "k1-v20")],  # later still: splice mid-chain
+    ]
+    for rows in batches:
+        con.execute("DROP TABLE IF EXISTS SCD2_STAGE")
+        con.execute(
+            "CREATE TABLE SCD2_STAGE (join_hash BIGINT, table_name VARCHAR, "
+            "key_id BIGINT, valid_from_offset BIGINT, is_delete BOOLEAN, "
+            "payload VARCHAR)"
+        )
+        con.executemany(
+            "INSERT INTO SCD2_STAGE VALUES (?, ?, ?, ?, ?, ?)", rows
+        )
+        con.execute(insert_sql)
+        con.execute(repair_sql)
+    got = con.execute(
+        "SELECT key_id, valid_from_offset, valid_to_offset, is_current "
+        "FROM SCD2_HISTORY WHERE NOT is_delete ORDER BY key_id, "
+        "valid_from_offset"
+    ).fetchall()
+    assert got == [
+        (1, 10, 19, False),
+        (1, 20, 29, False),
+        (1, 40, None, True),
+        (2, 15, 24, False),
+    ]
+    # delete markers carry intervals too but are never current
+    assert con.execute(
+        "SELECT count(*) FROM SCD2_HISTORY WHERE is_delete AND is_current"
+    ).fetchone()[0] == 0
