@@ -452,6 +452,126 @@ def ext_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_matryoshka_recall",
+    f"""
+    WITH {SIM_CTE},
+    dims AS (SELECT unnest([16, 32]) AS dim),
+    q AS (SELECT vec_id AS query_id, e FROM v WHERE vec_id % 50 = 0),
+    full_s AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_inner_product(q.e, c.e) /
+               (sqrt(list_inner_product(q.e, q.e)) *
+                sqrt(list_inner_product(c.e, c.e))) AS sim
+      FROM q JOIN v c ON c.vec_id <> q.query_id
+    ),
+    full_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rn
+        FROM full_s
+      ) WHERE rn <= 10
+    ),
+    trunc_s AS (
+      SELECT d.dim, q.query_id, c.vec_id AS neighbor_id,
+             list_inner_product(q.e[1:d.dim], c.e[1:d.dim]) /
+               (sqrt(list_inner_product(q.e[1:d.dim], q.e[1:d.dim])) *
+                sqrt(list_inner_product(c.e[1:d.dim], c.e[1:d.dim]))) AS sim
+      FROM dims d, q JOIN v c ON c.vec_id <> q.query_id
+    ),
+    trunc_top AS (
+      SELECT dim, query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY dim, query_id
+                                     ORDER BY sim DESC, neighbor_id) AS rn
+        FROM trunc_s
+      ) WHERE rn <= 10
+    ),
+    per_query AS (
+      SELECT t.dim, t.query_id, count(f.neighbor_id) AS n_hit
+      FROM trunc_top t
+      LEFT JOIN full_top f
+        ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+      GROUP BY t.dim, t.query_id
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(n_hit) AS BIGINT) AS n_overlap,
+           round(CAST(sum(n_hit) AS DOUBLE) / (10.0 * count(*)), 4)
+             AS recall_at_10
+    FROM per_query GROUP BY dim
+    """,
+)
+def ext_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style truncation audit (Kusupati et al. 2022,
+    arXiv:2205.13147): rank by cosine over only the FIRST d dimensions and
+    measure recall@10 against the full-dimension exact top-10 — the
+    operational question behind serving truncated embeddings (d-dim index
+    = d/64 of the memory and FLOPs; this op tells you what recall that
+    buys on YOUR corpus before you commit the index build).
+
+    Plan shape: the query set is tiny (every 50th vector) and broadcast;
+    the corpus streams once per probe dim through the same
+    broadcast-join + per-query heap as ext_sim_topk (no shuffle carries
+    more than n_queries x k rows); truncation is a map-side F.slice. The
+    fixture's random embeddings give a low-recall floor — the point of
+    the audit is the measurement machinery, pinned exactly against DuckDB
+    list-slice cosines at two probe dims."""
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    e = t(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
+    )
+    full_top = brute_force_topk(queries, corpus, k=10).select(
+        "query_id", F.col("neighbor_id").alias("f_neighbor")
+    )
+    per_dim = []
+    for dim in (16, 32):
+        t_top = brute_force_topk(
+            queries.select(
+                "query_id", F.slice("qvec", 1, dim).alias("qvec")
+            ),
+            corpus.select(
+                "neighbor_id", F.slice("cvec", 1, dim).alias("cvec")
+            ),
+            k=10,
+        ).select(
+            F.col("query_id").alias("t_query"),
+            F.col("neighbor_id").alias("t_neighbor"),
+        )
+        hits = (
+            t_top.join(
+                full_top,
+                (F.col("t_query") == F.col("query_id"))
+                & (F.col("t_neighbor") == F.col("f_neighbor")),
+                "left",
+            )
+            .groupBy("t_query")
+            .agg(F.count("f_neighbor").alias("n_hit"))
+        )
+        per_dim.append(
+            hits.agg(
+                F.lit(dim).cast("long").alias("dim"),
+                F.count("*").cast("long").alias("n_queries"),
+                F.sum("n_hit").cast("long").alias("n_overlap"),
+                F.round(
+                    F.sum("n_hit").cast("double")
+                    / (F.lit(10.0) * F.count("*")),
+                    4,
+                ).alias("recall_at_10"),
+            )
+        )
+    out = per_dim[0]
+    for d in per_dim[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+@q(
     "ext_sim_ann_bucketed",
     f"""
     WITH {SIM_CTE},
