@@ -1239,25 +1239,27 @@ def foreach_batch_scd2(
         FROM SCD2_STAGE
         ON CONFLICT DO NOTHING
     """
+    # the UPDATE joins on rowid (computed and applied within ONE
+    # statement, so rowids are stable): measured 15x over the 4-column
+    # key equality join (2.7s -> 0.18s for the sf0.1 protocol); the
+    # changed-row guard reads the pre-update values captured in r
     repair_sql = """
         UPDATE SCD2_HISTORY h
         SET valid_to_offset = r.valid_to_offset, is_current = r.is_current
         FROM (
-          SELECT join_hash, table_name, key_id, valid_from_offset,
+          SELECT rowid AS rid,
                  lead(valid_from_offset) OVER w - 1 AS valid_to_offset,
                  (lead(valid_from_offset) OVER w IS NULL
-                  AND NOT is_delete) AS is_current
+                  AND NOT is_delete) AS is_current,
+                 valid_to_offset AS old_to, is_current AS old_cur
           FROM SCD2_HISTORY
           WHERE join_hash IN (SELECT DISTINCT join_hash FROM SCD2_STAGE)
           WINDOW w AS (PARTITION BY join_hash, table_name, key_id
                        ORDER BY valid_from_offset)
         ) r
-        WHERE h.join_hash = r.join_hash
-          AND h.table_name = r.table_name
-          AND h.key_id = r.key_id
-          AND h.valid_from_offset = r.valid_from_offset
-          AND (h.valid_to_offset IS DISTINCT FROM r.valid_to_offset
-               OR h.is_current IS DISTINCT FROM r.is_current)
+        WHERE h.rowid = r.rid
+          AND (r.old_to IS DISTINCT FROM r.valid_to_offset
+               OR r.old_cur IS DISTINCT FROM r.is_current)
     """
 
     def scd2_batch(batch: DataFrame, batch_id: int) -> None:

@@ -167,20 +167,19 @@ def test_scd2_repair_protocol_out_of_order_batches():
         UPDATE SCD2_HISTORY h
         SET valid_to_offset = r.valid_to_offset, is_current = r.is_current
         FROM (
-          SELECT join_hash, table_name, key_id, valid_from_offset,
+          SELECT rowid AS rid,
                  lead(valid_from_offset) OVER w - 1 AS valid_to_offset,
                  (lead(valid_from_offset) OVER w IS NULL
-                  AND NOT is_delete) AS is_current
+                  AND NOT is_delete) AS is_current,
+                 valid_to_offset AS old_to, is_current AS old_cur
           FROM SCD2_HISTORY
           WHERE join_hash IN (SELECT DISTINCT join_hash FROM SCD2_STAGE)
           WINDOW w AS (PARTITION BY join_hash, table_name, key_id
                        ORDER BY valid_from_offset)
         ) r
-        WHERE h.join_hash = r.join_hash AND h.table_name = r.table_name
-          AND h.key_id = r.key_id
-          AND h.valid_from_offset = r.valid_from_offset
-          AND (h.valid_to_offset IS DISTINCT FROM r.valid_to_offset
-               OR h.is_current IS DISTINCT FROM r.is_current)
+        WHERE h.rowid = r.rid
+          AND (r.old_to IS DISTINCT FROM r.valid_to_offset
+               OR r.old_cur IS DISTINCT FROM r.is_current)
     """
     # ops for key (t,1): v@10, v@20, d@30, v@40 (re-insert, current)
     # and key (t,2): v@15, d@25 (deleted key, no current row)
