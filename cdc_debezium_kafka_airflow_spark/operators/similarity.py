@@ -1231,6 +1231,123 @@ def semdedup(
     )
 
 
+def semdedup_verdict_audit(
+    out: DataFrame,
+    batch_vecs: DataFrame,
+    corpus_kept: DataFrame,
+    n_batch_total: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Derived-invariant audit of an incremental-SemDeDup verdict log —
+    shared by the batch query (ext_dedup_semantic_incremental) and the
+    streaming ingestion job (stream_semdedup_ingest), which differ in
+    arrival order but guarantee the SAME per-verdict invariants:
+
+      - n_unaccounted: every batch vector verdicted exactly once;
+      - n_bad_corpus_dup: 'dup_of_corpus' witness must be a corpus-KEPT
+        cell-mate at cosine >= threshold - 1e-6;
+      - n_bad_batch_dup: 'dup_in_batch' witness must be an accepted
+        ('new') batch cell-mate at cosine >= threshold - 1e-6;
+      - n_bad_new: a 'new' vector must not be shadowed by a corpus-KEPT
+        cell-mate at cosine >= threshold + 1e-6.
+
+    Inputs: ``out`` (vid, cid, verdict, witness_id) — one row per batch
+    vector; ``batch_vecs`` (vid, vec) unit-normalized; ``corpus_kept``
+    (kvid, kcid, kvec); ``n_batch_total`` a 1-row frame with ``n_batch``.
+    """
+    th = threshold
+    acct = n_batch_total.crossJoin(
+        out.agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count_distinct("vid").cast("long").alias("n_vids"),
+        )
+    ).select(
+        "n_batch",
+        (
+            F.abs(F.col("n_batch") - F.col("n_rows"))
+            + (F.col("n_rows") - F.col("n_vids"))
+        ).alias("n_unaccounted"),
+    )
+    ov = out.join(batch_vecs, on="vid")
+    bad_corpus = (
+        ov.filter(F.col("verdict") == "dup_of_corpus")
+        .join(
+            corpus_kept,
+            on=[F.col("witness_id") == F.col("kvid")],
+            how="left",
+        )
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("kvid").isNull()
+                        | (F.col("kcid") != F.col("cid"))
+                        | (
+                            dot(F.col("vec"), F.col("kvec"))
+                            < F.lit(th) - F.lit(1e-6)
+                        ),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_bad_corpus_dup")
+        )
+    )
+    accepted = (
+        out.filter(F.col("verdict") == "new")
+        .select(F.col("vid").alias("avid"), F.col("cid").alias("acid"))
+        .join(
+            batch_vecs.select(
+                F.col("vid").alias("avid"), F.col("vec").alias("avec")
+            ),
+            on="avid",
+        )
+    )
+    bad_batch = (
+        ov.filter(F.col("verdict") == "dup_in_batch")
+        .join(accepted, on=[F.col("witness_id") == F.col("avid")], how="left")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("avid").isNull()
+                        | (F.col("acid") != F.col("cid"))
+                        | (
+                            dot(F.col("vec"), F.col("avec"))
+                            < F.lit(th) - F.lit(1e-6)
+                        ),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_bad_batch_dup")
+        )
+    )
+    bad_new = (
+        ov.filter(F.col("verdict") == "new")
+        .join(corpus_kept, on=[F.col("cid") == F.col("kcid")])
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        dot(F.col("vec"), F.col("kvec"))
+                        >= F.lit(th) + F.lit(1e-6),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_bad_new")
+        )
+    )
+    return acct.crossJoin(bad_corpus).crossJoin(bad_batch).crossJoin(bad_new)
+
+
 def semdedup_incremental(
     corpus: DataFrame,
     batch: DataFrame,

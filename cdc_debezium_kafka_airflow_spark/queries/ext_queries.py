@@ -3875,9 +3875,9 @@ def ext_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     """
     from cdc_debezium_kafka_airflow_spark.operators.similarity import (
         as_double,
-        dot,
         normalized,
         semdedup_incremental,
+        semdedup_verdict_audit,
     )
     from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
         source_fingerprint,
@@ -3920,89 +3920,5 @@ def ext_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("cell").alias("kcid"),
         F.col("vec").alias("kvec"),
     )
-
     n_batch_total = batch.agg(F.count("*").cast("long").alias("n_batch"))
-    acct = n_batch_total.crossJoin(
-        out.agg(
-            F.count("*").cast("long").alias("n_rows"),
-            F.count_distinct("vid").cast("long").alias("n_vids"),
-        )
-    ).select(
-        "n_batch",
-        (
-            F.abs(F.col("n_batch") - F.col("n_rows"))
-            + (F.col("n_rows") - F.col("n_vids"))
-        ).alias("n_unaccounted"),
-    )
-
-    ov = out.join(v, on="vid")
-    bad_corpus = (
-        ov.filter(F.col("verdict") == "dup_of_corpus")
-        .join(
-            corpus_kept,
-            on=[F.col("witness_id") == F.col("kvid")],
-            how="left",
-        )
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("kvid").isNull()
-                        | (F.col("kcid") != F.col("cid"))
-                        | (
-                            dot(F.col("vec"), F.col("kvec"))
-                            < F.lit(th) - F.lit(1e-6)
-                        ),
-                        F.lit(1),
-                    ).otherwise(F.lit(0))
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("n_bad_corpus_dup")
-        )
-    )
-    accepted = out.filter(F.col("verdict") == "new").select(
-        F.col("vid").alias("avid"), F.col("cid").alias("acid")
-    ).join(v.select(F.col("vid").alias("avid"), F.col("vec").alias("avec")), on="avid")
-    bad_batch = (
-        ov.filter(F.col("verdict") == "dup_in_batch")
-        .join(accepted, on=[F.col("witness_id") == F.col("avid")], how="left")
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        F.col("avid").isNull()
-                        | (F.col("acid") != F.col("cid"))
-                        | (
-                            dot(F.col("vec"), F.col("avec"))
-                            < F.lit(th) - F.lit(1e-6)
-                        ),
-                        F.lit(1),
-                    ).otherwise(F.lit(0))
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("n_bad_batch_dup")
-        )
-    )
-    bad_new = (
-        ov.filter(F.col("verdict") == "new")
-        .join(corpus_kept, on=[F.col("cid") == F.col("kcid")])
-        .agg(
-            F.coalesce(
-                F.sum(
-                    F.when(
-                        dot(F.col("vec"), F.col("kvec"))
-                        >= F.lit(th) + F.lit(1e-6),
-                        F.lit(1),
-                    ).otherwise(F.lit(0))
-                ),
-                F.lit(0),
-            )
-            .cast("long")
-            .alias("n_bad_new")
-        )
-    )
-    return acct.crossJoin(bad_corpus).crossJoin(bad_batch).crossJoin(bad_new)
+    return semdedup_verdict_audit(out, v, corpus_kept, n_batch_total, th)

@@ -353,6 +353,29 @@ def stream_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_semdedup_ingest",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_batch,
+           CAST(0 AS BIGINT) AS n_unaccounted,
+           CAST(0 AS BIGINT) AS n_bad_corpus_dup,
+           CAST(0 AS BIGINT) AS n_bad_batch_dup,
+           CAST(0 AS BIGINT) AS n_bad_new
+    FROM embeddings WHERE vec_id % 10 = 9
+    """,
+)
+def stream_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING SemDeDup ingestion — third consumer of the shared
+    corpus kept-set artifact: micro-batches verdict against the frozen
+    artifact plus this stream's own accepted vectors (a growing
+    accepted-store between batches). Arrival order replaces the one-shot
+    global order, so the oracle is the order-free invariant set shared
+    with ext_dedup_semantic_incremental: exact batch accounting + witness
+    validity for every verdict class."""
+    t(spark, sf_dir, "events")  # session confs
+    return jobs.stream_semdedup_ingest(spark, sf_dir)
+
+
+@q(
     "stream_decontaminate",
     None,  # oracle assigned below: ext_decontaminate's exact SQL
 )
