@@ -3162,6 +3162,103 @@ def ext_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_corpus_drift",
+    f"""
+    WITH toks AS (
+      SELECT source, (doc_id // 20) % 2 AS half,
+             unnest(string_split({NORM}, ' ')) AS token
+      FROM documents
+    ),
+    c AS (
+      SELECT source, token,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n0,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1
+      FROM toks WHERE token <> '' GROUP BY source, token
+    ),
+    tot AS (
+      SELECT source, sum(n0) AS t0, sum(n1) AS t1 FROM c GROUP BY source
+    ),
+    tv AS (
+      SELECT c.source,
+             CAST(sum(abs(c.n0 * tot.t1 - c.n1 * tot.t0)) AS BIGINT)
+               AS tv_num,
+             CAST(any_value(tot.t0) AS BIGINT) AS t0,
+             CAST(any_value(tot.t1) AS BIGINT) AS t1
+      FROM c JOIN tot USING (source) GROUP BY c.source
+    )
+    SELECT source, t0 AS n_tokens_a, t1 AS n_tokens_b,
+           CASE WHEN t0 = 0 OR t1 = 0 THEN NULL
+                ELSE round(CAST(tv_num AS DOUBLE) / (2.0 * t0 * t1), 6)
+           END AS tv_distance,
+           CASE WHEN t0 = 0 OR t1 = 0 THEN NULL
+                ELSE (CAST(tv_num AS DOUBLE) / (2.0 * t0 * t1)) > 0.30
+           END AS drifted
+    FROM tv
+    """,
+)
+def ext_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus DRIFT monitor: total-variation distance between
+    the unigram distributions of two deterministic halves of each source's
+    documents ((doc_id // 20) parity — the fixture interleaves sources on
+    doc_id % 20, so this parity alternates WITHIN each source; in
+    production, yesterday's crawl vs today's). TV distance is THE pipeline tripwire for a scraper change,
+    boilerplate injection, or language shift upstream of training.
+
+    Float discipline (the cross-engine exactness rule): TV = sum_t
+    |p0 - p1| / 2 is computed as sum_t |n0*T1 - n1*T0| — EXACT integer
+    arithmetic all the way through the aggregation — with ONE closing
+    IEEE division by (2*T0*T1), identically parenthesized in both
+    engines. No per-token float ever aggregates, so summation order
+    cannot flip the 6dp hash.
+
+    Plan shape: one shuffle on (source, token) with map-side partial
+    counts (token domain is vocab-bounded), one source-level fold —
+    at 100 TB the token-count table is the same vocab-bounded
+    intermediate the LM-filter family already materializes."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        ((F.col("doc_id") / 20).cast("long") % 2).alias("half"),
+        F.explode(
+            F.split(normalize_text(F.col("text")), " ")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    c = toks.groupBy("source", "token").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    tot = c.groupBy("source").agg(
+        F.sum("n0").alias("t0"), F.sum("n1").alias("t1")
+    )
+    tv = (
+        c.join(tot, on="source")
+        .groupBy("source")
+        .agg(
+            F.sum(
+                F.abs(F.col("n0") * F.col("t1") - F.col("n1") * F.col("t0"))
+            )
+            .cast("long")
+            .alias("tv_num"),
+            F.first("t0").cast("long").alias("t0"),
+            F.first("t1").cast("long").alias("t1"),
+        )
+    )
+    # a source whose half is EMPTY has no defined distribution: NULL, not
+    # an ANSI divide-by-zero (guarded identically in the oracle)
+    defined = (F.col("t0") > 0) & (F.col("t1") > 0)
+    ratio = F.col("tv_num").cast("double") / (
+        F.lit(2.0) * F.col("t0") * F.col("t1")
+    )
+    return tv.select(
+        "source",
+        F.col("t0").alias("n_tokens_a"),
+        F.col("t1").alias("n_tokens_b"),
+        F.when(defined, F.round(ratio, 6)).alias("tv_distance"),
+        F.when(defined, ratio > 0.30).alias("drifted"),
+    )
+
+
+@q(
     "ext_dsir_resample",
     f"""
     WITH d AS (
