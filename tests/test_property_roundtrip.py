@@ -54,3 +54,114 @@ def test_envelope_roundtrip_arbitrary_content(spark, rows):
     back = unwrap(main).select("after.*")
     assert back.exceptAll(events).count() == 0
     assert events.exceptAll(back).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round-5 vectorized Avro encoder vs the row codec (no Spark needed)
+# ---------------------------------------------------------------------------
+
+_avro_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        st.datetimes(
+            min_value=datetime.datetime(1970, 1, 1),
+            max_value=datetime.datetime(2200, 1, 1),
+        ).map(lambda d: d.replace(microsecond=(d.microsecond // 1) )),
+        st.integers(min_value=-(2**31), max_value=2**31 - 1),
+        nasty_text,
+        st.floats(allow_nan=False),  # infinities ARE valid Avro doubles
+        st.one_of(st.none(), nasty_text),
+    ),
+    min_size=0,
+    max_size=50,
+)
+
+
+@settings(deadline=None, max_examples=60)
+@given(rows=_avro_rows)
+def test_avro_arrow_encoder_matches_row_codec(tmp_path_factory, rows):
+    """Property: for ANY rows, write_container_arrow produces byte-identical
+    files to write_container (same sync marker, same blocking) — including
+    extreme varints, unicode, nulls, and signed-zero doubles."""
+    import pyarrow as pa
+
+    from cdc_debezium_kafka_airflow_spark.sources import avro_py as av
+
+    tmp = tmp_path_factory.mktemp("avro_prop")
+    rows = [(a, b, int(c), s, v, p) for a, b, c, s, v, p in rows]
+    p_row = str(tmp / "r.avro")
+    p_arr = str(tmp / "a.avro")
+    sync = b"\x42" * 16
+    av.write_container(
+        p_row, av.EVENTS_AVRO_SCHEMA, iter(rows), sync, records_per_block=7
+    )
+    names = [f["name"] for f in av.EVENTS_AVRO_SCHEMA["fields"]]
+    types = [pa.int64(), pa.timestamp("us"), pa.int64(), pa.string(),
+             pa.float64(), pa.string()]
+    arrays = [
+        pa.array([r[i] for r in rows], type=types[i])
+        for i in range(len(names))
+    ]
+    batch = pa.RecordBatch.from_arrays(arrays, names=names)
+    av.write_container_arrow(
+        p_arr, av.EVENTS_AVRO_SCHEMA, iter([batch]), sync,
+        records_per_block=7,
+    )
+    assert open(p_row, "rb").read() == open(p_arr, "rb").read()
+
+
+@settings(deadline=None, max_examples=40)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**63), max_value=2**63 - 1),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_varint_flat_matches_scalar_encoder(vals):
+    import numpy as np
+
+    from cdc_debezium_kafka_airflow_spark.sources import avro_py as av
+
+    flat, lens = av._varint_flat(np.array(vals, dtype=np.int64))
+    pos = 0
+    for v, ln in zip(vals, lens):
+        assert flat[pos : pos + ln].tobytes() == av.encode_long(v)
+        pos += ln
+    assert pos == len(flat)
+
+
+@settings(deadline=None, max_examples=25)
+@given(
+    n=st.integers(min_value=1, max_value=600),
+    cap=st.integers(min_value=4, max_value=64),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_split_over_cap_properties(n, cap, seed):
+    """Property: the recursive cell splitter always yields final blocks of
+    <= cap rows, covers every row exactly once, emits strictly negative
+    (collision-free) path ids disjoint from any cell id, and is a pure
+    function of its input."""
+    import numpy as np
+
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+        _split_over_cap,
+    )
+
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, 8))
+    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    out = np.zeros(n, dtype=np.int64)
+    _split_over_cap(mat, np.arange(n), cap, 5 + 1, 0, out)
+    if n <= cap:
+        assert (out == -(5 + 1)).all()
+        return
+    sizes: dict[int, int] = {}
+    for b in out:
+        sizes[int(b)] = sizes.get(int(b), 0) + 1
+    assert sum(sizes.values()) == n
+    assert max(sizes.values()) <= cap
+    assert all(b < 0 for b in sizes)
+    out2 = np.zeros(n, dtype=np.int64)
+    _split_over_cap(mat, np.arange(n), cap, 5 + 1, 0, out2)
+    assert (out == out2).all()
