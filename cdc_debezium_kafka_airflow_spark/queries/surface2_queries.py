@@ -573,6 +573,105 @@ def cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cdc_scd2_retention",
+    f"""
+    WITH {CH_CTE},
+    led AS (
+      SELECT *, lead(off) OVER (PARTITION BY table_name, key_id
+                                ORDER BY off) AS next_off
+      FROM ch
+    ),
+    v AS (
+      SELECT table_name, key_id, off AS valid_from_offset,
+             next_off - 1 AS valid_to_offset,
+             (next_off IS NULL) AS is_current
+      FROM led WHERE op <> 'd'
+    ),
+    m AS (SELECT max(off) // 2 AS wm FROM ch),
+    flagged AS (
+      SELECT v.*,
+             CASE WHEN is_current THEN 0
+                  ELSE row_number() OVER (
+                    PARTITION BY table_name, key_id, is_current
+                    ORDER BY valid_from_offset DESC)
+             END AS closed_rank,
+             m.wm
+      FROM v CROSS JOIN m
+    ),
+    verdicts AS (
+      SELECT *,
+             (is_current OR closed_rank = 1
+              OR valid_to_offset >= wm) AS retained
+      FROM flagged
+    )
+    SELECT table_name,
+           CAST(count(*) AS BIGINT) AS n_versions,
+           CAST(sum(CASE WHEN retained THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_retained,
+           CAST(sum(CASE WHEN retained THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_vacuumed,
+           CAST(sum(CASE WHEN retained THEN valid_from_offset ELSE 0 END)
+                AS BIGINT) AS retained_ck
+    FROM verdicts GROUP BY table_name
+    """,
+)
+def cdc_scd2_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history RETENTION (the VACUUM policy a history table needs at
+    100 TB — versions accumulate forever otherwise): keep every CURRENT
+    version, the single most recent closed version per key (fast
+    "previous value" lookups), and any version still inside the retention
+    window (valid_to >= half the log's max offset — in production, the
+    compliance horizon). Everything else is vacuumable. Emits per-table
+    accounting plus an exact checksum of the retained set so the policy
+    is auditable, not just counted.
+
+    Plan: the same single (table, key) shuffle the SCD2 materialization
+    uses — the rank over closed versions rides the same window partition;
+    retention verdicts are then map-only."""
+    from cdc_debezium_kafka_airflow_spark.operators.cdc import scd2_history
+    from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import (
+        _unwrapped,
+    )
+
+    v = scd2_history(_unwrapped(spark, sf_dir))
+    wm = (
+        _unwrapped(spark, sf_dir)
+        .agg((F.floor(F.max("offset") / 2)).cast("long").alias("wm"))
+    )
+    w = Window.partitionBy("table_name", "key_id", "is_current").orderBy(
+        F.col("valid_from_offset").desc()
+    )
+    flagged = (
+        v.withColumn(
+            "closed_rank",
+            F.when(F.col("is_current"), F.lit(0)).otherwise(
+                F.row_number().over(w)
+            ),
+        )
+        .crossJoin(F.broadcast(wm))
+        .withColumn(
+            "retained",
+            F.col("is_current")
+            | (F.col("closed_rank") == 1)
+            | (F.col("valid_to_offset") >= F.col("wm")),
+        )
+    )
+    return flagged.groupBy("table_name").agg(
+        F.count("*").cast("long").alias("n_versions"),
+        F.sum(F.col("retained").cast("long")).cast("long").alias("n_retained"),
+        F.sum((~F.col("retained")).cast("long")).cast("long")
+        .alias("n_vacuumed"),
+        F.sum(
+            F.when(F.col("retained"), F.col("valid_from_offset")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("retained_ck"),
+    )
+
+
+@q(
     "cdc_point_in_time",
     f"""
     WITH {CH_CTE},
