@@ -1051,3 +1051,257 @@ def cdc_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twap"),
     )
+
+
+@q(
+    "cdc_txn_consistent",
+    f"""
+    WITH {CH_CTE},
+    tx AS (SELECT ch.*, off // 16 AS txn_id FROM ch),
+    mx AS (SELECT max(txn_id) AS max_txn FROM tx),
+    applied AS (SELECT tx.* FROM tx CROSS JOIN mx WHERE txn_id < max_txn),
+    latest AS (
+      SELECT *, row_number() OVER (PARTITION BY table_name, key_id
+                                   ORDER BY off DESC) AS rn
+      FROM applied
+    ),
+    mat AS (SELECT * FROM latest WHERE rn = 1 AND op <> 'd'),
+    held AS (
+      SELECT table_name, CAST(count(*) AS BIGINT) AS n_inflight_held
+      FROM tx CROSS JOIN mx WHERE txn_id = max_txn GROUP BY 1
+    )
+    SELECT m.table_name,
+           CAST(count(*) AS BIGINT) AS n_live_keys,
+           max(off) AS last_applied_offset,
+           CAST(coalesce(max(h.n_inflight_held), 0) AS BIGINT)
+             AS n_inflight_held
+    FROM mat m LEFT JOIN held h ON h.table_name = m.table_name
+    GROUP BY m.table_name
+    """,
+)
+def cdc_txn_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactionally-consistent materialization — Debezium's
+    ``provide.transaction.metadata`` contract (public Debezium docs; the
+    reference connector leaves it off, register-mysql-connector.json, but a
+    warehouse consumer that must never expose HALF a source transaction
+    turns it on): every data event carries a transaction block
+    ``{{id, total_order}}``, a BEGIN/END marker stream frames each source
+    transaction, and a consistent consumer buffers events until their
+    transaction's END marker arrives before applying them.
+
+    Fixture spec: transaction id = ``offset // 16`` (a group commit of up
+    to 16 consecutive log records). END markers are implied by log
+    progress — a transaction is known-committed exactly when a LATER
+    transaction's first record appears, so the highest txn id in the log is
+    the in-flight tail and must be HELD BACK (the gate a mid-transaction
+    crash replay needs: apply-all-or-nothing per source transaction).
+
+    Output per table: live keys and max applied offset over the gated
+    materialization, plus how many records are parked in the in-flight
+    transaction buffer. The oracle recomputes the same gate + last-write-
+    wins materialization in SQL — a hash match proves the engine applies
+    EXACTLY the committed prefix, never a torn transaction.
+
+    Physical plan: the gate is one 1-row broadcast (max txn id) against the
+    shared parsed changelog — no extra shuffle before the materialize's own
+    keyed aggregation; the held-back count rides the same scan. At 100 TB
+    the in-flight buffer is bounded by one group commit x arrival rate, not
+    by history.
+    """
+    u = _unwrapped(spark, sf_dir)
+    cols = ["table_name", "key_id", "offset", "is_delete", "after"]
+    tx = u.withColumn(
+        "txn_id", F.floor(F.col("offset") / 16).cast("long")
+    )
+    b = tx.agg(F.max("txn_id").alias("max_txn"))
+    txk = tx.join(F.broadcast(b))
+    applied = txk.filter(F.col("txn_id") < F.col("max_txn")).select(cols)
+    held = (
+        txk.filter(F.col("txn_id") == F.col("max_txn"))
+        .groupBy("table_name")
+        .agg(F.count("*").alias("n_inflight_held"))
+    )
+    mat = upsert_materialize(applied)
+    agg = mat.groupBy("table_name").agg(
+        F.count("*").alias("n_live_keys"),
+        F.max("last_offset").alias("last_applied_offset"),
+    )
+    return agg.join(F.broadcast(held), "table_name", "left").select(
+        "table_name",
+        "n_live_keys",
+        "last_applied_offset",
+        F.coalesce(F.col("n_inflight_held"), F.lit(0))
+        .cast("long")
+        .alias("n_inflight_held"),
+    )
+
+
+@q(
+    "cdc_log_compaction",
+    f"""
+    WITH raw AS (
+      SELECT event_id AS off,
+             'mysql-server.pos_bi_db.' || {SQL_TABLE_CASE} AS topic,
+             user_id AS k,
+             {SQL_IS_TOMBSTONE} AS tomb
+      FROM events
+    ),
+    b AS (SELECT max(off) AS mx FROM raw),
+    c AS (
+      SELECT raw.*,
+             (mx * 3) // 4 AS active_start,
+             mx // 2 AS tomb_horizon,
+             row_number() OVER (PARTITION BY topic, k
+                                ORDER BY off DESC) AS rn
+      FROM raw CROSS JOIN b
+    ),
+    flags AS (
+      SELECT topic, off,
+             (off <= active_start AND rn > 1) AS dup_drop,
+             (off <= active_start AND rn = 1 AND tomb
+              AND off <= tomb_horizon) AS tomb_drop,
+             (off > active_start) AS in_active
+      FROM c
+    )
+    SELECT topic,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(CASE WHEN dup_drop THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_compacted_out,
+           CAST(sum(CASE WHEN tomb_drop THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_tombstones_expired,
+           CAST(sum(CASE WHEN in_active THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_active_segment,
+           CAST(count(*)
+                - sum(CASE WHEN dup_drop OR tomb_drop THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_retained,
+           min(CASE WHEN NOT (dup_drop OR tomb_drop) THEN off END)
+             AS min_retained_offset
+    FROM flags GROUP BY topic
+    """,
+)
+def cdc_log_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka log-compaction semantics over the raw CDC topics — the broker-
+    side behavior the whole reference pipeline leans on (compacted offsets/
+    config topics, docker-compose.yml:101-103; tombstones deliberately kept
+    for the cleaner, drop.tombstones=false register-postgres-sink.json:24).
+    The cleaner's contract (public Kafka docs, cleanup.policy=compact):
+
+      - the ACTIVE segment is never cleaned: records past the last-cleanable
+        offset (here the top quarter of the log) all survive;
+      - in the cleaned region, only each (topic, key)'s LATEST record
+        survives — older versions are compacted out;
+      - a surviving tombstone (null value; the delete marker consumers need)
+        is itself dropped once older than delete.retention.ms (here: at or
+        below the log's midpoint offset).
+
+    The broker never parses values, so this runs on the SERIALIZED
+    changelog (malformed DLQ-bound records compact like any other record;
+    tombstone-ness is value IS NULL) — per topic: total records, versions
+    compacted away, tombstones expired, active-segment size, survivors, and
+    the earliest surviving offset (what a from-zero consumer now sees
+    first).
+
+    Physical plan: one window shuffle keyed (topic, key) — the same layout
+    as every keyed materialization here — then a map-side-partial topic
+    rollup; the 1-row max-offset frame is broadcast. At 100 TB the cleaner
+    is per-partition-local (Kafka compacts segment files against an offset
+    map), which this plan mirrors: nothing crosses keys.
+    """
+    ch = build_changelog(t(spark, sf_dir, "events"))
+    b = ch.agg(F.max("offset").alias("mx"))
+    c = ch.join(F.broadcast(b)).select(
+        "offset",
+        "topic",
+        "key",
+        F.col("value").isNull().alias("tomb"),
+        F.expr("mx * 3 DIV 4").alias("active_start"),
+        F.expr("mx DIV 2").alias("tomb_horizon"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("topic", "key").orderBy(F.desc("offset"))
+    r = c.withColumn("rn", F.row_number().over(w))
+    cleaned = F.col("offset") <= F.col("active_start")
+    dup_drop = cleaned & (F.col("rn") > 1)
+    tomb_drop = (
+        cleaned
+        & (F.col("rn") == 1)
+        & F.col("tomb")
+        & (F.col("offset") <= F.col("tomb_horizon"))
+    )
+    dropped = dup_drop | tomb_drop
+    return r.groupBy("topic").agg(
+        F.count("*").alias("n_records"),
+        F.sum(dup_drop.cast("long")).alias("n_compacted_out"),
+        F.sum(tomb_drop.cast("long")).alias("n_tombstones_expired"),
+        F.sum((F.col("offset") > F.col("active_start")).cast("long")).alias(
+            "n_active_segment"
+        ),
+        (F.count("*") - F.sum(dropped.cast("long"))).alias("n_retained"),
+        F.min(F.when(~dropped, F.col("offset"))).alias(
+            "min_retained_offset"
+        ),
+    )
+
+
+@q(
+    "monitor_heartbeat",
+    f"""
+    WITH per_table AS (
+      SELECT {SQL_TABLE_CASE} AS table_name,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(ts) AS last_change
+      FROM events GROUP BY 1
+    ),
+    hb AS (SELECT max(ts) AS heartbeat FROM events)
+    SELECT table_name, n_events,
+           epoch_us(last_change) AS last_change_us,
+           epoch_us(heartbeat) AS heartbeat_us,
+           epoch_us(heartbeat) - epoch_us(last_change) AS staleness_us,
+           (epoch_us(heartbeat) - epoch_us(last_change)
+            > 600000000) AS is_stale
+    FROM per_table CROSS JOIN hb
+    """,
+)
+def monitor_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heartbeat-based freshness — Debezium's ``heartbeat.interval.ms``
+    contract (public Debezium docs): the connector emits heartbeat records
+    even when a table has NO traffic, so a monitor can tell "idle table,
+    healthy connector" from "stuck replication" — the blind spot of the
+    reference's pure lag monitor (dags/kafka_latency_monitor.py alerts on
+    message lag, which reads ZERO both when a topic is idle and when the
+    connector died).
+
+    The connector-level heartbeat is the newest event time anywhere in the
+    capture set; per table, staleness = heartbeat minus that table's last
+    change. A table is flagged only when the CONNECTOR is provably ahead of
+    it by more than the threshold (10 minutes) — idle-whole-pipeline never
+    false-alarms, a single stuck table does. Integer microsecond arithmetic
+    end-to-end (epoch_us both engines).
+
+    Physical plan: one map-side-partial per-table aggregate + a 1-row
+    broadcast for the heartbeat — no joins wider than 5 rows; at 100 TB
+    this is a metadata-scale query regardless of log size.
+    """
+    ev = t(spark, sf_dir, "events")
+    from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import (
+        _table_col,
+    )
+
+    per_table = ev.groupBy(_table_col().alias("table_name")).agg(
+        F.count("*").alias("n_events"),
+        F.max("ts").alias("last_change"),
+    )
+    hb = ev.agg(F.max("ts").alias("heartbeat"))
+    j = per_table.join(F.broadcast(hb))
+    stale_us = F.unix_micros(F.col("heartbeat")) - F.unix_micros(
+        F.col("last_change")
+    )
+    return j.select(
+        "table_name",
+        "n_events",
+        F.unix_micros(F.col("last_change")).alias("last_change_us"),
+        F.unix_micros(F.col("heartbeat")).alias("heartbeat_us"),
+        stale_us.alias("staleness_us"),
+        (stale_us > 600_000_000).alias("is_stale"),
+    )
