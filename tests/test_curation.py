@@ -427,3 +427,22 @@ def test_corpus_pipeline_funnel_consistency(spark, sf_dir):
     assert rows[0].rows_out >= rows[1].rows_out >= rows[2].rows_out
     assert 0 < rows[3].rows_out <= rows[3].rows_in
     assert 0 < rows[4].rows_out < rows[4].rows_in  # packs << docs
+
+
+def test_classifier_train_learns(spark, sf_dir):
+    """The distributed GD loop must actually LEARN: accuracy beats the
+    majority-class baseline and final loss beats the zero-model's ln 2 —
+    guarding against hyperparameter edits that silently regress training
+    into predict-the-majority (the lr=0.5/3-iter trap found while tuning)."""
+    import math
+
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import (
+        ext_classifier_train,
+    )
+
+    m = {r.metric: r.value for r in ext_classifier_train(spark, sf_dir).collect()}
+    n, correct = m["n_train"], m["n_correct"]
+    majority = 0.6 * n  # both classes are ~half the corpus at every SF
+    assert correct > majority, (correct, n)
+    assert m["train_loss"] < math.log(2.0) - 0.1, m["train_loss"]
+    assert m["w_ntok"] > 0, m  # the label is a token-count threshold
