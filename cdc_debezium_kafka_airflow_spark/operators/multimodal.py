@@ -642,3 +642,111 @@ def image_ahash(media: DataFrame, grid: int = 4) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
 
     return src.mapInPandas(batches, "doc_id long, ahash long")
+
+
+def audio_band_energies(media: DataFrame, n_windows: int = 4) -> DataFrame:
+    """Per-window signal energies from the REAL WAV decode — the raw
+    material of a Philips-robust-hash / Chromaprint style fingerprint
+    (those derive sign bits from energy DIFFERENCES between adjacent
+    bands; here the bands are equal time windows so the energies stay
+    exact integers a SQL oracle can recompute — the FFT twin lives in
+    audio_spectrum, pytest-verified, since no SQL FFT exists).
+
+    Window w covers sample indices i with (n_windows*i)//n == w; energy is
+    the exact integer sum of squared int16 samples — order-independent,
+    so the oracle's aggregation order cannot diverge. Arrow-batched
+    mapInPandas; emits one row per audio doc with n_windows energy columns.
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict = {"doc_id": []}
+            for w in range(n_windows):
+                out[f"e{w}"] = []
+            for doc_id, mt, data in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["media_bytes"]
+            ):
+                if mt != "audio":
+                    continue
+                _, samples = _wav_pcm_samples(bytes(data))
+                v = np.asarray(samples, dtype=np.int64)
+                n = len(v)
+                wi = (n_windows * np.arange(n)) // n
+                out["doc_id"].append(int(doc_id))
+                for w in range(n_windows):
+                    out[f"e{w}"].append(int((v[wi == w] ** 2).sum()))
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, " + ", ".join(
+        f"e{w} long" for w in range(n_windows)
+    )
+    return media.select("doc_id", "media_type", "media_bytes").mapInPandas(
+        batches, schema
+    )
+
+
+def video_frame_sums(media: DataFrame) -> DataFrame:
+    """Per-frame luminance sums from the REAL AVI chunk-tree walk — one row
+    per (video doc, frame) with the exact integer gray-value sum of that
+    frame's pixels (frames are gray BGR triplets, so the byte sum is 3x
+    the gray sum, recovered exactly). Downstream scene-cut detection is
+    then pure JVM window arithmetic — Python appears only where the bytes
+    must be walked. Truncated/mismatched containers raise (poison is loud,
+    decode_avi's contract)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "f": [], "w": [], "h": [], "gray_sum": []}
+            for doc_id, mt, data in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["media_bytes"]
+            ):
+                if mt != "video":
+                    continue
+                data = bytes(data)
+                if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+                    raise ValueError("not a RIFF/AVI payload")
+                w = h = None
+                frames: list[int] = []
+                end = 8 + struct.unpack_from("<I", data, 4)[0]
+                if end > len(data):
+                    raise ValueError("truncated AVI container")
+
+                def walk(pos: int, end: int) -> None:
+                    nonlocal w, h
+                    while pos + 8 <= end:
+                        cid = data[pos : pos + 4]
+                        size = struct.unpack_from("<I", data, pos + 4)[0]
+                        body = pos + 8
+                        if body + size > end:
+                            raise ValueError("truncated AVI chunk")
+                        if cid == b"LIST":
+                            walk(body + 4, body + size)
+                        elif cid == b"avih":
+                            w = struct.unpack_from("<I", data, body + 32)[0]
+                            h = struct.unpack_from("<I", data, body + 36)[0]
+                        elif cid == b"00db":
+                            if w is None:
+                                raise ValueError("frame before avih header")
+                            row_size = (3 * w + 3) // 4 * 4
+                            if size != row_size * h:
+                                raise ValueError("frame size mismatch")
+                            s3 = 0
+                            for row_i in range(h):
+                                base = body + row_i * row_size
+                                s3 += sum(data[base : base + 3 * w])
+                            frames.append(s3 // 3)
+                        pos = body + size + (size & 1)
+
+                walk(12, end)
+                for f, gs in enumerate(frames):
+                    out["doc_id"].append(int(doc_id))
+                    out["f"].append(f)
+                    out["w"].append(int(w))
+                    out["h"].append(int(h))
+                    out["gray_sum"].append(gs)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "media_type", "media_bytes").mapInPandas(
+        batches, "doc_id long, f int, w int, h int, gray_sum long"
+    )

@@ -4188,3 +4188,156 @@ def ext_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("w_ntok", w[1]),
     ]
     return spark.createDataFrame(rows, "metric string, value double")
+
+
+@q(
+    "ext_audio_fingerprint",
+    """
+    WITH au AS (
+      SELECT doc_id, 40 + doc_id % 57 AS n
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM au),
+    sv AS (
+      SELECT doc_id, (4 * i) // n AS wdw,
+             ((doc_id * 37 + 17 * i) % 4096) - 2048 AS v
+      FROM s
+    ),
+    en AS (
+      SELECT doc_id, wdw, CAST(sum(v * v) AS BIGINT) AS e
+      FROM sv GROUP BY 1, 2
+    ),
+    wide AS (
+      SELECT doc_id,
+             max(CASE WHEN wdw = 0 THEN e END) AS e0,
+             max(CASE WHEN wdw = 1 THEN e END) AS e1,
+             max(CASE WHEN wdw = 2 THEN e END) AS e2,
+             max(CASE WHEN wdw = 3 THEN e END) AS e3
+      FROM en GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT doc_id, e0, e1, e2, e3,
+             CAST(4 * (CASE WHEN e1 > e0 THEN 1 ELSE 0 END)
+                + 2 * (CASE WHEN e2 > e1 THEN 1 ELSE 0 END)
+                + (CASE WHEN e3 > e2 THEN 1 ELSE 0 END) AS INT)
+               AS fingerprint
+      FROM wide
+    ),
+    cnt AS (
+      SELECT fingerprint, CAST(count(*) AS BIGINT) AS n_matches
+      FROM fp GROUP BY 1
+    )
+    SELECT f.doc_id, f.fingerprint, f.e0, f.e1, f.e2, f.e3, c.n_matches
+    FROM fp f JOIN cnt c USING (fingerprint)
+    """,
+)
+def ext_audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio fingerprinting over REAL decoded PCM — the Philips-robust-hash
+    / Chromaprint shape: energy-difference SIGN BITS between adjacent
+    bands form a compact code that survives volume scaling (energies scale
+    together, the comparisons don't flip), and fingerprint equality buckets
+    candidate duplicate audio. Bands here are equal time windows so the
+    energies are exact integer sums the SQL oracle re-derives analytically
+    from the PCM generator — a hash match proves the RIFF/WAVE byte walk +
+    windowed DSP end-to-end (the frequency-domain twin is
+    operators.multimodal.audio_spectrum, pytest-verified; no SQL FFT).
+
+    Plan: decode + window energies in ONE Arrow-batched mapInPandas pass
+    (a row per audio doc), sign-bit code and bucket counts as JVM
+    expressions with an 8-row broadcast join for match counts. At 100 TB
+    the fingerprint is the shuffle key for a banded dup-candidate join —
+    the audio analog of SimHash bands; no all-pairs anywhere."""
+    from cdc_debezium_kafka_airflow_spark.operators.multimodal import (
+        attach_media,
+        audio_band_energies,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    en = audio_band_energies(attach_media(d))
+    bit = lambda a, b: F.when(F.col(b) > F.col(a), 1).otherwise(0)  # noqa: E731
+    fp = en.withColumn(
+        "fingerprint",
+        (
+            bit("e0", "e1") * 4 + bit("e1", "e2") * 2 + bit("e2", "e3")
+        ).cast("int"),
+    )
+    cnt = fp.groupBy("fingerprint").agg(F.count("*").alias("n_matches"))
+    return fp.join(F.broadcast(cnt), "fingerprint").select(
+        "doc_id", "fingerprint", "e0", "e1", "e2", "e3", "n_matches"
+    )
+
+
+@q(
+    "ext_video_scenes",
+    """
+    WITH vi AS (
+      SELECT doc_id, 4 + doc_id % 4 AS w, 3 + doc_id % 3 AS h,
+             3 + doc_id % 4 AS n
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    fr AS (SELECT doc_id, w, h, n, unnest(range(n)) AS f FROM vi),
+    cx AS (SELECT *, unnest(range(w)) AS x FROM fr),
+    pix AS (SELECT *, unnest(range(h)) AS y FROM cx),
+    fs AS (
+      SELECT doc_id, w, h, n, f,
+             CAST(sum((doc_id * 31 + 7 * x + 13 * y + 19 * f) % 256)
+                  AS BIGINT) AS gs
+      FROM pix GROUP BY ALL
+    ),
+    dl AS (
+      SELECT doc_id, w, h, n, f, gs,
+             lag(gs) OVER (PARTITION BY doc_id ORDER BY f) AS pgs
+      FROM fs
+    )
+    SELECT doc_id, CAST(max(n) AS INT) AS n_frames,
+           CAST(sum(CASE WHEN pgs IS NOT NULL
+                         AND abs(gs - pgs) > 25 * w * h
+                    THEN 1 ELSE 0 END) AS INT) AS n_cuts,
+           CAST(max(CASE WHEN pgs IS NULL THEN 0
+                         ELSE abs(gs - pgs) END) AS BIGINT)
+             AS max_frame_delta
+    FROM dl GROUP BY doc_id
+    """,
+)
+def ext_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over REAL decoded video frames — the standard
+    shot-boundary heuristic (PySceneDetect's content detector shape): a
+    cut fires where consecutive frames' luminance differs by more than a
+    per-pixel threshold, compared CROSS-MULTIPLIED in integers
+    (|sum_f - sum_prev| > 25 * w * h means "mean pixel change > 25" with
+    no float threshold to flip a verdict). Frame sums come from the actual
+    RIFF/AVI chunk-tree walk (operators.multimodal.video_frame_sums); the
+    oracle re-derives every frame's sum analytically from the pixel
+    generator, so a hash match proves the byte-level container decode.
+
+    Plan: one Arrow-batched decode pass emitting (doc, frame, gray_sum)
+    rows, then a lag window partitioned by doc + per-doc rollup — all JVM.
+    At 100 TB frame rows shuffle once on doc_id (each video's frames land
+    together, the window is per-doc local), and scene lists feed
+    frame-sampling curation (keyframe extraction picks one frame per cut
+    segment)."""
+    from cdc_debezium_kafka_airflow_spark.operators.multimodal import (
+        attach_media,
+        video_frame_sums,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    fsums = video_frame_sums(attach_media(d))
+    lagw = Window.partitionBy("doc_id").orderBy("f")
+    dl = fsums.withColumn("pgs", F.lag("gray_sum").over(lagw))
+    delta = F.abs(F.col("gray_sum") - F.col("pgs"))
+    return dl.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_frames"),
+        F.sum(
+            F.when(
+                F.col("pgs").isNotNull()
+                & (delta > 25 * F.col("w") * F.col("h")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("int")
+        .alias("n_cuts"),
+        F.max(F.coalesce(delta, F.lit(0))).cast("long").alias(
+            "max_frame_delta"
+        ),
+    )

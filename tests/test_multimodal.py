@@ -258,3 +258,62 @@ def test_bmp_decoder_rejects_truncated_real_payload():
         except (ValueError, struct.error, IndexError):
             pass
     assert decode_wav(wav)[1] > 0
+
+
+def test_audio_fingerprint_volume_invariant(spark):
+    """The Chromaprint-style sign-bit code must survive volume scaling:
+    halving every PCM sample scales all window energies together, so no
+    energy comparison flips and the fingerprint is unchanged."""
+    import struct as _struct
+
+    from cdc_debezium_kafka_airflow_spark.operators.multimodal import (
+        audio_band_energies,
+        render_wav,
+        _wav_pcm_samples,
+    )
+
+    def rescale(data: bytes, factor: int) -> bytes:
+        rate, samples = _wav_pcm_samples(data)
+        scaled = [int(s) * factor for s in samples]  # ±2048 * 2 fits int16
+        pcm = _struct.pack(f"<{len(scaled)}h", *scaled)
+        fmt = _struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        body = b"WAVE" + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        body += b"data" + _struct.pack("<I", len(pcm)) + pcm
+        return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+    rows = []
+    for doc_id in (1, 4, 7, 10):
+        full = render_wav(doc_id)
+        rows.append((doc_id, "audio", bytearray(full)))
+        rows.append((doc_id + 1000, "audio", bytearray(rescale(full, 2))))
+    media = spark.createDataFrame(
+        rows, "doc_id long, media_type string, media_bytes binary"
+    )
+    en = {r.doc_id: r for r in audio_band_energies(media).collect()}
+
+    def fp(r):
+        return (
+            4 * (r.e1 > r.e0) + 2 * (r.e2 > r.e1) + (r.e3 > r.e2)
+        )
+
+    for doc_id in (1, 4, 7, 10):
+        assert fp(en[doc_id]) == fp(en[doc_id + 1000]), doc_id
+        # volume really changed: doubled samples -> exactly 4x the energy
+        assert en[doc_id + 1000].e0 == 4 * en[doc_id].e0
+
+
+def test_video_frame_sums_rejects_poison(spark):
+    """Truncated AVI containers must raise loudly through the frame-sum
+    walker, same contract as decode_avi."""
+    from cdc_debezium_kafka_airflow_spark.operators.multimodal import (
+        render_avi,
+        video_frame_sums,
+    )
+
+    good = render_avi(2)
+    media = spark.createDataFrame(
+        [(2, "video", bytearray(good[: len(good) - 10]))],
+        "doc_id long, media_type string, media_bytes binary",
+    )
+    with pytest.raises(Exception, match="truncated|mismatch"):
+        video_frame_sums(media).collect()
