@@ -1053,9 +1053,9 @@ def cdc_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "cdc_txn_consistent",
-    f"""
+# Shared by cdc_txn_consistent and its streaming twin (streaming_queries
+# stream_txn_consistent): the committed-prefix gate + materialization.
+TXN_GATE_ORACLE = f"""
     WITH {CH_CTE},
     tx AS (SELECT ch.*, off // 16 AS txn_id FROM ch),
     mx AS (SELECT max(txn_id) AS max_txn FROM tx),
@@ -1077,8 +1077,10 @@ def cdc_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_inflight_held
     FROM mat m LEFT JOIN held h ON h.table_name = m.table_name
     GROUP BY m.table_name
-    """,
-)
+    """
+
+
+@q("cdc_txn_consistent", TXN_GATE_ORACLE)
 def cdc_txn_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transactionally-consistent materialization — Debezium's
     ``provide.transaction.metadata`` contract (public Debezium docs; the

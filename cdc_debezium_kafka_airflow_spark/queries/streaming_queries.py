@@ -809,3 +809,22 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     the still-active users."""
     t(spark, sf_dir, "events")
     return jobs.stream_session_timeout(spark, sf_dir)
+
+
+from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import (  # noqa: E402
+    TXN_GATE_ORACLE,
+)
+
+
+@q("stream_txn_consistent", TXN_GATE_ORACLE)
+def stream_txn_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction gate ACROSS micro-batches (streaming twin of
+    ``cdc_txn_consistent`` — same oracle): a 4-slice chronological replay
+    where each batch applies only transactions proven committed by later
+    arrivals and parks the in-flight tail in a pending buffer the next
+    batch drains. A transaction straddling a batch boundary is never
+    half-applied; pending state is bounded by one group commit, not by
+    history. Hash-equality with the batch gate proves the cross-batch
+    buffering loses and leaks nothing (streaming/jobs.py
+    txn_consistent_stream)."""
+    return jobs.txn_consistent_stream(spark, sf_dir)

@@ -2758,3 +2758,134 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.col("last_us")).alias("session_last"),
         "n_events",
     )
+
+
+def txn_consistent_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``cdc_txn_consistent`` — the transaction gate run
+    ACROSS micro-batches (Debezium ``provide.transaction.metadata``
+    consumed the way a transactionally-consistent sink must): each batch
+    applies only transactions whose commit is proven by the arrival of a
+    later transaction, and parks the in-flight tail in a pending buffer
+    that the NEXT batch drains once the commit evidence shows up. A
+    transaction that straddles a micro-batch boundary is therefore never
+    half-applied — its early rows wait in the buffer with its late rows.
+
+    Mechanics: a 4-slice CHRONOLOGICAL replay of the serialized changelog
+    (offset quartiles, one file per trigger — the same replay discipline
+    as stream_session_timeout, so the gate genuinely advances between
+    batches); per batch, pending ∪ batch splits on the running max txn id
+    (one bounded 1-row collect), committed rows append to an apply log,
+    the tail overwrites the pending buffer. State is bounded by ONE group
+    commit × arrival rate — never by history. The final materialization
+    over the apply log must hash-equal the batch gate's output (same
+    oracle), proving the cross-batch buffering loses and leaks nothing.
+    """
+    import shutil
+    import tempfile
+
+    from cdc_debezium_kafka_airflow_spark.operators.cdc import (
+        upsert_materialize,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        cache_is_fresh,
+        source_fingerprint,
+        write_fingerprint,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    replay_dir = os.path.join("/root/repo/.cache", f"changelog_chrono_{tag}")
+    fp = source_fingerprint(sf_dir, "events") + ":chrono4"
+    if not cache_is_fresh(replay_dir, fp):
+        shutil.rmtree(replay_dir, ignore_errors=True)
+        batch = build_changelog(load_table(spark, sf_dir, "events"))
+        mx = batch.agg(F.max("offset").alias("m")).collect()[0].m
+        bounds = [0, mx // 4, mx // 2, (3 * mx) // 4, mx + 1]
+        for i in range(4):
+            mode = "overwrite" if i == 0 else "append"
+            batch.filter(
+                (F.col("offset") >= bounds[i])
+                & (F.col("offset") < bounds[i + 1])
+            ).coalesce(1).write.mode(mode).parquet(replay_dir)
+        write_fingerprint(replay_dir, fp)
+
+    schema = (
+        "offset long, topic string, partition int, key string, value string, "
+        "timestamp timestamp"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(replay_dir, "*.parquet"))
+    )
+    un = unwrap(split_dlq(parse_envelope(stream))[0]).select(
+        "table_name",
+        "key_id",
+        "offset",
+        "is_delete",
+        "after",
+        F.floor(F.col("offset") / 16).cast("long").alias("txn_id"),
+    )
+
+    base = tempfile.mkdtemp(prefix="txn_gate_")
+    applied_dir = os.path.join(base, "applied")
+    pend: dict = {"path": None}
+
+    def gate(batch: DataFrame, batch_id: int) -> None:
+        b = batch
+        if pend["path"] is not None:
+            b = b.unionByName(spark.read.parquet(pend["path"]))
+        b = b.persist()
+        try:
+            mx = b.agg(F.max("txn_id").alias("m")).collect()[0].m
+            if mx is None:  # empty trailing batch: nothing moves
+                return
+            b.filter(F.col("txn_id") < mx).write.mode("append").parquet(
+                applied_dir
+            )
+            new_pend = os.path.join(base, f"pending_{batch_id}")
+            b.filter(F.col("txn_id") == mx).write.mode("overwrite").parquet(
+                new_pend
+            )
+            pend["path"] = new_pend
+        finally:
+            b.unpersist()
+
+    ck = temp_checkpoint_dir()
+    try:
+        q = (
+            un.writeStream.foreachBatch(gate)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        applied = spark.read.parquet(applied_dir)
+        mat = upsert_materialize(
+            applied.select(
+                "table_name", "key_id", "offset", "is_delete", "after"
+            )
+        )
+        agg = mat.groupBy("table_name").agg(
+            F.count("*").alias("n_live_keys"),
+            F.max("last_offset").alias("last_applied_offset"),
+        )
+        held = (
+            spark.read.parquet(pend["path"])
+            .groupBy("table_name")
+            .agg(F.count("*").alias("n_inflight_held"))
+        )
+        out = agg.join(F.broadcast(held), "table_name", "left").select(
+            "table_name",
+            "n_live_keys",
+            "last_applied_offset",
+            F.coalesce(F.col("n_inflight_held"), F.lit(0))
+            .cast("long")
+            .alias("n_inflight_held"),
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)

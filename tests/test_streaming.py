@@ -424,3 +424,43 @@ def test_session_timeout_emits_final_sessions_via_timeout(spark, sf_dir):
         1 for u, ts in last_emitted.items() if true_last.get(u) == ts
     )
     assert n_timeout_closed > 0
+
+
+def test_txn_gate_straddles_batch_boundary(spark, sf_dir):
+    """The cross-batch pending buffer must actually be exercised: the
+    chronological replay slices at offset quartiles, so unless every
+    quartile bound is 16-aligned (it is not, asserted here), some source
+    transaction has rows in two different micro-batches — held by the
+    earlier one, drained by the later one. Combined with the oracle
+    equality (stream twin == batch gate), this proves hold-then-drain
+    loses and leaks nothing."""
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import (
+        cdc_txn_consistent,
+    )
+    from cdc_debezium_kafka_airflow_spark.queries.streaming_queries import (
+        stream_txn_consistent,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    mx = (
+        load_table(spark, sf_dir, "events")
+        .agg(F.max("event_id").alias("m"))
+        .collect()[0]
+        .m
+    )
+    bounds = [mx // 4, mx // 2, (3 * mx) // 4]
+    assert any(b % 16 != 0 for b in bounds), (
+        "all quartile bounds 16-aligned — no txn straddles a batch; "
+        "change the txn width or slice count"
+    )
+    got = {
+        r.table_name: r for r in stream_txn_consistent(spark, sf_dir).collect()
+    }
+    want = {
+        r.table_name: r for r in cdc_txn_consistent(spark, sf_dir).collect()
+    }
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
