@@ -648,3 +648,57 @@ def test_pagerank_reuses_persisted_edges(spark, sf_dir):
     )
 
     assert plan.count("InMemoryTableScan") >= _PR_ITERS
+
+
+def test_txn_gate_broadcasts_the_commit_watermark(spark, sf_dir):
+    """cdc_txn_consistent's gate (max committed txn id) must enter the plan
+    as a 1-row BROADCAST nested-loop against the changelog — never a
+    shuffled join or a cartesian over real data — and the held-back count
+    must ride the same broadcast."""
+    from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import (
+        cdc_txn_consistent,
+    )
+
+    plan = _plan(cdc_txn_consistent(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_log_compaction_single_keyed_window_no_sort_agg(spark, sf_dir):
+    """cdc_log_compaction: ONE (topic, key) exchange feeds the survivor
+    window; the per-topic rollup is hash-aggregated with a map-side
+    partial (never a global sort), and the max-offset frame is broadcast."""
+    from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import (
+        cdc_log_compaction,
+    )
+
+    plan = _plan(cdc_log_compaction(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + rollup
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan  # topic rollup combines map-side
+
+
+def test_classifier_gradient_pass_is_map_side_partial(spark, sf_dir):
+    """ext_classifier_train's per-iteration gradient aggregation must be a
+    partial hash aggregate over the feature frame — the property that makes
+    an iteration one corpus pass with a d-sized driver result at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.operators.text import (
+        normalize_text,
+        ws_tokens,
+    )
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+
+    d = t(spark, sf_dir, "documents")
+    ntok = F.size(
+        F.filter(ws_tokens(normalize_text(F.col("text"))), lambda s: s != "")
+    ).cast("long")
+    fx = d.select((ntok / F.lit(5e1)).alias("x1"))
+    grad = fx.agg(
+        F.sum(F.round(F.col("x1") * F.lit(1e6)).cast("long")).alias("s")
+    )
+    plan = _plan(grad)
+    assert "partial_sum" in plan
+    assert "Exchange hashpartitioning" not in plan  # single-partition fold
