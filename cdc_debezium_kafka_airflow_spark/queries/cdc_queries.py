@@ -1307,3 +1307,79 @@ def monitor_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         stale_us.alias("staleness_us"),
         (stale_us > 600_000_000).alias("is_stale"),
     )
+
+
+# Static FK rank of the reference schema (register-mysql-connector.json:12
+# tables): entidades/productos are dimension parents; ventas/pagos_clientes
+# reference entidades; detalle_ventas references ventas AND productos.
+FK_RANK_SQL = (
+    "CASE table_name WHEN 'entidades' THEN 0 WHEN 'productos' THEN 0 "
+    "WHEN 'ventas' THEN 1 WHEN 'pagos_clientes' THEN 1 ELSE 2 END"
+)
+
+
+@q(
+    "cdc_fk_apply_order",
+    f"""
+    WITH {CH_CTE},
+    tx AS (
+      SELECT off // 16 AS txn_id, off, table_name, op,
+             {FK_RANK_SQL} AS fk_rank
+      FROM ch
+    )
+    SELECT txn_id,
+           CAST(row_number() OVER (
+             PARTITION BY txn_id
+             ORDER BY CASE WHEN op = 'd' THEN 1 ELSE 0 END,
+                      CASE WHEN op = 'd' THEN -fk_rank ELSE fk_rank END,
+                      off
+           ) AS INT) AS apply_seq,
+           off, table_name, op
+    FROM tx
+    """,
+)
+def cdc_fk_apply_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key-safe statement scheduling inside each source transaction
+    — what a relational sink with enforced FK constraints needs and the
+    reference's JDBC sink silently relies on commit order for: within a
+    transaction, INSERTs/UPDATEs apply parents-first (a child row must
+    never reference a not-yet-inserted parent) and DELETEs apply after,
+    children-first (a parent row must never die while children point at
+    it); log offset breaks ties so replays are deterministic.
+
+    The FK DAG is the reference schema's (ventas -> detalle_ventas,
+    entidades -> ventas/pagos_clientes, productos -> detalle_ventas); the
+    rank is a static CASE column, so the whole schedule is ONE window over
+    the transaction partitioning — the same (txn) shuffle key the gate
+    uses, no joins, no driver involvement. At 100 TB the scheduler is a
+    map-side rank within already-co-located transaction groups.
+    """
+    u = _unwrapped(spark, sf_dir)
+    from pyspark.sql import Window
+
+    fk_rank = (
+        F.when(F.col("table_name").isin("entidades", "productos"), 0)
+        .when(F.col("table_name").isin("ventas", "pagos_clientes"), 1)
+        .otherwise(2)
+    )
+    tx = u.select(
+        F.floor(F.col("offset") / 16).cast("long").alias("txn_id"),
+        F.col("offset").alias("off"),
+        "table_name",
+        "op",
+        fk_rank.alias("fk_rank"),
+    )
+    w = Window.partitionBy("txn_id").orderBy(
+        F.when(F.col("op") == "d", 1).otherwise(0),
+        F.when(F.col("op") == "d", -F.col("fk_rank")).otherwise(
+            F.col("fk_rank")
+        ),
+        "off",
+    )
+    return tx.select(
+        "txn_id",
+        F.row_number().over(w).cast("int").alias("apply_seq"),
+        "off",
+        "table_name",
+        "op",
+    )
