@@ -2795,7 +2795,13 @@ def txn_consistent_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     replay_dir = os.path.join("/root/repo/.cache", f"changelog_chrono_{tag}")
-    fp = source_fingerprint(sf_dir, "events") + ":chrono4"
+    # 8 files per chronological quarter + maxFilesPerTrigger=8: each trigger
+    # consumes exactly one quarter, and the quarter parses on 8 cores instead
+    # of one (a single coalesce(1) file made every micro-batch's JSON parse
+    # single-threaded — measured 8.3s -> ~5.8s warm at sf0.1). Files written
+    # slice-by-slice so modification-time order (the file source's order)
+    # preserves chronology ACROSS slices; order within a slice is free.
+    fp = source_fingerprint(sf_dir, "events") + ":chrono4x8"
     if not cache_is_fresh(replay_dir, fp):
         shutil.rmtree(replay_dir, ignore_errors=True)
         batch = build_changelog(load_table(spark, sf_dir, "events"))
@@ -2806,7 +2812,7 @@ def txn_consistent_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch.filter(
                 (F.col("offset") >= bounds[i])
                 & (F.col("offset") < bounds[i + 1])
-            ).coalesce(1).write.mode(mode).parquet(replay_dir)
+            ).repartition(8).write.mode(mode).parquet(replay_dir)
         write_fingerprint(replay_dir, fp)
 
     schema = (
@@ -2815,7 +2821,7 @@ def txn_consistent_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "8")
         .parquet(os.path.join(replay_dir, "*.parquet"))
     )
     un = unwrap(split_dlq(parse_envelope(stream))[0]).select(
@@ -2840,8 +2846,31 @@ def txn_consistent_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             mx = b.agg(F.max("txn_id").alias("m")).collect()[0].m
             if mx is None:  # empty trailing batch: nothing moves
                 return
-            b.filter(F.col("txn_id") < mx).write.mode("append").parquet(
-                applied_dir
+            # per-batch COMPACTION of the committed slice before it hits the
+            # apply log: each key keeps its latest image (delete markers
+            # retained — they must still kill earlier batches' images at the
+            # final merge), so log writes scale with the batch's KEY count,
+            # not its event count — the same reduce the JDBC MERGE sink does
+            # before staging. Cross-batch conflicts resolve at the final
+            # last-write-wins materialization because max offset rides along.
+            (
+                b.filter(F.col("txn_id") < mx)
+                .groupBy("table_name", "key_id")
+                .agg(
+                    F.max_by(
+                        F.struct("is_delete", "after"), "offset"
+                    ).alias("last"),
+                    F.max("offset").alias("offset"),
+                )
+                .select(
+                    "table_name",
+                    "key_id",
+                    "offset",
+                    F.col("last.is_delete").alias("is_delete"),
+                    F.col("last.after").alias("after"),
+                )
+                .write.mode("append")
+                .parquet(applied_dir)
             )
             new_pend = os.path.join(base, f"pending_{batch_id}")
             b.filter(F.col("txn_id") == mx).write.mode("overwrite").parquet(
