@@ -687,17 +687,23 @@ def audio_band_energies(media: DataFrame, n_windows: int = 4) -> DataFrame:
 
 
 def video_frame_sums(media: DataFrame) -> DataFrame:
-    """Per-frame luminance sums from the REAL AVI chunk-tree walk — one row
-    per (video doc, frame) with the exact integer gray-value sum of that
-    frame's pixels (frames are gray BGR triplets, so the byte sum is 3x
-    the gray sum, recovered exactly). Downstream scene-cut detection is
-    then pure JVM window arithmetic — Python appears only where the bytes
-    must be walked. Truncated/mismatched containers raise (poison is loud,
+    """Per-frame luminance sums + a 2x2 nearest-neighbor thumbnail from the
+    REAL AVI chunk-tree walk — one row per (video doc, frame) with the
+    exact integer gray-value sum of that frame's pixels (frames are gray
+    BGR triplets, so the byte sum is 3x the gray sum, recovered exactly)
+    and the thumbnail's 4 sample pixels (same (0,w//2)x(0,h//2) grid as
+    transform_media's image path). Downstream scene-cut detection AND
+    keyframe extraction are then pure JVM window arithmetic — Python
+    appears only where the bytes must be walked, and only ONCE for both
+    consumers. Truncated/mismatched containers raise (poison is loud,
     decode_avi's contract)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = {"doc_id": [], "f": [], "w": [], "h": [], "gray_sum": []}
+            out = {
+                "doc_id": [], "f": [], "w": [], "h": [], "gray_sum": [],
+                "q00": [], "q01": [], "q10": [], "q11": [],
+            }
             for doc_id, mt, data in zip(
                 pdf["doc_id"], pdf["media_type"], pdf["media_bytes"]
             ):
@@ -735,18 +741,35 @@ def video_frame_sums(media: DataFrame) -> DataFrame:
                             for row_i in range(h):
                                 base = body + row_i * row_size
                                 s3 += sum(data[base : base + 3 * w])
-                            frames.append(s3 // 3)
+                            # bottom-up storage: logical pixel (x, y) lives
+                            # at stored row h-1-y (the BMP/DIB layout)
+                            quad = tuple(
+                                data[
+                                    body
+                                    + (h - 1 - qy) * row_size
+                                    + 3 * qx
+                                ]
+                                for qy in (0, h // 2)
+                                for qx in (0, w // 2)
+                            )
+                            frames.append((s3 // 3, quad))
                         pos = body + size + (size & 1)
 
                 walk(12, end)
-                for f, gs in enumerate(frames):
+                for f, (gs, quad) in enumerate(frames):
                     out["doc_id"].append(int(doc_id))
                     out["f"].append(f)
                     out["w"].append(int(w))
                     out["h"].append(int(h))
                     out["gray_sum"].append(gs)
+                    out["q00"].append(quad[0])
+                    out["q01"].append(quad[1])
+                    out["q10"].append(quad[2])
+                    out["q11"].append(quad[3])
             yield pd.DataFrame(out)
 
     return media.select("doc_id", "media_type", "media_bytes").mapInPandas(
-        batches, "doc_id long, f int, w int, h int, gray_sum long"
+        batches,
+        "doc_id long, f int, w int, h int, gray_sum long, "
+        "q00 int, q01 int, q10 int, q11 int",
     )

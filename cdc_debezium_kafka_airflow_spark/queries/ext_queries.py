@@ -4341,3 +4341,98 @@ def ext_video_scenes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_frame_delta"
         ),
     )
+
+
+@q(
+    "ext_keyframe_extract",
+    """
+    WITH vi AS (
+      SELECT doc_id, 4 + doc_id % 4 AS w, 3 + doc_id % 3 AS h,
+             3 + doc_id % 4 AS n
+      FROM documents WHERE doc_id % 3 = 2
+    ),
+    fr AS (SELECT doc_id, w, h, n, unnest(range(n)) AS f FROM vi),
+    cx AS (SELECT *, unnest(range(w)) AS x FROM fr),
+    pix AS (SELECT *, unnest(range(h)) AS y FROM cx),
+    fs AS (
+      SELECT doc_id, w, h, n, f,
+             CAST(sum((doc_id * 31 + 7 * x + 13 * y + 19 * f) % 256)
+                  AS BIGINT) AS gs
+      FROM pix GROUP BY ALL
+    ),
+    dl AS (
+      SELECT doc_id, w, h, f, gs,
+             lag(gs) OVER (PARTITION BY doc_id ORDER BY f) AS pgs
+      FROM fs
+    ),
+    cuts AS (
+      SELECT doc_id, w, h, f,
+             CASE WHEN pgs IS NOT NULL AND abs(gs - pgs) > 25 * w * h
+                  THEN 1 ELSE 0 END AS is_cut
+      FROM dl
+    ),
+    scenes AS (
+      SELECT doc_id, w, h, f, is_cut,
+             CAST(sum(is_cut) OVER (PARTITION BY doc_id ORDER BY f
+                  ROWS UNBOUNDED PRECEDING) AS INT) AS scene_id
+      FROM cuts
+    )
+    SELECT doc_id, CAST(f AS INT) AS keyframe_f, scene_id,
+           CAST((doc_id * 31 + 19 * f) % 256 AS INT) AS q00,
+           CAST((doc_id * 31 + 7 * (w // 2) + 19 * f) % 256 AS INT) AS q01,
+           CAST((doc_id * 31 + 13 * (h // 2) + 19 * f) % 256 AS INT) AS q10,
+           CAST((doc_id * 31 + 7 * (w // 2) + 13 * (h // 2) + 19 * f) % 256
+                AS INT) AS q11
+    FROM scenes WHERE f = 0 OR is_cut = 1
+    """,
+)
+def ext_keyframe_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe extraction — the frame-sampling step a multimodal training
+    pipeline runs after shot detection (one representative frame per scene
+    segment, here the segment's FIRST frame, plus its 2x2 thumbnail for
+    downstream dedup/captioning): composes scene-cut detection with frame
+    sampling over ONE real AVI decode pass. video_frame_sums emits every
+    frame's luminance sum AND thumbnail pixels in a single Arrow-batched
+    chunk walk; cut flags, running scene ids (cumulative window sum) and
+    the keyframe filter are all JVM expressions. The oracle re-derives
+    frame sums and thumbnail pixels analytically — a hash match proves the
+    byte-level decode feeding BOTH features.
+
+    At 100 TB: frames shuffle once on doc_id (same layout as the scene
+    query — in a shared pipeline the two are one pass), keyframes are a
+    ~20% filter whose thumbnails feed image-side dedup (ext_img_phash_dedup
+    shape) without touching the video bytes again."""
+    from cdc_debezium_kafka_airflow_spark.operators.multimodal import (
+        attach_media,
+        video_frame_sums,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    fsums = video_frame_sums(attach_media(d))
+    lagw = Window.partitionBy("doc_id").orderBy("f")
+    cumw = (
+        Window.partitionBy("doc_id")
+        .orderBy("f")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dl = fsums.withColumn("pgs", F.lag("gray_sum").over(lagw))
+    is_cut = F.when(
+        F.col("pgs").isNotNull()
+        & (
+            F.abs(F.col("gray_sum") - F.col("pgs"))
+            > 25 * F.col("w") * F.col("h")
+        ),
+        1,
+    ).otherwise(0)
+    scenes = dl.withColumn("is_cut", is_cut).withColumn(
+        "scene_id", F.sum("is_cut").over(cumw).cast("int")
+    )
+    return scenes.filter((F.col("f") == 0) | (F.col("is_cut") == 1)).select(
+        "doc_id",
+        F.col("f").cast("int").alias("keyframe_f"),
+        "scene_id",
+        "q00",
+        "q01",
+        "q10",
+        "q11",
+    )
