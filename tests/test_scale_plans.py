@@ -702,3 +702,16 @@ def test_classifier_gradient_pass_is_map_side_partial(spark, sf_dir):
     plan = _plan(grad)
     assert "partial_sum" in plan
     assert "Exchange hashpartitioning" not in plan  # single-partition fold
+
+
+def test_keyframe_windows_share_one_exchange(spark, sf_dir):
+    """ext_keyframe_extract runs TWO windows (lag for cuts, cumulative sum
+    for scene ids) over the same (doc_id, f) ordering — they must share ONE
+    hash exchange, not re-shuffle between window nodes."""
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import (
+        ext_keyframe_extract,
+    )
+
+    plan = _plan(ext_keyframe_extract(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
+    assert "CartesianProduct" not in plan
