@@ -773,3 +773,36 @@ def video_frame_sums(media: DataFrame) -> DataFrame:
         "doc_id long, f int, w int, h int, gray_sum long, "
         "q00 int, q01 int, q10 int, q11 int",
     )
+
+
+def audio_block_energies(media: DataFrame, block: int = 8) -> DataFrame:
+    """Fixed-size-block signal energies from the REAL WAV decode — one row
+    per (audio doc, block of `block` samples) with the exact integer sum of
+    squared int16 samples, plus the doc's total sample count. The raw
+    material of energy-threshold voice-activity detection (silence/speech
+    segmentation): blocks are contiguous sample runs, so segment structure
+    downstream is pure window arithmetic. Arrow-batched mapInPandas."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "b": [], "e": [], "n_samples": []}
+            for doc_id, mt, data in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["media_bytes"]
+            ):
+                if mt != "audio":
+                    continue
+                _, samples = _wav_pcm_samples(bytes(data))
+                v = np.asarray(samples, dtype=np.int64)
+                n = len(v)
+                bi = np.arange(n) // block
+                for b in range(int(bi[-1]) + 1 if n else 0):
+                    out["doc_id"].append(int(doc_id))
+                    out["b"].append(b)
+                    out["e"].append(int((v[bi == b] ** 2).sum()))
+                    out["n_samples"].append(n)
+            yield pd.DataFrame(out)
+
+    return media.select("doc_id", "media_type", "media_bytes").mapInPandas(
+        batches, "doc_id long, b int, e long, n_samples long"
+    )

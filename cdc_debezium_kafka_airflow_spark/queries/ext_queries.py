@@ -4436,3 +4436,96 @@ def ext_keyframe_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q10",
         "q11",
     )
+
+
+@q(
+    "ext_speech_segments",
+    """
+    WITH au AS (
+      SELECT doc_id, 40 + doc_id % 57 AS n
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM au),
+    blk AS (
+      SELECT doc_id, n, i // 8 AS b,
+             ((doc_id * 37 + 17 * i) % 4096) - 2048 AS v
+      FROM s
+    ),
+    be AS (
+      SELECT doc_id, max(n) AS n, b, CAST(sum(v * v) AS BIGINT) AS e
+      FROM blk GROUP BY doc_id, b
+    ),
+    tot AS (
+      SELECT doc_id,
+             CAST(sum(e) AS BIGINT) AS total_e,
+             CAST(count(*) AS BIGINT) AS n_blocks
+      FROM be GROUP BY doc_id
+    ),
+    v AS (
+      SELECT be.doc_id, be.b, tot.n_blocks,
+             (be.e * be.n > tot.total_e * 8) AS voiced
+      FROM be JOIN tot ON tot.doc_id = be.doc_id
+    ),
+    isl AS (
+      SELECT doc_id, b, n_blocks,
+             b - row_number() OVER (PARTITION BY doc_id ORDER BY b)
+               AS isl_id
+      FROM v WHERE voiced
+    ),
+    seg AS (
+      SELECT doc_id, max(n_blocks) AS n_blocks, isl_id,
+             CAST(count(*) AS BIGINT) AS seg_len
+      FROM isl GROUP BY doc_id, isl_id
+    )
+    SELECT doc_id,
+           CAST(max(n_blocks) AS INT) AS n_blocks,
+           CAST(sum(seg_len) AS BIGINT) AS n_voiced,
+           CAST(count(*) AS INT) AS n_segments,
+           max(seg_len) AS longest_segment
+    FROM seg GROUP BY doc_id
+    """,
+)
+def ext_speech_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy-threshold activity segmentation over REAL decoded PCM — the
+    VAD (voice-activity-detection) shape an audio-curation pipeline runs
+    before transcription (keep speech segments, drop silence/noise): a
+    fixed 8-sample block is ACTIVE when its energy exceeds the doc's
+    average per-block energy, compared CROSS-MULTIPLIED in exact integers
+    (block_e * n_samples > total_e * 8 — no float threshold anywhere);
+    segments are maximal runs of active blocks, found with the classic
+    gaps-and-islands window (block_id − row_number over active blocks).
+    Docs whose every block is exactly average (no active blocks) drop out
+    — the all-silence case. The oracle re-derives block energies
+    analytically from the PCM generator; a hash match proves the RIFF
+    byte walk + block DSP + island logic end-to-end.
+
+    Plan: one Arrow decode pass emits (doc, block, energy) rows; the
+    total-energy join, island ids, and segment rollups are JVM windows and
+    hash aggregates all partitioned by doc_id — one shuffle key
+    throughout. At 100 TB segment spans feed chunked transcription the
+    same way scene cuts feed keyframe sampling."""
+    from cdc_debezium_kafka_airflow_spark.operators.multimodal import (
+        attach_media,
+        audio_block_energies,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    be = audio_block_energies(attach_media(d), block=8)
+    tot = be.groupBy("doc_id").agg(
+        F.sum("e").alias("total_e"), F.count("*").alias("n_blocks")
+    )
+    v = be.join(tot, "doc_id").filter(
+        F.col("e") * F.col("n_samples") > F.col("total_e") * 8
+    )
+    rn = Window.partitionBy("doc_id").orderBy("b")
+    isl = v.withColumn("isl_id", F.col("b") - F.row_number().over(rn))
+    seg = isl.groupBy("doc_id", "isl_id").agg(
+        F.max("n_blocks").alias("n_blocks"),
+        F.count("*").alias("seg_len"),
+    )
+    return seg.groupBy("doc_id").agg(
+        F.max("n_blocks").cast("int").alias("n_blocks"),
+        F.sum("seg_len").alias("n_voiced"),
+        F.count("*").cast("int").alias("n_segments"),
+        F.max("seg_len").alias("longest_segment"),
+    )
