@@ -1383,3 +1383,50 @@ def cdc_fk_apply_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "table_name",
         "op",
     )
+
+
+@q(
+    "monitor_dlq_rate",
+    f"""
+    SELECT {SQL_TABLE_CASE} AS table_name,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(CASE WHEN {SQL_IS_MALFORMED} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dlq,
+           (sum(CASE WHEN {SQL_IS_MALFORMED} THEN 1 ELSE 0 END) * 200
+            > count(*) * 3) AS is_alert
+    FROM events GROUP BY 1, 2
+    """,
+)
+def monitor_dlq_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DLQ-rate alerting — the monitor the reference's DLQ setup implies
+    but never builds (register-postgres-sink.json routes poison records to
+    `DLQ_postgres_sink` and logs them, errors.tolerance=all; nothing
+    watches the RATE): per (table, day), poison records as a fraction of
+    traffic, alerting when the rate exceeds 1.5% — compared
+    CROSS-MULTIPLIED in integers (dlq * 200 > total * 3) so no float
+    threshold can flip a verdict at any scale. A tolerance-all pipeline
+    without a rate monitor silently converts a schema break into 100%
+    data loss; this is the guard.
+
+    One map-side-partial hash aggregate over the changelog (the DLQ flag
+    is a row-local expression) — metadata-scale output regardless of log
+    size, same plan family as the heartbeat monitor."""
+    ch = build_changelog(t(spark, sf_dir, "events"))
+    is_dlq = F.coalesce(
+        F.col("value").startswith('{"malformed'), F.lit(False)
+    )
+    g = ch.groupBy(
+        route_topic(ch).alias("table_name"),
+        F.date_trunc("day", F.col("timestamp")).alias("day_start"),
+    ).agg(
+        F.count("*").alias("n_records"),
+        F.sum(is_dlq.cast("long")).alias("n_dlq"),
+    )
+    return g.select(
+        "table_name",
+        "day_start",
+        "n_records",
+        "n_dlq",
+        (F.col("n_dlq") * 200 > F.col("n_records") * 3).alias("is_alert"),
+    )
