@@ -1430,3 +1430,95 @@ def monitor_dlq_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dlq",
         (F.col("n_dlq") * 200 > F.col("n_records") * 3).alias("is_alert"),
     )
+
+
+@q(
+    "cdc_scd2_lookup",
+    f"""
+    WITH {CH_CTE},
+    dim_src AS (SELECT * FROM ch WHERE table_name = 'entidades'),
+    led AS (
+      SELECT *, lead(off) OVER (PARTITION BY key_id ORDER BY off) AS next_off
+      FROM dim_src
+    ),
+    dim AS (
+      SELECT key_id, off AS vf, next_off - 1 AS vt,
+             event_id AS dim_event_id,
+             CAST(round(value * 10000) AS BIGINT) AS dim_value_scaled
+      FROM led WHERE op <> 'd'
+    ),
+    fact AS (SELECT key_id, off FROM ch WHERE table_name = 'ventas')
+    SELECT f.key_id, f.off AS fact_offset,
+           d.dim_event_id, d.dim_value_scaled
+    FROM fact f LEFT JOIN dim d
+      ON d.key_id = f.key_id AND d.vf <= f.off
+     AND (d.vt IS NULL OR f.off <= d.vt)
+    """,
+)
+def cdc_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup (the Kimball Type-2 join): every sale
+    event is enriched with the customer-dimension VERSION that was live
+    when the sale happened — not today's image (that answer changes under
+    you) and not a random version. Deleted-key windows yield NULL (a sale
+    between the customer's delete and a later re-create has no valid
+    dimension row), as do facts before the key's first version.
+
+    The oracle states the semantics as the textbook interval join
+    (vf <= fact_offset <= vt). The ENGINE never runs that join — a range
+    predicate degenerates to a per-key nested loop (O(facts x versions)).
+    Instead: union the dimension's change markers (deletes carry an
+    explicit not-valid marker — last(ignorenulls) alone cannot RESET, so
+    validity rides inside the carried struct) with the facts, one window
+    per key ordered by offset, and carry the latest marker forward — the
+    same O(n log n) shape as join_range_asof, ONE shuffle on the key.
+    Contiguous SCD2 intervals make carry-forward and interval-join
+    provably equivalent; the hash match IS that proof, gaps included.
+    """
+    from pyspark.sql import Window
+
+    u = _unwrapped(spark, sf_dir)
+    live = F.struct(
+        F.lit(True).alias("lv"),
+        F.col("after.event_id").alias("dim_event_id"),
+        F.round(F.col("after.value") * 10000)
+        .cast("long")
+        .alias("dim_value_scaled"),
+    )
+    dead = F.struct(
+        F.lit(False).alias("lv"),
+        F.lit(None).cast("long").alias("dim_event_id"),
+        F.lit(None).cast("long").alias("dim_value_scaled"),
+    )
+    markers = u.filter(F.col("table_name") == "entidades").select(
+        "key_id",
+        "offset",
+        F.when(~F.col("is_delete"), live).otherwise(dead).alias("mk"),
+        F.lit(False).alias("is_fact"),
+    )
+    facts = u.filter(F.col("table_name") == "ventas").select(
+        "key_id",
+        "offset",
+        F.lit(None).cast(markers.schema["mk"].dataType).alias("mk"),
+        F.lit(True).alias("is_fact"),
+    )
+    w = (
+        Window.partitionBy("key_id")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = F.last("mk", ignorenulls=True).over(w)
+    return (
+        markers.unionByName(facts)
+        .withColumn("c", carried)
+        .filter(F.col("is_fact"))
+        .select(
+            "key_id",
+            F.col("offset").alias("fact_offset"),
+            F.when(F.col("c.lv"), F.col("c.dim_event_id")).alias(
+                "dim_event_id"
+            ),
+            F.when(F.col("c.lv"), F.col("c.dim_value_scaled")).alias(
+                "dim_value_scaled"
+            ),
+        )
+    )
