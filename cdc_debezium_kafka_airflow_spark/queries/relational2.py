@@ -975,3 +975,93 @@ def agg_sketch_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sketch_within_2pct"),
     )
     return per_day.unionByName(total_row)
+
+
+@q(
+    "attribution_last_touch",
+    """
+    WITH cl AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    pu AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT p.purchase_id, c.click_id, c.click_ts,
+             row_number() OVER (PARTITION BY p.purchase_id
+                                ORDER BY c.click_ts DESC, c.click_id DESC)
+               AS rn
+      FROM pu p JOIN cl c
+        ON c.user_id = p.user_id
+       AND c.click_ts < p.purchase_ts
+       AND c.click_ts >= p.purchase_ts - INTERVAL 7 DAY
+    )
+    SELECT p.purchase_id, p.user_id, p.purchase_ts,
+           w.click_id,
+           CAST(CASE WHEN w.click_id IS NOT NULL
+                THEN floor((epoch_us(p.purchase_ts)
+                            - epoch_us(w.click_ts)) / 1000000.0)
+                END AS BIGINT) AS seconds_since_click
+    FROM pu p LEFT JOIN (SELECT * FROM j WHERE rn = 1) w
+      ON w.purchase_id = p.purchase_id
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — each purchase credited to the user's most
+    recent click STRICTLY before it and within a 7-day lookback (the
+    standard marketing-attribution join; ties on timestamp break to the
+    higher event id, clicks at the exact purchase instant don't count).
+
+    The oracle states it as the textbook inequality join + rank; the
+    engine never runs that shape (per-user nested loop, O(clicks x
+    purchases)): clicks and purchases are UNIONed into one per-user
+    timeline ordered by (ts, kind, id) — purchases sort BEFORE same-ts
+    clicks, which enforces the strict < for free — and the latest click
+    rides forward in a window carry; the 7-day recency check is a
+    row-local filter AFTER the carry. One shuffle on user_id, O(n log n),
+    the attribution twin of cdc_scd2_lookup's version lookup."""
+    e = t(spark, sf_dir, "events")
+    mk_t = "struct<click_id:bigint,click_ts:timestamp_ntz>"
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(1).alias("kind"),
+        "event_id",
+        F.struct(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        ).alias("mk"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts"),
+        F.lit(0).alias("kind"),
+        "event_id",
+        F.lit(None).cast(clicks.schema["mk"].dataType).alias("mk"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    timeline = clicks.unionByName(purchases).withColumn(
+        "c", F.last("mk", ignorenulls=True).over(w)
+    )
+    recent = F.col("c").isNotNull() & (
+        F.col("c.click_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
+    )
+    return timeline.filter(F.col("kind") == 0).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.when(recent, F.col("c.click_id")).alias("click_id"),
+        F.when(
+            recent,
+            F.floor(
+                (F.unix_micros("ts") - F.unix_micros("c.click_ts"))
+                / F.lit(1000000.0)
+            ).cast("bigint"),
+        ).alias("seconds_since_click"),
+    )
