@@ -715,3 +715,25 @@ def test_keyframe_windows_share_one_exchange(spark, sf_dir):
     plan = _plan(ext_keyframe_extract(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning") == 1, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_temporal_lookups_are_carry_forward_not_range_join(spark, sf_dir):
+    """cdc_scd2_lookup and attribution_last_touch both state interval/
+    inequality-join semantics in their oracles but must EXECUTE as the
+    union + window carry-forward: one hash exchange on the key, no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere in the plan."""
+    from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import (
+        cdc_scd2_lookup,
+    )
+    from cdc_debezium_kafka_airflow_spark.queries.relational2 import (
+        attribution_last_touch,
+    )
+
+    for df in (
+        cdc_scd2_lookup(spark, sf_dir),
+        attribution_last_touch(spark, sf_dir),
+    ):
+        plan = _plan(df)
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Window" in plan
