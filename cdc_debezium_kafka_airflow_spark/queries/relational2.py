@@ -1065,3 +1065,101 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint"),
         ).alias("seconds_since_click"),
     )
+
+
+@q(
+    "attribution_linear",
+    """
+    WITH cl AS (
+      SELECT user_id, event_id AS click_id, ts AS click_ts
+      FROM events WHERE event_type = 'click'
+    ),
+    pu AS (
+      SELECT user_id, event_id AS purchase_id, ts AS purchase_ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    tou AS (
+      SELECT p.purchase_id, CAST(count(*) AS BIGINT) AS n
+      FROM pu p JOIN cl c
+        ON c.user_id = p.user_id
+       AND c.click_ts < p.purchase_ts
+       AND c.click_ts >= p.purchase_ts - INTERVAL 7 DAY
+      GROUP BY 1
+    )
+    SELECT p.purchase_id, p.user_id, p.purchase_ts,
+           CAST(coalesce(t.n, 0) AS BIGINT) AS n_touches,
+           CASE WHEN t.n IS NOT NULL THEN round(1e0 / t.n, 6) END
+             AS credit_per_touch
+    FROM pu p LEFT JOIN tou t ON t.purchase_id = p.purchase_id
+    """,
+)
+def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (multi-touch) attribution — every click in the purchase's
+    7-day lookback shares the credit equally. Counting a BOUNDED window
+    per fact is the part a naive plan gets quadratically wrong; the
+    engine's shape: inject each purchase's WINDOW-START as a synthetic
+    boundary marker at ts − 7d on the user's click timeline, carry ONE
+    running click count down the (ts, kind)-ordered timeline, and read
+    the window count as the difference between the count at the purchase
+    row and at its start marker (markers sort before same-instant clicks
+    so the >= boundary is inclusive; purchases sort before same-instant
+    clicks so the < boundary is strict — both enforced by sort order,
+    zero comparisons). One user_id shuffle + one purchase_id rollup,
+    O(n log n) — the prefix-sum-difference trick that turns any bounded
+    temporal aggregate into two timeline reads. Oracle = the textbook
+    inequality join + count."""
+    e = t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(2).alias("kind"),
+        F.lit(None).cast("bigint").alias("pid"),
+    )
+    pu = e.filter(F.col("event_type") == "purchase")
+    starts = pu.select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 7 DAYS")).alias("ts"),
+        F.lit(0).alias("kind"),
+        F.col("event_id").alias("pid"),
+    )
+    purchases = pu.select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("kind"),
+        F.col("event_id").alias("pid"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind", "pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tl = (
+        clicks.unionByName(starts)
+        .unionByName(purchases)
+        .withColumn(
+            "r", F.sum((F.col("kind") == 2).cast("long")).over(w)
+        )
+    )
+    n = F.max(F.when(F.col("kind") == 1, F.col("r"))) - F.max(
+        F.when(F.col("kind") == 0, F.col("r"))
+    )
+    g = (
+        tl.filter(F.col("kind") != 2)
+        .groupBy("pid")
+        .agg(
+            F.max("user_id").alias("user_id"),
+            F.max(F.when(F.col("kind") == 1, F.col("ts"))).alias(
+                "purchase_ts"
+            ),
+            n.alias("n"),
+        )
+    )
+    return g.select(
+        F.col("pid").alias("purchase_id"),
+        "user_id",
+        "purchase_ts",
+        F.col("n").cast("long").alias("n_touches"),
+        F.when(F.col("n") > 0, F.round(F.lit(1e0) / F.col("n"), 6)).alias(
+            "credit_per_touch"
+        ),
+    )
