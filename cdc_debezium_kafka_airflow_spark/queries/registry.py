@@ -126,19 +126,46 @@ def _round_key() -> int:
     return 1 + len(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")))
 
 
+def _already_verified() -> set[str]:
+    """Names a PAST round's external harness already confirmed (keys of the
+    committed CORRECTNESS_r*.json files). Used only to PRIORITIZE rotation
+    toward never-checked names — still a pure function of the repo state,
+    so the driver and any re-run compute the same window."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    seen: set[str] = set()
+    for path in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
+        try:
+            seen |= set(_json.load(open(path)))
+        except Exception:
+            continue  # malformed artifact: fall back to plain rotation
+    return seen
+
+
 # Window slots not pinned to a §2 flagship ROTATE round-by-round through
-# every remaining registered query (name-sorted ring, offset advanced by
-# the round key), so external driver confirmation accumulates across
-# rounds instead of re-checking the same head forever. Within one round
-# the selection is a pure function of (registry contents, round key) —
-# the driver and any re-run see the same window.
+# every remaining registered query, so external driver confirmation
+# accumulates across rounds instead of re-checking the same head forever.
+# Never-yet-verified names fill the slots first (a name-sorted ring over
+# the unseen set, offset advanced by the round key); only when every pool
+# entry has a past driver row does the ring span the whole pool. Within
+# one round the selection is a pure function of (registry contents,
+# committed CORRECTNESS files) — the driver and any re-run see the same
+# window.
 _rotation_pool = sorted(k for k in _ALL_QUERIES if k not in set(_PRIORITY))
+_seen = _already_verified()
+_unseen = [k for k in _rotation_pool if k not in _seen]
+_ring = _unseen if _unseen else _rotation_pool
 _slots = max(0, VERIFIED_WINDOW - len(_PRIORITY))
-if _rotation_pool and _slots:
-    _off = ((_round_key() - 1) * _slots) % len(_rotation_pool)
+if _ring and _slots:
+    _off = ((_round_key() - 1) * _slots) % len(_ring)
     ROTATION: list[str] = [
-        _rotation_pool[(_off + _i) % len(_rotation_pool)]
-        for _i in range(min(_slots, len(_rotation_pool)))
+        _ring[(_off + _i) % len(_ring)]
+        for _i in range(min(_slots, len(_ring)))
     ]
 else:
     ROTATION = []

@@ -87,8 +87,10 @@ def test_no_duplicates_and_oracle_keys_subset():
 
 def test_rotation_fills_window_and_is_deterministic():
     """The non-flagship window slots rotate: they fill the window exactly,
-    never collide with the pinned head, come from the name-sorted ring at
-    the round-keyed offset, and a re-import would select the same set."""
+    never collide with the pinned head, come from the name-sorted ring of
+    NEVER-DRIVER-CHECKED names (falling back to the whole pool only once
+    everything has a past CORRECTNESS row) at the round-keyed offset, and
+    a re-import would select the same set."""
     head = list(registry.QUERIES)[: len(registry._PRIORITY)]
     rotation = list(registry.QUERIES)[
         len(registry._PRIORITY) : registry.VERIFIED_WINDOW
@@ -99,8 +101,14 @@ def test_rotation_fills_window_and_is_deterministic():
     pool = sorted(
         k for k in registry.QUERIES if k not in set(registry._PRIORITY)
     )
+    seen = registry._already_verified()
+    ring = [k for k in pool if k not in seen] or pool
     slots = registry.VERIFIED_WINDOW - len(registry._PRIORITY)
-    off = ((registry._round_key() - 1) * slots) % len(pool)
+    off = ((registry._round_key() - 1) * slots) % len(ring)
     assert rotation == [
-        pool[(off + i) % len(pool)] for i in range(slots)
+        ring[(off + i) % len(ring)] for i in range(slots)
     ]
+    # the whole point: while unchecked names exist, every rotated slot
+    # must be one of them
+    if len(ring) >= slots and ring is not pool:
+        assert not set(rotation) & seen
