@@ -1016,54 +1016,23 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle states it as the textbook inequality join + rank; the
     engine never runs that shape (per-user nested loop, O(clicks x
-    purchases)): clicks and purchases are UNIONed into one per-user
-    timeline ordered by (ts, kind, id) — purchases sort BEFORE same-ts
-    clicks, which enforces the strict < for free — and the latest click
-    rides forward in a window carry; the 7-day recency check is a
-    row-local filter AFTER the carry. One shuffle on user_id, O(n log n),
-    the attribution twin of cdc_scd2_lookup's version lookup."""
+    purchases)): operators/temporal.last_touch_attribution unions clicks
+    and purchases into one per-user timeline ordered by (ts, kind, id) —
+    purchases sort BEFORE same-ts clicks, which enforces the strict < for
+    free — and the latest click rides forward in a window carry; the
+    7-day recency check is a row-local filter AFTER the carry. One
+    shuffle on user_id, O(n log n), the attribution twin of
+    cdc_scd2_lookup's version lookup. Property-tested against a
+    brute-force python reference on random timelines."""
+    from cdc_debezium_kafka_airflow_spark.operators.temporal import (
+        last_touch_attribution,
+    )
+
     e = t(spark, sf_dir, "events")
-    mk_t = "struct<click_id:bigint,click_ts:timestamp_ntz>"
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("ts"),
-        F.lit(1).alias("kind"),
-        "event_id",
-        F.struct(
-            F.col("event_id").alias("click_id"),
-            F.col("ts").alias("click_ts"),
-        ).alias("mk"),
-    )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id",
-        F.col("ts"),
-        F.lit(0).alias("kind"),
-        "event_id",
-        F.lit(None).cast(clicks.schema["mk"].dataType).alias("mk"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "kind", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    timeline = clicks.unionByName(purchases).withColumn(
-        "c", F.last("mk", ignorenulls=True).over(w)
-    )
-    recent = F.col("c").isNotNull() & (
-        F.col("c.click_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")
-    )
-    return timeline.filter(F.col("kind") == 0).select(
-        F.col("event_id").alias("purchase_id"),
-        "user_id",
-        F.col("ts").alias("purchase_ts"),
-        F.when(recent, F.col("c.click_id")).alias("click_id"),
-        F.when(
-            recent,
-            F.floor(
-                (F.unix_micros("ts") - F.unix_micros("c.click_ts"))
-                / F.lit(1000000.0)
-            ).cast("bigint"),
-        ).alias("seconds_since_click"),
+    cols = ["user_id", "ts", "event_id"]
+    return last_touch_attribution(
+        e.filter(F.col("event_type") == "click").select(cols),
+        e.filter(F.col("event_type") == "purchase").select(cols),
     )
 
 
@@ -1096,70 +1065,25 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear (multi-touch) attribution — every click in the purchase's
     7-day lookback shares the credit equally. Counting a BOUNDED window
-    per fact is the part a naive plan gets quadratically wrong; the
-    engine's shape: inject each purchase's WINDOW-START as a synthetic
-    boundary marker at ts − 7d on the user's click timeline, carry ONE
-    running click count down the (ts, kind)-ordered timeline, and read
-    the window count as the difference between the count at the purchase
-    row and at its start marker (markers sort before same-instant clicks
-    so the >= boundary is inclusive; purchases sort before same-instant
-    clicks so the < boundary is strict — both enforced by sort order,
-    zero comparisons). One user_id shuffle + one purchase_id rollup,
-    O(n log n) — the prefix-sum-difference trick that turns any bounded
-    temporal aggregate into two timeline reads. Oracle = the textbook
-    inequality join + count."""
+    per fact is the part a naive plan gets quadratically wrong;
+    operators/temporal.linear_attribution injects each purchase's
+    WINDOW-START as a synthetic boundary marker at ts − 7d on the user's
+    click timeline, carries ONE running click count, and reads the window
+    count as the prefix-sum difference between the purchase row and its
+    start marker (markers sort before same-instant clicks so the >=
+    boundary is inclusive; purchases sort before same-instant clicks so
+    the < boundary is strict — both enforced by sort order, zero
+    comparisons). One user_id shuffle + one purchase_id rollup,
+    O(n log n) — the trick that turns any bounded temporal aggregate into
+    two timeline reads. Oracle = the textbook inequality join + count;
+    property-tested against a brute-force python reference."""
+    from cdc_debezium_kafka_airflow_spark.operators.temporal import (
+        linear_attribution,
+    )
+
     e = t(spark, sf_dir, "events")
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        F.lit(2).alias("kind"),
-        F.lit(None).cast("bigint").alias("pid"),
-    )
-    pu = e.filter(F.col("event_type") == "purchase")
-    starts = pu.select(
-        "user_id",
-        (F.col("ts") - F.expr("INTERVAL 7 DAYS")).alias("ts"),
-        F.lit(0).alias("kind"),
-        F.col("event_id").alias("pid"),
-    )
-    purchases = pu.select(
-        "user_id",
-        "ts",
-        F.lit(1).alias("kind"),
-        F.col("event_id").alias("pid"),
-    )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "kind", "pid")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    tl = (
-        clicks.unionByName(starts)
-        .unionByName(purchases)
-        .withColumn(
-            "r", F.sum((F.col("kind") == 2).cast("long")).over(w)
-        )
-    )
-    n = F.max(F.when(F.col("kind") == 1, F.col("r"))) - F.max(
-        F.when(F.col("kind") == 0, F.col("r"))
-    )
-    g = (
-        tl.filter(F.col("kind") != 2)
-        .groupBy("pid")
-        .agg(
-            F.max("user_id").alias("user_id"),
-            F.max(F.when(F.col("kind") == 1, F.col("ts"))).alias(
-                "purchase_ts"
-            ),
-            n.alias("n"),
-        )
-    )
-    return g.select(
-        F.col("pid").alias("purchase_id"),
-        "user_id",
-        "purchase_ts",
-        F.col("n").cast("long").alias("n_touches"),
-        F.when(F.col("n") > 0, F.round(F.lit(1e0) / F.col("n"), 6)).alias(
-            "credit_per_touch"
-        ),
+    cols = ["user_id", "ts", "event_id"]
+    return linear_attribution(
+        e.filter(F.col("event_type") == "click").select(cols),
+        e.filter(F.col("event_type") == "purchase").select(cols),
     )
