@@ -10,8 +10,10 @@ per-key nested loop. Sort order alone enforces the boundary semantics
 Consumers: queries/relational2.py attribution_last_touch /
 attribution_linear (reference parity: the warehouse-side marketing
 analytics the reference delegates to Postgres, readme.md:23);
-queries/cdc_queries.py cdc_scd2_lookup uses the same pattern inline for
-SCD2 version lookup.
+queries/cdc_queries.py cdc_scd2_lookup (point_in_time_lookup — the
+Kimball Type-2 version lookup). All three are property-tested against
+brute-force python references on random timelines
+(tests/test_property_temporal.py) in addition to their SQL oracles.
 """
 
 from __future__ import annotations
@@ -133,4 +135,55 @@ def linear_attribution(
         F.when(F.col("n") > 0, F.round(F.lit(1e0) / F.col("n"), 6)).alias(
             "credit_per_touch"
         ),
+    )
+
+
+def point_in_time_lookup(dim_changes: DataFrame, facts: DataFrame) -> DataFrame:
+    """Enrich each fact with the dimension PAYLOAD that was live at the
+    fact's offset (the Kimball Type-2 lookup executed as a carry, not an
+    interval join). Inputs: ``dim_changes`` = (key_id, offset, is_delete,
+    payload struct) — the dimension's ordered change events, deletes with
+    any payload; ``facts`` = (key_id, offset). Output: (key_id,
+    fact_offset, payload) where payload is NULL for facts inside a
+    deleted-key gap or before the key's first version.
+
+    Deletes must RESET the carried value, which ``last(ignorenulls)``
+    alone cannot do — so validity rides INSIDE the carried struct (lv
+    flag) and resolves row-locally after the carry. Facts and dimension
+    changes at the same offset cannot collide (offsets are unique log
+    positions); ordering is (offset) within each key — one shuffle,
+    O(n log n)."""
+    payload_t = dim_changes.schema["payload"].dataType
+    mk = F.when(
+        ~F.col("is_delete"),
+        F.struct(F.lit(True).alias("lv"), F.col("payload").alias("p")),
+    ).otherwise(
+        F.struct(
+            F.lit(False).alias("lv"),
+            F.lit(None).cast(payload_t).alias("p"),
+        )
+    )
+    markers = dim_changes.select(
+        "key_id", "offset", mk.alias("mk"), F.lit(False).alias("is_fact")
+    )
+    fa = facts.select(
+        "key_id",
+        "offset",
+        F.lit(None).cast(markers.schema["mk"].dataType).alias("mk"),
+        F.lit(True).alias("is_fact"),
+    )
+    w = (
+        Window.partitionBy("key_id")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        markers.unionByName(fa)
+        .withColumn("c", F.last("mk", ignorenulls=True).over(w))
+        .filter(F.col("is_fact"))
+        .select(
+            "key_id",
+            F.col("offset").alias("fact_offset"),
+            F.when(F.col("c.lv"), F.col("c.p")).alias("payload"),
+        )
     )

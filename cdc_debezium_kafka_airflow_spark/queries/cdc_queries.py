@@ -1466,59 +1466,38 @@ def cdc_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle states the semantics as the textbook interval join
     (vf <= fact_offset <= vt). The ENGINE never runs that join — a range
     predicate degenerates to a per-key nested loop (O(facts x versions)).
-    Instead: union the dimension's change markers (deletes carry an
-    explicit not-valid marker — last(ignorenulls) alone cannot RESET, so
-    validity rides inside the carried struct) with the facts, one window
-    per key ordered by offset, and carry the latest marker forward — the
-    same O(n log n) shape as join_range_asof, ONE shuffle on the key.
-    Contiguous SCD2 intervals make carry-forward and interval-join
-    provably equivalent; the hash match IS that proof, gaps included.
+    Instead, operators/temporal.point_in_time_lookup unions the
+    dimension's change markers (deletes carry an explicit not-valid
+    marker — last(ignorenulls) alone cannot RESET, so validity rides
+    inside the carried struct) with the facts and carries the latest
+    marker forward in one key-partitioned window — the same O(n log n)
+    shape as join_range_asof, ONE shuffle on the key. Contiguous SCD2
+    intervals make carry-forward and interval-join provably equivalent;
+    the hash match IS that proof, gaps included (and a hypothesis suite
+    pins the operator against a brute-force replay on random histories).
     """
-    from pyspark.sql import Window
+    from cdc_debezium_kafka_airflow_spark.operators.temporal import (
+        point_in_time_lookup,
+    )
 
     u = _unwrapped(spark, sf_dir)
-    live = F.struct(
-        F.lit(True).alias("lv"),
-        F.col("after.event_id").alias("dim_event_id"),
-        F.round(F.col("after.value") * 10000)
-        .cast("long")
-        .alias("dim_value_scaled"),
-    )
-    dead = F.struct(
-        F.lit(False).alias("lv"),
-        F.lit(None).cast("long").alias("dim_event_id"),
-        F.lit(None).cast("long").alias("dim_value_scaled"),
-    )
-    markers = u.filter(F.col("table_name") == "entidades").select(
+    dim = u.filter(F.col("table_name") == "entidades").select(
         "key_id",
         "offset",
-        F.when(~F.col("is_delete"), live).otherwise(dead).alias("mk"),
-        F.lit(False).alias("is_fact"),
+        "is_delete",
+        F.struct(
+            F.col("after.event_id").alias("dim_event_id"),
+            F.round(F.col("after.value") * 10000)
+            .cast("long")
+            .alias("dim_value_scaled"),
+        ).alias("payload"),
     )
     facts = u.filter(F.col("table_name") == "ventas").select(
+        "key_id", "offset"
+    )
+    return point_in_time_lookup(dim, facts).select(
         "key_id",
-        "offset",
-        F.lit(None).cast(markers.schema["mk"].dataType).alias("mk"),
-        F.lit(True).alias("is_fact"),
-    )
-    w = (
-        Window.partitionBy("key_id")
-        .orderBy("offset")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = F.last("mk", ignorenulls=True).over(w)
-    return (
-        markers.unionByName(facts)
-        .withColumn("c", carried)
-        .filter(F.col("is_fact"))
-        .select(
-            "key_id",
-            F.col("offset").alias("fact_offset"),
-            F.when(F.col("c.lv"), F.col("c.dim_event_id")).alias(
-                "dim_event_id"
-            ),
-            F.when(F.col("c.lv"), F.col("c.dim_value_scaled")).alias(
-                "dim_value_scaled"
-            ),
-        )
+        "fact_offset",
+        F.col("payload.dim_event_id").alias("dim_event_id"),
+        F.col("payload.dim_value_scaled").alias("dim_value_scaled"),
     )

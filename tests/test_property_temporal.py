@@ -91,3 +91,54 @@ def test_linear_matches_bruteforce(spark, events):
         )
         expect[pid] = (n, round(1.0 / n, 6) if n else None)
     assert got == expect
+
+
+# dim ops: (key, op, payload-int); facts: (key,) — offsets are list positions
+dim_op = st.tuples(
+    st.integers(min_value=0, max_value=3),
+    st.sampled_from(["set", "set", "del", "fact"]),
+    st.integers(min_value=0, max_value=99),
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(dim_op, min_size=0, max_size=50))
+def test_point_in_time_lookup_matches_replay(spark, ops):
+    from cdc_debezium_kafka_airflow_spark.operators.temporal import (
+        point_in_time_lookup,
+    )
+
+    dim_rows, fact_rows = [], []
+    for off, (key, op, v) in enumerate(ops):
+        if op == "fact":
+            fact_rows.append((key, off))
+        else:
+            dim_rows.append((key, off, op == "del", (off, v)))
+    dim = spark.createDataFrame(
+        dim_rows or [],
+        "key_id long, offset long, is_delete boolean, "
+        "payload struct<ver:long, v:long>",
+    )
+    facts = spark.createDataFrame(fact_rows or [], "key_id long, offset long")
+    got = {
+        (r.key_id, r.fact_offset): (
+            (r.payload.ver, r.payload.v) if r.payload is not None else None
+        )
+        for r in point_in_time_lookup(dim, facts).collect()
+    }
+
+    # brute-force replay: live payload per key at each log position
+    state: dict[int, tuple] = {}
+    expect = {}
+    for off, (key, op, v) in enumerate(ops):
+        if op == "fact":
+            expect[(key, off)] = state.get(key)
+        elif op == "del":
+            state.pop(key, None)
+        else:
+            state[key] = (off, v)
+    assert got == expect
