@@ -1087,3 +1087,124 @@ def attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.filter(F.col("event_type") == "click").select(cols),
         e.filter(F.col("event_type") == "purchase").select(cols),
     )
+
+
+@q(
+    "funnel_window",
+    """
+    WITH ev AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('signup', 'click', 'purchase')
+    ),
+    pop AS (SELECT DISTINCT user_id FROM events),
+    l1 AS (SELECT DISTINCT user_id FROM ev WHERE event_type = 'signup'),
+    l2 AS (
+      SELECT DISTINCT s.user_id
+      FROM ev s JOIN ev c
+        ON c.user_id = s.user_id
+       AND s.event_type = 'signup' AND c.event_type = 'click'
+       AND c.ts > s.ts AND c.ts <= s.ts + INTERVAL 12 HOUR
+    ),
+    l3 AS (
+      SELECT DISTINCT s.user_id
+      FROM ev s
+      JOIN ev c ON c.user_id = s.user_id
+       AND s.event_type = 'signup' AND c.event_type = 'click'
+       AND c.ts > s.ts
+      JOIN ev p ON p.user_id = s.user_id
+       AND p.event_type = 'purchase'
+       AND p.ts > c.ts AND p.ts <= s.ts + INTERVAL 12 HOUR
+    )
+    SELECT pop.user_id,
+           CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+                     WHEN l2.user_id IS NOT NULL THEN 2
+                     WHEN l1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_level
+    FROM pop
+    LEFT JOIN l1 ON l1.user_id = pop.user_id
+    LEFT JOIN l2 ON l2.user_id = pop.user_id
+    LEFT JOIN l3 ON l3.user_id = pop.user_id
+    """,
+)
+def funnel_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed funnel (ClickHouse ``windowFunnel`` semantics): per user,
+    the deepest prefix of signup → click → purchase completed with
+    STRICTLY increasing timestamps and the whole chain inside a 12-hour
+    window anchored at the signup (12h splits the fixture population
+    across all four levels). The oracle states it as the textbook
+    triple EXISTS join.
+
+    The engine replaces the exponential exists-chain with two sequential
+    window passes over each user's (ts, kind)-ordered timeline — sort
+    order encodes the strictness (purchases before clicks before signups
+    at equal ts, so no same-instant step counts):
+
+      pass 1  carry S = latest signup ts so far → at each click,
+              s_at_click = the best chain start for that click;
+      pass 2  carry max(s_at_click) over preceding clicks → at each
+              purchase, the best reachable chain start.
+
+    The greedy carry is provably equivalent to EXISTS: s_at_click is
+    non-decreasing along the timeline, so the LAST click before a
+    purchase dominates every other chain — the hash match against the
+    EXISTS oracle is that proof executed. Both passes share one user_id
+    exchange (plan-guarded elsewhere for the same shape); at 100 TB this
+    is one shuffle + two sorts-free window reads versus a self-join
+    pyramid that grows a power per funnel step."""
+    e = t(spark, sf_dir, "events")
+    ev = e.filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    ).select(
+        "user_id",
+        "ts",
+        # same-ts ordering: purchase(0) < click(1) < signup(2) so a step
+        # never sees a same-instant predecessor
+        F.when(F.col("event_type") == "purchase", 0)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(2)
+        .alias("kind"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p1 = ev.withColumn(
+        "s_carry", F.max(F.when(F.col("kind") == 2, F.col("ts"))).over(w)
+    )
+    p2 = p1.withColumn(
+        "sc",
+        F.max(
+            F.when(F.col("kind") == 1, F.col("s_carry"))
+        ).over(w),
+    )
+    seven = F.expr("INTERVAL 12 HOURS")
+    lvl = p2.groupBy("user_id").agg(
+        F.max(F.when(F.col("kind") == 2, 1).otherwise(0)).alias("has_s"),
+        F.max(
+            F.when(
+                (F.col("kind") == 1)
+                & F.col("s_carry").isNotNull()
+                & (F.col("ts") <= F.col("s_carry") + seven),
+                1,
+            ).otherwise(0)
+        ).alias("has_sc"),
+        F.max(
+            F.when(
+                (F.col("kind") == 0)
+                & F.col("sc").isNotNull()
+                & (F.col("ts") <= F.col("sc") + seven),
+                1,
+            ).otherwise(0)
+        ).alias("has_scp"),
+    )
+    pop = t(spark, sf_dir, "events").select("user_id").distinct()
+    return pop.join(lvl, "user_id", "left").select(
+        "user_id",
+        F.when(F.col("has_scp") == 1, 3)
+        .when(F.col("has_sc") == 1, 2)
+        .when(F.col("has_s") == 1, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("funnel_level"),
+    )
