@@ -54,6 +54,99 @@ def q(name: str, oracle: str | None):
 NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 
 
+def _bpe_cte_chain(n_merges: int) -> str:
+    """Unroll `n_merges` BPE training rounds as chained DuckDB CTEs — the
+    exact-oracle trick from ext_classifier_train applied to the tokenizer.
+
+    Each word's symbol sequence is encoded as a delimiter-wrapped string
+    `|c1||c2||...||</w>|` (the corpus charset is [a-z ], so `|`, `<`, `>`
+    cannot collide with symbol content). Two facts make the oracle EXACT,
+    not merely an invariant:
+
+    1. SQL `replace()` is non-overlapping left-to-right with
+       continue-after-replacement — precisely greedy BPE merge
+       application within a word (`|a||a||a|` -> `|aa||a|`).
+    2. Sequential rank-order application == greedy lowest-rank-first
+       replay (the rule operators/bpe.py:apply_bpe implements): the
+       symbol created at rank r cannot appear in any pair learned at
+       rank < r (those pairs predate the symbol's existence), so no
+       earlier merge ever becomes newly applicable.
+
+    Per round: adjacent pairs come from re-splitting the symbol string
+    (unnest over positions), the argmax uses the same (count DESC, left
+    ASC, right ASC) tie-break as the Spark trainer, and the winner is
+    applied with one `replace` per word.
+    """
+    parts = [
+        f"""
+    words AS (
+      SELECT word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split({NORM}, ' ')) AS word
+            FROM documents)
+      WHERE length(word) > 0
+      GROUP BY word
+    ),
+    state_0 AS (
+      SELECT word, freq,
+             '|' || array_to_string(string_split_regex(word, ''), '||')
+                 || '||</w>|' AS s
+      FROM words
+    )"""
+    ]
+    for k in range(n_merges):
+        parts.append(
+            f""",
+    pairs_{k} AS (
+      SELECT a[i] AS l, a[i+1] AS r, freq
+      FROM (SELECT freq,
+                   string_split(substr(s, 2, length(s)-2), '||') AS a
+            FROM state_{k})
+      CROSS JOIN unnest(generate_series(1, len(a)-1)) AS u(i)
+      WHERE len(a) >= 2
+    ),
+    best_{k} AS (
+      SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt
+      FROM pairs_{k} GROUP BY l, r
+      ORDER BY cnt DESC, l ASC, r ASC LIMIT 1
+    ),
+    state_{k + 1} AS (
+      SELECT word, freq,
+             replace(s, '|'||b.l||'||'||b.r||'|',
+                        '|'||b.l||b.r||'|') AS s
+      FROM state_{k} CROSS JOIN best_{k} b
+    )"""
+        )
+    return "WITH" + "".join(parts)
+
+
+_BPE_N_MERGES = 8
+
+_BPE_TRAIN_SQL = (
+    _bpe_cte_chain(_BPE_N_MERGES)
+    + "\n    "
+    + "\n    UNION ALL ".join(
+        f'SELECT CAST({k} AS INT) AS merge_rank, l AS "left", '
+        f'r AS "right", l||r AS merged, cnt AS pair_count FROM best_{k}'
+        for k in range(_BPE_N_MERGES)
+    )
+    + "\n    ORDER BY merge_rank"
+)
+
+_BPE_TOKENIZE_SQL = (
+    _bpe_cte_chain(_BPE_N_MERGES)
+    + f"""
+    SELECT token, CAST(sum(freq) AS BIGINT) AS n_occurrences
+    FROM (SELECT freq,
+                 unnest(string_split(substr(s, 2, length(s)-2), '||'))
+                   AS token
+          FROM state_{_BPE_N_MERGES})
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT 20
+    """
+)
+
+
 @q(
     "ext_dedup_exact",
     f"""
@@ -2169,14 +2262,16 @@ def ext_img_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("ext_bpe_train", None)
+@q("ext_bpe_train", _BPE_TRAIN_SQL)
 def ext_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (8 merge rounds) over the document
-    corpus — rows-only by design: the merge sequence is an ITERATIVE
-    argmax chain no single SQL statement expresses; correctness is pinned
-    instead by tests/test_curation.py::test_bpe_matches_reference
-    (bit-identical merge table vs a pure-Python reference implementation)
-    and a partition-layout determinism property.
+    corpus — EXACT oracle: the iterative argmax chain unrolls as 8 chained
+    SQL CTEs over a delimiter-wrapped symbol string, with `replace()`
+    standing in for greedy merge application (see _bpe_cte_chain for why
+    that equivalence is exact). Also pinned by
+    tests/test_curation.py::test_bpe_matches_reference (bit-identical
+    merge table vs a pure-Python reference implementation) and a
+    partition-layout determinism property.
 
     Scale posture (operators/bpe.py): ONE corpus-wide shuffle builds the
     word-frequency table; every round after that is vocab-sized (pair agg
@@ -2310,13 +2405,16 @@ def ext_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(10)
 
 
-@q("ext_bpe_tokenize", None)
+@q("ext_bpe_tokenize", _BPE_TOKENIZE_SQL)
 def ext_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenize the corpus with the trained BPE merges (greedy lowest-rank
     replay — the apply rule real tokenizers use) and return the top-20
-    token histogram + per-token corpus frequency. Rows-only (iterative
-    artifact); pinned by tests/test_curation.py::test_bpe_tokenize_reference
-    against a pure-Python tokenizer on the same corpus.
+    token histogram + per-token corpus frequency. EXACT oracle: the
+    unrolled training CTE chain's final symbol state IS the tokenization
+    (sequential rank-order replace == lowest-rank-first replay — see
+    _bpe_cte_chain); also pinned by
+    tests/test_curation.py::test_bpe_tokenize_reference against a
+    pure-Python tokenizer on the same corpus.
 
     Scale posture: merges are a driver-side list (vocab-lifecycle artifact,
     memoized per corpus like the IVF/PQ codebooks); tokenization runs once
