@@ -700,15 +700,131 @@ def ext_sim_ann_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketed_ann_topk(queries, corpus, k=10)
 
 
-@q("ext_sim_ivf_topk", None)  # trained cells: iterative float means -> rows-only
+# Oracle shared by the trained-ANN audit trio (ext_sim_ivf_topk /
+# ext_sim_pq_topk / ext_sim_ivfpq_topk): n_queries and n_result_rows are
+# genuinely SQL-computed from the fixture; the violation counters are
+# exact zeros by construction of the index (see _ann_audit_frame).
+def _ann_audit_oracle(floor_note: str) -> str:
+    return f"""
+    -- {floor_note}
+    SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(10 * count(*) AS BIGINT) AS n_result_rows,
+           CAST(0 AS BIGINT) AS n_self_rows,
+           CAST(0 AS BIGINT) AS n_dup_pairs,
+           CAST(0 AS BIGINT) AS n_rank_violations,
+           CAST(0 AS BIGINT) AS recall_floor_breach
+    FROM embeddings WHERE vec_id % 50 = 0
+    """
+
+
+def _ann_audit_frame(
+    ann: DataFrame,
+    queries: DataFrame,
+    corpus: DataFrame,
+    floor_pct: int,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """One-row derived-invariant audit of a trained-ANN result — the
+    ext_dedup_minhash pattern: the engine-specific index (trained cells /
+    codebooks) is not SQL-expressible, but these properties of its output
+    are exact, so a driver hash-check on them is a real correctness gate:
+
+      n_queries / n_result_rows — every query returns exactly k=10 rows
+        (probed cells always hold >= k candidates on this fixture; both
+        counts are INDEPENDENTLY computed by the SQL oracle from the
+        parquet), so a broken probe/shortlist stage shows up as a count
+        mismatch.
+      n_self_rows — the operators exclude the query vector itself; any
+        self row means the candidate filter broke.
+      n_dup_pairs — (query, neighbor) pairs must be unique; duplicates
+        mean a cell/bucket union double-counted a candidate.
+      n_rank_violations — when the result carries a rank column, each
+        query's ranks must be exactly 1..10 (sum 55, count 10).
+      recall_floor_breach — aggregate recall@10 vs EXACT brute force
+        (computed live, two independent code paths) must meet the floor
+        measured for this deterministic index across sfs; a regressed
+        assignment/refine stage trips this.
+    """
+    from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    exact = brute_force_topk(queries, corpus, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    a = ann.select("query_id", "neighbor_id", *( [rank_col] if rank_col else []))
+    base = a.agg(
+        F.count("*").alias("n_result_rows"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("query_id") == F.col("neighbor_id"), 1)
+                .otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_self_rows"),
+    )
+    dups = (
+        a.groupBy("query_id", "neighbor_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .agg(F.count("*").alias("n_dup_pairs"))
+    )
+    if rank_col is not None:
+        ranks = (
+            a.groupBy("query_id")
+            .agg(
+                F.sum(rank_col).alias("rank_sum"),
+                F.count("*").alias("nk"),
+            )
+            .filter((F.col("rank_sum") != 55) | (F.col("nk") != 10))
+            .agg(F.count("*").alias("n_rank_violations"))
+        )
+    else:
+        ranks = a.sparkSession.range(1).select(
+            F.lit(0).cast("long").alias("n_rank_violations")
+        )
+    nq = queries.agg(F.count("*").alias("n_queries"))
+    hitrow = exact.join(
+        a.select("query_id", "neighbor_id").dropDuplicates(),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).agg(F.count("*").alias("n_hits"))
+    tot = exact.agg(F.count("*").alias("n_exact"))
+    return (
+        nq.crossJoin(base)
+        .crossJoin(dups)
+        .crossJoin(ranks)
+        .crossJoin(hitrow)
+        .crossJoin(tot)
+        .select(
+            "n_queries",
+            "n_result_rows",
+            "n_self_rows",
+            "n_dup_pairs",
+            "n_rank_violations",
+            (F.col("n_hits") * 100 < F.col("n_exact") * floor_pct)
+            .cast("long")
+            .alias("recall_floor_breach"),
+        )
+    )
+
+
+@q(
+    "ext_sim_ivf_topk",
+    _ann_audit_oracle("IVF n_probe=2/8: measured recall 0.48-0.60, floor 35%"),
+)
 def ext_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-IVF ANN top-k: deterministic mini-k-means cells (quantized
     centroids), queries probe their 2 nearest of 8 cells — the production
-    ANN shape where cells are the corpus partition key. Recall vs exact
-    brute force is bounded in pytest. The index is trained once per corpus
-    (fingerprint-memoized centroids) and reused across invocations — the
-    real IVF lifecycle; training is deterministic, so a cold rebuild is
-    bit-identical."""
+    ANN shape where cells are the corpus partition key. The index is
+    trained once per corpus (fingerprint-memoized centroids) and reused
+    across invocations; training is deterministic, so a cold rebuild is
+    bit-identical. Output is the one-row derived-invariant audit
+    (_ann_audit_frame): exact result-shape counts the oracle recomputes
+    from the fixture, plus violation counters (self rows, duplicate
+    pairs, rank gaps, recall-vs-brute-force floor) that are exact zeros.
+    The raw top-k row surface stays pinned by
+    tests/test_dedup_similarity.py::test_ivf_topk_recall_against_exact."""
     from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
         source_fingerprint,
     )
@@ -720,10 +836,11 @@ def ext_sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = e.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cvec")
     )
-    return ivf_topk(
+    ann = ivf_topk(
         queries, corpus, k=10, n_centroids=8, n_probe=2,
         cache_key=source_fingerprint(sf_dir, "embeddings"),
     )
+    return _ann_audit_frame(ann, queries, corpus, floor_pct=35, rank_col="rank")
 
 
 @q(
@@ -1314,33 +1431,44 @@ def _sim_inputs(spark: SparkSession, sf_dir: str):
     return queries, corpus
 
 
-@q("ext_sim_pq_topk", None)  # trained codebooks: engine-specific -> rows-only
+@q(
+    "ext_sim_pq_topk",
+    _ann_audit_oracle("flat PQ + exact rerank: measured recall 0.73-0.81, floor 60%"),
+)
 def ext_sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k + exact re-rank: 64-dim vectors
     compress to 16 subspace codes against driver-trained (deterministic,
     fingerprint-memoized) codebooks; candidate scoring is m table lookups
     instead of a 64-wide dot product, and only the top-4k ADC shortlist
     touches true vectors — the memory tier of a trillion-vector index.
-    Recall vs exact brute force is bounded in pytest."""
+    Output is the one-row derived-invariant audit (_ann_audit_frame);
+    raw row surface pinned by
+    tests/test_dedup_similarity.py::test_pq_topk_recall_and_determinism."""
     from cdc_debezium_kafka_airflow_spark.operators.similarity import pq_topk
     from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
         source_fingerprint,
     )
 
     queries, corpus = _sim_inputs(spark, sf_dir)
-    return pq_topk(
+    ann = pq_topk(
         queries, corpus, k=10,
         cache_key=source_fingerprint(sf_dir, "embeddings"),
     )
+    return _ann_audit_frame(ann, queries, corpus, floor_pct=60)
 
 
-@q("ext_sim_ivfpq_topk", None)  # trained cells+codebooks -> rows-only
+@q(
+    "ext_sim_ivfpq_topk",
+    _ann_audit_oracle("IVF-PQ n_probe=4/8 residual: measured recall 0.48-0.72, floor 35%"),
+)
 def ext_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ with residual encoding + exact re-rank — the full production
     ANN layout (cells prune the scan, residual PQ codes are the in-memory
     tier, the refine stage touches true vectors for 4k candidates per
     query). Cells, codebooks, and re-rank are all deterministic and
-    fingerprint-memoized; recall floors are pinned in pytest."""
+    fingerprint-memoized. Output is the one-row derived-invariant audit
+    (_ann_audit_frame); clustered-regime recall pinned by
+    tests/test_dedup_similarity.py::test_ivfpq_recall_on_clustered_corpus."""
     from cdc_debezium_kafka_airflow_spark.operators.similarity import (
         ivf_pq_topk,
     )
@@ -1349,10 +1477,11 @@ def ext_sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     queries, corpus = _sim_inputs(spark, sf_dir)
-    return ivf_pq_topk(
+    ann = ivf_pq_topk(
         queries, corpus, k=10, n_probe=4,
         cache_key=source_fingerprint(sf_dir, "embeddings"),
     )
+    return _ann_audit_frame(ann, queries, corpus, floor_pct=35)
 
 
 # PII fixture suffix: deterministic per-doc synthetic identifiers (the
@@ -2970,21 +3099,39 @@ def ext_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("ext_pca_spectrum", None)
+@q(
+    "ext_pca_spectrum",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(8 AS BIGINT) AS n_components,
+           CAST(0 AS BIGINT) AS n_var_mismatch,
+           CAST(0 AS BIGINT) AS n_order_violations,
+           CAST(0 AS BIGINT) AS trace_breach
+    FROM embeddings
+    """,
+)
 def ext_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): covariance assembled from ONE
     Gram-matrix row per partition (vectorized numpy in Arrow batches — a
     partition of any size reduces to d^2+d+1 floats), eigendecomposition
     on the 64x64 driver-side matrix, projection as a broadcast matmul.
-    Returns the eigen-spectrum scoreboard: per retained component, its
-    eigenvalue, explained-variance ratio, and the variance of the corpus
-    ACTUALLY PROJECTED onto it (must equal the eigenvalue — computed
-    distributed, so the claim is verified against the data, not assumed).
 
-    Rows-only (no SQL oracle eigendecomposes);
-    tests/test_dedup_similarity.py::test_pca_* pin orthonormality,
-    spectrum ordering, ratio normalization, eigenvalue/variance agreement
-    and partition-layout stability."""
+    Output is a one-row derived-invariant audit (the ext_dedup_minhash
+    pattern — no SQL oracle eigendecomposes, but these properties are
+    exact):
+      n_vectors — corpus size, INDEPENDENTLY recomputed by the oracle.
+      n_var_mismatch — top-8 components where the variance of the corpus
+        ACTUALLY PROJECTED onto the component (computed distributed,
+        var_pop over posexplode) disagrees with its eigenvalue beyond
+        1e-3: the eigenvalue claim verified against the data, not eigh.
+      n_order_violations — top-8 eigenvalues not non-increasing.
+      trace_breach — |sum of ALL 64 eigenvalues - trace of the data
+        covariance| beyond 1e-9 relative, where the trace is computed
+        distributed as the sum of per-dimension var_pop (the covariance
+        uses the same population normalization): eigh's full spectrum
+        must conserve the corpus' total variance.
+    tests/test_dedup_similarity.py::test_pca_* additionally pin
+    orthonormality, ratio normalization and partition-layout stability."""
     from cdc_debezium_kafka_airflow_spark.operators.pca import (
         fit_pca,
         project_pca,
@@ -2997,29 +3144,50 @@ def ext_pca_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean, comps, vals = fit_pca(emb)
     k = 8
     proj = project_pca(emb, mean, comps, k)
-    pvar = (
-        proj.select(
-            F.posexplode("proj").alias("comp_idx", "pv")
-        )
-        .groupBy("comp_idx")
-        .agg(F.round(F.var_pop("pv"), 6).alias("projected_variance"))
-    )
-    total = float(vals.sum()) or 1.0
     spectrum = spark.createDataFrame(
-        [
-            (i, round(float(vals[i]), 6), round(float(vals[i]) / total, 6))
-            for i in range(k)
-        ],
-        "comp_idx int, eigenvalue double, explained_ratio double",
+        [(i, float(vals[i])) for i in range(k)],
+        "comp_idx int, eigenvalue double",
     )
-    return spectrum.join(pvar, "comp_idx").select(
-        "comp_idx",
-        "eigenvalue",
-        "explained_ratio",
-        "projected_variance",
-        (
-            F.abs(F.col("projected_variance") - F.col("eigenvalue")) < 1e-3
-        ).alias("variance_matches_eigenvalue"),
+    audits = (
+        proj.select(F.posexplode("proj").alias("comp_idx", "pv"))
+        .groupBy("comp_idx")
+        .agg(F.var_pop("pv").alias("projected_variance"))
+        .join(spectrum, "comp_idx")
+        .agg(
+            F.sum(
+                (
+                    F.abs(F.col("projected_variance") - F.col("eigenvalue"))
+                    >= 1e-3
+                ).cast("long")
+            ).alias("n_var_mismatch"),
+        )
+    )
+    order_violations = sum(
+        1 for i in range(k - 1) if float(vals[i]) < float(vals[i + 1])
+    )
+    eig_total = float(vals.sum())
+    trace = (
+        emb.select(F.posexplode("e").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(F.var_pop("x").alias("v"))
+        .agg(F.sum("v").alias("trace_data"))
+    )
+    nvec = emb.agg(F.count("*").alias("n_vectors"))
+    return (
+        nvec.crossJoin(audits)
+        .crossJoin(trace)
+        .select(
+            "n_vectors",
+            F.lit(k).cast("long").alias("n_components"),
+            "n_var_mismatch",
+            F.lit(order_violations).cast("long").alias("n_order_violations"),
+            (
+                F.abs(F.col("trace_data") - F.lit(eig_total))
+                >= 1e-9 * F.greatest(F.col("trace_data"), F.lit(1.0))
+            )
+            .cast("long")
+            .alias("trace_breach"),
+        )
     )
 
 

@@ -1292,7 +1292,23 @@ def fn_pandas_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@q("ext_dedup_minhash_mllib", None)
+@q(
+    "ext_dedup_minhash_mllib",
+    """
+    SELECT CAST(CASE WHEN (SELECT count(*) FROM documents) > 2000
+             THEN (SELECT count(*) FROM documents WHERE doc_id % 5 = 0
+                   AND len(string_split(lower(regexp_replace(trim(text),
+                       '\\s+', ' ', 'g')), ' ')) >= 3)
+             ELSE (SELECT count(*) FROM documents
+                   WHERE len(string_split(lower(regexp_replace(trim(text),
+                       '\\s+', ' ', 'g')), ' ')) >= 3)
+           END AS BIGINT) AS n_docs,
+           CAST(0 AS BIGINT) AS n_not_canonical,
+           CAST(0 AS BIGINT) AS n_missed_exact_dups,
+           CAST(0 AS BIGINT) AS n_exact_dup_dist_nonzero,
+           CAST(0 AS BIGINT) AS n_dist_tolerance_breach
+    """,
+)
 def ext_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup candidate pairs through Spark MLlib's OFFICIAL LSH API
     (`ml.feature.MinHashLSH` — the Spark mapping SURVEY.md §2 names for
@@ -1305,11 +1321,26 @@ def ext_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold is what makes the emission non-trivial; the stratum bounds
     the verify cost regardless).
 
-    Rows-only by design (the emitted distance is Jaccard over the HASHED
-    feature space — engine-specific representation, like the IVF/PQ
-    families); pytest pins the semantics instead: exact duplicates appear
-    at distance 0, hashed distance tracks TRUE shingle Jaccard within the
-    collision tolerance, and the pair set is deterministic run-to-run.
+    Output is a one-row derived-invariant audit (the ext_dedup_minhash
+    pattern — the emitted distance is Jaccard over the HASHED feature
+    space, an engine-specific representation no SQL oracle reproduces,
+    but these properties of it are exact):
+      n_docs — LSH input size after the empty-shingle filter,
+        INDEPENDENTLY recomputed by the oracle (>= 3 normalized tokens
+        <=> at least one word-3-gram, stratified when the corpus exceeds
+        the degeneration point).
+      n_not_canonical — pairs violating a < b.
+      n_missed_exact_dups — identical-shingle-SET pairs absent from the
+        join output: identical feature vectors collide in EVERY hash
+        table, so exact-dup recall is deterministically 1.0.
+      n_exact_dup_dist_nonzero — identical-set pairs not at distance 0.
+      n_dist_tolerance_breach — |hashed jaccard - TRUE shingle jaccard|
+        > 0.1 (HashingTF collisions at 2^18 features shift a small set's
+        jaccard by at most ~1/|union|; measured max deviation 0.056
+        across sfs). True jaccard comes from the SAME cached shingle
+        table via exact set ops — two code paths, one truth.
+    pytest (tests/test_relational4.py::test_mllib_minhash_semantics)
+    additionally pins planted-dup behavior and seed determinism.
 
     Scale posture: MinHashLSH's join is the banded OR-amplified candidate
     join + exact verify, but the API's bands are SINGLE minhashes
@@ -1330,7 +1361,84 @@ def ext_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sc_.count() > 2000:
         # deterministic stratum above the degeneration point — see below
         sc_ = sc_.filter(F.col("doc_id") % 5 == 0)
-    return mllib_minhash_pairs(sc_, threshold=0.95)
+    nonempty = sc_.filter(F.size("shingles") > 0)
+    pairs = mllib_minhash_pairs(sc_, threshold=0.95)
+
+    # exact-dup reference: identical shingle SETS (sorted-distinct key)
+    keyed = nonempty.select(
+        "doc_id", F.array_sort(F.array_distinct("shingles")).alias("sk")
+    )
+    exact_dups = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), F.col("x.sk") == F.col("y.sk"))
+        .filter(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+    )
+    a_sh = nonempty.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
+    )
+    b_sh = nonempty.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")
+    )
+    enriched = (
+        pairs.join(a_sh, "doc_a")
+        .join(b_sh, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard_dist",
+            (
+                F.size(F.array_intersect("sa", "sb"))
+                / F.size(F.array_union("sa", "sb"))
+            ).alias("true_j"),
+            (
+                F.array_sort(F.array_distinct("sa"))
+                == F.array_sort(F.array_distinct("sb"))
+            ).alias("is_exact_dup"),
+        )
+    )
+    stats = enriched.agg(
+        F.coalesce(
+            F.sum((F.col("doc_a") >= F.col("doc_b")).cast("long")), F.lit(0)
+        ).alias("n_not_canonical"),
+        F.coalesce(
+            F.sum(
+                (F.col("is_exact_dup") & (F.col("jaccard_dist") != 0.0))
+                .cast("long")
+            ),
+            F.lit(0),
+        ).alias("n_exact_dup_dist_nonzero"),
+        F.coalesce(
+            F.sum(
+                (
+                    F.abs(
+                        (F.lit(1.0) - F.col("jaccard_dist"))
+                        - F.col("true_j")
+                    )
+                    > 0.1
+                ).cast("long")
+            ),
+            F.lit(0),
+        ).alias("n_dist_tolerance_breach"),
+    )
+    missed = exact_dups.join(
+        pairs.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_anti"
+    ).agg(F.count("*").alias("n_missed_exact_dups"))
+    ndocs = nonempty.agg(F.count("*").alias("n_docs"))
+    return (
+        ndocs.crossJoin(stats)
+        .crossJoin(missed)
+        .select(
+            "n_docs",
+            "n_not_canonical",
+            "n_missed_exact_dups",
+            "n_exact_dup_dist_nonzero",
+            "n_dist_tolerance_breach",
+        )
+    )
 
 
 def mllib_minhash_pairs(shingled: DataFrame, threshold: float) -> DataFrame:

@@ -709,9 +709,14 @@ def test_mllib_minhash_semantics(spark, sf_dir):
     s3 = set(sh.filter("doc_id = 3").first().shingles)
     true_jd = 1 - len(s1 & s3) / len(s1 | s3)
     assert abs(pairs[(1, 3)] - true_jd) < 0.02
-    # fixture-level determinism (fixed seed)
-    a = {(r.doc_a, r.doc_b, r.jaccard_dist)
-         for r in ext_dedup_minhash_mllib(spark, sf_dir).collect()}
-    b = {(r.doc_a, r.doc_b, r.jaccard_dist)
-         for r in ext_dedup_minhash_mllib(spark, sf_dir).collect()}
-    assert a == b and a
+    # fixture-level: the registered query emits the one-row invariant
+    # audit — every violation counter must be exactly 0, deterministically
+    a = ext_dedup_minhash_mllib(spark, sf_dir).collect()
+    b = ext_dedup_minhash_mllib(spark, sf_dir).collect()
+    assert len(a) == 1 and a == b
+    row = a[0]
+    assert row.n_docs > 0
+    assert row.n_not_canonical == 0
+    assert row.n_missed_exact_dups == 0
+    assert row.n_exact_dup_dist_nonzero == 0
+    assert row.n_dist_tolerance_breach == 0
