@@ -22,6 +22,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+_LOADAVG_AT_START = os.getloadavg()[0] if hasattr(os, "getloadavg") else 0.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -62,12 +65,26 @@ def main() -> None:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
+    # Round-over-round comparability (round-5 lesson: numbers taken beside
+    # a concurrent Spark session inflate ~1.2-2x): record whether the box
+    # was otherwise busy when the bench STARTED, so a regression triage
+    # can discount load drift without re-deriving it from prose. The
+    # 1-minute loadavg predates this process's own burn; >25% of the
+    # cores already busy = concurrent.
+    load_state = os.environ.get("SPARK_GRAFT_LOAD_STATE")
+    if load_state not in ("idle", "concurrent"):
+        ncpu = os.cpu_count() or 1
+        load_state = (
+            "concurrent" if _LOADAVG_AT_START > 0.25 * ncpu else "idle"
+        )
     full = {
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "load_state": load_state,
+        "loadavg_at_start": round(_LOADAVG_AT_START, 2),
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
@@ -84,6 +101,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "n_errors": sum(1 for v in timings.values() if v < 0),
+        "load_state": load_state,
         "queries_file": "BENCH_local.json",
     }
     print(json.dumps(headline))
