@@ -409,17 +409,21 @@ def test_pca_components_orthonormal_and_ordered(spark, sf_dir):
 
 
 def test_pca_projected_variance_equals_eigenvalue(spark, sf_dir):
-    """The query's core claim, asserted end-to-end: the corpus projected
-    onto component k has variance == eigenvalue k (computed distributed)."""
+    """The query's core claims, asserted end-to-end via its audit row:
+    projected variance == eigenvalue per component, spectrum ordered,
+    total variance conserved (all computed distributed)."""
     from cdc_debezium_kafka_airflow_spark.queries.ext_queries import (
         ext_pca_spectrum,
     )
 
     rows = ext_pca_spectrum(spark, sf_dir).collect()
-    assert len(rows) == 8
-    assert all(r.variance_matches_eigenvalue for r in rows)
-    ev = [r.eigenvalue for r in sorted(rows, key=lambda r: r.comp_idx)]
-    assert ev == sorted(ev, reverse=True)
+    assert len(rows) == 1
+    row = rows[0]
+    assert row.n_vectors > 0
+    assert row.n_components == 8
+    assert row.n_var_mismatch == 0
+    assert row.n_order_violations == 0
+    assert row.trace_breach == 0
 
 
 def test_pca_stable_across_partitioning(spark, sf_dir):
