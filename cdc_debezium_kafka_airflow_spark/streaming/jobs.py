@@ -2665,7 +2665,14 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     replay_dir = os.path.join("/root/repo/.cache", f"events_sess_{tag}")
-    fp = source_fingerprint(sf_dir, "events") + ":sess3"
+    # 8 files per chronological slice + maxFilesPerTrigger=8 — the same
+    # replay discipline as txn_consistent_stream: each trigger still
+    # consumes exactly ONE slice (identical micro-batch boundaries, so
+    # watermark advancement and timeout firing are unchanged), but the
+    # slice parses on 8 cores instead of one. Slice-by-slice writes keep
+    # modification-time order (the file source's order) across slices;
+    # order within a slice is free (the state fn sorts per user anyway).
+    fp = source_fingerprint(sf_dir, "events") + ":sess4x8"
     if not cache_is_fresh(replay_dir, fp):
         shutil.rmtree(replay_dir, ignore_errors=True)
         e = load_table(spark, sf_dir, "events").select(
@@ -2679,15 +2686,15 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         for i, (lo, hi) in enumerate(bounds):
             mode = "overwrite" if i == 0 else "append"
-            e.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).coalesce(
-                1
+            e.filter((F.col("ts") >= lo) & (F.col("ts") < hi)).repartition(
+                8
             ).write.mode(mode).parquet(replay_dir)
         write_fingerprint(replay_dir, fp)
 
     schema = spark.read.parquet(replay_dir).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "8")
         .parquet(os.path.join(replay_dir, "*.parquet"))
     )
 
