@@ -269,3 +269,46 @@ def repetition_metrics(
             "top_gram_count",
         )
     )
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonicalize a URL the way a web-corpus dedup first pass does
+    (CCNet/RefinedWeb-style): lowercase scheme+host, strip a leading
+    ``www.``, drop default ports (``:443`` for https, ``:80`` for http),
+    strip the trailing path slash, drop ``utm_*`` tracking params, sort
+    the surviving query params, drop the fragment. Every step is a
+    JVM-side string/regex/array expression — map-only at any corpus
+    size — and each is mirrored verbatim in the DuckDB oracle
+    (queries/ext_queries.py:ext_url_canonical_dedup).
+
+    Complementary to operators/curation.py:canonicalize_url, the coarser
+    DOMAIN-key canonicalizer (drops ALL params/ports for per-domain
+    caps): this one preserves resource identity — two URLs canonicalize
+    equal iff they name the same document."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[A-Za-z]+://([^/?#]*)", 1))
+    host = F.regexp_replace(hostport, r"^www\.", "")
+    host = F.when(
+        scheme == "https", F.regexp_replace(host, r":443$", "")
+    ).otherwise(F.regexp_replace(host, r":80$", ""))
+    path = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: (F.substring(p, 1, 4) != "utm_")
+                & (p != ""),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(params == "", F.lit("")).otherwise(F.concat(F.lit("?"), params)),
+    )

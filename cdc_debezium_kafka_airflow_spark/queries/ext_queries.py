@@ -4795,3 +4795,127 @@ def ext_speech_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("int").alias("n_segments"),
         F.max("seg_len").alias("longest_segment"),
     )
+
+
+# Deterministic synthetic URL per document (the corpus has no URL column;
+# the _PII_SUFFIX_SQL precedent: construct the SAME value in both engines
+# so the canonicalization is exercised on real variant forms — mixed-case
+# scheme/host, www. prefixes, default ports, trailing slashes, utm_*
+# tracking params, fragments).
+_URL_SQL = (
+    "CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END || '://'"
+    " || CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END"
+    " || 'Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.com'"
+    " || CASE WHEN doc_id % 6 = 0 THEN ':443'"
+    "         WHEN doc_id % 6 = 3 THEN ':80' ELSE '' END"
+    " || '/Articles/' || CAST(doc_id % 50 AS VARCHAR)"
+    " || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN"
+    "        '?utm_source=feed&utm_campaign=x&page='"
+    "          || CAST(doc_id % 50 AS VARCHAR)"
+    "      WHEN doc_id % 11 = 0 THEN"
+    "        '?page=' || CAST(doc_id % 50 AS VARCHAR)"
+    "      ELSE '' END"
+    " || CASE WHEN doc_id % 8 = 0 THEN '#section2' ELSE '' END"
+)
+
+
+def _url_col():
+    d = F.col("doc_id")
+
+    def s(c):
+        return c.cast("string")
+
+    return F.concat(
+        F.when(d % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        F.when(d % 4 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.lit("Site"), s(d % 7), F.lit(".Example.com"),
+        F.when(d % 6 == 0, F.lit(":443"))
+        .when(d % 6 == 3, F.lit(":80"))
+        .otherwise(F.lit("")),
+        F.lit("/Articles/"), s(d % 50),
+        F.when(d % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&utm_campaign=x&page="), s(d % 50)
+            ),
+        )
+        .when(d % 11 == 0, F.concat(F.lit("?page="), s(d % 50)))
+        .otherwise(F.lit("")),
+        F.when(d % 8 == 0, F.lit("#section2")).otherwise(F.lit("")),
+    )
+
+
+@q(
+    "ext_url_canonical_dedup",
+    f"""
+    WITH u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+    parts AS (
+      SELECT doc_id, url,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]*)', 1))
+               AS hostport,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]*([^?#]*)', 1) AS path0,
+             regexp_extract(url, '\\?([^#]*)', 1) AS query0
+      FROM u
+    ),
+    canon AS (
+      SELECT doc_id, url,
+             scheme || '://' ||
+             CASE WHEN scheme = 'https'
+                  THEN regexp_replace(regexp_replace(hostport, '^www\\.', ''),
+                                      ':443$', '')
+                  ELSE regexp_replace(regexp_replace(hostport, '^www\\.', ''),
+                                      ':80$', '')
+             END ||
+             CASE WHEN regexp_replace(path0, '/$', '') = '' THEN '/'
+                  ELSE regexp_replace(path0, '/$', '') END ||
+             CASE WHEN coalesce(array_to_string(list_sort(list_filter(
+                          string_split(query0, '&'),
+                          p -> substr(p, 1, 4) <> 'utm_' AND p <> '')), '&'),
+                          '')
+                       = '' THEN ''
+                  ELSE '?' || array_to_string(list_sort(list_filter(
+                          string_split(query0, '&'),
+                          p -> substr(p, 1, 4) <> 'utm_' AND p <> '')), '&')
+             END AS canonical_url
+      FROM parts
+    )
+    SELECT canonical_url,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_forms
+    FROM canon
+    GROUP BY canonical_url
+    """,
+)
+def ext_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL deduplication — the FIRST pass of every web-corpus
+    pipeline (before any content hash is computed): URLs that differ only
+    in case of scheme/host, a ``www.`` prefix, a default port, a trailing
+    slash, ``utm_*`` tracking params, param order, or a fragment are the
+    same resource. The corpus has no URL column, so a deterministic
+    synthetic URL exercising every variant axis is constructed from
+    doc_id IN BOTH ENGINES (the _PII_SUFFIX_SQL precedent) and
+    canonicalized with mirrored regex/array expressions
+    (operators/text.py:canonical_url) — the oracle compares real
+    collapses, not a no-op.
+
+    Scale posture: canonicalization is a map-only chain of JVM
+    string/regex/higher-order-array expressions inside whole-stage
+    codegen; the ONLY shuffle is the groupBy(canonical_url), whose key is
+    exactly the storage bucket an incremental crawl dedup partitions by —
+    at 100 TB new URLs canonicalize map-side and join only their bucket,
+    the same incremental shape as ext_dedup_incremental."""
+    from cdc_debezium_kafka_airflow_spark.operators.text import canonical_url
+
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    u = d.select("doc_id", _url_col().alias("url"))
+    c = u.select("doc_id", "url", canonical_url(F.col("url")).alias("canonical_url"))
+    return c.groupBy("canonical_url").agg(
+        F.min("doc_id").alias("keeper_doc"),
+        F.count("*").alias("n_variants"),
+        F.countDistinct("url").alias("n_raw_forms"),
+    )

@@ -446,3 +446,36 @@ def test_classifier_train_learns(spark, sf_dir):
     assert correct > majority, (correct, n)
     assert m["train_loss"] < math.log(2.0) - 0.1, m["train_loss"]
     assert m["w_ntok"] > 0, m  # the label is a token-count threshold
+
+
+def test_canonical_url_planted_variants(spark):
+    """canonical_url collapses every equivalence axis (case, www, default
+    port, trailing slash, utm params, param order, fragment) and keeps
+    genuinely different URLs apart."""
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.operators.text import canonical_url
+
+    urls = [
+        (1, "HTTPS://WWW.Example.COM:443/a/?utm_source=x&b=2&a=1#frag"),
+        (2, "https://example.com/a?b=2&a=1"),
+        (3, "https://example.com/a?a=1&b=2&utm_campaign=y"),
+        (4, "http://example.com:80"),
+        (5, "HTTP://www.example.com/"),
+        (6, "https://example.com/a?a=1"),      # different params: kept apart
+        (7, "https://example.com/a/b?a=1&b=2"),  # different path: kept apart
+        (8, "https://example.com:8080/a?a=1&b=2"),  # non-default port kept
+    ]
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {
+        r.doc_id: r.cu
+        for r in df.select(
+            "doc_id", canonical_url(F.col("url")).alias("cu")
+        ).collect()
+    }
+    assert got[1] == got[2] == got[3] == "https://example.com/a?a=1&b=2"
+    assert got[4] == "http://example.com/"
+    assert got[5] == "http://example.com/"
+    assert got[6] == "https://example.com/a?a=1"
+    assert got[7] == "https://example.com/a/b?a=1&b=2"
+    assert got[8] == "https://example.com:8080/a?a=1&b=2"
