@@ -134,8 +134,27 @@ def ngram_jaccard_pairs(
         exploded.join(F.broadcast(freq), "shingle")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.col("pos") <= prefix_len)
-        .select("doc_id", "block", "set_size", "shingle")
+        .select("doc_id", "block", "set_size", "shingle", "pos")
     )
+    # PPJoin positional filter (Xiao et al.): for a shared prefix shingle at
+    # frequency-order positions (px, py), EVERY common element sorts either
+    # before it in BOTH lists (<= min(px,py)-1 of those) or at/after it in
+    # both (<= 1 + min(|A|-px, |B|-py)), so
+    #   |A ∩ B| <= least(px, py) + least(|A|-px, |B|-py)
+    # holds for every shared occurrence — a pair whose bound cannot reach
+    # the required overlap t/(1+t)*(|A|+|B|) is pruned BEFORE the exact
+    # array_intersect verify. Honest measurement: on THIS fixture it prunes
+    # almost nothing (uniform doc sizes -> symmetric prefix ranks, 171832
+    # -> 171827 candidates at sf0.1) and costs two integer comparisons in
+    # the join condition; on size/rank-skewed real corpora (boilerplate
+    # shingles ranking early in small docs, late in large ones) it is the
+    # standard candidate-bound. The 1e-6 threshold slack keeps pairs that
+    # pass only via the final round(jaccard, 6) >= t comparison.
+    t_eff = threshold - 1e-6
+    sx, sy = F.col("x.set_size"), F.col("y.set_size")
+    px, py = F.col("x.pos"), F.col("y.pos")
+    required = F.ceil(F.lit(t_eff / (1.0 + t_eff)) * (sx + sy))
+    overlap_ub = F.least(px, py) + F.least(sx - px, sy - py)
     candidates = (
         prefix.alias("x")
         .join(
@@ -145,9 +164,8 @@ def ngram_jaccard_pairs(
                 F.col("x.shingle") == F.col("y.shingle"),
                 F.col("x.doc_id") < F.col("y.doc_id"),
                 # length-ratio prune: jaccard <= min/max of set sizes
-                F.least(F.col("x.set_size"), F.col("y.set_size"))
-                >= F.lit(threshold)
-                * F.greatest(F.col("x.set_size"), F.col("y.set_size")),
+                F.least(sx, sy) >= F.lit(threshold) * F.greatest(sx, sy),
+                overlap_ub >= required,
             ],
         )
         .select(
