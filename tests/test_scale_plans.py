@@ -737,3 +737,22 @@ def test_temporal_lookups_are_carry_forward_not_range_join(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "Window" in plan
+
+
+def test_url_canonical_dedup_prunes_to_one_column_no_python(spark, sf_dir):
+    """The crawl-dedup first pass must stay a pure codegen chain: the scan
+    reads ONLY doc_id (synthetic URL is derived; `text` never loads), the
+    whole canonicalization lives in Project nodes (no Python eval), and
+    aggregation is the standard two-level distinct expansion with
+    map-side partials in front of each exchange."""
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import (
+        ext_url_canonical_dedup,
+    )
+
+    df = ext_url_canonical_dedup(spark, sf_dir)
+    plan = _plan(df)
+    assert "ReadSchema: struct<doc_id:bigint>" in plan
+    assert "text" not in plan.lower().replace("array_to_string", "")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_" in plan  # map-side combine before every exchange
+    assert plan.count("Exchange") <= 4  # distinct expansion, nothing more
