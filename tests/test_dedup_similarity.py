@@ -854,3 +854,62 @@ def test_semdedup_incremental_deterministic(spark, sf_dir):
     assert a == b
     verdicts = {v for _, v, _ in a}
     assert "new" in verdicts and len(verdicts) >= 2  # does real work
+
+
+def test_ann_audit_frame_detects_planted_violations(spark):
+    """The audit oracle's zeros must be FALSIFIABLE, not tautological:
+    plant each violation class into a fake ANN result and assert the
+    matching counter fires."""
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import (
+        _ann_audit_frame,
+    )
+
+    # corpus of 4 one-hot-ish vectors; queries = vec 0 and vec 2
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [0.0, 0.9, 0.1]),
+    ]
+    emb = spark.createDataFrame(vecs, "vec_id long, e array<double>")
+    queries = emb.filter(F.col("vec_id").isin(0, 2)).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qvec")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("e").alias("cvec")
+    )
+
+    def audit(pairs, floor_pct=1, rank=False):
+        rows = [
+            (q, n, i + 1) if rank else (q, n)
+            for i, (q, n) in enumerate(pairs)
+        ]
+        schema = (
+            "query_id long, neighbor_id long, rank int"
+            if rank
+            else "query_id long, neighbor_id long"
+        )
+        ann = spark.createDataFrame(rows, schema)
+        return _ann_audit_frame(
+            ann, queries, corpus, floor_pct=floor_pct,
+            rank_col="rank" if rank else None,
+        ).first()
+
+    # clean result: correct top-1 per query (brute force k=10 returns all
+    # non-self corpus rows here) — every counter zero
+    clean = audit([(0, 1), (0, 2), (0, 3), (2, 3), (2, 0), (2, 1)])
+    assert clean.n_self_rows == 0 and clean.n_dup_pairs == 0
+    assert clean.recall_floor_breach == 0
+
+    # planted self row fires n_self_rows
+    assert audit([(0, 0), (2, 3)]).n_self_rows == 1
+    # planted duplicate pair fires n_dup_pairs
+    assert audit([(0, 1), (0, 1), (2, 3)]).n_dup_pairs == 1
+    # degenerate result misses the exact set -> recall floor breach at 90%
+    bad = audit([(0, 2), (2, 0)], floor_pct=90)
+    assert bad.recall_floor_breach == 1
+    # broken rank sequence fires n_rank_violations (ranks 1,2 over one
+    # query but only 2 rows -> rank_sum != 55 or count != 10)
+    assert audit([(0, 1), (0, 3)], rank=True).n_rank_violations == 1

@@ -165,3 +165,79 @@ def test_split_over_cap_properties(n, cap, seed):
     out2 = np.zeros(n, dtype=np.int64)
     _split_over_cap(mat, np.arange(n), cap, 5 + 1, 0, out2)
     assert (out == out2).all()
+
+
+# ---------------------------------------------------------------------------
+# canonical_url properties: idempotence + invariance under every variant axis
+# ---------------------------------------------------------------------------
+
+_label = st.text(alphabet="abcdefghijklmnopqrstuvwxyz0123456789-", min_size=1, max_size=8).filter(
+    lambda s: not s.startswith("-") and not s.endswith("-")
+)
+_param_key = st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=6).filter(
+    lambda s: not s.startswith("utm_")
+)
+
+_url_parts = st.tuples(
+    st.booleans(),                       # https (else http)
+    _label,                              # host label
+    st.lists(_label, max_size=3),        # path segments
+    st.lists(st.tuples(_param_key, _label), max_size=3, unique_by=lambda kv: kv[0]),
+    st.booleans(),                       # add www. variant
+    st.booleans(),                       # add default-port variant
+    st.booleans(),                       # add trailing-slash variant
+    st.booleans(),                       # add utm params variant
+    st.booleans(),                       # shuffle param order variant
+    st.booleans(),                       # add fragment variant
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(_url_parts)
+def test_canonical_url_idempotent_and_variant_invariant(spark, parts):
+    from cdc_debezium_kafka_airflow_spark.operators.text import canonical_url
+
+    (https, host, segs, params, www, port, slash, utm, shuffle, frag) = parts
+    scheme = "https" if https else "http"
+    base_host = f"{host}.example.com"
+    path = "".join("/" + s for s in segs)
+    qs = "&".join(f"{k}={v}" for k, v in params)
+
+    plain = f"{scheme}://{base_host}{path or ''}" + (f"?{qs}" if qs else "")
+    # a variant that differs ONLY on canonical-equivalent axes
+    v_scheme = scheme.upper() if shuffle else scheme
+    v_host = ("WWW." if www else "") + base_host.upper()
+    v_port = (":443" if https else ":80") if port else ""
+    v_path = path + ("/" if slash and path else "")
+    v_params = list(params)
+    if shuffle:
+        v_params = list(reversed(v_params))
+    v_qs = "&".join(f"{k}={v}" for k, v in v_params)
+    if utm:
+        v_qs = (v_qs + "&" if v_qs else "") + "utm_source=x&utm_medium=y"
+    variant = (
+        f"{v_scheme}://{v_host}{v_port}{v_path}"
+        + (f"?{v_qs}" if v_qs else "")
+        + ("#frag" if frag else "")
+    )
+
+    df = spark.createDataFrame(
+        [(1, plain), (2, variant)], "i long, url string"
+    )
+    out = {
+        r.i: r.cu
+        for r in df.select(
+            "i", canonical_url(F.col("url")).alias("cu")
+        ).collect()
+    }
+    # variant invariance: both forms name the same resource
+    # (host canonicalizes lowercase; plain had it lowercase already)
+    assert out[1] == out[2], (plain, variant, out)
+    # idempotence: canonicalizing a canonical URL is the identity
+    df2 = spark.createDataFrame([(1, out[1])], "i long, url string")
+    again = df2.select(canonical_url(F.col("url")).alias("cu")).first().cu
+    assert again == out[1], (out[1], again)
