@@ -4919,3 +4919,140 @@ def ext_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_variants"),
         F.countDistinct("url").alias("n_raw_forms"),
     )
+
+
+@q(
+    "ext_substring_dedup_removal",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split({NORM}, ' ') AS w FROM documents
+    ),
+    toks AS (SELECT doc_id, len(w) AS n_tokens, w FROM d),
+    spans AS (
+      SELECT doc_id, i,
+             md5(concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4])) AS h
+      FROM toks
+      CROSS JOIN unnest(range(1, greatest(n_tokens - 4, 0) + 1)) AS u(i)
+    ),
+    dup AS (SELECT h FROM spans GROUP BY h HAVING count(*) >= 2),
+    covered AS (
+      SELECT DISTINCT s.doc_id, u.j
+      FROM spans s JOIN dup USING (h)
+      CROSS JOIN unnest(range(s.i, s.i + 5)) AS u(j)
+    ),
+    isl AS (
+      SELECT doc_id, j,
+             j - row_number() OVER (PARTITION BY doc_id ORDER BY j) AS grp
+      FROM covered
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_removed_tokens,
+             CAST(count(DISTINCT grp) AS BIGINT) AS n_cut_intervals
+      FROM isl GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           CAST(coalesce(p.n_removed_tokens, 0) AS BIGINT)
+             AS n_removed_tokens,
+           CAST(coalesce(p.n_cut_intervals, 0) AS BIGINT)
+             AS n_cut_intervals,
+           round((t.n_tokens - coalesce(p.n_removed_tokens, 0))
+                 / t.n_tokens, 6) AS kept_fraction
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    """,
+)
+def ext_substring_dedup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REMOVAL (Lee et al. 2022, \"Deduplicating
+    Training Data Makes Language Models Better\"): any word-5-gram span
+    occurring >= 2 times corpus-wide is duplicated text; every token it
+    covers is marked, and per document the marked positions merge into
+    MAXIMAL cut intervals (gaps-and-islands over covered token indices).
+    This is the surgical step after ext_span_dedup's detection verdict:
+    instead of dropping whole documents, only the copied spans are cut.
+    Output per doc: token count, removed-token count, number of cut
+    intervals, kept fraction — the edit plan a removal pass executes.
+
+    Scale posture: ONE span-hash shuffle builds corpus-wide span
+    frequency (map-side partial agg absorbs boilerplate skew); the
+    duplicated-span side is the rare side of the join (bloom/broadcast
+    at production scale); covered-position expansion is bounded by
+    k x |duplicated spans|; interval merging is one per-doc window over
+    covered positions only — never the corpus token stream."""
+    from cdc_debezium_kafka_airflow_spark.operators.text import normalize_text
+
+    docs = t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.split(normalize_text(F.col("text")), " ").alias("w")
+    )
+    toks = d.select("doc_id", F.size("w").alias("n_tokens"), "w")
+    k = 5
+    span_pos = F.when(
+        F.col("n_tokens") >= k,
+        F.sequence(F.lit(1), F.col("n_tokens") - (k - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    spans = toks.select(
+        "doc_id",
+        F.explode(span_pos).alias("i"),
+        F.col("w"),
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(
+            F.concat_ws(
+                " ",
+                *[F.element_at("w", F.col("i") + j) for j in range(k)],
+            )
+        ).alias("h"),
+    )
+    spans = spans.persist()
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    covered = (
+        spans.join(dup, "h", "left_semi")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (k - 1))
+            ).alias("j"),
+        )
+        .distinct()
+    )
+    w_isl = Window.partitionBy("doc_id").orderBy("j")
+    per_doc = (
+        covered.withColumn(
+            "grp", F.col("j") - F.row_number().over(w_isl)
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_removed_tokens"),
+            F.countDistinct("grp").alias("n_cut_intervals"),
+        )
+    )
+    out = (
+        toks.select("doc_id", "n_tokens")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("n_removed_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_removed_tokens"),
+            F.coalesce(F.col("n_cut_intervals"), F.lit(0))
+            .cast("long")
+            .alias("n_cut_intervals"),
+            F.round(
+                (
+                    F.col("n_tokens")
+                    - F.coalesce(F.col("n_removed_tokens"), F.lit(0))
+                )
+                / F.col("n_tokens"),
+                6,
+            ).alias("kept_fraction"),
+        )
+    )
+    return out

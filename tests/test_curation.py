@@ -479,3 +479,42 @@ def test_canonical_url_planted_variants(spark):
     assert got[6] == "https://example.com/a?a=1"
     assert got[7] == "https://example.com/a/b?a=1&b=2"
     assert got[8] == "https://example.com:8080/a?a=1&b=2"
+
+
+def test_substring_removal_cuts_planted_copied_block(spark):
+    """Two otherwise-different docs share one verbatim 10-word block: the
+    removal plan must cut exactly that block (one interval, 10 tokens)
+    from each and leave a third unrelated doc untouched."""
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import (
+        ext_substring_dedup_removal,
+    )
+    import os
+    import shutil
+    import tempfile
+
+    block = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = [
+        (1, f"one two three {block} four five six"),
+        (2, f"seven eight nine ten {block} eleven twelve"),
+        (3, "totally unrelated words without any copied content here"),
+    ]
+    tmp = tempfile.mkdtemp()
+    try:
+        spark.createDataFrame(docs, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, "documents.parquet"))
+        out = {
+            r.doc_id: r
+            for r in ext_substring_dedup_removal(spark, tmp).collect()
+        }
+        # the copied block is 10 tokens; 5-gram spans inside it repeat
+        # corpus-wide, covering exactly those 10 positions in each doc
+        assert out[1].n_removed_tokens == 10
+        assert out[1].n_cut_intervals == 1
+        assert out[2].n_removed_tokens == 10
+        assert out[2].n_cut_intervals == 1
+        assert out[3].n_removed_tokens == 0
+        assert out[3].n_cut_intervals == 0
+        assert out[3].kept_fraction == 1.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
