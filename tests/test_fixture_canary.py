@@ -132,6 +132,8 @@ def test_documents_fixture_dtypes(spark, sf_dir):
     cache silently — fail loudly here instead."""
     from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
 
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
     d = load_table(spark, sf_dir, "documents")
     assert isinstance(d.schema["text"].dataType, T.StringType)
     assert isinstance(d.schema["doc_id"].dataType, T.LongType)
@@ -166,3 +168,24 @@ def test_embeddings_fixture_dtypes(spark, sf_dir):
         ).alias("sq")
     ).agg(F.min("sq").alias("lo"), F.max("sq").alias("hi")).first()
     assert row.lo >= 0.0 and row.hi == row.hi, row  # no NaN/negative norms
+
+
+def test_documents_charset_safe_for_delimiter_oracles(spark, sf_dir):
+    """Several exact oracles encode per-word symbol sequences as
+    delimiter-wrapped strings (the BPE unrolled-CTE oracle uses '|' as the
+    symbol separator and '</w>' as the end mark — queries/ext_queries.py:
+    _bpe_cte_chain). That trick is sound ONLY while the corpus charset
+    cannot collide with the delimiters. The driver regenerates fixtures
+    between rounds; if documents.text ever gains '|', '<' or '>', this
+    canary fails LOUDLY and points at the oracle to re-encode, instead of
+    a silent hash mismatch in a rotation row."""
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    n_bad = d.filter(
+        F.col("text").rlike(r"[|<>]")
+    ).count()
+    assert n_bad == 0, (
+        f"{n_bad} documents contain delimiter chars ('|', '<', '>') — "
+        "the BPE symbol-string oracle encoding must be changed"
+    )
