@@ -1501,3 +1501,74 @@ def cdc_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("payload.dim_event_id").alias("dim_event_id"),
         F.col("payload.dim_value_scaled").alias("dim_value_scaled"),
     )
+
+
+@q(
+    "fn_variant_shred",
+    f"""
+    WITH base AS (
+      SELECT event_id, user_id, value,
+             {SQL_TABLE_CASE} AS tbl, {SQL_OP_CASE} AS opc,
+             {SQL_IS_MALFORMED} AS malformed,
+             {SQL_IS_TOMBSTONE} AS tombstone
+      FROM events
+    ),
+    cls AS (
+      SELECT CASE WHEN tombstone THEN 'tombstone'
+                  WHEN malformed THEN 'dlq' ELSE 'data' END AS kind,
+             CASE WHEN NOT tombstone AND NOT malformed
+                  THEN tbl END AS table_name,
+             CASE WHEN NOT tombstone AND NOT malformed
+                  THEN opc END AS op,
+             CASE WHEN NOT tombstone AND NOT malformed AND opc <> 'd'
+                  THEN user_id END AS uid,
+             CASE WHEN NOT tombstone AND NOT malformed AND opc <> 'd'
+                  THEN CAST(round(value * 10000) AS BIGINT) END AS sval
+      FROM base
+    )
+    SELECT kind, table_name, op,
+           CAST(count(*) AS BIGINT) AS n_records,
+           CAST(count(DISTINCT uid) AS BIGINT) AS n_users,
+           CAST(coalesce(sum(sval), 0) AS BIGINT) AS sum_value_scaled
+    FROM cls GROUP BY kind, table_name, op
+    """,
+)
+def fn_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface over the Debezium envelope — schema-on-read
+    CDC consumption: the serialized changelog value parses into the
+    half-open VARIANT type (``try_parse_json`` — the deliberately broken
+    DLQ fraction yields NULL variants instead of a job failure, the
+    PERMISSIVE-parse analog), and typed paths shred out of it with
+    ``variant_get`` ('$.payload.op', '$.payload.source.table',
+    '$.payload.after.user_id/value'); a field absent from a specific
+    record (no ``after`` image on deletes — to_json drops null struct
+    fields) reads as NULL rather than erroring, which is exactly why
+    VARIANT fits envelopes whose effective schema varies per op.
+
+    The oracle never touches JSON: it re-derives every expected value
+    from the fixture's event_id arithmetic (the ser/de twin queries
+    already prove the serialization itself), so a hash match proves the
+    whole parse->shred->aggregate VARIANT path. Scale: parse+shred is
+    map-only and Arrow/codegen-side; the single shuffle is the final
+    3-key aggregate with map-side partials."""
+    ch = build_changelog(t(spark, sf_dir, "events"))
+    v = F.try_parse_json(F.col("value"))
+    shred = ch.select(F.col("value"), v.alias("v")).select(
+        F.when(F.col("value").isNull(), F.lit("tombstone"))
+        .when(F.col("v").isNull(), F.lit("dlq"))
+        .otherwise(F.lit("data"))
+        .alias("kind"),
+        F.variant_get("v", "$.payload.source.table", "string").alias(
+            "table_name"
+        ),
+        F.variant_get("v", "$.payload.op", "string").alias("op"),
+        F.variant_get("v", "$.payload.after.user_id", "long").alias("uid"),
+        F.variant_get("v", "$.payload.after.value", "double").alias("val"),
+    )
+    return shred.groupBy("kind", "table_name", "op").agg(
+        F.count("*").alias("n_records"),
+        F.countDistinct("uid").alias("n_users"),
+        F.coalesce(
+            F.sum(F.round(F.col("val") * 10000).cast("long")), F.lit(0)
+        ).alias("sum_value_scaled"),
+    )
