@@ -1105,3 +1105,48 @@ def snk_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_rows long, content_identical boolean, files_reduced boolean",
     )
+
+
+@q(
+    "src_xml",
+    """
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           max(ts) AS max_ts
+    FROM events GROUP BY event_type
+    """,
+)
+def src_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source — Spark 4 merged the spark-xml datasource into core:
+    events written once as row-tagged XML (timestamps micro-exact via
+    an explicit timestampFormat, JSON-in-props round-trips through XML
+    entity escaping), read back through the NATIVE xml reader with an
+    explicit schema. Completes the built-in lake/interchange format
+    matrix: parquet / JSON / CSV / ORC / XML + JDBC + the Python
+    DataSource connectors (avro_py, cdc_changelog, dlq_jsonl)."""
+    path = _cache_dir(sf_dir, "events_xml")
+    fp = source_fingerprint(sf_dir, "events")
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    if not cache_is_fresh(path, fp):
+        (
+            t(spark, sf_dir, "events")
+            .write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "events")
+            .option("rowTag", "event")
+            .option("timestampFormat", ts_fmt)
+            .save(path)
+        )
+        write_fingerprint(path, fp)
+    df = (
+        spark.read.format("xml")
+        .schema(EVENTS_DDL)
+        .option("rowTag", "event")
+        .option("timestampFormat", ts_fmt)
+        .load(path)
+    )
+    return df.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.max("ts").alias("max_ts"),
+    )
