@@ -5,7 +5,9 @@ entry(spark)  -- flagship query: full CDC pipeline (serialize Debezium
                  materialize) + warehouse rollup, at sf0.001.
 queries()     -- one entry per implemented operator from SURVEY.md §2.
 oracle_sql()  -- DuckDB twins (ANSI SQL over the pre-registered views);
-                 hash-family ops (MinHash/SimHash) are rows-only by design.
+                 every registered query carries one — engine-specific
+                 outputs (trained ANN / LSH / PCA / BPE) emit
+                 derived-invariant audit rows the SQL recomputes exactly.
 """
 
 from __future__ import annotations
