@@ -756,3 +756,28 @@ def test_url_canonical_dedup_prunes_to_one_column_no_python(spark, sf_dir):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_" in plan  # map-side combine before every exchange
     assert plan.count("Exchange") <= 4  # distinct expansion, nothing more
+
+
+def test_variant_shred_is_codegen_side_two_exchange(spark, sf_dir):
+    """The VARIANT path must stay JVM-side: try_parse_json/variant_get are
+    native expressions (no Python eval nodes), and the plan is the
+    standard count-distinct two-exchange shape with map-side partials —
+    the whole parse+shred is one map stage over the changelog."""
+    from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import (
+        fn_variant_shred,
+    )
+
+    plan = _plan(fn_variant_shred(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_" in plan
+    assert plan.count("Exchange") <= 4  # distinct expansion only
+
+
+def test_xml_source_aggregates_with_partials(spark, sf_dir):
+    """The native XML reader feeds the same partial-agg shape as the other
+    format sources (no Python, map-side combine before the exchange)."""
+    from cdc_debezium_kafka_airflow_spark.queries.format_queries import src_xml
+
+    plan = _plan(src_xml(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "partial_" in plan
