@@ -55,7 +55,19 @@ def main() -> None:
             t1 = run_once(name)
             # steady-state: re-run non-trivial queries once and take the min
             # (single-shot numbers on a shared box swing 1.5-2x)
-            timings[name] = round(min(t1, run_once(name)) if t1 > 1.0 else t1, 3)
+            if t1 > 1.0:
+                t2 = run_once(name)
+                best = min(t1, t2)
+                # a periodic co-tenant burst (observed: an external probe
+                # process every ~15 min) can inflate BOTH back-to-back
+                # runs of a contiguous alphabetical block; when the two
+                # samples disagree >1.5x the measurement is unstable —
+                # buy one more sample and keep the min
+                if best > 1.0 and max(t1, t2) > 1.5 * best:
+                    best = min(best, run_once(name))
+                timings[name] = round(best, 3)
+            else:
+                timings[name] = round(t1, 3)
         except Exception as exc:  # never lose the whole bench to one query
             print(f"BENCH-ERROR {name}: {exc}", file=sys.stderr)
             timings[name] = -1.0
