@@ -1171,3 +1171,156 @@ def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@q(
+    "basket_assoc_rules",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM b),
+    ic AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS item_cnt
+           FROM b GROUP BY 1),
+    pc AS (
+      SELECT a.l_partkey AS p1, c.l_partkey AS p2,
+             CAST(count(*) AS BIGINT) AS pair_cnt
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    ),
+    r AS (
+      SELECT p1 AS antecedent, p2 AS consequent, pair_cnt FROM pc
+      UNION ALL
+      SELECT p2, p1, pair_cnt FROM pc
+    ),
+    scored AS (
+      SELECT r.antecedent, r.consequent, r.pair_cnt AS support_cnt,
+             CAST(r.pair_cnt AS DOUBLE) / ia.item_cnt AS conf_exact,
+             CAST(r.pair_cnt * n.n_orders AS DOUBLE)
+               / (ia.item_cnt * ca.item_cnt) AS lift_exact
+      FROM r JOIN ic ia ON ia.l_partkey = r.antecedent
+             JOIN ic ca ON ca.l_partkey = r.consequent
+             CROSS JOIN n
+    )
+    SELECT antecedent, consequent, support_cnt,
+           round(conf_exact, 6) AS confidence,
+           round(lift_exact, 6) AS lift
+    FROM scored
+    ORDER BY lift_exact DESC, support_cnt DESC, antecedent ASC,
+             consequent ASC
+    LIMIT 20
+    """,
+)
+def basket_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (pairwise frequent itemsets with
+    support / confidence / lift) over order baskets — the classic retail
+    co-purchase analysis a warehouse user runs on exactly the orders +
+    lineitem tables the reference materializes (readme.md:22-25 claims the
+    Postgres warehouse serves BI; this is a staple BI workload the engine
+    must therefore cover).
+
+    Plan: NO self-join. Baskets are one `groupBy(l_orderkey).collect_set`
+    shuffle; candidate pairs are generated JVM-side from each basket
+    array with nested `transform` HOFs — bounded by basket_size² per
+    order (a ~13-item cap here, never |parts|²) and entirely map-side
+    after the basket shuffle. Pair counts then aggregate with map-side
+    partial agg on (p1, p2); the >=2 support filter discards the long
+    singleton tail BEFORE the rule join. Item counts and the order count
+    are separate column-pruned scans with partial-agged aggregations (no
+    shared-subplan cache needed — each is a 2-column scan). The rule/item
+    join keys on partkey (AQE broadcasts the small side at this scale; at
+    catalog scale it stays a co-partitioned shuffle join). Top-20-by-lift
+    is orderBy+limit → TakeOrderedAndProject (per-partition heaps, no
+    global sort materialization).
+
+    Determinism protocol: confidence and lift are each a SINGLE division
+    of exact int64 products, so both engines produce bit-identical IEEE
+    doubles; ORDER BY uses the unrounded values with full integer
+    tie-breaks (support, antecedent, consequent) so the rank-20 cut can
+    never flip between engines; rounding happens only in the output
+    projection."""
+    li = t(spark, sf_dir, "lineitem")
+    proj = li.select("l_orderkey", "l_partkey")
+    n = proj.agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("n_orders")
+    )
+    ic = proj.groupBy("l_partkey").agg(
+        F.count_distinct("l_orderkey").cast("bigint").alias("item_cnt")
+    )
+    baskets = proj.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_structs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("parts"),
+                lambda x: F.transform(
+                    F.col("parts"),
+                    lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+                ),
+            )
+        ),
+        lambda s: s["p1"] < s["p2"],
+    )
+    pc = (
+        baskets.select(F.explode(pair_structs).alias("pr"))
+        .groupBy(
+            F.col("pr.p1").alias("p1"),
+            F.col("pr.p2").alias("p2"),
+        )
+        .agg(F.count("*").cast("bigint").alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= 2)
+    )
+    rules = pc.select(
+        F.col("p1").alias("antecedent"),
+        F.col("p2").alias("consequent"),
+        "pair_cnt",
+    ).unionAll(
+        pc.select(
+            F.col("p2").alias("antecedent"),
+            F.col("p1").alias("consequent"),
+            "pair_cnt",
+        )
+    )
+    ia = ic.select(
+        F.col("l_partkey").alias("antecedent"),
+        F.col("item_cnt").alias("ante_cnt"),
+    )
+    ca = ic.select(
+        F.col("l_partkey").alias("consequent"),
+        F.col("item_cnt").alias("cons_cnt"),
+    )
+    scored = (
+        rules.join(ia, "antecedent")
+        .join(ca, "consequent")
+        .join(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("pair_cnt").alias("support_cnt"),
+            (
+                F.col("pair_cnt").cast("double") / F.col("ante_cnt")
+            ).alias("conf_exact"),
+            (
+                (F.col("pair_cnt") * F.col("n_orders")).cast("double")
+                / (F.col("ante_cnt") * F.col("cons_cnt"))
+            ).alias("lift_exact"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.desc("lift_exact"),
+            F.desc("support_cnt"),
+            F.asc("antecedent"),
+            F.asc("consequent"),
+        )
+        .limit(20)
+        .select(
+            "antecedent",
+            "consequent",
+            "support_cnt",
+            F.round("conf_exact", 6).alias("confidence"),
+            F.round("lift_exact", 6).alias("lift"),
+        )
+    )

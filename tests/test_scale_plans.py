@@ -781,3 +781,26 @@ def test_xml_source_aggregates_with_partials(spark, sf_dir):
     plan = _plan(src_xml(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "partial_" in plan
+
+
+def test_basket_rules_generate_pairs_without_self_join(spark, sf_dir):
+    """Candidate pair generation must come from the per-basket array HOF
+    (map-side after ONE orderkey shuffle), never a lineitem self-join on
+    orderkey — and the top-20 is a per-partition heap, not a global sort.
+    The whole query stays JVM-side (no Python eval in the hot path)."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational3 import (
+        basket_assoc_rules,
+    )
+
+    df = basket_assoc_rules(spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_" in plan  # pair counts combine map-side
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # no self-join on l_orderkey: the only joins are the rule/item-count
+    # joins on antecedent/consequent (+ the 1-row order-count broadcast)
+    opt = _optimized(df)
+    import re
+
+    for cond in re.findall(r"Join [A-Za-z]+, \(([^)]*)\)", opt):
+        assert "l_orderkey" not in cond
