@@ -3331,6 +3331,146 @@ def ext_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ext_kneser_ney_lm",
+    f"""
+    WITH d AS (
+      SELECT doc_id, ['<s>'] || string_split({NORM}, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+      FROM d, unnest(range(1, len(w))) AS t(i)
+    ),
+    train_bg AS (SELECT * FROM bg WHERE doc_id % 5 <> 0),
+    c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n2
+           FROM train_bg GROUP BY w1, w2),
+    ctx AS (SELECT w1, CAST(sum(n2) AS BIGINT) AS n1,
+                   CAST(count(*) AS BIGINT) AS n1p_left
+            FROM c2 GROUP BY w1),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_right
+             FROM c2 GROUP BY w2),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS b,
+                 CAST(count(DISTINCT w2) AS BIGINT) AS v FROM c2),
+    scored AS (
+      SELECT bg.doc_id,
+             CASE WHEN coalesce(ctx.n1, 0) > 0
+                  THEN (greatest(coalesce(c2.n2, 0) - 0.75, 0.0)
+                        + 0.75 * coalesce(ctx.n1p_left, 0)
+                          * ((coalesce(cont.n1p_right, 0) + 1.0)
+                             / (g.b + g.v)))
+                       / ctx.n1
+                  ELSE (coalesce(cont.n1p_right, 0) + 1.0) / (g.b + g.v)
+             END AS p,
+             CASE WHEN coalesce(ctx.n1, 0) > 0 THEN 0 ELSE 1
+             END AS backoff
+      FROM bg
+      LEFT JOIN c2 USING (w1, w2)
+      LEFT JOIN ctx USING (w1)
+      LEFT JOIN cont USING (w2)
+      CROSS JOIN g
+    )
+    SELECT doc_id, CAST(count(*) AS INT) AS n_bigrams,
+           round(avg(-ln(p)), 6) AS avg_nll,
+           CAST(sum(backoff) AS INT) AS n_backoff,
+           (round(avg(-ln(p)), 6) <= 3.45) AS keep
+    FROM scored GROUP BY doc_id
+    """,
+)
+def ext_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring — the production upgrade
+    of `ext_bigram_perplexity`'s add-1 smoothing (KN is what kenlm/CCNet
+    actually ship: continuation probability models HOW MANY contexts a
+    word completes, not how often it occurs, so boilerplate tokens stop
+    looking falsely fluent). Trained on the held-in 80% split, every doc
+    scored by avg NLL; held-out docs score measurably worse than held-in
+    (the generalization property the add-1 model shows too).
+
+      P(w2|w1) = (max(c(w1,w2)-D, 0) + D·N1+(w1,·)·Pcont(w2)) / c(w1)
+      Pcont(w2) = (N1+(·,w2) + 1) / (B + V)      D = 0.75
+      unseen context c(w1)=0 → back off to Pcont(w2) alone (n_backoff
+      audits how often that path fired per doc).
+
+    Physical plan: same shape as the add-1 model — bigrams built MAP-SIDE
+    from each doc's token array; ALL FOUR model tables (pair counts,
+    context totals+fanout, continuation fanout, type/vocab scalars) are
+    derived from the ONE c2 pair-count aggregation, so training adds two
+    vocab-bounded reshuffles of an already vocab-bounded table, never a
+    second corpus pass; scoring is shuffle equi-joins on (w1,w2)/(w1)/(w2)
+    + a broadcast 1-row scalar frame. Float protocol: the probability is
+    computed with an IDENTICAL operation tree in both engines (single
+    division by c(w1); D=0.75 is exactly representable), and the keep
+    verdict compares the round(·,6) value."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.concat(
+            F.array(F.lit("<s>")),
+            F.split(normalize_text(F.col("text")), " "),
+        ).alias("w"),
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.struct(
+                    F.element_at("w", i).alias("w1"),
+                    F.element_at("w", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = (
+        bg.filter(F.col("doc_id") % 5 != 0)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("n2"))
+    )
+    ctx = c2.groupBy("w1").agg(
+        F.sum("n2").cast("bigint").alias("n1"),
+        F.count("*").cast("bigint").alias("n1p_left"),
+    )
+    cont = c2.groupBy("w2").agg(
+        F.count("*").cast("bigint").alias("n1p_right")
+    )
+    g = c2.agg(
+        F.count("*").cast("bigint").alias("b_types"),
+        F.countDistinct("w2").cast("bigint").alias("v"),
+    )
+    scored = (
+        bg.join(c2, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .join(cont, ["w2"], "left")
+        .crossJoin(F.broadcast(g))
+    )
+    n1 = F.coalesce(F.col("n1"), F.lit(0))
+    pcont = (F.coalesce(F.col("n1p_right"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("b_types") + F.col("v")
+    )
+    p = F.when(
+        n1 > 0,
+        (
+            F.greatest(
+                F.coalesce(F.col("n2"), F.lit(0)) - F.lit(0.75),
+                F.lit(0.0),
+            )
+            + F.lit(0.75)
+            * F.coalesce(F.col("n1p_left"), F.lit(0))
+            * pcont
+        )
+        / F.col("n1"),
+    ).otherwise(pcont)
+    backoff = F.when(n1 > 0, F.lit(0)).otherwise(F.lit(1))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_bigrams"),
+            F.round(F.avg(-F.log(p)), 6).alias("avg_nll"),
+            F.sum(backoff).cast("int").alias("n_backoff"),
+        )
+        .withColumn("keep", F.col("avg_nll") <= 3.45)
+    )
+
+
+@q(
     "ext_perplexity_buckets",
     f"""
     WITH d AS (

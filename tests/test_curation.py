@@ -367,6 +367,40 @@ def test_bigram_perplexity_scores_heldout_unseen_mass(spark, sf_dir):
     assert rows[True] > rows[False]
 
 
+def test_kneser_ney_generalizes_and_tracks_add1(spark, sf_dir):
+    """ext_kneser_ney_lm: every doc scored, NLL positive, held-out docs
+    score worse on average (generalization — the property that makes the
+    filter a filter), and the KN scores stay within a tight band of the
+    add-1 model's on this fixture: the synthetic train split covers
+    virtually every held-out bigram (0-2 unseen pairs per sf), so the two
+    smoothers must nearly agree (|Δ| < 0.1 nats) — a discount/continuation
+    wiring bug (e.g. dropping the D·N1+·Pcont term, or dividing by the
+    wrong context total) moves KN by far more than that band. n_backoff
+    is legitimately 0 here (every held-out context word occurs in train);
+    the unseen-context branch is exercised by the oracle equivalence, not
+    by this corpus."""
+    from pyspark.sql import functions as F
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import QUERIES
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    out = QUERIES["ext_kneser_ney_lm"](spark, sf_dir).persist()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert out.count() == n_docs
+    assert out.filter(F.col("avg_nll") <= 0).count() == 0
+    held = F.col("doc_id") % 5 == 0
+    m = out.groupBy(held.alias("held")).agg(F.avg("avg_nll").alias("a"))
+    rows = {r.held: r.a for r in m.collect()}
+    assert rows[True] > rows[False]
+    add1 = (
+        QUERIES["ext_bigram_perplexity"](spark, sf_dir)
+        .filter(held)
+        .agg(F.avg("avg_nll"))
+        .collect()[0][0]
+    )
+    kn = out.filter(held).agg(F.avg("avg_nll")).collect()[0][0]
+    assert abs(kn - add1) < 0.1
+
+
 def test_dsir_selects_target_like_docs(spark, sf_dir):
     """ext_dsir_resample: the selected 20% must be enriched in the target
     language relative to the corpus (the property DSIR exists for), and
