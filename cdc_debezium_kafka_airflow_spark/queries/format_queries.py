@@ -1150,3 +1150,110 @@ def src_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("sum_value"),
         F.max("ts").alias("max_ts"),
     )
+
+
+@q(
+    "src_binaryfile",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(4 + doc_id % 5 AS INT) AS w,
+             CAST(3 + doc_id % 4 AS INT) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id,
+           CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+           w AS width, h AS height,
+           3 * list_aggregate(flatten(list_transform(
+                 range(0, h), y -> list_transform(range(0, w),
+                   x -> (doc_id * 31 + 7 * x + 13 * y) % 256))),
+               'sum')
+             / (3 * w * h) AS mean_pixel
+    FROM m
+    """,
+)
+def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`binaryFile` source — the media-asset ingest path: one real .bmp
+    FILE per image-typed doc is exported once (executor-side
+    foreachPartition write, the shape of a media-asset dump), then read
+    back through Spark's native binaryFile reader (pathGlobFilter
+    pushdown; path/length come from file METADATA — the content column is
+    only deserialized by the decode stage). Identity is carried by the
+    FILENAME, recovered with a JVM-side regexp; the Arrow-batched decode
+    then parses each payload with the same real BMP walk the multimodal
+    column path uses. At 100 TB this is exactly how image corpora arrive
+    (object-store prefixes of small files): listing parallelizes over
+    paths, pathGlobFilter prunes before any read, and per-file decode is
+    embarrassingly parallel with no shuffle.
+
+    The oracle predicts byte size, dims, and mean pixel in closed form
+    from the deterministic render (ext_multimodal_cols' precedent) — so
+    the round-trip proves the bytes on disk, the metadata columns, and
+    the decode all agree."""
+    import pandas as pd
+
+    from cdc_debezium_kafka_airflow_spark.operators.multimodal import (
+        decode_bmp,
+        render_bmp,
+    )
+
+    path = _cache_dir(sf_dir, "media_bmp")
+    fp = source_fingerprint(sf_dir, "documents")
+    if not cache_is_fresh(path, fp):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        imgs = (
+            t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 3 == 0)
+            .select("doc_id")
+        )
+
+        def write_part(rows):
+            for r in rows:
+                with open(
+                    os.path.join(path, f"img_{r.doc_id:08d}.bmp"), "wb"
+                ) as fh:
+                    fh.write(render_bmp(r.doc_id))
+
+        imgs.foreachPartition(write_part)
+        open(os.path.join(path, "_SUCCESS"), "w").close()
+        write_fingerprint(path, fp)
+
+    bin_df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bmp")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"img_(\d+)\.bmp$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            F.col("length").alias("n_bytes"),
+            "content",
+        )
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            w_l, h_l, m_l = [], [], []
+            for data in pdf["content"]:
+                w, h, m = decode_bmp(bytes(data))
+                w_l.append(w)
+                h_l.append(h)
+                m_l.append(m)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": pd.array(w_l, dtype="int32"),
+                    "height": pd.array(h_l, dtype="int32"),
+                    "mean_pixel": pd.array(m_l, dtype="float64"),
+                }
+            )
+
+    return bin_df.mapInPandas(
+        decode,
+        schema="doc_id long, n_bytes long, width int, height int, "
+        "mean_pixel double",
+    )
