@@ -1324,3 +1324,196 @@ def basket_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("lift_exact", 6).alias("lift"),
         )
     )
+
+
+@q(
+    "dq_ab_ztest",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(user_id % 2 AS INT) AS variant,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, variant,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s1,
+             CAST(sum(cents * cents) AS BIGINT) AS s2
+      FROM e GROUP BY event_type, variant
+    ),
+    w AS (
+      SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+             CAST(a.s1 AS DOUBLE) / a.n AS ma,
+             CAST(b.s1 AS DOUBLE) / b.n AS mb,
+             CAST(a.s2 AS DOUBLE) / a.n
+               - (CAST(a.s1 AS DOUBLE) / a.n)
+                 * (CAST(a.s1 AS DOUBLE) / a.n) AS va,
+             CAST(b.s2 AS DOUBLE) / b.n
+               - (CAST(b.s1 AS DOUBLE) / b.n)
+                 * (CAST(b.s1 AS DOUBLE) / b.n) AS vb
+      FROM g a JOIN g b
+        ON a.event_type = b.event_type
+       AND a.variant = 0 AND b.variant = 1
+    )
+    SELECT event_type, n_a, n_b,
+           round(ma / 100, 6) AS mean_a, round(mb / 100, 6) AS mean_b,
+           round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS z_null,
+           (abs(round((ma - mb) / sqrt(va / n_a + vb / n_b), 6)) > 1.96)
+             AS sig_null,
+           round((ma - (mb + 3000.0)) / sqrt(va / n_a + vb / n_b), 6)
+             AS z_planted,
+           (abs(round((ma - (mb + 3000.0))
+                      / sqrt(va / n_a + vb / n_b), 6)) > 1.96)
+             AS sig_planted
+    FROM w
+    """,
+)
+def dq_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: two-sample z-test per event_type between the
+    user_id-parity variants — the experimentation-analytics staple a
+    warehouse serves daily. Two calibration columns make the readout
+    FALSIFIABLE in both directions: `z_null` tests the real (random, no
+    effect) split and should not fire; `z_planted` re-tests after adding a
+    known +30.00 uplift to variant B's mean and MUST fire (an
+    implementation that under-estimates variance or mixes up n_a/n_b
+    breaks one of the two).
+
+    Exactness protocol: values are scaled to int64 CENTS, so the
+    first/second moments (sum, sum-of-squares) are EXACT integers; every
+    engine then derives mean/variance/z through an identical fixed tree of
+    double divisions — bit-identical, no sum-order dependence. Plan: one
+    map-side-partial aggregation to 10 moment rows, then a self-join of
+    the 10-row frame — corpus touched exactly once."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    g = e.groupBy("event_type", "variant").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("s2"),
+    )
+    a = g.filter(F.col("variant") == 0).select(
+        "event_type",
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("s1a"),
+        F.col("s2").alias("s2a"),
+    )
+    b = g.filter(F.col("variant") == 1).select(
+        "event_type",
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("s1b"),
+        F.col("s2").alias("s2b"),
+    )
+    w = a.join(b, "event_type")
+    ma = F.col("s1a").cast("double") / F.col("n_a")
+    mb = F.col("s1b").cast("double") / F.col("n_b")
+    va = F.col("s2a").cast("double") / F.col("n_a") - ma * ma
+    vb = F.col("s2b").cast("double") / F.col("n_b") - mb * mb
+    se = F.sqrt(va / F.col("n_a") + vb / F.col("n_b"))
+    z_null = F.round((ma - mb) / se, 6)
+    z_planted = F.round((ma - (mb + F.lit(3000.0))) / se, 6)
+    return w.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(ma / 100, 6).alias("mean_a"),
+        F.round(mb / 100, 6).alias("mean_b"),
+        z_null.alias("z_null"),
+        (F.abs(z_null) > 1.96).alias("sig_null"),
+        z_planted.alias("z_planted"),
+        (F.abs(z_planted) > 1.96).alias("sig_planted"),
+    )
+
+
+@q(
+    "dq_benford_check",
+    """
+    WITH v AS (
+      SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS d
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (SELECT d, CAST(count(*) AS BIGINT) AS n_obs FROM v GROUP BY d),
+    tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM c),
+    terms AS (
+      SELECT c.d, c.n_obs,
+             round(CAST(c.n_obs AS DOUBLE) / tot.n, 6) AS p_obs,
+             round(log10(1.0 + 1.0 / c.d), 6) AS p_benford,
+             round(tot.n
+                   * ((CAST(c.n_obs AS DOUBLE) / tot.n
+                       - log10(1.0 + 1.0 / c.d))
+                      * (CAST(c.n_obs AS DOUBLE) / tot.n
+                         - log10(1.0 + 1.0 / c.d)))
+                   / log10(1.0 + 1.0 / c.d), 6) AS chi2_term
+      FROM c CROSS JOIN tot
+    )
+    SELECT d, n_obs, p_obs, p_benford, chi2_term,
+           round(sum(chi2_term) OVER (), 4) AS chi2_total,
+           (round(sum(chi2_term) OVER (), 4) > 20.09) AS reject_benford
+    FROM terms
+    """,
+)
+def dq_benford_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the forensic
+    data-quality screen for fabricated or truncated numeric columns. The
+    digit histogram collapses the corpus to 9 rows map-side; expected mass
+    is log10(1+1/d); the chi-square statistic (8 df, alpha=0.01 critical
+    value 20.09) gives the reject verdict. TPC-H price totals are NOT
+    Benford-distributed (bounded uniform-ish construction), so the audit
+    honestly reports reject — the point is the audit's arithmetic, proven
+    oracle-exact, not the fixture's conformity.
+
+    Exactness protocol: the leading digit comes from INTEGER-to-string of
+    exact cents (double-to-string formatting is engine-specific; int64
+    rendering is not), per-term arithmetic is a fixed double op tree, and
+    the 9-term chi-square total sums PRE-ROUNDED 6-decimal terms so
+    window-sum order cannot move the 4-decimal rounded total."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    v = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100)
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("d")
+    )
+    c = v.groupBy("d").agg(F.count("*").cast("bigint").alias("n_obs"))
+    tot = c.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    p_obs_exact = F.col("n_obs").cast("double") / F.col("n")
+    p_ben_exact = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("d"))
+    terms = c.join(F.broadcast(tot)).select(
+        "d",
+        "n_obs",
+        F.round(p_obs_exact, 6).alias("p_obs"),
+        F.round(p_ben_exact, 6).alias("p_benford"),
+        F.round(
+            F.col("n")
+            * ((p_obs_exact - p_ben_exact) * (p_obs_exact - p_ben_exact))
+            / p_ben_exact,
+            6,
+        ).alias("chi2_term"),
+    )
+    from pyspark.sql.window import Window
+
+    chi2_total = F.round(
+        F.sum("chi2_term").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+        4,
+    )
+    return terms.select(
+        "d",
+        "n_obs",
+        "p_obs",
+        "p_benford",
+        "chi2_term",
+        chi2_total.alias("chi2_total"),
+        (chi2_total > 20.09).alias("reject_benford"),
+    )
