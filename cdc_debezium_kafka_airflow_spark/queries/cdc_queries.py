@@ -1572,3 +1572,125 @@ def fn_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("val") * 10000).cast("long")), F.lit(0)
         ).alias("sum_value_scaled"),
     )
+
+
+@q(
+    "cdc_bitemporal_audit",
+    f"""
+    WITH {CH_CTE},
+    t_asof AS (SELECT (max(off) * 3) // 5 AS t FROM ch),
+    dim AS (
+      SELECT key_id, off, off - (off % 10) * 50 AS v, event_id
+      FROM ch WHERE table_name = 'entidades' AND op <> 'd'
+    ),
+    fact AS (
+      SELECT key_id, off, off - (off % 10) * 50 AS v
+      FROM ch WHERE table_name = 'ventas' AND op <> 'd'
+    ),
+    now_l AS (
+      SELECT f.key_id, f.off AS fact_off, d.event_id AS dim_now,
+             row_number() OVER (PARTITION BY f.key_id, f.off
+                                ORDER BY d.v DESC, d.off DESC) AS rn
+      FROM fact f LEFT JOIN dim d ON d.key_id = f.key_id AND d.v <= f.v
+    ),
+    asof_l AS (
+      SELECT f.key_id, f.off AS fact_off, d.event_id AS dim_asof,
+             row_number() OVER (PARTITION BY f.key_id, f.off
+                                ORDER BY d.v DESC, d.off DESC) AS rn
+      FROM fact f CROSS JOIN t_asof
+      LEFT JOIN dim d ON d.key_id = f.key_id AND d.v <= f.v
+                     AND d.off <= t_asof.t
+    )
+    SELECT n.key_id, n.fact_off, a.dim_asof, n.dim_now,
+           (n.dim_now IS DISTINCT FROM a.dim_asof) AS revised
+    FROM (SELECT * FROM now_l WHERE rn = 1) n
+    JOIN (SELECT * FROM asof_l WHERE rn = 1) a
+      ON a.key_id = n.key_id AND a.fact_off = n.fact_off
+    """,
+)
+def cdc_bitemporal_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL attribution audit — the valid-time x transaction-time
+    question the SCD2 family cannot ask: for every fact, which dimension
+    version attributes it under TODAY's knowledge (all recorded
+    corrections) vs what the warehouse believed AS OF transaction
+    watermark T (integer 60% of the changelog head)? `revised` marks facts
+    whose attribution was retroactively CHANGED by corrections recorded
+    after T — the restatement blast radius a finance/compliance reload
+    needs before republishing history.
+
+    Valid time is a deterministic synthetic axis (v = off - (off%10)*50;
+    the fixture's event time is order-isomorphic to the changelog offset,
+    so genuine late-arriving corrections must be planted — the
+    dq_ab_ztest calibration precedent). Attribution = latest dim version
+    by (v, off) with v <= fact.v, i.e. newest business-effective version,
+    newest RECORDING of it on valid-time ties.
+
+    The oracle states both lookups as textbook interval joins + rank-1.
+    The ENGINE never runs that join (per-key nested loop at scale):
+    each lookup is ONE key-partitioned carry-forward window over the
+    union of dim markers and facts ordered by (v, kind, off) — dims sort
+    before facts on valid-time ties so v <= fact.v inclusive semantics
+    hold; last(payload, ignorenulls) carries the newest version — the
+    join_range_asof / point_in_time_lookup O(n log n) shape, one shuffle
+    per knowledge state. The as-of pass only adds the off <= T filter
+    (map-side, before the shuffle)."""
+    from pyspark.sql.window import Window
+
+    u = _unwrapped(spark, sf_dir)
+    live = u.filter(~F.col("is_delete"))
+    v_of = F.col("offset") - (F.col("offset") % 10) * 50
+    dim = live.filter(F.col("table_name") == "entidades").select(
+        "key_id",
+        "offset",
+        v_of.alias("v"),
+        F.lit(0).alias("kind"),
+        F.struct(F.col("after.event_id").alias("dim_event_id")).alias(
+            "payload"
+        ),
+    )
+    facts = live.filter(F.col("table_name") == "ventas").select(
+        "key_id",
+        "offset",
+        v_of.alias("v"),
+        F.lit(1).alias("kind"),
+        F.lit(None)
+        .cast("struct<dim_event_id:long>")
+        .alias("payload"),
+    )
+    t_asof = u.agg(
+        F.expr("(max(offset) * 3) div 5").alias("t_watermark")
+    )
+
+    def carry(dim_side: DataFrame, out_name: str) -> DataFrame:
+        w = (
+            Window.partitionBy("key_id")
+            .orderBy("v", "kind", "offset")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = F.last("payload", ignorenulls=True).over(w)
+        return (
+            dim_side.unionByName(facts)
+            .select(
+                "key_id",
+                "offset",
+                "kind",
+                carried["dim_event_id"].alias(out_name),
+            )
+            .filter(F.col("kind") == 1)
+            .select("key_id", F.col("offset").alias("fact_off"), out_name)
+        )
+
+    now_side = carry(dim, "dim_now")
+    asof_side = carry(
+        dim.crossJoin(F.broadcast(t_asof)).filter(
+            F.col("offset") <= F.col("t_watermark")
+        ).drop("t_watermark"),
+        "dim_asof",
+    )
+    return now_side.join(asof_side, ["key_id", "fact_off"]).select(
+        "key_id",
+        "fact_off",
+        "dim_asof",
+        "dim_now",
+        (~F.col("dim_now").eqNullSafe(F.col("dim_asof"))).alias("revised"),
+    )

@@ -804,3 +804,34 @@ def test_basket_rules_generate_pairs_without_self_join(spark, sf_dir):
 
     for cond in re.findall(r"Join [A-Za-z]+, \(([^)]*)\)", opt):
         assert "l_orderkey" not in cond
+
+
+def test_bitemporal_audit_is_carry_forward_not_range_join(spark, sf_dir):
+    """Both knowledge-state lookups must run as key-partitioned windows
+    (carry-forward), never as the oracle's interval join — the only joins
+    in the optimized plan are equi-joins (final zip on (key_id, fact_off));
+    a `<=` in any join condition means the range-join degeneration crept
+    back. The audit must also genuinely fire (revised facts exist) and
+    stay JVM-side."""
+    from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import (
+        cdc_bitemporal_audit,
+    )
+    import re
+
+    df = cdc_bitemporal_audit(spark, sf_dir)
+    opt = _optimized(df)
+    for cond in re.findall(r"Join [A-Za-z]+, \((.*)\)", opt):
+        # the 1-row broadcast as-of gate (offset <= t_watermark) is a
+        # bounded scalar filter, not an interval join — anything else
+        # with an inequality is the degeneration this test exists for
+        if "<=" in cond or "< " in cond:
+            assert "t_watermark" in cond, cond
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    from pyspark.sql import functions as F
+
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("revised").cast("long")).alias("n_revised"),
+    ).collect()[0]
+    assert agg.n > 0 and 0 < agg.n_revised < agg.n
