@@ -1472,3 +1472,52 @@ def mllib_minhash_pairs(shingled: DataFrame, threshold: float) -> DataFrame:
             F.round("jaccard_dist", 6).alias("jaccard_dist"),
         )
     )
+
+
+@q(
+    "win_rolling_median",
+    """
+    SELECT user_id, event_id,
+           round((l[(len(l) + 1) // 2] + l[len(l) // 2 + 1]) / 2, 6)
+             AS roll_median,
+           CAST(len(l) AS INT) AS n_window
+    FROM (
+      SELECT user_id, event_id,
+             list_sort(list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)) AS l
+      FROM events)
+    """,
+)
+def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT rolling median per user over the trailing 11 events — the
+    robust-baseline smoother (sensor/price despiking) that mean-based
+    rolling windows can't provide and Spark has no native window function
+    for. Implemented as a BOUNDED-frame collect_list + array_sort + the
+    uniform pick formula (a[(n+1)/2] + a[n/2+1])/2 — odd frames reduce to
+    (x+x)/2 = x exactly, even frames to the midpoint mean, so one
+    expression covers both parities with no branch.
+
+    Scale posture: the frame is bounded (11 values), so per-row state is
+    O(frame), the whole op is ONE key-partitioned window shuffle, and the
+    sort cost is frame-local — this is the shape that survives a 100 TB
+    event stream (a GLOBAL sort or an unbounded frame would not). Float
+    protocol: both engines sort the identical doubles and apply one
+    addition + one division — bit-identical; round(6) is belt and
+    braces."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-10, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2).cast("int") + 1)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round((lo + hi) / 2, 6).alias("roll_median"),
+        n.cast("int").alias("n_window"),
+    )
