@@ -1521,3 +1521,85 @@ def win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((lo + hi) / 2, 6).alias("roll_median"),
         n.cast("int").alias("n_window"),
     )
+
+
+@q(
+    "ts_peak_concurrency",
+    """
+    WITH iv AS (
+      SELECT event_type, ts AS s,
+             ts + to_seconds(CAST(round(value * 60) AS BIGINT)) AS e
+      FROM events
+    ),
+    b AS (
+      SELECT event_type, s AS bt, 1 AS delta FROM iv
+      UNION ALL
+      SELECT event_type, e AS bt, -1 AS delta FROM iv
+    ),
+    sweep AS (
+      SELECT event_type, bt, delta,
+             sum(delta) OVER (PARTITION BY event_type ORDER BY bt, delta
+                              ROWS UNBOUNDED PRECEDING) AS concurrent
+      FROM b
+    ),
+    pk AS (
+      SELECT event_type,
+             CAST(max(concurrent) AS BIGINT) AS peak_concurrency,
+             CAST(count(*) AS BIGINT) AS n_boundaries
+      FROM sweep GROUP BY event_type
+    )
+    SELECT p.event_type, p.peak_concurrency, p.n_boundaries,
+           min(s.bt) AS peak_first_at
+    FROM pk p JOIN sweep s
+      ON s.event_type = p.event_type
+     AND s.concurrent = p.peak_concurrency
+    GROUP BY p.event_type, p.peak_concurrency, p.n_boundaries
+    """,
+)
+def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak interval concurrency (max simultaneous sessions) per event
+    type via the boundary-sweep prefix sum: each interval (start = ts,
+    duration = value minutes, half-open) contributes a +1/-1 boundary
+    pair; the running sum ordered by (time, delta) is the concurrency
+    timeline — ends sort BEFORE starts at the same instant so touching
+    intervals don't double-count. Capacity planning / admission control's
+    textbook query, and the shape matters at scale: the sweep is ONE
+    key-partitioned window over 2n boundary rows — never the O(n²)
+    self-join ("count intervals containing this one") a naive overlap
+    query runs. Boundary rows with identical (time, delta) keys commute
+    through the prefix sum (the value multiset is order-invariant), so
+    the peak and its first-reached time are deterministic in both
+    engines; durations are exact integer seconds."""
+    e = t(spark, sf_dir, "events")
+    iv = e.select(
+        "event_type",
+        F.col("ts").alias("s"),
+        F.expr(
+            "timestampadd(SECOND, CAST(round(value * 60) AS BIGINT), ts)"
+        ).alias("e"),
+    )
+    b = iv.select(
+        "event_type", F.col("s").alias("bt"), F.lit(1).alias("delta")
+    ).unionAll(
+        iv.select(
+            "event_type", F.col("e").alias("bt"), F.lit(-1).alias("delta")
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bt", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = b.select(
+        "event_type", "bt", F.sum("delta").over(w).alias("concurrent")
+    )
+    pk = sweep.groupBy("event_type").agg(
+        F.max("concurrent").cast("bigint").alias("peak_concurrency"),
+        F.count("*").cast("bigint").alias("n_boundaries"),
+    )
+    return (
+        sweep.join(pk, "event_type")
+        .filter(F.col("concurrent") == F.col("peak_concurrency"))
+        .groupBy("event_type", "peak_concurrency", "n_boundaries")
+        .agg(F.min("bt").alias("peak_first_at"))
+    )
