@@ -1603,3 +1603,55 @@ def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "peak_concurrency", "n_boundaries")
         .agg(F.min("bt").alias("peak_first_at"))
     )
+
+
+@q(
+    "fn_bitmap_distinct",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_bitmap,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS agree
+    FROM events GROUP BY event_type
+    """,
+)
+def fn_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 BITMAP aggregate surface: exact distinct-user counts via
+    bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg +
+    bitmap_count — the warehouse pattern for PRE-AGGREGATABLE exact
+    distinct counts. Unlike count(DISTINCT), the per-(group, bucket)
+    bitmaps are mergeable artifacts: materialize them once per partition
+    load and any rollup (day→month, type→all) is a bitmap_or_agg away —
+    no re-scan of the fact table, no approximation. The query computes the
+    distinct count BOTH ways and emits an `agree` verdict, so the oracle
+    (plain COUNT DISTINCT twice + literal TRUE) falsifies the bitmap path
+    bit-for-bit: any positional truncation or bucket-boundary bug flips
+    `agree` and the driver hash. Plan: the bitmap tier is two partial-agg
+    hash aggregations ((type, bucket) then type); user_id >= 0 in the fixture;
+    bucket/position handling at 0 verified against the exact twin."""
+    e = t(spark, sf_dir, "events")
+    lvl1 = e.groupBy(
+        "event_type", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        ),
+        F.count("*").cast("bigint").alias("n_ev"),
+    )
+    bitmap_side = lvl1.groupBy("event_type").agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias(
+            "n_users_bitmap"
+        ),
+        F.sum("n_ev").cast("bigint").alias("n_events"),
+    )
+    exact_side = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users_exact")
+    )
+    return bitmap_side.join(exact_side, "event_type").select(
+        "event_type",
+        "n_events",
+        "n_users_bitmap",
+        "n_users_exact",
+        (F.col("n_users_bitmap") == F.col("n_users_exact")).alias("agree"),
+    )
