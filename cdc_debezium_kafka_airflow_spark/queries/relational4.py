@@ -1655,3 +1655,109 @@ def fn_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users_exact",
         (F.col("n_users_bitmap") == F.col("n_users_exact")).alias("agree"),
     )
+
+
+@q(
+    "sec_dp_release",
+    """
+    WITH clipped AS (
+      SELECT event_type,
+             least(CAST(round(value * 100) AS BIGINT), 10000)
+               AS cents_clipped
+      FROM events
+    ),
+    g AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_true,
+             CAST(sum(cents_clipped) AS BIGINT) AS sum_true_cents
+      FROM clipped GROUP BY event_type
+    ),
+    seeded AS (
+      SELECT *,
+             CAST(('0x' || substr(md5(event_type || '|count'), 1, 8))
+                  AS BIGINT) / 4294967296.0 - 0.5 AS u_count,
+             CAST(('0x' || substr(md5(event_type || '|sum'), 1, 8))
+                  AS BIGINT) / 4294967296.0 - 0.5 AS u_sum
+      FROM g
+    ),
+    noised AS (
+      SELECT event_type, n_true, sum_true_cents,
+             n_true + (-1.0
+               * (CASE WHEN u_count < 0 THEN -1.0 ELSE 1.0 END)
+               * ln(1.0 - 2.0 * abs(u_count))) AS n_released_raw,
+             sum_true_cents + (-10000.0
+               * (CASE WHEN u_sum < 0 THEN -1.0 ELSE 1.0 END)
+               * ln(1.0 - 2.0 * abs(u_sum))) AS sum_released_raw
+      FROM seeded
+    )
+    SELECT event_type, n_true,
+           round(n_released_raw, 6) AS n_released,
+           round(abs(n_released_raw - n_true), 6) AS count_abs_err,
+           round(sum_true_cents / 100.0, 2) AS sum_true_clipped,
+           round(sum_released_raw / 100.0, 6) AS sum_released,
+           (abs(n_released_raw - n_true) <= 10.0) AS count_err_within_10b
+    FROM noised
+    """,
+)
+def sec_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private aggregate release AUDIT (Laplace mechanism,
+    eps=1 per metric): per-group count (sensitivity 1 -> b=1) and
+    contribution-CLIPPED sum (values capped at 100.00 -> sensitivity
+    10000 cents -> b=10000 cents) released with additive Laplace noise
+    via the inverse-CDF transform -b*sign(u)*ln(1-2|u|). The noise seed
+    is a content hash of (group, metric) — a FIXED-SEED release, which is
+    what a production DP system logs for audit replay (and what makes the
+    release oracle-checkable here; a deployment draws fresh randomness
+    per release epoch). True values ride alongside BECAUSE this is the
+    internal calibration audit, not the public artifact: count_abs_err
+    and the 10b outlier flag are the noise-calibration regression test
+    (P(|Lap(b)| > 10b) ~ 5e-5).
+
+    Exactness: the uniform is an exact 32-bit hash fraction (division by
+    2^32 is exact), clipping/summing happens in int64 cents, and the
+    noise is a fixed op tree (one ln, one multiply chain) — bit-identical
+    across engines. Plan: clip map-side, one partial-agged aggregation to
+    |groups| rows; the noise stage is per-group scalar arithmetic."""
+    e = t(spark, sf_dir, "events")
+    clipped = e.select(
+        "event_type",
+        F.least(
+            F.round(F.col("value") * 100).cast("bigint"), F.lit(10000)
+        ).alias("cents_clipped"),
+    )
+    g = clipped.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_true"),
+        F.sum("cents_clipped").cast("bigint").alias("sum_true_cents"),
+    )
+
+    def hash_uniform(suffix: str):
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("event_type"), F.lit(suffix))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return h / F.lit(4294967296.0) - F.lit(0.5)
+
+    def laplace(u, b: float):
+        sign = F.when(u < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+        return F.lit(-b) * sign * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+
+    u_count = hash_uniform("|count")
+    u_sum = hash_uniform("|sum")
+    n_rel = F.col("n_true") + laplace(u_count, 1.0)
+    s_rel = F.col("sum_true_cents") + laplace(u_sum, 10000.0)
+    return g.select(
+        "event_type",
+        "n_true",
+        F.round(n_rel, 6).alias("n_released"),
+        F.round(F.abs(n_rel - F.col("n_true")), 6).alias("count_abs_err"),
+        F.round(F.col("sum_true_cents") / 100.0, 2).alias(
+            "sum_true_clipped"
+        ),
+        F.round(s_rel / 100.0, 6).alias("sum_released"),
+        (F.abs(n_rel - F.col("n_true")) <= 10.0).alias(
+            "count_err_within_10b"
+        ),
+    )
