@@ -5196,3 +5196,125 @@ def ext_substring_dedup_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@q(
+    "ext_annotator_agreement",
+    f"""
+    WITH lab AS (
+      SELECT lang,
+             CAST(CAST(('0x' || substr(md5({NORM}), 1, 8)) AS BIGINT) % 3
+                  AS INT) AS label_a,
+             CAST(('0x' || substr(md5({NORM}), 9, 8)) AS BIGINT) AS h2
+      FROM documents
+    ),
+    ab AS (
+      SELECT lang, label_a,
+             CASE WHEN h2 % 4 = 0
+                  THEN CAST((label_a + 1 + h2 % 2) % 3 AS INT)
+                  ELSE label_a END AS label_b
+      FROM lab
+    ),
+    g AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN label_a = label_b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_agree,
+             CAST(sum(CASE WHEN label_a = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS a0,
+             CAST(sum(CASE WHEN label_a = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS a1,
+             CAST(sum(CASE WHEN label_a = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS a2,
+             CAST(sum(CASE WHEN label_b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS b0,
+             CAST(sum(CASE WHEN label_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS b1,
+             CAST(sum(CASE WHEN label_b = 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS b2
+      FROM ab GROUP BY lang
+    )
+    SELECT lang, n, n_agree,
+           round(CAST(n_agree AS DOUBLE) / n, 6) AS p_observed,
+           round(CAST(a0*b0 + a1*b1 + a2*b2 AS DOUBLE) / (n*n), 6)
+             AS p_expected,
+           round(CAST(n_agree * n - (a0*b0 + a1*b1 + a2*b2) AS DOUBLE)
+                 / (n * n - (a0*b0 + a1*b1 + a2*b2)), 6) AS kappa,
+           (round(CAST(n_agree * n - (a0*b0 + a1*b1 + a2*b2) AS DOUBLE)
+                  / (n * n - (a0*b0 + a1*b1 + a2*b2)), 6) >= 0.6)
+             AS substantial
+    FROM g
+    """,
+)
+def ext_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (Cohen's kappa, 3-class) per language —
+    the QA gate every preference/label dataset passes before it trains a
+    reward model or classifier: raw percent agreement is inflated by
+    class imbalance, kappa corrects with the chance-agreement term from
+    the two annotators' marginals. Annotations are planted
+    deterministically from the content hash (annotator B disagrees on a
+    hash-selected 25% with a hash-chosen wrong class), so the expected
+    kappa band (~0.6-0.75, 'substantial') is a real calibration: a kappa
+    implementation that forgets the chance correction reports ~0.76
+    everywhere and flips no flag, one that mixes up marginals moves
+    p_expected.
+
+    Exactness: kappa = (n_agree*n - Σ a_c*b_c) / (n² - Σ a_c*b_c) keeps
+    EVERYTHING integer until ONE final division — no float accumulation
+    at all. Plan: one map-side label derivation + one partial-agged
+    aggregation to |langs| rows of 9 integer counters."""
+    d = t(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    h1 = F.conv(F.substring(F.md5(norm), 1, 8), 16, 10).cast("bigint")
+    h2 = F.conv(F.substring(F.md5(norm), 9, 8), 16, 10).cast("bigint")
+    label_a = (h1 % 3).cast("int")
+    label_b = F.when(
+        h2 % 4 == 0, ((label_a + 1 + h2 % 2) % 3).cast("int")
+    ).otherwise(label_a)
+    ab = d.select(
+        "lang", label_a.alias("label_a"), label_b.alias("label_b")
+    )
+
+    def cnt(col, c):
+        return (
+            F.sum(F.when(F.col(col) == c, 1).otherwise(0))
+            .cast("bigint")
+        )
+
+    g = ab.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("label_a") == F.col("label_b"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_agree"),
+        cnt("label_a", 0).alias("a0"),
+        cnt("label_a", 1).alias("a1"),
+        cnt("label_a", 2).alias("a2"),
+        cnt("label_b", 0).alias("b0"),
+        cnt("label_b", 1).alias("b1"),
+        cnt("label_b", 2).alias("b2"),
+    )
+    pe_num = (
+        F.col("a0") * F.col("b0")
+        + F.col("a1") * F.col("b1")
+        + F.col("a2") * F.col("b2")
+    )
+    kappa = F.round(
+        (F.col("n_agree") * F.col("n") - pe_num).cast("double")
+        / (F.col("n") * F.col("n") - pe_num),
+        6,
+    )
+    return g.select(
+        "lang",
+        "n",
+        "n_agree",
+        F.round(F.col("n_agree").cast("double") / F.col("n"), 6).alias(
+            "p_observed"
+        ),
+        F.round(
+            pe_num.cast("double") / (F.col("n") * F.col("n")), 6
+        ).alias("p_expected"),
+        kappa.alias("kappa"),
+        (kappa >= 0.6).alias("substantial"),
+    )
