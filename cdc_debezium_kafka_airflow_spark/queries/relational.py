@@ -623,3 +623,121 @@ def fn_array_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("n_pos"), 4).alias("avg_n_pos"),
         )
     )
+
+
+@q(
+    "join_asof_nearest",
+    """
+    WITH probes AS (
+      SELECT event_id, user_id,
+             TIMESTAMP '1994-01-01' + to_days(CAST(event_id % 1800 AS INT))
+               AS pts
+      FROM events
+    ),
+    j AS (
+      SELECT p.event_id, p.pts, o.o_orderkey, o.o_orderdate,
+             abs(epoch_us(o.o_orderdate) - epoch_us(p.pts)) AS du,
+             row_number() OVER (PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(o.o_orderdate) - epoch_us(p.pts)) ASC,
+                        o.o_orderdate ASC, o.o_orderkey DESC) AS rn
+      FROM probes p JOIN orders o ON o.o_custkey % 150 = p.user_id
+    )
+    SELECT event_id, pts, o_orderkey AS nearest_orderkey,
+           o_orderdate AS nearest_orderdate,
+           CAST(du AS BIGINT) AS nearest_abs_us
+    FROM j WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-direction as-of join (pandas merge_asof
+    direction='nearest'): each probe matches the key's order with the
+    MINIMAL |orderdate - probe| — both directions considered, ties broken
+    toward the backward match then max orderkey. Probes ride a
+    deterministic timeline inside the order era (event ts lives in 2024,
+    orders in 1992-98, so a raw-ts 'nearest' would degenerate to plain
+    backward-asof — the planted-axis precedent).
+
+    Scale shape: the oracle's candidate join is per-key quadratic; the
+    engine instead runs TWO carry-forward window passes over ONE tagged
+    union — same partition key, so the second ordering re-sorts within
+    partitions but never re-shuffles: backward carry (latest order <=
+    pts, max-key ties) and forward carry (t DESC: earliest order >= pts,
+    max-key ties), then a scalar nearest-pick between the two candidates
+    in exact epoch-microsecond integers. O(n log n) per key, no
+    candidate blowup."""
+    probes = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.expr(
+            "timestampadd(DAY, CAST(event_id % 1800 AS INT),"
+            " TIMESTAMP '1994-01-01')"
+        ).alias("tt"),
+        F.lit(1).alias("is_probe"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_orderdate"),
+    )
+    o = t(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 150).alias("uid"),
+        F.col("o_orderdate").alias("tt"),
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        "o_orderdate",
+    )
+    u = probes.unionByName(o).withColumn(
+        "payload",
+        F.when(
+            F.col("is_probe") == 0,
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderdate").alias("d"),
+            ),
+        ),
+    )
+    wb = (
+        Window.partitionBy("uid")
+        .orderBy(
+            F.col("tt").asc(), F.col("is_probe").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("uid")
+        .orderBy(
+            F.col("tt").desc(), F.col("is_probe").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "event_id",
+        "is_probe",
+        F.col("tt").alias("pts"),
+        F.last("payload", ignorenulls=True).over(wb).alias("bd"),
+        F.last("payload", ignorenulls=True).over(wf).alias("fd"),
+    ).filter(F.col("is_probe") == 1)
+    pus = F.unix_micros(F.col("pts"))
+    diff_b = pus - F.unix_micros(F.col("bd.d"))
+    diff_f = F.unix_micros(F.col("fd.d")) - pus
+    pick = (
+        F.when(F.col("bd").isNull(), F.col("fd"))
+        .when(F.col("fd").isNull(), F.col("bd"))
+        .when(diff_b <= diff_f, F.col("bd"))
+        .otherwise(F.col("fd"))
+    )
+    return (
+        carried.filter(
+            F.col("bd").isNotNull() | F.col("fd").isNotNull()
+        )
+        .withColumn("pk", pick)
+        .select(
+            "event_id",
+            "pts",
+            F.col("pk.k").alias("nearest_orderkey"),
+            F.col("pk.d").alias("nearest_orderdate"),
+            F.abs(F.unix_micros(F.col("pk.d")) - pus)
+            .cast("bigint")
+            .alias("nearest_abs_us"),
+        )
+    )
