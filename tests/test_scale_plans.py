@@ -835,3 +835,22 @@ def test_bitemporal_audit_is_carry_forward_not_range_join(spark, sf_dir):
         F.sum(F.col("revised").cast("long")).alias("n_revised"),
     ).collect()[0]
     assert agg.n > 0 and 0 < agg.n_revised < agg.n
+
+
+def test_asof_nearest_single_exchange_two_sorts(spark, sf_dir):
+    """The nearest-direction as-of join must run as ONE hash exchange on
+    the key with two in-partition sorts feeding the two window passes —
+    never a second shuffle for the reversed ordering, never the oracle's
+    per-key candidate join, and no Python in the path."""
+    import re
+
+    from cdc_debezium_kafka_airflow_spark.queries.relational import (
+        join_asof_nearest,
+    )
+
+    plan = _plan(join_asof_nearest(spark, sf_dir))
+    exchanges = re.findall(r"Exchange \w+partitioning\([^)]*\)", plan)
+    assert len(exchanges) == 1 and "uid" in exchanges[0]
+    assert plan.count("Window") == 2
+    assert "Join" not in plan  # union + windows, not a join node
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
