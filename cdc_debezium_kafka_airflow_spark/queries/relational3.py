@@ -1394,19 +1394,32 @@ def dq_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("s1"),
         F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("s2"),
     )
-    a = g.filter(F.col("variant") == 0).select(
-        "event_type",
-        F.col("n").alias("n_a"),
-        F.col("s1").alias("s1a"),
-        F.col("s2").alias("s2a"),
+    return ab_ztest_readout(g)
+
+
+def ab_ztest_readout(g: DataFrame) -> DataFrame:
+    """Scalar z-test readout over a (event_type, variant, n, s1, s2) moment
+    frame — shared by the batch query and the streaming twin (the moments
+    are the distributed/stateful part; this is per-group arithmetic).
+    The variant pivot is a conditional re-aggregation, not a self-join:
+    one pass over the 10-row frame, and it stays valid over a streaming
+    memory-sink relation (where a self-join would collide on attribute
+    ids)."""
+
+    def side(col: str, v: int):
+        return (
+            F.sum(F.when(F.col("variant") == v, F.col(col)))
+            .cast("bigint")
+        )
+
+    w = g.groupBy("event_type").agg(
+        side("n", 0).alias("n_a"),
+        side("s1", 0).alias("s1a"),
+        side("s2", 0).alias("s2a"),
+        side("n", 1).alias("n_b"),
+        side("s1", 1).alias("s1b"),
+        side("s2", 1).alias("s2b"),
     )
-    b = g.filter(F.col("variant") == 1).select(
-        "event_type",
-        F.col("n").alias("n_b"),
-        F.col("s1").alias("s1b"),
-        F.col("s2").alias("s2b"),
-    )
-    w = a.join(b, "event_type")
     ma = F.col("s1a").cast("double") / F.col("n_a")
     mb = F.col("s1b").cast("double") / F.col("n_b")
     va = F.col("s2a").cast("double") / F.col("n_a") - ma * ma

@@ -828,3 +828,62 @@ def stream_txn_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
     buffering loses and leaks nothing (streaming/jobs.py
     txn_consistent_stream)."""
     return jobs.txn_consistent_stream(spark, sf_dir)
+
+
+@q(
+    "stream_ab_ztest",
+    """
+    WITH e AS (
+      SELECT event_type, CAST(user_id % 2 AS INT) AS variant,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, variant,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS s1,
+             CAST(sum(cents * cents) AS BIGINT) AS s2
+      FROM e GROUP BY event_type, variant
+    ),
+    w AS (
+      SELECT a.event_type, a.n AS n_a, b.n AS n_b,
+             CAST(a.s1 AS DOUBLE) / a.n AS ma,
+             CAST(b.s1 AS DOUBLE) / b.n AS mb,
+             CAST(a.s2 AS DOUBLE) / a.n
+               - (CAST(a.s1 AS DOUBLE) / a.n)
+                 * (CAST(a.s1 AS DOUBLE) / a.n) AS va,
+             CAST(b.s2 AS DOUBLE) / b.n
+               - (CAST(b.s1 AS DOUBLE) / b.n)
+                 * (CAST(b.s1 AS DOUBLE) / b.n) AS vb
+      FROM g a JOIN g b
+        ON a.event_type = b.event_type
+       AND a.variant = 0 AND b.variant = 1
+    )
+    SELECT event_type, n_a, n_b,
+           round(ma / 100, 6) AS mean_a, round(mb / 100, 6) AS mean_b,
+           round((ma - mb) / sqrt(va / n_a + vb / n_b), 6) AS z_null,
+           (abs(round((ma - mb) / sqrt(va / n_a + vb / n_b), 6)) > 1.96)
+             AS sig_null,
+           round((ma - (mb + 3000.0)) / sqrt(va / n_a + vb / n_b), 6)
+             AS z_planted,
+           (abs(round((ma - (mb + 3000.0))
+                      / sqrt(va / n_a + vb / n_b), 6)) > 1.96)
+             AS sig_planted
+    FROM w
+    """,
+)
+def stream_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS experiment monitoring: the A/B z-test's sufficient
+    statistics (exact int64-cents n/Σx/Σx² per (event_type, variant))
+    live as streaming state in a complete-mode aggregation — each
+    micro-batch folds into 10 integer state rows, and the z readout runs
+    on the materialized state (shared scalar tree with the batch
+    `dq_ab_ztest`, whose oracle this must hash-match exactly: the
+    moment-form statistic is replay-order invariant, which is precisely
+    why production experiment dashboards store moments, not samples)."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational3 import (
+        ab_ztest_readout,
+    )
+
+    t(spark, sf_dir, "events")
+    return ab_ztest_readout(jobs.streaming_ab_moments(spark, sf_dir))

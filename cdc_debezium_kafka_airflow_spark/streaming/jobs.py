@@ -2925,3 +2925,23 @@ def txn_consistent_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(ck, ignore_errors=True)
         shutil.rmtree(base, ignore_errors=True)
     return spark.createDataFrame(rows, out.schema)
+
+
+def streaming_ab_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``stream_ab_ztest``: the experiment readout's sufficient statistics
+    maintained as STREAMING state — exact int64-cents moments (n, Σx, Σx²)
+    per (event_type, variant) in a complete-mode aggregation, so the z-test
+    is answerable from the live state at ANY trigger without re-scanning
+    history. This is the moment-form-statistics posture (SCALE.md) running
+    continuously: micro-batches fold into 10 integer rows of state; the
+    scalar z tree runs on the materialized state, not in the stream."""
+    ev = events_stream(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    g = ev.groupBy(
+        "event_type", (F.col("user_id") % 2).cast("int").alias("variant")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(cents).cast("bigint").alias("s1"),
+        F.sum(cents * cents).cast("bigint").alias("s2"),
+    )
+    return _run_to_memory(g, "complete", parts="8")
