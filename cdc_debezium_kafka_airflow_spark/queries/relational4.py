@@ -1761,3 +1761,76 @@ def sec_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
             "count_err_within_10b"
         ),
     )
+
+
+@q(
+    "monitor_slo_burn_rate",
+    """
+    WITH e AS (
+      SELECT date_trunc('hour', ts) AS hr, date_trunc('day', ts) AS dy,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+      FROM events
+    ),
+    h AS (
+      SELECT dy, hr, CAST(count(*) AS BIGINT) AS n_hour,
+             CAST(sum(is_err) AS BIGINT) AS err_hour
+      FROM e GROUP BY dy, hr
+    ),
+    d AS (
+      SELECT dy, CAST(sum(n_hour) AS BIGINT) AS n_day,
+             CAST(sum(err_hour) AS BIGINT) AS err_day
+      FROM h GROUP BY dy
+    )
+    SELECT CAST(h.hr AS TIMESTAMP) AS hour_start,
+           h.n_hour, h.err_hour,
+           round(CAST(h.err_hour AS DOUBLE) / h.n_hour / 0.25, 6)
+             AS burn_short,
+           round(CAST(d.err_day AS DOUBLE) / d.n_day / 0.25, 6)
+             AS burn_long,
+           (CAST(h.err_hour AS DOUBLE) / h.n_hour / 0.25 > 1.4
+            AND CAST(d.err_day AS DOUBLE) / d.n_day / 0.25 > 0.9) AS page
+    FROM h JOIN d USING (dy)
+    """,
+)
+def monitor_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the SRE-workbook page rule):
+    error-budget burn measured over a SHORT window (1h — catches the
+    spike) AND a LONG window (1d — proves it isn't a blip); a page fires
+    only when both burn. This is the §2.C monitoring family's modern
+    alert shape — the reference's threshold rule (lag > 500) pages on
+    level, burn-rate pages on budget-spend velocity, immune to both
+    flapping spikes and slow smolder.
+
+    Budget here is 25% (the fixture's error type runs ~20% of traffic —
+    budget and thresholds 1.4/0.9 chosen so the page discriminates:
+    ~3% of hours page at sf0.01). One corpus pass: the hour tier is the
+    only fact aggregation; the day tier RE-AGGREGATES the 720-row hour
+    frame (sum of hour counts ≡ day counts, proven by the oracle which
+    states the day tier the same way); the hour-day join broadcasts ~30
+    day rows. Burn = err/n/budget is a fixed two-division tree — engine
+    bit-identical."""
+    e = t(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hr"),
+        F.date_trunc("day", F.col("ts")).alias("dy"),
+        F.when(F.col("event_type") == "error", 1).otherwise(0).alias(
+            "is_err"
+        ),
+    )
+    h = e.groupBy("dy", "hr").agg(
+        F.count("*").cast("bigint").alias("n_hour"),
+        F.sum("is_err").cast("bigint").alias("err_hour"),
+    )
+    d = h.groupBy("dy").agg(
+        F.sum("n_hour").cast("bigint").alias("n_day"),
+        F.sum("err_hour").cast("bigint").alias("err_day"),
+    )
+    burn_short = F.col("err_hour").cast("double") / F.col("n_hour") / 0.25
+    burn_long = F.col("err_day").cast("double") / F.col("n_day") / 0.25
+    return h.join(F.broadcast(d), "dy").select(
+        F.col("hr").alias("hour_start"),
+        "n_hour",
+        "err_hour",
+        F.round(burn_short, 6).alias("burn_short"),
+        F.round(burn_long, 6).alias("burn_long"),
+        ((burn_short > 1.4) & (burn_long > 0.9)).alias("page"),
+    )
