@@ -1834,3 +1834,89 @@ def monitor_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(burn_long, 6).alias("burn_long"),
         ((burn_short > 1.4) & (burn_long > 0.9)).alias("page"),
     )
+
+
+@q(
+    "win_streaks",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ),
+    isl AS (
+      SELECT user_id, d,
+             d - to_days(CAST(row_number() OVER (PARTITION BY user_id
+                                                 ORDER BY d) AS INT))
+               AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, CAST(count(*) AS BIGINT) AS streak_len,
+             min(d) AS streak_start, max(d) AS streak_end
+      FROM isl GROUP BY user_id, grp
+    ),
+    agg AS (
+      SELECT user_id,
+             CAST(sum(streak_len) AS BIGINT) AS n_active_days,
+             CAST(count(*) AS BIGINT) AS n_streaks
+      FROM streaks GROUP BY user_id
+    ),
+    best AS (
+      SELECT user_id, streak_len, streak_start, streak_end,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY streak_len DESC,
+                                         streak_start ASC) AS rn
+      FROM streaks
+    )
+    SELECT b.user_id, a.n_active_days, a.n_streaks,
+           b.streak_len AS longest_streak,
+           CAST(b.streak_start AS VARCHAR) AS streak_start,
+           CAST(b.streak_end AS VARCHAR) AS streak_end
+    FROM best b JOIN agg a USING (user_id) WHERE b.rn = 1
+    """,
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-activity streaks (gaps-and-islands): per user, collapse
+    distinct active days into runs via the date-minus-row_number island
+    key, then report the longest run (ties -> earliest) plus totals — the
+    engagement metric behind every 'N-day streak' product surface, and
+    the canonical gaps-and-islands pattern (the same cut the substring-
+    dedup interval merge uses). ONE shuffle on user_id serves the
+    distinct, the island window, and both downstream aggregations —
+    every later step is partition-local because the key never changes.
+    All-integer arithmetic (dates and counts), nothing to round."""
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("grp"),
+    )
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count("*").cast("bigint").alias("streak_len"),
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+    )
+    agg = streaks.groupBy("user_id").agg(
+        F.sum("streak_len").cast("bigint").alias("n_active_days"),
+        F.count("*").cast("bigint").alias("n_streaks"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.desc("streak_len"), F.asc("streak_start")
+    )
+    best = streaks.withColumn("rn", F.row_number().over(wb)).filter(
+        F.col("rn") == 1
+    )
+    return best.join(agg, "user_id").select(
+        "user_id",
+        "n_active_days",
+        "n_streaks",
+        F.col("streak_len").alias("longest_streak"),
+        # ISO strings: DATE round-trips differently through the two
+        # engines' pandas paths; int-date-to-string is identical
+        F.col("streak_start").cast("string").alias("streak_start"),
+        F.col("streak_end").cast("string").alias("streak_end"),
+    )
