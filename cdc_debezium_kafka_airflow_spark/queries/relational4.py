@@ -1920,3 +1920,119 @@ def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("streak_start").cast("string").alias("streak_start"),
         F.col("streak_end").cast("string").alias("streak_end"),
     )
+
+
+@q(
+    "ts_seasonal_decompose",
+    """
+    WITH base AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ),
+    planted AS (
+      SELECT event_type, d,
+             cents + CASE WHEN (d - DATE '1970-01-05') % 7 = 4
+                          THEN cents ELSE 0 END AS pc
+      FROM base
+    ),
+    daily AS (
+      SELECT event_type, d,
+             CAST((d - DATE '1970-01-05') % 7 AS INT) AS dow,
+             CAST(sum(pc) AS BIGINT) AS day_cents
+      FROM planted GROUP BY event_type, d
+    ),
+    tr AS (
+      SELECT *, CAST(sum(day_cents) OVER w AS BIGINT) AS sum7,
+             CAST(count(*) OVER w AS BIGINT) AS n7
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+      SELECT event_type, dow, 7 * day_cents - sum7 AS detr7
+      FROM tr WHERE n7 = 7
+    ),
+    seas AS (
+      SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n_obs,
+             round(CAST(sum(detr7) AS DOUBLE) / (7.0 * count(*)) / 100.0,
+                   4) AS seasonal
+      FROM detr GROUP BY event_type, dow
+    )
+    SELECT event_type, dow, n_obs, seasonal,
+           (seasonal = max(seasonal) OVER (PARTITION BY event_type))
+             AS peak
+    FROM seas
+    """,
+)
+def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (trend / weekly-seasonal split):
+    daily revenue per event type, centered 7-day moving-average trend over
+    FULL windows only, day-of-week seasonal component from the detrended
+    series. A known seasonal signal is PLANTED (the planted-axis
+    precedent: the fixture's clock is seasonality-free, so Friday revenue
+    is doubled at the event level in exact integer cents) and the
+    decomposition must RECOVER it — the `peak` flag lands on the planted
+    day-of-week for every type at every sf, which falsifies sign errors,
+    off-by-one windows, and wrong dow arithmetic in one check.
+
+    Exactness: day-of-week is epoch-day arithmetic (both engines' builtin
+    dayofweek disagree on week start); the detrended value is kept as the
+    EXACT integer 7·daily − Σ7 (no trend division until the final
+    per-(type,dow) mean, one division); window sums are int64. Plan: one
+    fact aggregation to days, then windows and the 35-row seasonal table
+    all ride the same event_type partitioning."""
+    e = t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    dow = (
+        F.datediff(F.col("d"), F.lit("1970-01-05").cast("date")) % 7
+    ).cast("int")
+    planted = base.select(
+        "event_type",
+        "d",
+        (
+            F.col("cents")
+            + F.when(dow == 4, F.col("cents")).otherwise(F.lit(0))
+        ).alias("pc"),
+    )
+    daily = planted.groupBy("event_type", "d").agg(
+        F.sum("pc").cast("bigint").alias("day_cents")
+    ).withColumn("dow", dow)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(-3, 3)
+    )
+    tr = daily.select(
+        "event_type",
+        "dow",
+        "day_cents",
+        F.sum("day_cents").over(w).cast("bigint").alias("sum7"),
+        F.count("*").over(w).cast("bigint").alias("n7"),
+    )
+    detr = tr.filter(F.col("n7") == 7).select(
+        "event_type",
+        "dow",
+        (F.lit(7) * F.col("day_cents") - F.col("sum7")).alias("detr7"),
+    )
+    seas = detr.groupBy("event_type", "dow").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.round(
+            F.sum("detr7").cast("double")
+            / (F.lit(7.0) * F.count("*"))
+            / 100.0,
+            4,
+        ).alias("seasonal"),
+    )
+    wmax = Window.partitionBy("event_type")
+    return seas.select(
+        "event_type",
+        "dow",
+        "n_obs",
+        "seasonal",
+        (F.col("seasonal") == F.max("seasonal").over(wmax)).alias("peak"),
+    )

@@ -720,3 +720,18 @@ def test_mllib_minhash_semantics(spark, sf_dir):
     assert row.n_missed_exact_dups == 0
     assert row.n_exact_dup_dist_nonzero == 0
     assert row.n_dist_tolerance_breach == 0
+
+
+def test_seasonal_decompose_recovers_planted_peak(spark, sf_dir):
+    """ts_seasonal_decompose: the planted Friday doubling must be
+    recovered as the peak day-of-week (dow=4) for EVERY event type —
+    the one check that falsifies sign errors, off-by-one windows, and
+    wrong dow arithmetic together."""
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.queries.relational4 import QUERIES
+
+    out = QUERIES["ts_seasonal_decompose"](spark, sf_dir)
+    peaks = out.filter(F.col("peak")).select("event_type", "dow").collect()
+    assert len(peaks) == 5
+    assert all(r.dow == 4 for r in peaks)
