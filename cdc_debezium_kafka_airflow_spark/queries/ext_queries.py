@@ -5318,3 +5318,150 @@ def ext_annotator_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         kappa.alias("kappa"),
         (kappa >= 0.6).alias("substantial"),
     )
+
+
+@q(
+    "ext_content_defined_chunks",
+    f"""
+    WITH d AS (SELECT doc_id, {NORM} AS t FROM documents
+               WHERE length({NORM}) >= 8),
+    c AS (
+      SELECT doc_id, t, length(t) AS n,
+             list_transform(range(1, length(t) + 1),
+               i -> CAST(ascii(substr(t, CAST(i AS INT), 1)) AS BIGINT))
+               AS codes
+      FROM d
+    ),
+    b AS (
+      SELECT doc_id, t, n,
+             list_filter(range(8, n + 1),
+               i -> (codes[i] + codes[i-1]*31 + codes[i-2]*961
+                     + codes[i-3]*29791 + codes[i-4]*923521
+                     + codes[i-5]*28629151 + codes[i-6]*887503681
+                     + codes[i-7]*27512614111) % 64 = 0) AS bps
+      FROM c
+    ),
+    e AS (
+      SELECT doc_id, t, n,
+             CASE WHEN len(bps) > 0 AND bps[len(bps)] = n THEN bps
+                  ELSE bps || [n] END AS ends
+      FROM b
+    ),
+    ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ends) + 1),
+               k -> md5(substr(t,
+                      CAST(CASE WHEN k = 1 THEN 1
+                           ELSE ends[k-1] + 1 END AS INT),
+                      CAST(ends[k] - (CASE WHEN k = 1 THEN 0
+                                      ELSE ends[k-1] END) AS INT)))))
+               AS chash
+      FROM e
+    ),
+    freq AS (SELECT chash, count(DISTINCT doc_id) AS ndocs
+             FROM ch GROUP BY chash)
+    SELECT ch.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN freq.ndocs >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared,
+           round(sum(CASE WHEN freq.ndocs >= 2 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS shared_frac
+    FROM ch JOIN freq USING (chash)
+    GROUP BY ch.doc_id
+    """,
+)
+def ext_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync family): chunk
+    boundaries fall where an 8-char polynomial rolling hash hits 0 mod 64
+    (expected ~64-char chunks), so INSERTIONS SHIFT BOUNDARIES LOCALLY
+    instead of re-aligning every downstream chunk — the property that
+    makes dedup storage, incremental transfer, and chunk-level corpus
+    dedup work where fixed-size chunking (ext_fingerprint's fp_chunk0)
+    breaks on a single-byte edit. Per doc: chunk count + how much of it is
+    shared verbatim with other documents (chunk-hash cross-doc join) —
+    ~25% of this corpus's chunks are shared, the storage-dedup headroom
+    readout.
+
+    Everything is JVM-side HOF arithmetic: the code array is one
+    transform, boundaries one filter with an 8-term int64 polynomial
+    (exact, no modpow), chunk hashes one transform over the cut list; the
+    only shuffles are the chunk-hash frequency aggregation and the join
+    back. At corpus scale the chunk-hash table is the dedup store's
+    index — the same content-keyed bucket shape as the URL and span
+    dedups."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id", normalize_text(F.col("text")).alias("t")
+        )
+        .filter(F.length("t") >= 8)
+    )
+    ch = cdc_chunk_hashes(d)
+    freq = ch.groupBy("chash").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    shared = F.sum(
+        F.when(F.col("ndocs") >= 2, 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        ch.join(freq, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_chunks"),
+            shared.alias("n_shared"),
+            F.round(
+                F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+                / F.count("*").cast("double"),
+                6,
+            ).alias("shared_frac"),
+        )
+    )
+
+
+def cdc_chunk_hashes(d: "DataFrame") -> "DataFrame":
+    """(doc_id, t) -> (doc_id, chash): the content-defined chunk pipeline,
+    shared by the registered query and the boundary-locality pytest."""
+    c = d.select(
+        "doc_id",
+        "t",
+        F.length("t").alias("n"),
+        F.expr(
+            "transform(sequence(1, length(t)),"
+            " i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))"
+        ).alias("codes"),
+    )
+    b = c.select(
+        "doc_id",
+        "t",
+        "n",
+        F.expr(
+            "filter(sequence(8, n), i ->"
+            " (element_at(codes, i) + element_at(codes, i-1)*31"
+            " + element_at(codes, i-2)*961 + element_at(codes, i-3)*29791"
+            " + element_at(codes, i-4)*923521"
+            " + element_at(codes, i-5)*28629151"
+            " + element_at(codes, i-6)*887503681"
+            " + element_at(codes, i-7)*27512614111) % 64 = 0)"
+        ).alias("bps"),
+    )
+    e = b.select(
+        "doc_id",
+        "t",
+        F.expr(
+            "CASE WHEN size(bps) > 0 AND element_at(bps, size(bps)) = n"
+            " THEN bps ELSE concat(bps, array(n)) END"
+        ).alias("ends"),
+    )
+    ch = e.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ends)), k -> md5(CAST(substr(t,"
+                " CASE WHEN k = 1 THEN 1"
+                " ELSE element_at(ends, k-1) + 1 END,"
+                " element_at(ends, k) - CASE WHEN k = 1 THEN 0"
+                " ELSE element_at(ends, k-1) END) AS BINARY)))"
+            )
+        ).alias("chash"),
+    )
+    return ch

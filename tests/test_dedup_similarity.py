@@ -913,3 +913,38 @@ def test_ann_audit_frame_detects_planted_violations(spark):
     # broken rank sequence fires n_rank_violations (ranks 1,2 over one
     # query but only 2 rows -> rank_sum != 55 or count != 10)
     assert audit([(0, 1), (0, 3)], rank=True).n_rank_violations == 1
+
+
+def test_cdc_chunking_boundary_locality(spark):
+    """Content-defined chunking's reason to exist: an insertion near the
+    START of a document shifts boundaries only LOCALLY — the majority of
+    chunk hashes survive the edit (fixed-size chunking would lose every
+    chunk after the edit point). Also pins determinism: same text, same
+    chunk multiset."""
+    from pyspark.sql import functions as F
+
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import (
+        cdc_chunk_hashes,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat "
+        "watches from the warm windowsill and the rain taps the glass "
+        "slowly as evening settles over the quiet street and lamps "
+        "flicker on one by one down the long wet avenue toward the park "
+        "where nobody walks tonight except one stubborn heron fishing"
+    ) * 3
+    edited = base[:15] + "X" + base[15:]  # single-char insertion near start
+    d = spark.createDataFrame(
+        [(1, base), (2, edited), (3, base)], "doc_id long, t string"
+    )
+    rows = cdc_chunk_hashes(d).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.chash)
+    # determinism: identical docs -> identical chunk multiset
+    assert sorted(by_doc[1]) == sorted(by_doc[3])
+    # locality: most chunks survive the early insertion
+    orig, ed = set(by_doc[1]), set(by_doc[2])
+    survived = len(orig & ed)
+    assert survived / len(orig) >= 0.5, (survived, len(orig), len(ed))
