@@ -2036,3 +2036,80 @@ def ts_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         "seasonal",
         (F.col("seasonal") == F.max("seasonal").over(wmax)).alias("peak"),
     )
+
+
+@q(
+    "agg_segment_overlap",
+    """
+    WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+    sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+           FROM s GROUP BY event_type),
+    ov AS (
+      SELECT a.event_type AS seg_a, b.event_type AS seg_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM s a JOIN s b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT ov.seg_a, ov.seg_b, za.n_users AS n_a, zb.n_users AS n_b,
+           ov.n_both,
+           round(CAST(ov.n_both AS DOUBLE)
+                 / (za.n_users + zb.n_users - ov.n_both), 6) AS jaccard,
+           round(CAST(ov.n_both AS DOUBLE)
+                 / least(za.n_users, zb.n_users), 6) AS containment
+    FROM ov JOIN sz za ON za.event_type = ov.seg_a
+            JOIN sz zb ON zb.event_type = ov.seg_b
+    """,
+)
+def agg_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience segment-overlap matrix (the BI 'how many users did BOTH'
+    staple): exact distinct-user overlap, Jaccard, and containment for
+    every ordered pair of event-type segments. The (segment, user)
+    distinct projection shuffles ONCE on user_id; the pair join is an
+    equi-join on that same user key (bounded by per-user segment
+    membership ≤ |segments| — the basket-pair bound, not |users|²); sizes
+    re-aggregate from the same projection. At warehouse scale this is the
+    pre-aggregated form the sketch tier (agg_sketch_mergeable)
+    approximates — here exact, because segment count is small and the
+    user key partitioning makes the exact answer one shuffle. Single
+    divisions of exact int64 counts keep both engines bit-identical."""
+    e = t(spark, sf_dir, "events")
+    s = e.select("event_type", "user_id").distinct()
+    sz = s.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+    a = s.select(F.col("event_type").alias("seg_a"), "user_id")
+    b = s.select(F.col("event_type").alias("seg_b"), "user_id")
+    ov = (
+        a.join(b, "user_id")
+        .filter(F.col("seg_a") < F.col("seg_b"))
+        .groupBy("seg_a", "seg_b")
+        .agg(F.count("*").cast("bigint").alias("n_both"))
+    )
+    za = sz.select(
+        F.col("event_type").alias("seg_a"), F.col("n_users").alias("n_a")
+    )
+    zb = sz.select(
+        F.col("event_type").alias("seg_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        ov.join(F.broadcast(za), "seg_a")
+        .join(F.broadcast(zb), "seg_b")
+        .select(
+            "seg_a",
+            "seg_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_both").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b")),
+                6,
+            ).alias("containment"),
+        )
+    )
