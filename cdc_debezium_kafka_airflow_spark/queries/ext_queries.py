@@ -5472,3 +5472,110 @@ def cdc_chunk_hashes(d: "DataFrame") -> "DataFrame":
         ).alias("chash"),
     )
     return ch
+
+
+@q(
+    "ext_signal_rank_corr",
+    f"""
+    WITH d0 AS (SELECT doc_id, lang, {NORM} AS t FROM documents),
+    q AS (
+      SELECT doc_id, lang,
+             round(0.5 * least(len(string_split(t, ' ')) / 200.0, 1.0)
+                   + 0.3 * least(len(list_filter(string_split(t, ' '),
+                         w -> w IN ('the','a','of','and','to','in','is',
+                                    'on')))
+                         / greatest(len(string_split(t, ' ')), 1) * 5,
+                         1.0)
+                   + 0.2 * (1.0 - (length(t)
+                         - length(regexp_replace(t, '[^a-z0-9 ]', '',
+                                                 'g')))
+                         / greatest(length(t), 1)), 6) AS quality_score
+      FROM d0
+    ),
+    dd AS (SELECT doc_id, ['<s>'] || string_split({NORM}, ' ') AS w
+           FROM documents),
+    bg AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+           FROM dd, unnest(range(1, len(w))) AS tt(i)),
+    train_bg AS (SELECT * FROM bg WHERE doc_id % 5 <> 0),
+    c2 AS (SELECT w1, w2, count(*) AS n2 FROM train_bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*) AS n1 FROM train_bg GROUP BY w1),
+    vocab AS (SELECT count(DISTINCT w2) AS v FROM train_bg),
+    nll AS (
+      SELECT bg.doc_id,
+             round(avg(-ln((coalesce(c2.n2, 0) + 1.0)
+                           / (coalesce(c1.n1, 0) + 1.0 * vocab.v))), 6)
+               AS avg_nll
+      FROM bg LEFT JOIN c2 USING (w1, w2) LEFT JOIN c1 USING (w1)
+      CROSS JOIN vocab
+      GROUP BY bg.doc_id
+    ),
+    r AS (
+      SELECT q.lang,
+             row_number() OVER (PARTITION BY q.lang
+               ORDER BY q.quality_score ASC, q.doc_id ASC) AS rq,
+             row_number() OVER (PARTITION BY q.lang
+               ORDER BY nll.avg_nll ASC, q.doc_id ASC) AS rp
+      FROM q JOIN nll USING (doc_id)
+    )
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum((rq - rp) * (rq - rp)) AS BIGINT) AS sum_d2,
+           round(1.0 - CAST(6 * sum((rq - rp) * (rq - rp)) AS DOUBLE)
+                 / (count(*) * (CAST(count(*) AS BIGINT) * count(*) - 1)),
+                 6) AS spearman_rho,
+           (abs(1.0 - CAST(6 * sum((rq - rp) * (rq - rp)) AS DOUBLE)
+                / (count(*) * (CAST(count(*) AS BIGINT) * count(*) - 1)))
+            >= 0.8) AS redundant
+    FROM r GROUP BY lang
+    """,
+)
+def ext_signal_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-signal agreement audit: Spearman rank correlation between
+    the heuristic quality score and the LM perplexity score, per
+    language — the decision input for 'can we drop one of these
+    filters?'. |rho| >= 0.8 would flag the signals redundant; on this
+    corpus rho sits near zero, the honest reading that the two filters
+    capture DIFFERENT failure modes and both earn their pipeline slot
+    (the CCNet stack runs both for exactly this reason).
+
+    Spearman, not Pearson, on purpose: ranks make the statistic exact
+    integer arithmetic (Σd² in int64, ONE final division) — a Pearson
+    over float sums would be reduction-order-dependent across engines.
+    Rank ties cannot occur (row_number with doc_id tie-break over
+    already-oracle-exact rounded signals). Scale posture: the ranks are
+    per-language global sorts — an audit run on a sampled stratum at
+    corpus scale, like ext_ann_recall_audit's query stratum; the two
+    signal inputs reuse the production queries' plans unchanged."""
+    docs = t(spark, sf_dir, "documents")
+    q_frame = text_metrics(docs).select("doc_id", "quality_score")
+    nll = QUERIES["ext_bigram_perplexity"](spark, sf_dir).select(
+        "doc_id", "avg_nll"
+    )
+    langs = docs.select("doc_id", "lang")
+    j = langs.join(q_frame, "doc_id").join(nll, "doc_id")
+    wq = Window.partitionBy("lang").orderBy(
+        F.asc("quality_score"), F.asc("doc_id")
+    )
+    wp = Window.partitionBy("lang").orderBy(
+        F.asc("avg_nll"), F.asc("doc_id")
+    )
+    r = j.select(
+        "lang",
+        F.row_number().over(wq).alias("rq"),
+        F.row_number().over(wp).alias("rp"),
+    )
+    d2 = (F.col("rq") - F.col("rp")) * (F.col("rq") - F.col("rp"))
+    agg = r.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(d2).cast("bigint").alias("sum_d2"),
+    )
+    rho = F.lit(1.0) - (F.lit(6) * F.col("sum_d2")).cast("double") / (
+        F.col("n_docs")
+        * (F.col("n_docs").cast("bigint") * F.col("n_docs") - 1)
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "sum_d2",
+        F.round(rho, 6).alias("spearman_rho"),
+        (F.abs(rho) >= 0.8).alias("redundant"),
+    )
