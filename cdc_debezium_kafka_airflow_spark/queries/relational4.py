@@ -2113,3 +2113,78 @@ def agg_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+@q(
+    "agg_pareto_abc",
+    """
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT CAST(sum(cents) AS BIGINT) AS total FROM rev),
+    cum AS (
+      SELECT o_custkey, cents,
+             CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey ASC
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS running
+      FROM rev
+    ),
+    cls AS (
+      SELECT o_custkey, cents,
+             CASE WHEN running * 10 <= tot.total * 8 THEN 'A'
+                  WHEN running * 100 <= tot.total * 95 THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM cum CROSS JOIN tot
+    )
+    SELECT abc_class, CAST(count(*) AS BIGINT) AS n_customers,
+           round(sum(cents) / 100.0, 2) AS class_revenue,
+           round(CAST(sum(cents) AS DOUBLE) / (SELECT total FROM tot), 6)
+             AS revenue_share
+    FROM cls GROUP BY abc_class
+    """,
+)
+def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC customer classification (the 80/15/5 revenue-
+    concentration readout): customers ranked by exact int64-cents
+    revenue, cumulative share classified by INTEGER cross-multiplication
+    (running*10 <= total*8, running*100 <= total*95) so no float
+    threshold can flip a boundary customer between engines. One fact
+    aggregation, then the cumulative window over the |customers| frame
+    (the audit-stratum note applies at catalog scale: the ranked cumsum
+    is per-segment or sampled, like the other global-rank audits); the
+    class rollup is three rows."""
+    o = t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = rev.agg(F.sum("cents").cast("bigint").alias("total"))
+    w = Window.orderBy(
+        F.desc("cents"), F.asc("o_custkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = rev.select(
+        "o_custkey",
+        "cents",
+        F.sum("cents").over(w).cast("bigint").alias("running"),
+    ).crossJoin(F.broadcast(tot))
+    cls = cum.select(
+        "cents",
+        "total",
+        F.when(
+            F.col("running") * 10 <= F.col("total") * 8, F.lit("A")
+        )
+        .when(F.col("running") * 100 <= F.col("total") * 95, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return cls.groupBy("abc_class").agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.round(F.sum("cents") / 100.0, 2).alias("class_revenue"),
+        F.round(
+            F.sum("cents").cast("double") / F.first("total"), 6
+        ).alias("revenue_share"),
+    )
