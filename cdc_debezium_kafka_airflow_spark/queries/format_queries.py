@@ -1210,14 +1210,19 @@ def src_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id")
         )
 
-        def write_part(rows):
-            for r in rows:
-                with open(
-                    os.path.join(path, f"img_{r.doc_id:08d}.bmp"), "wb"
-                ) as fh:
-                    fh.write(render_bmp(r.doc_id))
-
-        imgs.foreachPartition(write_part)
+        # Driver-side export: a foreachPartition open() would write to
+        # EXECUTOR-local disks on a real cluster, leaving the driver-side
+        # _SUCCESS/fingerprint marking a partial corpus fresh. The fixture
+        # export is id-list-sized (streamed via toLocalIterator, never a
+        # full collect), so the driver writes every file to the shared
+        # path itself — the same place the markers go. A production-scale
+        # media dump would instead target an object store through a
+        # shared-filesystem API from the executors.
+        for r in imgs.toLocalIterator():
+            with open(
+                os.path.join(path, f"img_{r.doc_id:08d}.bmp"), "wb"
+            ) as fh:
+                fh.write(render_bmp(r.doc_id))
         open(os.path.join(path, "_SUCCESS"), "w").close()
         write_fingerprint(path, fp)
 

@@ -91,11 +91,30 @@ def _round_key() -> int:
     return 1 + len(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")))
 
 
-def _already_verified() -> set[str]:
-    """Names a PAST round's external harness already confirmed (keys of the
-    committed CORRECTNESS_r*.json files). Used only to PRIORITIZE rotation
-    toward never-checked names — still a pure function of the repo state,
-    so the driver and any re-run compute the same window."""
+def _row_green(row: object) -> bool:
+    """A driver row counts as confirmation only when every comparison the
+    harness ran actually PASSED. ``hash_match`` may be None for the weaker
+    rows-only check (non-SQL-expressible ops) — that still counts — but a
+    red/None rows_match, schema mismatch, or any ``err`` (e.g. the r05
+    ``no_oracle`` row for ext_bpe_tokenize) does not."""
+    if not isinstance(row, dict):
+        return False
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match") in (True, None)
+        and not row.get("err")
+    )
+
+
+def _already_verified() -> tuple[set[str], set[str]]:
+    """(green, red) name sets from committed CORRECTNESS_r*.json files.
+    ``green`` = names with at least one PASSING past driver row; ``red`` =
+    names the driver has checked but NEVER seen pass. Round 6's version
+    counted mere *presence* as seen, so a name whose only row was red
+    (ext_bpe_tokenize, r05) could not re-enter the ring until the whole
+    unseen pool drained — red names now jump the queue instead. Still a
+    pure function of repo state: driver and re-runs compute one window."""
     import glob as _glob
     import json as _json
     import os as _os
@@ -103,13 +122,20 @@ def _already_verified() -> set[str]:
     root = _os.path.dirname(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
-    seen: set[str] = set()
+    green: set[str] = set()
+    checked: set[str] = set()
     for path in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
         try:
-            seen |= set(_json.load(open(path)))
+            data = _json.load(open(path))
         except Exception:
             continue  # malformed artifact: fall back to plain rotation
-    return seen
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            checked.add(name)
+            if _row_green(row):
+                green.add(name)
+    return green, checked - green
 
 
 # Window slots not pinned to a sentinel ROTATE round-by-round through
@@ -126,18 +152,23 @@ def _already_verified() -> set[str]:
 _rotation_pool = sorted(
     k for k in _ALL_QUERIES if k not in set(_PRIORITY) and k in ORACLES
 )
-_seen = _already_verified()
-_unseen = [k for k in _rotation_pool if k not in _seen]
+_green, _red = _already_verified()
+# Ever-red-never-green names take GUARANTEED slots ahead of the ring: a
+# failed driver row means the fix needs a fresh row NOW, not after the
+# unseen pool drains (and the ring offset must not be able to skip them).
+_red_first = sorted(k for k in _rotation_pool if k in _red)
+_unseen = [k for k in _rotation_pool if k not in _green and k not in _red]
 _ring = _unseen if _unseen else _rotation_pool
 _slots = max(0, VERIFIED_WINDOW - len(_PRIORITY))
-if _ring and _slots:
+ROTATION: list[str] = _red_first[:_slots]
+_slots_left = _slots - len(ROTATION)
+if _ring and _slots_left:
     _off = ((_round_key() - 1) * _slots) % len(_ring)
-    ROTATION: list[str] = [
+    ROTATION += [
         _ring[(_off + _i) % len(_ring)]
-        for _i in range(min(_slots, len(_ring)))
+        for _i in range(min(_slots_left, len(_ring)))
+        if _ring[(_off + _i) % len(_ring)] not in ROTATION
     ]
-else:
-    ROTATION = []
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _ALL_QUERIES[name] for name in _PRIORITY

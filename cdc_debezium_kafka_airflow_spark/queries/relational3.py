@@ -1419,7 +1419,11 @@ def ab_ztest_readout(g: DataFrame) -> DataFrame:
         side("n", 1).alias("n_b"),
         side("s1", 1).alias("s1b"),
         side("s2", 1).alias("s2b"),
-    )
+    # A group missing one variant (possible if every user_id in an
+    # event_type shares parity) pivots to NULL n_a/n_b here, while the
+    # oracle's inner self-join (a.variant=0 AND b.variant=1) drops it —
+    # filter to match the oracle's inner-join semantics exactly.
+    ).filter(F.col("n_a").isNotNull() & F.col("n_b").isNotNull())
     ma = F.col("s1a").cast("double") / F.col("n_a")
     mb = F.col("s1b").cast("double") / F.col("n_b")
     va = F.col("s2a").cast("double") / F.col("n_a") - ma * ma

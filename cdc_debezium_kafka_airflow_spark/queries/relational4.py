@@ -1662,7 +1662,8 @@ def fn_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH clipped AS (
       SELECT event_type,
-             least(CAST(round(value * 100) AS BIGINT), 10000)
+             greatest(least(CAST(round(value * 100) AS BIGINT), 10000),
+                      CAST(0 AS BIGINT))
                AS cents_clipped
       FROM events
     ),
@@ -1684,10 +1685,12 @@ def fn_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, n_true, sum_true_cents,
              n_true + (-1.0
                * (CASE WHEN u_count < 0 THEN -1.0 ELSE 1.0 END)
-               * ln(1.0 - 2.0 * abs(u_count))) AS n_released_raw,
+               * ln(greatest(1.0 - 2.0 * abs(u_count), 1e-12)))
+               AS n_released_raw,
              sum_true_cents + (-10000.0
                * (CASE WHEN u_sum < 0 THEN -1.0 ELSE 1.0 END)
-               * ln(1.0 - 2.0 * abs(u_sum))) AS sum_released_raw
+               * ln(greatest(1.0 - 2.0 * abs(u_sum), 1e-12)))
+               AS sum_released_raw
       FROM seeded
     )
     SELECT event_type, n_true,
@@ -1719,10 +1722,16 @@ def sec_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines. Plan: clip map-side, one partial-agged aggregation to
     |groups| rows; the noise stage is per-group scalar arithmetic."""
     e = t(spark, sf_dir, "events")
+    # TWO-SIDED clip [0, 10000] — the L1 sensitivity bound (and hence the
+    # eps=1 Laplace calibration below) must hold by construction, not
+    # because the fixture happens to have value >= 0.
     clipped = e.select(
         "event_type",
-        F.least(
-            F.round(F.col("value") * 100).cast("bigint"), F.lit(10000)
+        F.greatest(
+            F.least(
+                F.round(F.col("value") * 100).cast("bigint"), F.lit(10000)
+            ),
+            F.lit(0).cast("bigint"),
         ).alias("cents_clipped"),
     )
     g = clipped.groupBy("event_type").agg(
@@ -1741,8 +1750,19 @@ def sec_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         return h / F.lit(4294967296.0) - F.lit(0.5)
 
     def laplace(u, b: float):
+        # greatest(..., 1e-12) guards the u == -0.5 edge (md5 prefix
+        # 00000000) where Spark's log(0) returns NULL but DuckDB's ln(0)
+        # raises — same guard on both sides keeps the op tree identical.
         sign = F.when(u < 0, F.lit(-1.0)).otherwise(F.lit(1.0))
-        return F.lit(-b) * sign * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u))
+        return (
+            F.lit(-b)
+            * sign
+            * F.log(
+                F.greatest(
+                    F.lit(1.0) - F.lit(2.0) * F.abs(u), F.lit(1e-12)
+                )
+            )
+        )
 
     u_count = hash_uniform("|count")
     u_sum = hash_uniform("|sum")

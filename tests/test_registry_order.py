@@ -63,11 +63,12 @@ def test_rotation_slots_are_oracle_backed():
 
 
 def test_rotation_fills_window_and_is_deterministic():
-    """The non-sentinel window slots rotate: they fill the window exactly,
-    never collide with the pinned head, come from the name-sorted ring of
-    NEVER-DRIVER-CHECKED oracle-backed names (falling back to the whole
-    pool only once everything has a past CORRECTNESS row) at the
-    round-keyed offset, and a re-import would select the same set."""
+    """The non-sentinel window slots rotate: ever-red-never-green names
+    take GUARANTEED leading slots (a failed driver row needs a fresh one
+    NOW), the rest come from the name-sorted ring of NEVER-GREEN
+    oracle-backed names (falling back to the whole pool only once
+    everything has a green CORRECTNESS row) at the round-keyed offset,
+    and a re-import would select the same set."""
     head = list(registry.QUERIES)[: len(registry._PRIORITY)]
     rotation = list(registry.QUERIES)[
         len(registry._PRIORITY) : registry.VERIFIED_WINDOW
@@ -80,12 +81,38 @@ def test_rotation_fills_window_and_is_deterministic():
         for k in registry.QUERIES
         if k not in set(registry._PRIORITY) and k in registry.ORACLES
     )
-    seen = registry._already_verified()
-    ring = [k for k in pool if k not in seen] or pool
+    green, red = registry._already_verified()
     slots = registry.VERIFIED_WINDOW - len(registry._PRIORITY)
+    red_first = sorted(k for k in pool if k in red)[:slots]
+    assert rotation[: len(red_first)] == red_first
+    ring = [k for k in pool if k not in green and k not in red] or pool
     off = ((registry._round_key() - 1) * slots) % len(ring)
-    assert rotation == [ring[(off + i) % len(ring)] for i in range(slots)]
-    # the whole point: while unchecked names exist, every rotated slot
+    slots_left = slots - len(red_first)
+    expect_tail = [
+        ring[(off + i) % len(ring)]
+        for i in range(min(slots_left, len(ring)))
+        if ring[(off + i) % len(ring)] not in red_first
+    ]
+    assert rotation[len(red_first):] == expect_tail
+    # the whole point: while never-green names exist, every rotated slot
     # must be one of them
     if len(ring) >= slots and ring is not pool:
-        assert not set(rotation) & seen
+        assert not set(rotation) & green
+
+
+def test_red_rows_do_not_count_as_seen():
+    """Round-6 regression: a name whose ONLY driver row failed (r05's
+    ext_bpe_tokenize err=no_oracle) must re-enter the window immediately,
+    not after the unseen pool drains."""
+    assert not registry._row_green({"rows_match": None, "err": "no_oracle"})
+    assert not registry._row_green(
+        {"rows_match": True, "schema_match": True, "hash_match": False,
+         "err": None}
+    )
+    # rows-only weaker check (hash_match None, no err) still counts green
+    assert registry._row_green(
+        {"rows_match": True, "schema_match": True, "hash_match": None,
+         "err": None}
+    )
+    green, red = registry._already_verified()
+    assert not green & red
