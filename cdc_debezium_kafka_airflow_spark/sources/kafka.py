@@ -20,6 +20,17 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 DEFAULT_TOPIC_PATTERN = "mysql-server\\.pos_bi_db\\..*"
 
+#: The column contract Spark's Kafka source emits (Structured Streaming
+#: Kafka integration guide — "Each row in the source has the following
+#: schema"). ``_project`` consumes exactly this shape; the changelog
+#: fixture (cdc_fixture.build_changelog) must land on ``_project``'s
+#: OUTPUT shape so every downstream operator is wire-compatible with a
+#: real broker. tests/test_kafka_wire_format.py pins both identities.
+KAFKA_SOURCE_DDL = (
+    "key binary, value binary, topic string, partition int, "
+    "offset bigint, timestamp timestamp, timestampType int"
+)
+
 
 def _project(records: DataFrame) -> DataFrame:
     """Kafka source columns -> the engine's changelog record shape."""

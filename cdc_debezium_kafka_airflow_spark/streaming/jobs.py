@@ -1586,9 +1586,13 @@ def streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(index_dir, ignore_errors=True)
 
     file_schema = spark.read.parquet(replay_dir).schema
+    # 8 replay files / 4 per trigger = TWO micro-batches — the minimal
+    # count that still falsifies cross-batch index accumulation (batch 2
+    # must append beside batch 1's partitions, not overwrite); the earlier
+    # 4-batch replay exercised that same transition three times over
     stream = (
         spark.readStream.schema(file_schema)
-        .option("maxFilesPerTrigger", "2")
+        .option("maxFilesPerTrigger", "4")
         .parquet(replay_dir)
     )
 
@@ -2636,7 +2640,7 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's next event arrives beyond the gap (in-data close) OR the state
     times out because the event-time watermark passed last_ts + gap
     (timeout close — how a production sessionizer emits a user who simply
-    left). The replay is four chronological ~8-day files, one per
+    left). The replay is three chronological ~10-day slices, one per
     micro-batch, so watermarks genuinely advance BETWEEN batches and the
     timeout path actually fires; Spark's trailing no-data micro-batch
     (noDataMicroBatches, on by default) flushes the last timeouts.
@@ -2672,17 +2676,23 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slice parses on 8 cores instead of one. Slice-by-slice writes keep
     # modification-time order (the file source's order) across slices;
     # order within a slice is free (the state fn sorts per user anyway).
-    fp = source_fingerprint(sf_dir, "events") + ":sess4x8"
+    # THREE ~10-day slices (was four ~8-day): the timeout-close transition
+    # needs the watermark to advance past last_ts+gap BETWEEN batches, which
+    # slices 1->2 and 2->3 each provide; the trailing no-data micro-batch
+    # still flushes the final timeouts. A fourth slice re-ran the same
+    # transition once more for ~1 s of replay overhead. Slice width (10 d)
+    # stays far above the 12 h gap, so the cross-close consistency argument
+    # in the docstring is unchanged.
+    fp = source_fingerprint(sf_dir, "events") + ":sess3x8"
     if not cache_is_fresh(replay_dir, fp):
         shutil.rmtree(replay_dir, ignore_errors=True)
         e = load_table(spark, sf_dir, "events").select(
             "ts", "user_id", "event_id"
         )
         bounds = [
-            ("2024-01-01", "2024-01-09"),
-            ("2024-01-09", "2024-01-17"),
-            ("2024-01-17", "2024-01-25"),
-            ("2024-01-25", "2024-02-01"),
+            ("2024-01-01", "2024-01-11"),
+            ("2024-01-11", "2024-01-22"),
+            ("2024-01-22", "2024-02-01"),
         ]
         for i, (lo, hi) in enumerate(bounds):
             mode = "overwrite" if i == 0 else "append"
@@ -2777,8 +2787,8 @@ def txn_consistent_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     transaction that straddles a micro-batch boundary is therefore never
     half-applied — its early rows wait in the buffer with its late rows.
 
-    Mechanics: a 4-slice CHRONOLOGICAL replay of the serialized changelog
-    (offset quartiles, one file per trigger — the same replay discipline
+    Mechanics: a 3-slice CHRONOLOGICAL replay of the serialized changelog
+    (offset terciles, one slice per trigger — the same replay discipline
     as stream_session_timeout, so the gate genuinely advances between
     batches); per batch, pending ∪ batch splits on the running max txn id
     (one bounded 1-row collect), committed rows append to an apply log,
@@ -2802,19 +2812,25 @@ def txn_consistent_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
     replay_dir = os.path.join("/root/repo/.cache", f"changelog_chrono_{tag}")
-    # 8 files per chronological quarter + maxFilesPerTrigger=8: each trigger
-    # consumes exactly one quarter, and the quarter parses on 8 cores instead
+    # 8 files per chronological tercile + maxFilesPerTrigger=8: each trigger
+    # consumes exactly one tercile, and the tercile parses on 8 cores instead
     # of one (a single coalesce(1) file made every micro-batch's JSON parse
     # single-threaded — measured 8.3s -> ~5.8s warm at sf0.1). Files written
     # slice-by-slice so modification-time order (the file source's order)
     # preserves chronology ACROSS slices; order within a slice is free.
-    fp = source_fingerprint(sf_dir, "events") + ":chrono4x8"
+    # THREE chronological slices, not four: the straddle transition (a
+    # transaction's early rows parked in the pending buffer until the next
+    # batch proves the commit) fires at every slice BOUNDARY, so 3 slices
+    # exercise it twice — the minimal count that still falsifies both the
+    # buffer-drain and the buffer-refill paths (4 slices re-ran the same
+    # transition a third time for ~1 s/run of pure replay overhead).
+    fp = source_fingerprint(sf_dir, "events") + ":chrono3x8"
     if not cache_is_fresh(replay_dir, fp):
         shutil.rmtree(replay_dir, ignore_errors=True)
         batch = build_changelog(load_table(spark, sf_dir, "events"))
         mx = batch.agg(F.max("offset").alias("m")).collect()[0].m
-        bounds = [0, mx // 4, mx // 2, (3 * mx) // 4, mx + 1]
-        for i in range(4):
+        bounds = [0, mx // 3, (2 * mx) // 3, mx + 1]
+        for i in range(3):
             mode = "overwrite" if i == 0 else "append"
             batch.filter(
                 (F.col("offset") >= bounds[i])
