@@ -13,6 +13,7 @@ from cdc_debezium_kafka_airflow_spark.queries import (
     relational2,
     relational3,
     relational4,
+    relational5,
     tpch_decision,
     format_queries,
     streaming_queries,
@@ -25,6 +26,7 @@ _MODULES = [
     relational2,
     relational3,
     relational4,
+    relational5,
     tpch_decision,
     cdc_queries,
     ext_queries,

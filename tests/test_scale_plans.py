@@ -854,3 +854,78 @@ def test_asof_nearest_single_exchange_two_sorts(spark, sf_dir):
     assert plan.count("Window") == 2
     assert "Join" not in plan  # union + windows, not a join node
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_link_prediction_capped_codegen_join_heap_topk(spark, sf_dir):
+    """Pair generation must stay a whole-stage-codegen shuffle join with
+    map-side pair combining (the interpreted array-pairing form measured
+    3x slower at ~30 neighbors/node), the hot-node cap must appear as a
+    semi join, and the top-20 must be a heap, not a global sort."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational5 import (
+        graph_link_prediction,
+    )
+
+    df = graph_link_prediction(spark, sf_dir)
+    plan = _plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_" in plan  # pair counts combine before the exchange
+    assert "LeftSemi" in plan  # the <=64-neighbor hot-node cap
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_winnowing_no_inferred_filter_blowup(spark, sf_dir):
+    """ext_winnowing_fingerprint regression guard: plain explode() lets
+    InferFiltersFromGenerate push an inferred size(fps) > 0 predicate
+    below the projections, INLINING the whole O(n) k-gram HOF chain into
+    a Filter evaluated per row (observed multi-minute hang). The
+    optimized plan must carry no Filter containing the k-gram transform,
+    and sharing must be ONE window over the fingerprint hash (no join
+    back)."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational5 import (
+        ext_winnowing_fingerprint,
+    )
+
+    df = ext_winnowing_fingerprint(spark, sf_dir)
+    opt = _optimized(df)
+    for line in opt.splitlines():
+        if line.strip().startswith("+- Filter") or line.strip().startswith(
+            "Filter"
+        ):
+            assert "sequence(8" not in line, "inferred filter inlined HOFs"
+    assert "Join" not in opt  # sharing via window, not join-back
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_offset_gap_audit_shares_topic_partitioning(spark, sf_dir):
+    """The lag window and the per-topic aggregation both key on topic, so
+    the plan must contain exactly ONE exchange beyond the fixture replay's
+    own spread (window hashpartitioning(topic) feeding a partial-agged
+    final agg with no second shuffle on topic), and the unused JSON
+    envelope columns must be pruned before the window."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational5 import (
+        cdc_offset_gap_audit,
+    )
+
+    df = cdc_offset_gap_audit(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("hashpartitioning(topic") == 1
+    assert "to_json" not in plan  # envelope serialization pruned away
+    assert "partial_" in plan
+
+
+def test_autocorr_collapses_corpus_before_lag_arithmetic(spark, sf_dir):
+    """The raw events table must reach only the one day-aggregation
+    (map-side combined); every lag/product runs on the |days| frame. The
+    deviation products must be decimal (exact), not double."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational5 import (
+        ts_autocorr,
+    )
+
+    df = ts_autocorr(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("FileScan parquet") == 1  # corpus scanned ONCE
+    assert "partial_" in plan
+    opt = _optimized(df)
+    assert "decimal(38,0)" in opt
