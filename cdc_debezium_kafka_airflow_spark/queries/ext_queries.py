@@ -5402,21 +5402,29 @@ def ext_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(F.col("doc_id"))
     )
     ch = cdc_chunk_hashes(d)
-    freq = ch.groupBy("chash").agg(
-        F.count_distinct("doc_id").alias("ndocs")
+    # "shared by >= 2 DISTINCT docs" via ONE window over the chunk hash:
+    # min(doc_id) != max(doc_id) within the hash partition. The previous
+    # groupBy(chash) + join-back re-evaluated the whole per-char chunk
+    # pipeline on BOTH join inputs (same fix as ext_winnowing_fingerprint;
+    # measured ~4.6 -> ~2.9 s at sf0.1).
+    from pyspark.sql.window import Window as _W
+
+    wh = _W.partitionBy("chash")
+    marked = ch.select(
+        "doc_id",
+        (F.min("doc_id").over(wh) != F.max("doc_id").over(wh)).alias(
+            "is_shared"
+        ),
     )
-    shared = F.sum(
-        F.when(F.col("ndocs") >= 2, 1).otherwise(0)
-    ).cast("bigint")
+    shared = F.sum(F.when(F.col("is_shared"), 1).otherwise(0))
     return (
-        ch.join(freq, "chash")
+        marked
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_chunks"),
-            shared.alias("n_shared"),
+            shared.cast("bigint").alias("n_shared"),
             F.round(
-                F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
-                / F.count("*").cast("double"),
+                shared / F.count("*").cast("double"),
                 6,
             ).alias("shared_frac"),
         )

@@ -1209,3 +1209,271 @@ def ext_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(obs, 6).alias("obs_rate"),
         (mean_conf > obs).alias("overconfident"),
     )
+
+
+_BUCKET = f"CAST(('0x' || substr(md5({_NORM}), 1, 8)) AS BIGINT) % 100"
+
+
+@q(
+    "ext_token_entropy",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_NORM} AS tx, length({_NORM}) AS n FROM documents
+      WHERE length({_NORM}) >= 1
+    ),
+    c AS (
+      SELECT doc_id, n,
+             list_transform(range(1, n + 1),
+               i -> substr(tx, CAST(i AS INT), 1)) AS chars
+      FROM d
+    ),
+    e AS (
+      SELECT doc_id, n,
+             CAST(len(list_distinct(chars)) AS BIGINT) AS n_distinct,
+             CAST(list_aggregate(list_transform(list_distinct(chars),
+               ch -> CAST(round(len(list_filter(chars, x -> x = ch))
+                                * ln(CAST(len(list_filter(chars, x -> x = ch))
+                                          AS DOUBLE)) * 1000000)
+                          AS BIGINT)), 'sum') AS BIGINT) AS term_e6
+      FROM c
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars, n_distinct,
+           round(ln(CAST(n AS DOUBLE)) - term_e6 / 1000000.0 / n, 6)
+             AS entropy_nats
+    FROM e
+    """,
+)
+def ext_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the compressibility
+    quality signal (near-zero entropy = repeated boilerplate, the thing
+    ext_repetition_filter catches structurally; entropy catches it
+    information-theoretically, and the two disagree exactly on
+    interesting documents). Computed via H = ln(n) - (sum c*ln(c))/n over
+    per-character counts, ENTIRELY inside one map stage: distinct chars,
+    their counts, and the sum are array HOFs per row — no explode, no
+    shuffle at all until the (absent) consumer aggregates.
+    Determinism: each c*ln(c) term is rounded to an exact 1e-6 integer
+    BEFORE the sum (sum of int64 is order-free; a raw double sum over a
+    HOF array would be fixed-order anyway, but the int form also survives
+    any engine reordering list_distinct is allowed to do); the tail is a
+    fixed ln/divide/subtract tree rounded to 6. Alphabet is bounded, so
+    the per-row cost is O(|alphabet| * n)."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.lower(
+                F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+            ).alias("tx"),
+        )
+        .filter(F.length("tx") >= 1)
+        .repartition(F.col("doc_id"))
+    )
+    c = d.select(
+        "doc_id",
+        F.length("tx").alias("n"),
+        F.expr("split(tx, '')").alias("chars"),
+    )
+    e = c.select(
+        "doc_id",
+        "n",
+        F.expr("size(array_distinct(chars))").cast("bigint").alias(
+            "n_distinct"
+        ),
+        F.expr(
+            "aggregate(transform(array_distinct(chars),"
+            " ch -> CAST(round(size(filter(chars, x -> x = ch))"
+            "  * ln(CAST(size(filter(chars, x -> x = ch)) AS DOUBLE))"
+            "  * 1000000) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias("term_e6"),
+    )
+    return e.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars"),
+        "n_distinct",
+        F.round(
+            F.log(F.col("n").cast("double"))
+            - F.col("term_e6") / 1000000.0 / F.col("n"),
+            6,
+        ).alias("entropy_nats"),
+    )
+
+
+@q(
+    "ext_ngram_novelty",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {_NORM} AS tx, {_BUCKET} AS bucket
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, source, bucket >= 90 AS is_test,
+             list_filter(string_split(tx, ' '), x -> x <> '') AS ws
+      FROM d
+    ),
+    bg AS (
+      SELECT doc_id, source, is_test,
+             unnest(list_distinct(list_transform(
+               range(1, greatest(len(ws) - 1, 0) + 1),
+               i -> ws[i] || ' ' || ws[i+1]))) AS sg
+      FROM toks WHERE len(ws) >= 2
+    ),
+    train_types AS (SELECT DISTINCT sg FROM bg WHERE NOT is_test),
+    test_types AS (
+      SELECT source, sg FROM bg WHERE is_test GROUP BY source, sg
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_test_types,
+           CAST(count(CASE WHEN t.sg IS NULL THEN 1 END) AS BIGINT)
+             AS n_novel_types,
+           1000000 * count(CASE WHEN t.sg IS NULL THEN 1 END) // count(*)
+             AS novelty_ppm
+    FROM test_types tt LEFT JOIN train_types t USING (sg)
+    GROUP BY source
+    """,
+)
+def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram novelty of the held-out split vs the training split — the
+    generalization/memorization dial: a test set whose n-gram types are
+    almost all present in training measures memorization, not learning
+    (and the same statistic run between corpus snapshots is the
+    freshness/drift readout). Splits reuse the repo-wide content-hash
+    bucket (>= 90 = held-out, the ext_dedup_incremental convention);
+    bigram TYPES are per-doc distinct word 2-grams; novelty is an exact
+    ppm via int64 floor division.
+    Scale: bigram typing is map-side HOF; the type tables aggregate to
+    |distinct bigrams|; novelty is one left join keyed on the bigram (a
+    broadcastable build side once the train types fit, a shuffle join
+    otherwise — Spark picks)."""
+    from cdc_debezium_kafka_airflow_spark.operators.dedup import (
+        word_shingles,
+    )
+    from cdc_debezium_kafka_airflow_spark.operators.sampling import (
+        content_bucket,
+    )
+    from cdc_debezium_kafka_airflow_spark.operators.text import (
+        normalize_text,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        normalize_text(F.col("text")).alias("tx"),
+    )
+    toks = d.select(
+        "doc_id",
+        "source",
+        (content_bucket(F.col("tx")) >= 90).alias("is_test"),
+        word_shingles(F.col("tx"), 2).alias("bgs"),
+        F.size(F.filter(F.split(F.col("tx"), " "), lambda x: x != ""))
+        .alias("nw"),
+    ).filter(F.col("nw") >= 2)
+    bg = toks.select(
+        "source", "is_test", F.explode_outer("bgs").alias("sg")
+    )
+    train_types = (
+        bg.filter(~F.col("is_test")).select("sg").distinct()
+        .withColumn("in_train", F.lit(1))
+    )
+    test_types = (
+        bg.filter(F.col("is_test")).select("source", "sg").distinct()
+    )
+    j = test_types.join(train_types, "sg", "left")
+    novel = F.count(F.when(F.col("in_train").isNull(), 1))
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_test_types"),
+        novel.cast("bigint").alias("n_novel_types"),
+        F.expr(
+            "1000000 * count(CASE WHEN in_train IS NULL THEN 1 END)"
+            " div count(*)"
+        ).alias("novelty_ppm"),
+    )
+
+
+@q(
+    "agg_cohort_ltv",
+    """
+    WITH first_order AS (
+      SELECT o_custkey AS c,
+             min(date_trunc('month', o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    sized AS (
+      SELECT cohort_month, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM first_order GROUP BY cohort_month
+    ),
+    monthly AS (
+      SELECT f.cohort_month,
+             (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+             - (year(f.cohort_month) * 12 + month(f.cohort_month))
+               AS month_idx,
+             CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active,
+             CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders o JOIN first_order f ON f.c = o.o_custkey
+      GROUP BY f.cohort_month,
+               (year(o.o_orderdate) * 12 + month(o.o_orderdate))
+               - (year(f.cohort_month) * 12 + month(f.cohort_month))
+    )
+    SELECT CAST(m.cohort_month AS TIMESTAMP) AS cohort_month,
+           CAST(m.month_idx AS BIGINT) AS month_idx,
+           m.n_active, s.cohort_size, m.rev_cents,
+           CAST(sum(m.rev_cents) OVER (PARTITION BY m.cohort_month
+                  ORDER BY m.month_idx) AS BIGINT) AS cum_cents,
+           CAST(sum(m.rev_cents) OVER (PARTITION BY m.cohort_month
+                  ORDER BY m.month_idx) AS BIGINT) // s.cohort_size
+             AS ltv_cents_per_customer
+    FROM monthly m JOIN sized s USING (cohort_month)
+    """,
+)
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve — retention_cohort's monetary twin: per
+    acquisition cohort (month of first order) and month index, active
+    customers, revenue, cumulative revenue, and cumulative LTV per
+    cohort member (the curve a growth team flattens into CAC payback).
+    Month index is pure integer calendar arithmetic ((y*12+m) deltas —
+    Spark's months_between is FRACTIONAL and would diverge from DuckDB's
+    date_diff); money is int64 cents; per-customer LTV is truncating
+    int64 division.
+    Scale: first-order frame is one agg keyed by customer; the join back
+    is on the same key (co-partitioned); the cumulative window runs per
+    cohort over |months| rows."""
+    o = t(spark, sf_dir, "orders")
+    first_order = o.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.min(F.date_trunc("month", "o_orderdate")).alias("cohort_month")
+    )
+    sized = first_order.groupBy("cohort_month").agg(
+        F.count("*").cast("bigint").alias("cohort_size")
+    )
+    mi = (
+        F.year("o_orderdate") * 12
+        + F.month("o_orderdate")
+        - (F.year("cohort_month") * 12 + F.month("cohort_month"))
+    )
+    monthly = (
+        o.join(first_order, o.o_custkey == first_order.c)
+        .groupBy("cohort_month", mi.alias("month_idx"))
+        .agg(
+            F.count_distinct("o_custkey").cast("bigint").alias("n_active"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents"),
+        )
+    )
+    wc = Window.partitionBy("cohort_month").orderBy("month_idx")
+    cum = F.sum("rev_cents").over(wc).cast("bigint")
+    return (
+        monthly.join(F.broadcast(sized), "cohort_month")
+        .select(
+            "cohort_month",
+            F.col("month_idx").cast("bigint").alias("month_idx"),
+            "n_active",
+            "cohort_size",
+            "rev_cents",
+            cum.alias("cum_cents"),
+            F.expr(
+                "CAST(sum(rev_cents) OVER (PARTITION BY cohort_month"
+                " ORDER BY month_idx) AS BIGINT) div cohort_size"
+            ).alias("ltv_cents_per_customer"),
+        )
+    )
