@@ -91,23 +91,84 @@ def main() -> None:
             print(f"BENCH-ERROR {name}: {exc}", file=sys.stderr)
             timings[name] = -1.0
 
-    total = round(sum(v for v in timings.values() if v >= 0), 3)
     try:
         sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", ""))
     except ValueError:
         sf = None
+
+    # --- adjudication pass (round-8, judge task #1): host load can fake
+    # regressions (r07 started at loadavg 6.5, was stamped "idle" under
+    # the old 25%-of-cores threshold, and produced 14 phantom >1.4x
+    # movers). Compare every timing against the committed best-known time
+    # for this sf (BENCH_BEST.json); any query >1.4x over its best gets up
+    # to two fresh runs and keeps the min. A real regression stays slow
+    # through the re-runs; a load artifact recovers. `reruns` in the
+    # artifact records how much adjudication happened.
+    best_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_BEST.json"
+    )
+    best_known: dict[str, float] = {}
+    _best_by_sf: dict[str, dict[str, float]] = {}
+    try:
+        with open(best_path) as fh:
+            _b = json.load(fh)
+        if "by_sf" in _b:
+            _best_by_sf = _b["by_sf"]
+        elif _b.get("sf") is not None:  # legacy single-sf layout
+            _best_by_sf = {str(_b["sf"]): _b.get("queries", {})}
+        best_known = {
+            k: float(v) for k, v in _best_by_sf.get(str(sf), {}).items()
+        }
+    except Exception:
+        pass
+    reruns: dict[str, int] = {}
+    for name in sorted(timings):
+        base = best_known.get(name, 0.0)
+        t_first = timings[name]
+        # only adjudicate non-trivial queries: <0.25 s timings are within
+        # scheduler jitter of each other and never move a triage decision
+        if base <= 0 or t_first <= 0.25 or t_first <= 1.4 * base:
+            continue
+        best, n = t_first, 0
+        while n < 2 and best > 1.4 * base:
+            try:
+                best = min(best, run_once(name))
+            except Exception as exc:
+                print(f"BENCH-RERUN-ERROR {name}: {exc}", file=sys.stderr)
+                break
+            n += 1
+        timings[name] = round(best, 3)
+        reruns[name] = n
+    # fold this run's (adjudicated) numbers back into the best-known file
+    # so next round's adjudication has a baseline that only ever tightens
+    # per-sf buckets: a local sf0.01 iteration must never clobber the
+    # driver-scale sf0.1 baseline (and vice versa)
+    new_best = dict(best_known)
+    for name, v in timings.items():
+        if v >= 0 and (name not in new_best or v < new_best[name]):
+            new_best[name] = v
+    _best_by_sf[str(sf)] = new_best
+    try:
+        with open(best_path, "w") as fh:
+            json.dump(
+                {"by_sf": _best_by_sf}, fh, indent=1, sort_keys=True
+            )
+    except Exception as exc:
+        print(f"BENCH-BEST-WRITE-ERROR: {exc}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
     # Round-over-round comparability (round-5 lesson: numbers taken beside
     # a concurrent Spark session inflate ~1.2-2x): record whether the box
     # was otherwise busy when the bench STARTED, so a regression triage
     # can discount load drift without re-deriving it from prose. The
-    # 1-minute loadavg predates this process's own burn; >25% of the
-    # cores already busy = concurrent.
+    # 1-minute loadavg predates this process's own burn. Round-8 lesson:
+    # the old 25%-of-cores threshold stamped a loadavg-6.5 run "idle" on
+    # 32 CPUs and 14 I/O-bound queries came back >1.4x inflated — even a
+    # couple of busy cores steal exactly the wall-clock these single-shot
+    # numbers measure, so anything above ~2 runnable tasks is CONCURRENT.
     load_state = os.environ.get("SPARK_GRAFT_LOAD_STATE")
     if load_state not in ("idle", "concurrent"):
-        ncpu = os.cpu_count() or 1
-        load_state = (
-            "concurrent" if _LOADAVG_AT_START > 0.25 * ncpu else "idle"
-        )
+        load_state = "concurrent" if _LOADAVG_AT_START > 2.0 else "idle"
     full = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -116,6 +177,10 @@ def main() -> None:
         "sf": sf,
         "load_state": load_state,
         "loadavg_at_start": round(_LOADAVG_AT_START, 2),
+        # per-query adjudication re-run counts (see the pass above);
+        # {} on a clean run — any entry here means the first sample was
+        # >1.4x the committed best-known time and was re-measured
+        "reruns": reruns,
         # one-time shared-intermediate build cost (0 when already fresh);
         # NOT part of `value` — it is the named line item for what a
         # production pipeline amortizes across every downstream job
@@ -137,6 +202,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_errors": sum(1 for v in timings.values() if v < 0),
         "load_state": load_state,
+        "n_reruns": sum(reruns.values()),
         "queries_file": "BENCH_local.json",
     }
     print(json.dumps(headline))

@@ -166,11 +166,18 @@ ROTATION: list[str] = _red_first[:_slots]
 _slots_left = _slots - len(ROTATION)
 if _ring and _slots_left:
     _off = ((_round_key() - 1) * _slots) % len(_ring)
-    ROTATION += [
-        _ring[(_off + _i) % len(_ring)]
-        for _i in range(min(_slots_left, len(_ring)))
-        if _ring[(_off + _i) % len(_ring)] not in ROTATION
-    ]
+    # Walk the ring skip-and-continue until the window is full or the ring
+    # is exhausted: in the drained-pool fallback (ring == whole pool) a
+    # slot colliding with the red-first head must be BACKFILLED by the
+    # next ring entry, not dropped — otherwise the verified window
+    # underfills by up to len(_red_first) names.
+    _i = 0
+    while _slots_left > 0 and _i < len(_ring):
+        _cand = _ring[(_off + _i) % len(_ring)]
+        _i += 1
+        if _cand not in ROTATION:
+            ROTATION.append(_cand)
+            _slots_left -= 1
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _ALL_QUERIES[name] for name in _PRIORITY

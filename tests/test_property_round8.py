@@ -1,0 +1,163 @@
+"""Round-8 regression tests: the divergence classes flagged by the round-7
+judge/advisor, pinned so they stay closed.
+
+1. ab_ztest_readout on a one-variant moment frame must DROP the group
+   (matching the oracle's inner self-join) — the latent class behind the
+   round-7 ADVICE z-test fix.
+2. cdc_ordering_audit's inversion_ppm must be 0 (not NULL, not an error)
+   for a single-record topic, on both engines.
+3. ts_autocorr must never emit a NULL-acf row: every returned lag has
+   n_terms >= 1 even when the day count is smaller than the max lag.
+4. ext_calibration_curve's integer sigmoid must equal the exact rational
+   0.5 + 0.5*d/(20+|d|) computed in Python big-int arithmetic, for every
+   n_tokens the fixture produces — zero doubles before display rounding.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import Row, functions as F
+
+
+def test_ztest_readout_drops_single_variant_group(spark):
+    """A group whose every user shares parity pivots to NULL n_a or n_b;
+    the oracle's inner self-join (a.variant=0 AND b.variant=1) emits no
+    row for it, so the readout must drop it — not emit NULLs."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational3 import (
+        ab_ztest_readout,
+    )
+
+    g = spark.createDataFrame(
+        [
+            # complete group: both variants present
+            Row(event_type="purchase", variant=0, n=4, s1=400, s2=41000),
+            Row(event_type="purchase", variant=1, n=5, s1=450, s2=42000),
+            # one-variant groups in BOTH directions
+            Row(event_type="only_a", variant=0, n=3, s1=300, s2=31000),
+            Row(event_type="only_b", variant=1, n=2, s1=220, s2=24400),
+        ]
+    )
+    out = ab_ztest_readout(g).collect()
+    kept = {r.event_type for r in out}
+    assert kept == {"purchase"}
+    row = out[0]
+    assert row.n_a == 4 and row.n_b == 5
+    # no NULLs leak through on the surviving row
+    assert all(v is not None for v in row.asDict().values())
+
+
+def test_ordering_audit_single_record_topic_ppm_zero(spark):
+    """n_pairs = 0 (single-record topic) must yield inversion_ppm = 0 on
+    BOTH engines: unguarded, Spark `div` returns NULL while DuckDB `//`
+    raises — the exact query/oracle divergence ADVICE round-7 flagged."""
+    import re
+
+    from cdc_debezium_kafka_airflow_spark.queries.registry import ORACLES
+
+    sql = ORACLES["cdc_ordering_audit"]
+    con = duckdb.connect()
+    # a 1-row events table routes to ONE topic with one record
+    con.execute(
+        "CREATE VIEW events AS SELECT 1 AS event_id,"
+        " TIMESTAMP '2024-01-01 00:00:00' AS ts,"
+        " 10 AS user_id, 'view' AS event_type, 1.0 AS value,"
+        " 'mobile' AS channel"
+    )
+    try:
+        rows = con.execute(sql).fetchall()
+    except Exception as exc:  # unguarded `//` raises division-by-zero
+        pytest.fail(f"oracle diverged on n_pairs=0: {exc}")
+    assert len(rows) == 1
+    cols = [d[0] for d in con.description]
+    row = dict(zip(cols, rows[0]))
+    assert row["n_pairs"] == 0
+    assert row["inversion_ppm"] == 0
+    # and the Spark side is guarded with the same CASE
+    from cdc_debezium_kafka_airflow_spark.queries import relational5
+
+    src = open(relational5.__file__.rstrip("c")).read()
+    assert re.search(r"CASE WHEN n_pairs > 0.*div n_pairs", src, re.S)
+
+
+def test_autocorr_never_emits_null_acf(spark, tmp_path):
+    """With only 3 distinct days, lags 3..7 have zero pairs: the oracle's
+    inner join emits no row for them, so Spark must not emit NULL-acf
+    rows (ADVICE round-7). Returned lags are exactly {1, 2}."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational5 import (
+        ts_autocorr,
+    )
+
+    def events(value_fn, path):
+        rows = [
+            Row(
+                event_id=i,
+                ts=f"2024-01-0{1 + i % 3} 00:00:00",
+                user_id=i,
+                event_type="view",
+                value=value_fn(i),
+                channel="web",
+            )
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(rows).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        df.write.mode("overwrite").parquet(path + "/events.parquet")
+        return path
+
+    d = events(float, str(tmp_path / "sf_tiny"))
+    out = ts_autocorr(spark, d).collect()
+    assert {r.lag_k for r in out} == {1, 2}
+    assert all(r.acf is not None and r.n_terms >= 1 for r in out)
+    # degenerate twin: identical day sums -> dd = 0 -> ACF undefined.
+    # ANSI Spark used to raise DIVIDE_BY_ZERO while DuckDB emitted NaN;
+    # both engines now pin this to the EMPTY result.
+    d0 = events(lambda i: 1.0, str(tmp_path / "sf_const"))
+    assert ts_autocorr(spark, d0).count() == 0
+
+
+def test_calibration_sigmoid_is_exact_rational(spark, sf_dir):
+    """conf_e6 must equal floor(1e6*(20+|d|+d) / (2*(20+|d|))) computed in
+    Python unbounded ints — proving no double (and no libm exp) touches
+    the value. Recover n_tokens-consistent conf by recomputing the map
+    over the observed bins' member counts via the sum identity: every
+    per-bin conf_e6_sum must be expressible as a sum of grid values."""
+    from cdc_debezium_kafka_airflow_spark.queries.ext_queries import QUERIES as _  # noqa: F401
+    from cdc_debezium_kafka_airflow_spark.queries.relational5 import (
+        ext_calibration_curve,
+    )
+    from cdc_debezium_kafka_airflow_spark.operators.text import (
+        normalize_text,
+        ws_tokens,
+    )
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+
+    def conf_e6_exact(n_tokens: int) -> int:
+        d = n_tokens - 45
+        den = 20 + abs(d)
+        return 1000000 * (den + d) // (2 * den)
+
+    # exact per-doc grid from the fixture's token counts (driver-side,
+    # sf0.001 = 150 docs)
+    feat = (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.size(
+                F.filter(
+                    ws_tokens(normalize_text(F.col("text"))),
+                    lambda x: x != "",
+                )
+            ).alias("n_tokens")
+        )
+        .collect()
+    )
+    expected_bins: dict[int, list[int]] = {}
+    for r in feat:
+        c = conf_e6_exact(r.n_tokens)
+        expected_bins.setdefault(min(c // 100000, 9), []).append(c)
+    out = {r.bin: r for r in ext_calibration_curve(spark, sf_dir).collect()}
+    assert set(out) == set(expected_bins)
+    for b, confs in expected_bins.items():
+        assert out[b].n == len(confs)
+        assert out[b].conf_e6_sum == sum(confs)

@@ -929,3 +929,25 @@ def test_autocorr_collapses_corpus_before_lag_arithmetic(spark, sf_dir):
     assert "partial_" in plan
     opt = _optimized(df)
     assert "decimal(38,0)" in opt
+
+
+def test_token_entropy_is_map_only(spark, sf_dir):
+    """Round-8 fix (round-7 verdict #2): the per-document entropy is a
+    purely per-row computation, so the plan must contain NO Exchange at
+    all — the round-7 version opened with a gratuitous
+    `.repartition(doc_id)` full shuffle of the normalized corpus. The
+    single-pass sorted-run-length form must also appear (array_sort +
+    aggregate), replacing the O(|alphabet| * n) per-char re-filtering."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational5 import (
+        ext_token_entropy,
+    )
+
+    df = ext_token_entropy(spark, sf_dir)
+    plan = _plan(df)
+    assert "Exchange" not in plan  # map-only: scan -> project, no shuffle
+    assert plan.count("FileScan parquet") == 1
+    opt = _optimized(df)
+    assert "array_sort" in opt
+    assert "aggregate(" in opt
+    # the old per-distinct-char rescan pattern is gone
+    assert "array_distinct" not in opt
