@@ -14,6 +14,7 @@ from cdc_debezium_kafka_airflow_spark.queries import (
     relational3,
     relational4,
     relational5,
+    relational6,
     tpch_decision,
     format_queries,
     streaming_queries,
@@ -27,6 +28,7 @@ _MODULES = [
     relational3,
     relational4,
     relational5,
+    relational6,
     tpch_decision,
     cdc_queries,
     ext_queries,

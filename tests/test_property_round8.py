@@ -161,3 +161,155 @@ def test_calibration_sigmoid_is_exact_rational(spark, sf_dir):
     for b, confs in expected_bins.items():
         assert out[b].n == len(confs)
         assert out[b].conf_e6_sum == sum(confs)
+
+
+# ---------------------------------------------------------------------------
+# Round-8 new-wave invariants (relational6)
+# ---------------------------------------------------------------------------
+
+
+def test_pps_inclusion_matches_pure_python_bigints(spark, sf_dir):
+    """The PPS rule u32*W < k*w*2^32 is pure integer math: recompute every
+    per-source drawn count in unbounded Python ints and require equality
+    — any double sneaking into the engine path would eventually flip a
+    draw."""
+    import hashlib
+
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+    from cdc_debezium_kafka_airflow_spark.queries.relational6 import (
+        _PPS_K,
+        ext_pps_sample_audit,
+    )
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    weights = {r.doc_id: max(r.n_chars, 1) for r in docs}
+    big_w = sum(weights.values())
+    drawn: dict[str, int] = {}
+    expected: dict[str, int] = {}
+    for r in docs:
+        w = weights[r.doc_id]
+        u32 = int(hashlib.md5(f"{r.doc_id}|pps".encode()).hexdigest()[:8], 16)
+        if u32 * big_w < _PPS_K * w * 4294967296:
+            drawn[r.source] = drawn.get(r.source, 0) + 1
+        expected[r.source] = expected.get(r.source, 0) + min(
+            1000000 * _PPS_K * w // big_w, 1000000
+        )
+    out = {r.source: r for r in ext_pps_sample_audit(spark, sf_dir).collect()}
+    assert set(out) == set(expected)
+    for s, row in out.items():
+        assert row.n_sampled == drawn.get(s, 0)
+        assert row.expected_e6 == expected[s]
+    # expected mass sums to ~k draws (exactly k*1e6 when no doc caps)
+    assert sum(r.expected_e6 for r in out.values()) <= _PPS_K * 1000000
+
+
+def test_watermark_advice_is_jitter_bounded_and_ordered(spark, sf_dir):
+    """Lateness comes from a deterministic jitter uniform in [0, jb),
+    jb = 8x the stream's global mean inter-event gap (scale-free — a
+    fixed bound produces ZERO late rows at sf0.001 where per-topic gaps
+    are hours). Every topic's max lateness must stay under jb and the
+    percentile picks must be ordered p50 <= p95 <= p99 <= max, with
+    advice = ceil(p99/1000) ms."""
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+    from cdc_debezium_kafka_airflow_spark.queries.relational6 import (
+        cdc_watermark_advice,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        F.unix_micros("ts").alias("us")
+    )
+    lo, hi, n = ev.agg(
+        F.min("us"), F.max("us"), F.count("*")
+    ).collect()[0]
+    jb = max(8 * (hi - lo) // n, 1)
+    rows = cdc_watermark_advice(spark, sf_dir).collect()
+    assert rows  # the jitter must produce late rows on every fixture
+    for r in rows:
+        assert 0 < r.p50_us <= r.p95_us <= r.p99_us <= r.max_us < jb
+        assert r.watermark_advice_ms == (r.p99_us + 999) // 1000
+
+
+def test_coverage_curve_monotone_and_covering(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.queries.relational6 import (
+        ext_ngram_coverage_curve,
+    )
+
+    rows = sorted(
+        ext_ngram_coverage_curve(spark, sf_dir).collect(),
+        key=lambda r: r.coverage_pct,
+    )
+    assert [r.coverage_pct for r in rows] == [50, 90, 95, 99]
+    prev_v, prev_c = 0, 0
+    for r in rows:
+        # the selected vocab actually covers the target...
+        assert r.tokens_covered * 100 >= r.coverage_pct * r.tokens_total
+        # ...and is minimal: one fewer type drops below target (greedy
+        # frequency order means removing the LAST (rarest) chosen type)
+        assert r.vocab_size >= prev_v and r.tokens_covered >= prev_c
+        prev_v, prev_c = r.vocab_size, r.tokens_covered
+
+
+def test_decile_lift_planted_signal(spark, sf_dir):
+    """Labels are planted at 0.8*conf + 0.1: the top decile (highest conf)
+    must show lift > 1, the bottom decile lift < 1, cumulative gain
+    monotone to exactly 1e6, and decile sizes balanced (ntile rule)."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational6 import (
+        agg_decile_lift,
+    )
+
+    rows = sorted(
+        agg_decile_lift(spark, sf_dir).collect(), key=lambda r: r.decile
+    )
+    assert [r.decile for r in rows] == list(range(1, 11))
+    sizes = [r.n for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert rows[0].lift_e6 > 1000000 > rows[-1].lift_e6
+    gains = [r.cum_gain_e6 for r in rows]
+    assert gains == sorted(gains) and gains[-1] == 1000000
+
+
+def test_fertility_at_least_one(spark, sf_dir):
+    """Every non-empty whitespace word yields >= 1 subword match, so
+    fertility >= 1 for every source with words."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational6 import (
+        ext_tokenizer_fertility,
+    )
+
+    for r in ext_tokenizer_fertility(spark, sf_dir).collect():
+        assert r.subtoks_total >= r.words_total
+        if r.words_total:
+            assert r.fertility >= 1.0
+        assert r.bytes_total >= r.subtoks_total  # every token >= 1 byte
+
+
+def test_overlap_matrix_bounds(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.queries.relational6 import (
+        ext_source_overlap_matrix,
+    )
+
+    rows = ext_source_overlap_matrix(spark, sf_dir).collect()
+    spark.catalog.clearCache()
+    srcs = set()
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert 0 <= r.n_common <= min(r.n_a, r.n_b)
+        assert 0 <= r.jaccard_e6 <= 1000000
+        srcs.update((r.source_a, r.source_b))
+    k = len(srcs)
+    assert len(rows) == k * (k - 1) // 2  # full upper triangle, zeros kept
+
+
+def test_bigram_pmi_count_consistency(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.queries.relational6 import (
+        ext_bigram_pmi,
+    )
+
+    rows = ext_bigram_pmi(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 50
+    for r in rows:
+        assert r.c_ab >= 5
+        assert r.c_ab <= min(r.c_w1, r.c_w2)
+        w1, w2 = r.bigram.split(" ")
+        assert w1 and w2

@@ -951,3 +951,75 @@ def test_token_entropy_is_map_only(spark, sf_dir):
     assert "aggregate(" in opt
     # the old per-distinct-char rescan pattern is gone
     assert "array_distinct" not in opt
+
+
+def test_watermark_advice_single_topic_exchange_envelope_pruned(
+    spark, sf_dir
+):
+    """Frontier window, rank window, and final aggregation all key on
+    topic: ONE exchange; the changelog's JSON envelope serialization must
+    be pruned (only offset/timestamp survive the replay)."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational6 import (
+        cdc_watermark_advice,
+    )
+
+    df = cdc_watermark_advice(spark, sf_dir)
+    plan = _plan(df)
+    assert plan.count("hashpartitioning(topic") == 1
+    assert "to_json" not in plan
+
+
+def test_pps_sample_is_map_side_with_scalar_broadcast(spark, sf_dir):
+    """The PPS inclusion rule is map-side against ONE broadcast scalar
+    (the total weight): broadcast nested-loop for the 1-row cross join,
+    never a shuffle join, with map-side partial aggregation."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational6 import (
+        ext_pps_sample_audit,
+    )
+
+    plan = _plan(ext_pps_sample_audit(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_" in plan
+
+
+def test_source_overlap_scans_corpus_once(spark, sf_dir):
+    """The distinct (source, hash) table is persisted: corpus text is read
+    and md5'd exactly once; both intersection-join sides and the size
+    table reuse it from memory. No all-pairs anywhere."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational6 import (
+        ext_source_overlap_matrix,
+    )
+
+    df = ext_source_overlap_matrix(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # populate the cache
+    plan = _plan(df)
+    try:
+        # all three consumers (both intersection-join sides + the size
+        # table) read the persisted hash table, not parquet; the FileScan
+        # appears only INSIDE the InMemoryRelation replay subtree
+        assert plan.count("InMemoryTableScan") >= 3
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_bigram_pmi_topk_is_heap(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.queries.relational6 import (
+        ext_bigram_pmi,
+    )
+
+    plan = _plan(ext_bigram_pmi(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_coverage_curve_collapses_corpus_before_window(spark, sf_dir):
+    """The corpus reaches only the one vocab count aggregation (map-side
+    combined); the ranked window runs over the |vocab| frame."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational6 import (
+        ext_ngram_coverage_curve,
+    )
+
+    plan = _plan(ext_ngram_coverage_curve(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_" in plan
