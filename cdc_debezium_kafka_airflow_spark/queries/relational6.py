@@ -941,3 +941,557 @@ def ext_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c_ab").desc(), "bigram")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-8 wave 2
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ext_context_length_histogram",
+    f"""
+    WITH d AS (
+      SELECT CAST(len(regexp_extract_all({_NORM}, '{_SUBTOK_RE}'))
+                  AS BIGINT) AS toks
+      FROM documents
+    )
+    SELECT w.ctx AS context_window,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN toks <= w.ctx THEN 1 END) AS BIGINT)
+             AS n_fit,
+           CAST(count(CASE WHEN toks > w.ctx THEN 1 END) AS BIGINT)
+             AS n_truncated,
+           CAST(sum(toks) AS BIGINT) AS tokens_total,
+           CAST(coalesce(sum(CASE WHEN toks > w.ctx THEN toks - w.ctx END),
+                         0) AS BIGINT) AS tokens_lost,
+           CAST(1000000 * coalesce(sum(CASE WHEN toks > w.ctx
+                                            THEN toks - w.ctx END), 0)
+                // sum(toks) AS BIGINT) AS loss_ppm
+    FROM d CROSS JOIN (VALUES (128), (512), (2048), (8192)) AS w(ctx)
+    GROUP BY w.ctx
+    """,
+)
+def ext_context_length_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Context-window truncation audit: for each candidate window size,
+    how many documents fit, how many get truncated, and what fraction of
+    the corpus' token mass falls off the end — the table that decides
+    between training at 2k vs 8k (and prices the decision in lost
+    tokens) and that ext_doc_chunking's chunked pipeline avoids paying.
+    Token counts reuse the model-free pretokenizer of
+    ext_tokenizer_fertility.
+
+    Exactness: all counts and losses are int64; loss_ppm is exact floor
+    division. Scale: ONE map pass counts tokens per doc; the 4 window
+    targets unpivot via stack inside one partial-agged aggregation — the
+    corpus is never re-scanned per window."""
+    d = t(spark, sf_dir, "documents").select(
+        F.size(
+            F.expr(
+                "regexp_extract_all(lower(regexp_replace(trim(text),"
+                f" '\\\\s+', ' ')), '{_SUBTOK_RE}', 0)"
+            )
+        )
+        .cast("bigint")
+        .alias("toks")
+    )
+    stacked = d.select(
+        "toks",
+        F.expr(
+            "stack(4, CAST(128 AS INT), CAST(512 AS INT),"
+            " CAST(2048 AS INT), CAST(8192 AS INT)) AS ctx"
+        ),
+    )
+    over = F.col("toks") > F.col("ctx")
+    lost = F.coalesce(
+        F.sum(F.when(over, F.col("toks") - F.col("ctx"))), F.lit(0)
+    )
+    return stacked.groupBy(F.col("ctx").alias("context_window")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(F.when(~over, 1)).cast("bigint").alias("n_fit"),
+        F.count(F.when(over, 1)).cast("bigint").alias("n_truncated"),
+        F.sum("toks").cast("bigint").alias("tokens_total"),
+        lost.cast("bigint").alias("tokens_lost"),
+        F.expr(
+            "CAST(1000000 * coalesce(sum(CASE WHEN toks > ctx"
+            " THEN toks - ctx END), 0) div sum(toks) AS BIGINT)"
+        ).alias("loss_ppm"),
+    )
+
+
+@q(
+    "ext_oov_rate",
+    f"""
+    WITH d AS (
+      SELECT source, {_NORM} AS tx,
+             CAST(('0x' || substr(md5({_NORM}), 1, 8)) AS BIGINT) % 100
+               AS bucket
+      FROM documents
+    ),
+    toks AS (
+      SELECT source, bucket >= 90 AS is_test,
+             unnest(list_filter(string_split(tx, ' '), x -> x <> ''))
+               AS tok
+      FROM d
+    ),
+    vocab AS (SELECT DISTINCT tok FROM toks WHERE NOT is_test),
+    test_toks AS (SELECT source, tok FROM toks WHERE is_test)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(CASE WHEN v.tok IS NULL THEN 1 END) AS BIGINT)
+             AS n_oov,
+           CAST(1000000 * count(CASE WHEN v.tok IS NULL THEN 1 END)
+                // count(*) AS BIGINT) AS oov_ppm
+    FROM test_toks tt LEFT JOIN vocab v USING (tok)
+    GROUP BY source
+    """,
+)
+def ext_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate of the held-out split against the training
+    split's word vocabulary, per source — the unigram-level companion to
+    ext_ngram_novelty (bigram types) and the direct measure of what a
+    closed-vocab model would map to <unk>. Splits reuse the repo-wide
+    content-hash bucket (>= 90 held out, the ext_dedup_incremental
+    convention). OOV counts TOKEN OCCURRENCES, not types: a frequent
+    unseen word should hurt more than a rare one.
+
+    Scale: tokenization is map-side; the vocab aggregates to |distinct
+    train types|; the membership probe is one left join keyed on the
+    token (broadcastable once the vocab fits — Spark picks). Exact int64
+    ppm."""
+    from cdc_debezium_kafka_airflow_spark.operators.sampling import (
+        content_bucket,
+    )
+    from cdc_debezium_kafka_airflow_spark.operators.text import (
+        normalize_text,
+    )
+
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        normalize_text(F.col("text")).alias("tx"),
+    ).select(
+        "source", "tx", (content_bucket(F.col("tx")) >= 90).alias("is_test")
+    )
+    toks = d.select(
+        "source",
+        "is_test",
+        F.explode(
+            F.filter(F.split("tx", " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    vocab = (
+        toks.where(~F.col("is_test"))
+        .select("tok")
+        .distinct()
+        .withColumn("in_vocab", F.lit(1))
+    )
+    test_toks = toks.where(F.col("is_test")).select("source", "tok")
+    joined = test_toks.join(vocab, "tok", "left")
+    oov = F.count(F.when(F.col("in_vocab").isNull(), 1))
+    return joined.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        oov.cast("bigint").alias("n_oov"),
+        F.expr(
+            "CAST(1000000 * count(CASE WHEN in_vocab IS NULL THEN 1 END)"
+            " div count(*) AS BIGINT)"
+        ).alias("oov_ppm"),
+    )
+
+
+@q(
+    "ext_quality_filter_funnel",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_NORM} AS tx FROM documents
+    ),
+    flags AS (
+      SELECT doc_id,
+             len(list_filter(string_split(tx, ' '), x -> x <> ''))
+               >= 20 AS g_len,
+             CAST(len(regexp_extract_all(tx, '[^a-z0-9 ]')) AS BIGINT) * 10
+               <= CAST(greatest(strlen(tx), 1) AS BIGINT) * 3 AS g_punct,
+             CAST(len(list_distinct(list_transform(
+                    range(1, strlen(tx) + 1),
+                    i -> substr(tx, CAST(i AS INT), 1)))) AS BIGINT) * 20
+               >= CAST(least(strlen(tx), 200) AS BIGINT) AS g_div,
+             row_number() OVER (PARTITION BY md5(tx) ORDER BY doc_id) = 1
+               AS g_uniq
+      FROM d
+    ),
+    staged AS (
+      SELECT CAST(s.stage AS BIGINT) AS stage, s.gate,
+             CASE s.stage
+               WHEN 1 THEN g_len
+               WHEN 2 THEN g_len AND g_punct
+               WHEN 3 THEN g_len AND g_punct AND g_div
+               ELSE g_len AND g_punct AND g_div AND g_uniq
+             END AS survives
+      FROM flags CROSS JOIN (VALUES (1, 'min_length'), (2, 'punct_ratio'),
+                                    (3, 'char_diversity'), (4, 'exact_dedup')
+                            ) AS s(stage, gate)
+    )
+    SELECT stage, gate,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN survives THEN 1 END) AS BIGINT)
+             AS n_surviving,
+           CAST(1000000 * count(CASE WHEN survives THEN 1 END) // count(*)
+                AS BIGINT) AS survival_ppm
+    FROM staged GROUP BY stage, gate
+    """,
+)
+def ext_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-gate funnel: cumulative survival through the four standard
+    corpus gates (min length -> punctuation ratio -> character diversity
+    -> exact dedup), the readout every curation run publishes BEFORE
+    committing a recipe — per stage: docs in, docs surviving all gates so
+    far, survival ppm. Marginal kill rates fall out by differencing
+    consecutive stages; a gate that kills 40% when specs predicted 5% is
+    caught here, not after a training run.
+
+    Exactness: every gate is an integer comparison (ratios cross-
+    multiplied: punct*10 <= chars*3 is punct_ratio <= 0.3 exactly;
+    distinct-chars*20 >= min(chars,200) is diversity >= 5% with a length
+    cap); dedup keeps the min-doc_id copy via a deterministic window.
+    Scale: gates 1-3 are map-side; dedup is one exchange keyed on the
+    content hash; the 4 stages unpivot via stack in one aggregation."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(
+            F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+        ).alias("tx"),
+    )
+    flags = d.select(
+        "doc_id",
+        (
+            F.size(F.filter(F.split("tx", " "), lambda x: x != ""))
+            >= 20
+        ).alias("g_len"),
+        F.expr(
+            "CAST(size(regexp_extract_all(tx, '[^a-z0-9 ]', 0)) AS BIGINT)"
+            " * 10 <= CAST(greatest(length(tx), 1) AS BIGINT) * 3"
+        ).alias("g_punct"),
+        F.expr(
+            "CAST(size(array_distinct(split(tx, ''))) AS BIGINT) * 20"
+            " >= CAST(least(length(tx), 200) AS BIGINT)"
+        ).alias("g_div"),
+        (
+            F.row_number().over(
+                Window.partitionBy(F.md5("tx")).orderBy("doc_id")
+            )
+            == 1
+        ).alias("g_uniq"),
+    )
+    staged = flags.select(
+        F.expr(
+            "stack(4, CAST(1 AS BIGINT), 'min_length',"
+            " CAST(2 AS BIGINT), 'punct_ratio',"
+            " CAST(3 AS BIGINT), 'char_diversity',"
+            " CAST(4 AS BIGINT), 'exact_dedup') AS (stage, gate)"
+        ),
+        F.col("g_len"),
+        F.col("g_punct"),
+        F.col("g_div"),
+        F.col("g_uniq"),
+    ).select(
+        "stage",
+        "gate",
+        F.expr(
+            "CASE stage WHEN 1 THEN g_len"
+            " WHEN 2 THEN g_len AND g_punct"
+            " WHEN 3 THEN g_len AND g_punct AND g_div"
+            " ELSE g_len AND g_punct AND g_div AND g_uniq END"
+        ).alias("survives"),
+    )
+    return staged.groupBy("stage", "gate").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("survives"), 1))
+        .cast("bigint")
+        .alias("n_surviving"),
+        F.expr(
+            "CAST(1000000 * count(CASE WHEN survives THEN 1 END)"
+            " div count(*) AS BIGINT)"
+        ).alias("survival_ppm"),
+    )
+
+
+@q(
+    "graph_degree_distribution",
+    """
+    WITH edges AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ),
+    pd AS (SELECT p, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY p),
+    sd AS (SELECT s, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY s),
+    hist AS (
+      SELECT 'part' AS side, deg, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM pd GROUP BY deg
+      UNION ALL
+      SELECT 'supplier' AS side, deg, CAST(count(*) AS BIGINT) AS n_nodes
+      FROM sd GROUP BY deg
+    )
+    SELECT side, deg AS degree, n_nodes,
+           CAST(sum(n_nodes) OVER (PARTITION BY side) AS BIGINT)
+             AS side_nodes,
+           CAST(1000000 * n_nodes
+                // sum(n_nodes) OVER (PARTITION BY side) AS BIGINT)
+             AS frac_ppm
+    FROM hist
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part-supplier bipartite graph (distinct
+    shipped pairs), both sides — the FIRST thing to compute about any
+    graph before joining on it: a heavy-tailed side predicts skewed
+    shuffle keys (the hot rows join_skew_salted salts and
+    graph_link_prediction caps at 64 neighbors; this query is where those
+    thresholds come from).
+
+    Exactness: pure int64 counts and ppm. Scale: distinct edges in one
+    exchange; each side's degree is a partial-agged count; the histogram
+    re-aggregates the (already tiny) degree table; the per-side total is
+    a window over the histogram frame. Measured tradeoff (sf0.1): the
+    two branches DO scan the fact twice (Spark has no cross-branch
+    exchange reuse here), but a persist of the edge set benched 1.96 s vs
+    0.9 s for the double 16-byte-per-row pruned column scan — unlike
+    ext_source_overlap_matrix (where the re-scanned input is the full
+    TEXT), re-reading two pruned int columns beats materializing |edges|;
+    persist only when the edge set is small relative to the fact scan."""
+    edges = (
+        t(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    pd_ = edges.groupBy("p").agg(F.count("*").cast("bigint").alias("deg"))
+    sd = edges.groupBy("s").agg(F.count("*").cast("bigint").alias("deg"))
+    hist = (
+        pd_.groupBy("deg")
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+        .select(F.lit("part").alias("side"), "deg", "n_nodes")
+        .unionByName(
+            sd.groupBy("deg")
+            .agg(F.count("*").cast("bigint").alias("n_nodes"))
+            .select(F.lit("supplier").alias("side"), "deg", "n_nodes")
+        )
+    )
+    wside = Window.partitionBy("side")
+    return hist.select(
+        "side",
+        F.col("deg").alias("degree"),
+        "n_nodes",
+        F.sum("n_nodes").over(wside).cast("bigint").alias("side_nodes"),
+        F.expr(
+            "CAST(1000000 * n_nodes div sum(n_nodes)"
+            " OVER (PARTITION BY side) AS BIGINT)"
+        ).alias("frac_ppm"),
+    )
+
+
+@q(
+    "agg_fulfillment_latency",
+    """
+    WITH lag_days AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+               AS days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    hist AS (
+      SELECT priority, days, CAST(count(*) AS BIGINT) AS cnt
+      FROM lag_days GROUP BY priority, days
+    ),
+    cum AS (
+      SELECT priority, days, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY priority ORDER BY days)
+                  AS BIGINT) AS cum,
+             CAST(sum(cnt) OVER (PARTITION BY priority) AS BIGINT) AS n
+      FROM hist
+    )
+    SELECT priority,
+           CAST(min(n) AS BIGINT) AS n_lines,
+           CAST(min(CASE WHEN cum * 100 >= 50 * n THEN days END) AS BIGINT)
+             AS p50_days,
+           CAST(min(CASE WHEN cum * 100 >= 95 * n THEN days END) AS BIGINT)
+             AS p95_days,
+           CAST(min(CASE WHEN cum * 100 >= 99 * n THEN days END) AS BIGINT)
+             AS p99_days,
+           CAST(max(days) AS BIGINT) AS max_days
+    FROM cum GROUP BY priority
+    """,
+)
+def agg_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency percentiles per order priority — the
+    operations dashboard staple ("are URGENT orders actually shipping
+    faster, at the tail?"), and the TPC-H-table twin of
+    cdc_watermark_advice's discrete-percentile machinery — with the
+    SCALE-ROBUST variant of that pattern: the latency domain is SMALL
+    INTEGER DAYS, so the fact rows collapse to a (priority, days)
+    histogram in one partial-agged aggregation and the rank arithmetic
+    runs over the ~|priorities| x |days| frame (hundreds of rows at any
+    corpus size). The percentile pick is the same exact discrete rule —
+    smallest days whose cumulative count reaches p% — just computed from
+    the histogram's cumulative sums instead of a per-row rank, removing
+    the full-corpus sort entirely (measured 1.9 s -> well under 1 s at
+    sf0.1). Use cdc_watermark_advice's per-row rank form when the metric
+    domain is unbounded; use this histogram form when it is enumerable.
+
+    Scale: one shuffle join keyed on orderkey (both sides projected to
+    2-3 columns), one aggregation to the histogram, windows over the tiny
+    frame."""
+    lt = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lag_days = lt.join(
+        o, lt.l_orderkey == o.o_orderkey
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        )
+        .cast("bigint")
+        .alias("days"),
+    )
+    hist = lag_days.groupBy("priority", "days").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    wc = Window.partitionBy("priority").orderBy("days")
+    wn = Window.partitionBy("priority")
+    cum = hist.select(
+        "priority",
+        "days",
+        F.sum("cnt").over(wc).cast("bigint").alias("cum"),
+        F.sum("cnt").over(wn).cast("bigint").alias("n"),
+    )
+
+    def pick(pct: int):
+        return F.min(
+            F.when(F.col("cum") * 100 >= pct * F.col("n"), F.col("days"))
+        )
+
+    return cum.groupBy("priority").agg(
+        F.min("n").cast("bigint").alias("n_lines"),
+        pick(50).cast("bigint").alias("p50_days"),
+        pick(95).cast("bigint").alias("p95_days"),
+        pick(99).cast("bigint").alias("p99_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+    )
+
+
+@q(
+    "dq_referential_orphans",
+    """
+    SELECT 'lineitem->orders' AS fk, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT)
+             AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part', CAST(count(*) AS BIGINT),
+           CAST(count(CASE WHEN p.p_partkey IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT),
+           CAST(count(CASE WHEN s.s_suppkey IS NULL THEN 1 END) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+           CAST(count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'customer->nation', CAST(count(*) AS BIGINT),
+           CAST(count(CASE WHEN n.n_nationkey IS NULL THEN 1 END) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'supplier->nation', CAST(count(*) AS BIGINT),
+           CAST(count(CASE WHEN n.n_nationkey IS NULL THEN 1 END) AS BIGINT)
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    """,
+)
+def dq_referential_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the whole warehouse FK graph:
+    for each foreign key, total rows and rows whose parent is MISSING —
+    the first query a CDC consumer runs when cdc_fk_apply_order's
+    constraints are suspected violated (a child applied before its
+    parent, a parent hard-deleted, a partial snapshot). All six FKs in
+    one result set, so a single dashboard row of zeros certifies the
+    load.
+
+    Scale: every child table is scanned ONCE no matter how many FKs it
+    carries — lineitem's three parents join in a single pass (part and
+    supplier broadcast, orders the one genuine shuffle) and the three
+    orphan counts come out of one aggregation, unpivoted via stack.
+    Auditing N foreign keys of a 100 TB fact table costs one fact scan,
+    not N. Counting via LEFT join (not anti) yields total and orphan
+    counts in the same pass."""
+    lt = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey"
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    p = t(spark, sf_dir, "part")
+    n = t(spark, sf_dir, "nation")
+
+    # lineitem: ONE pass, three parents, three orphan counts
+    lt_j = (
+        lt.join(
+            o.select("o_orderkey"),
+            lt.l_orderkey == F.col("o_orderkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(p.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+            "left",
+        )
+        .join(
+            F.broadcast(s.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left",
+        )
+    )
+    lt_counts = lt_j.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count(F.when(F.col("o_orderkey").isNull(), 1))
+        .cast("bigint")
+        .alias("o_orph"),
+        F.count(F.when(F.col("p_partkey").isNull(), 1))
+        .cast("bigint")
+        .alias("p_orph"),
+        F.count(F.when(F.col("s_suppkey").isNull(), 1))
+        .cast("bigint")
+        .alias("s_orph"),
+    )
+    lt_rows = lt_counts.select(
+        F.expr(
+            "stack(3, 'lineitem->orders', o_orph, 'lineitem->part', p_orph,"
+            " 'lineitem->supplier', s_orph) AS (fk, n_orphans)"
+        ),
+        "n_rows",
+    ).select("fk", "n_rows", "n_orphans")
+
+    def audit(name, child, parent, ck, pk):
+        j = child.select(ck).join(
+            F.broadcast(parent.select(pk)), F.col(ck) == F.col(pk), "left"
+        )
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count(F.when(F.col(pk).isNull(), 1))
+            .cast("bigint")
+            .alias("n_orphans"),
+        ).select("fk", "n_rows", "n_orphans")
+
+    return (
+        lt_rows.unionByName(
+            audit("orders->customer", o, c, "o_custkey", "c_custkey")
+        )
+        .unionByName(
+            audit("customer->nation", c, n, "c_nationkey", "n_nationkey")
+        )
+        .unionByName(
+            audit("supplier->nation", s, n, "s_nationkey", "n_nationkey")
+        )
+    )

@@ -1023,3 +1023,29 @@ def test_coverage_curve_collapses_corpus_before_window(spark, sf_dir):
     plan = _plan(ext_ngram_coverage_curve(spark, sf_dir))
     assert plan.count("FileScan parquet") == 1
     assert "partial_" in plan
+
+
+def test_fulfillment_latency_uses_histogram_not_rank(spark, sf_dir):
+    """The percentile machinery must run on the (priority, days)
+    HISTOGRAM, not a per-row rank: no row_number anywhere, and the join
+    output reaches a partial-agged aggregation before any window."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational6 import (
+        agg_fulfillment_latency,
+    )
+
+    plan = _plan(agg_fulfillment_latency(spark, sf_dir))
+    assert "row_number" not in plan
+    assert "partial_" in plan
+
+
+def test_referential_orphans_single_fact_pass(spark, sf_dir):
+    """lineitem's three FK audits share ONE scan of the fact table: the
+    plan carries exactly one lineitem FileScan, with part/supplier as
+    broadcast joins."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational6 import (
+        dq_referential_orphans,
+    )
+
+    plan = _plan(dq_referential_orphans(spark, sf_dir))
+    assert plan.count("lineitem.parquet") == 1
+    assert "BroadcastHashJoin" in plan
