@@ -15,6 +15,7 @@ from cdc_debezium_kafka_airflow_spark.queries import (
     relational4,
     relational5,
     relational6,
+    relational7,
     tpch_decision,
     format_queries,
     streaming_queries,
@@ -29,6 +30,7 @@ _MODULES = [
     relational4,
     relational5,
     relational6,
+    relational7,
     tpch_decision,
     cdc_queries,
     ext_queries,

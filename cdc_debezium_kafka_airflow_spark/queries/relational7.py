@@ -1,0 +1,775 @@
+"""Seventh wave (round 8): skyline/Pareto frontier, weighted median,
+market concentration, late-arriving-dimension policy, Unicode NFC audit,
+and ROUGE-N evaluation.
+
+Families added this wave:
+- 2-D skyline (Pareto frontier) — the classic multi-criteria OLAP operator
+  (Börzsönyi et al., ICDE 2001) Spark has no built-in for: parts no other
+  part beats on BOTH price (lower better) and size (higher better). The
+  scale path is the textbook distributed-skyline two-phase: a bucket-level
+  prefix-max PREFILTER (tiny broadcast frame) eliminates almost everything
+  before the exact single-pass sort runs on survivors.
+- Weighted median — the robust-statistics aggregate (quantity-weighted
+  price per return flag) that plain percentile_approx cannot answer
+  exactly; computed as the cumulative-weight crossing on integer weights.
+- Market concentration — Herfindahl-Hirschman index, top-segment share and
+  effective segment count per nation, ALL exact integer rationals (ppm via
+  integral division) so the cross-engine hash is bit-stable with zero
+  float ops.
+- Late-arriving-dimension policy (Kimball) — cdc_scd2_lookup leaves facts
+  that predate the key's first dimension version NULL; real warehouses
+  attach the EARLIEST version as an "inferred member" and flag it. Deleted
+  -key gaps stay NULL (deleted is not late).
+- Unicode NFC normalization audit — the text-pipeline hygiene pass that
+  counts decomposed codepoints a crawl would otherwise duplicate-bucket
+  as distinct docs. Spark has no NFC built-in, so this is the repo's
+  canonical "UDF only where the JVM genuinely can't" demonstration: an
+  Arrow-batched pandas_udf over unicodedata, oracled by DuckDB's
+  utf8proc-backed nfc_normalize.
+- ROUGE-2 — the n-gram overlap eval metric (Lin, 2004) between adjacent
+  same-source documents: exact integer bigram-multiset overlap, one
+  double-division tail.
+
+Cross-engine float discipline (as relational5/6): counts, weights,
+overlaps, and concentration ratios are exact int64/DECIMAL(38,0)/HUGEINT;
+doubles appear only in fixed single-division tails rounded to 6.
+
+Reference parity: the reference (jony96-lab/cdc-debezium-kafka-airflow)
+exposes its warehouse through ad-hoc SQL over CDC-materialized tables
+(dags/cdc_data_integrity_dynamic_dag.py builds per-table SQL dynamically);
+these queries are the analytics surface such a warehouse serves.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from cdc_debezium_kafka_airflow_spark.queries.common import t
+
+QUERIES = {}
+ORACLES = {}
+
+
+def q(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "agg_skyline_frontier",
+    """
+    WITH pairs AS (
+      SELECT CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS size,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM part
+      GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT *,
+             max(size) OVER (ORDER BY price_cents ASC, size DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS best_prev
+      FROM pairs
+    )
+    SELECT price_cents, size, n_parts
+    FROM ranked
+    WHERE best_prev IS NULL OR size > best_prev
+    """,
+)
+def agg_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline: the (price, size) pairs no other part dominates —
+    lower price AND higher size, strict on at least one axis. The
+    cheapest-largest frontier a procurement query wants.
+
+    Exactness: with distinct pairs ordered by (price asc, size desc), a
+    pair is dominated iff some EARLIER pair has size >= its size (earlier
+    means strictly cheaper, or same price with strictly larger size — both
+    strict dominations), so frontier == running-max-of-size < size. Prices
+    are exact cents.
+
+    Scale (the two-phase distributed skyline): the exact formulation needs
+    one global sort, which is fine on |distinct pairs| but not on 100 TB of
+    raw pairs. Phase 1 collapses parts to distinct pairs (one partial-agged
+    hash agg) and computes a PRICE-BUCKET prefix-max of size — a frame of
+    |buckets| rows. Any pair whose size <= the best size in a strictly
+    cheaper bucket is provably dominated and dies in a broadcast-joined
+    map-side filter; dominators eliminated by the prefilter always have a
+    surviving transitive dominator (price strictly decreases along the
+    domination chain), so the exact phase-2 window over SURVIVORS returns
+    the identical frontier. The global sort runs on the prefilter's output
+    — in skew-free data a vanishing fraction of pairs."""
+    pairs = (
+        t(spark, sf_dir, "part")
+        .groupBy(
+            F.round(F.col("p_retailprice") * 100)
+            .cast("bigint")
+            .alias("price_cents"),
+            F.col("p_size").cast("bigint").alias("size"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n_parts"))
+    )
+    pairs = pairs.withColumn(
+        "bucket", F.expr("price_cents div 1000")
+    )
+    # Phase 1: bucket-level prefix-max over STRICTLY cheaper buckets.
+    # |buckets| rows — the window sort is on a tiny frame; the join back
+    # is a broadcast map-side filter.
+    buckets = pairs.groupBy("bucket").agg(F.max("size").alias("bmax"))
+    wprev = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    prefix = buckets.select(
+        "bucket", F.max("bmax").over(wprev).alias("prefix_max")
+    )
+    survivors = pairs.join(F.broadcast(prefix), "bucket").where(
+        F.col("prefix_max").isNull() | (F.col("size") > F.col("prefix_max"))
+    )
+    # Phase 2: exact running-max pass on the pruned frame.
+    wexact = Window.orderBy(
+        F.col("price_cents").asc(), F.col("size").desc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    return (
+        survivors.select(
+            "price_cents",
+            "size",
+            "n_parts",
+            F.max("size").over(wexact).alias("best_prev"),
+        )
+        .where(F.col("best_prev").isNull() | (F.col("size") > F.col("best_prev")))
+        .drop("best_prev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "agg_weighted_median",
+    """
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ),
+    c AS (
+      SELECT l_returnflag, price_cents, wt,
+             sum(wt) OVER (PARTITION BY l_returnflag
+                           ORDER BY price_cents
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cumw,
+             sum(wt) OVER (PARTITION BY l_returnflag) AS total_w
+      FROM w
+    )
+    SELECT l_returnflag AS returnflag,
+           CAST(min(total_w) AS BIGINT) AS total_weight,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(CASE WHEN 2 * cumw >= total_w THEN price_cents END)
+                AS BIGINT) AS median_price_cents
+    FROM c
+    GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median unit price per return flag — the robust
+    price statistic where each lineitem counts by its quantity, not once.
+    percentile_approx cannot weight and is approximate; this is the exact
+    lower weighted median: the smallest price whose cumulative weight
+    reaches half the total (2*cumw >= W avoids any division).
+
+    The oracle states the textbook per-row cumulative window. The ENGINE
+    never sorts the corpus: prices here are near-unique, so a per-price
+    window is a |corpus|-sized sort per flag (measured 2.1 s at sf0.1; at
+    100 TB it is a straight scale-killer). Instead the two-phase quantile
+    shape: (1) ONE partial-agged hash agg onto coarse $100 price bands —
+    a |flags x bands| frame — locates the band where the cumulative
+    weight crosses half; (2) a map-side broadcast filter keeps only rows
+    IN each flag's crossing band (|corpus|/|bands| rows), and the exact
+    per-price cumulation runs on that sliver, offset by the band-prefix
+    base. Note the oracle's ROWS frame: cumw is intentionally a per-ROW
+    running sum (ties included in arbitrary order) — the crossing PRICE
+    is tie-insensitive because all rows at one price are contiguous and
+    the pick takes min over a >= threshold, so both the RANGE and ROWS
+    readings select the same price; the engine's phase-2 groups by price
+    before cumulating, the oracle's frame keeps DuckDB from defaulting to
+    RANGE (which double-counts ties into cumw but picks the same price)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100)
+        .cast("bigint")
+        .alias("price_cents"),
+        F.col("l_quantity").cast("bigint").alias("wt"),
+    )
+    rows = li.withColumn("band", F.expr("price_cents div 10000"))
+    # Phase 1: band histogram (|flags x bands| rows, map-side combined).
+    bands = rows.groupBy("l_returnflag", "band").agg(
+        F.sum("wt").alias("bw"), F.count("*").alias("bn")
+    )
+    wflag = Window.partitionBy("l_returnflag")
+    wcum = wflag.orderBy("band").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    hist = bands.select(
+        "l_returnflag",
+        "band",
+        F.sum("bw").over(wcum).alias("cum"),
+        F.sum("bw").over(wflag).alias("total_w"),
+        F.sum("bn").over(wflag).alias("n_rows"),
+    )
+    # First crossing band per flag + the inclusive cumulative at it.
+    # (Columns renamed: spec shares lineage with `rows`, and Spark's
+    # ambiguous-self-join check rejects same-name join keys.)
+    spec = (
+        hist.where(2 * F.col("cum") >= F.col("total_w"))
+        .groupBy(F.col("l_returnflag").alias("sflag"))
+        .agg(
+            F.min("band").alias("band_star"),
+            F.min("total_w").alias("total_w"),
+            F.min("n_rows").alias("n_rows"),
+            F.min_by("cum", "band").alias("cum_at_star"),
+        )
+    )
+    # Phase 2: exact per-price cumulation INSIDE the crossing band only.
+    tail = rows.join(
+        F.broadcast(spec),
+        (F.col("l_returnflag") == F.col("sflag"))
+        & (F.col("band") == F.col("band_star")),
+    ).select(
+        F.col("l_returnflag").alias("returnflag"),
+        "price_cents",
+        "wt",
+        "total_w",
+        "n_rows",
+        "cum_at_star",
+    )
+    byprice = tail.groupBy(
+        "returnflag", "price_cents", "total_w", "n_rows", "cum_at_star"
+    ).agg(F.sum("wt").alias("pw"))
+    wp = Window.partitionBy("returnflag").orderBy("price_cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wband = Window.partitionBy("returnflag")
+    final = byprice.select(
+        "returnflag",
+        "price_cents",
+        "total_w",
+        "n_rows",
+        # cum within flag = (band prefix base) + running per-price sum;
+        # base = cum_at_star - (total weight of the crossing band)
+        (
+            F.col("cum_at_star")
+            - F.sum("pw").over(wband)
+            + F.sum("pw").over(wp)
+        ).alias("cumw"),
+    )
+    return final.groupBy("returnflag").agg(
+        F.min("total_w").cast("bigint").alias("total_weight"),
+        F.min("n_rows").cast("bigint").alias("n_rows"),
+        F.min(
+            F.when(2 * F.col("cumw") >= F.col("total_w"), F.col("price_cents"))
+        )
+        .cast("bigint")
+        .alias("median_price_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market concentration (HHI)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "agg_market_concentration",
+    """
+    WITH seg AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n
+      FROM customer
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT c_nationkey,
+             CAST(sum(n) AS BIGINT) AS n_customers,
+             CAST(count(*) AS BIGINT) AS n_segments,
+             CAST(max(n) AS BIGINT) AS top_n,
+             CAST(sum(CAST(n AS HUGEINT) * n) AS HUGEINT) AS sumsq
+      FROM seg
+      GROUP BY c_nationkey
+    )
+    SELECT c_nationkey AS nationkey, n_customers, n_segments,
+           CAST(1000000 * top_n // n_customers AS BIGINT) AS top_share_ppm,
+           CAST(1000000 * sumsq //
+                (CAST(n_customers AS HUGEINT) * n_customers)
+                AS BIGINT) AS hhi_ppm,
+           CAST(1000000 * CAST(n_customers AS HUGEINT) * n_customers
+                // sumsq AS BIGINT) AS eff_segments_e6
+    FROM agg
+    """,
+)
+def agg_market_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman segment concentration per nation: HHI
+    (sum of squared shares), the top segment's share, and the effective
+    number of segments (1/HHI) — the antitrust-style diversity readout a
+    portfolio or corpus-mix review runs. EVERY output is an exact integer
+    rational in ppm via integral division — zero float ops, so the
+    cross-engine hash cannot drift by a ulp.
+
+    Scale: two hash aggregations with map-side partials — the first is
+    bounded by |nation x segment| (the QI domain), the second by |nation|.
+    Squares and products run in DECIMAL(38,0)/HUGEINT because n^2 at
+    billion-customer nations overflows int64. No window, no join."""
+    c = t(spark, sf_dir, "customer")
+    seg = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    dec = "decimal(38,0)"
+    agg = seg.groupBy("c_nationkey").agg(
+        F.sum("n").cast("bigint").alias("n_customers"),
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.max("n").cast("bigint").alias("top_n"),
+        F.sum(F.col("n").cast(dec) * F.col("n")).cast(dec).alias("sumsq"),
+    )
+    ncast = F.col("n_customers").cast(dec)
+    return agg.select(
+        F.col("c_nationkey").alias("nationkey"),
+        "n_customers",
+        "n_segments",
+        F.expr("1000000 * top_n div n_customers")
+        .cast("bigint")
+        .alias("top_share_ppm"),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * sumsq div "
+            "(CAST(n_customers AS DECIMAL(38,0)) * n_customers) AS BIGINT)"
+        ).alias("hhi_ppm"),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * n_customers * n_customers "
+            "div sumsq AS BIGINT)"
+        ).alias("eff_segments_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Late-arriving dimension (Kimball inferred member)
+# ---------------------------------------------------------------------------
+
+
+def _late_dim_oracle() -> str:
+    from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import CH_CTE
+
+    return f"""
+    WITH {CH_CTE},
+    dim_src AS (SELECT * FROM ch WHERE table_name = 'entidades'),
+    led AS (
+      SELECT *, lead(off) OVER (PARTITION BY key_id ORDER BY off) AS next_off
+      FROM dim_src
+    ),
+    dim AS (
+      SELECT key_id, off AS vf, next_off - 1 AS vt,
+             event_id AS dim_event_id,
+             CAST(round(value * 10000) AS BIGINT) AS dim_value_scaled
+      FROM led WHERE op <> 'd'
+    ),
+    first_v AS (
+      SELECT key_id, min(vf) AS first_vf,
+             arg_min(dim_event_id, vf) AS fe,
+             arg_min(dim_value_scaled, vf) AS fv
+      FROM dim GROUP BY key_id
+    ),
+    fact AS (SELECT key_id, off FROM ch WHERE table_name = 'ventas')
+    SELECT f.key_id, f.off AS fact_offset,
+           coalesce(d.dim_event_id,
+                    CASE WHEN fv.first_vf > f.off THEN fv.fe END)
+             AS dim_event_id,
+           coalesce(d.dim_value_scaled,
+                    CASE WHEN fv.first_vf > f.off THEN fv.fv END)
+             AS dim_value_scaled,
+           coalesce(d.dim_event_id IS NULL AND fv.first_vf > f.off, FALSE)
+             AS inferred_member
+    FROM fact f
+    LEFT JOIN dim d
+      ON d.key_id = f.key_id AND d.vf <= f.off
+     AND (d.vt IS NULL OR f.off <= d.vt)
+    LEFT JOIN first_v fv ON fv.key_id = f.key_id
+    """
+
+
+@q("cdc_late_arriving_dim", None)  # oracle attached below (needs CH_CTE)
+def cdc_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball late-arriving-dimension policy on top of the SCD2 lookup:
+    a fact that arrives BEFORE its key's first dimension version (the
+    dimension row is "late") is attached to the EARLIEST version and
+    flagged inferred_member=true — the placeholder-member pattern every
+    warehouse needs when source systems emit facts ahead of their master
+    data. Facts inside a deleted-key gap stay NULL and unflagged: deleted
+    is not late, and backfilling it would resurrect removed master data.
+
+    Engine plan: the interval semantics run as the same ONE-shuffle
+    carry-forward as cdc_scd2_lookup (operators/temporal.py — never the
+    O(facts x versions) interval join the oracle states); the earliest
+    version per key is ONE extra hash agg on the dimension (bounded by
+    |dim keys|, broadcast back onto the enriched facts).
+
+    Reference parity: the reference materializes Debezium CDC into
+    Postgres and lets Airflow SQL read the latest image only
+    (dags/cdc_data_integrity_dynamic_dag.py); versioned-dimension policy
+    is the warehouse layer above it."""
+    from cdc_debezium_kafka_airflow_spark.operators.temporal import (
+        point_in_time_lookup,
+    )
+    from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import (
+        _unwrapped,
+    )
+
+    u = _unwrapped(spark, sf_dir)
+    dim = u.filter(F.col("table_name") == "entidades").select(
+        "key_id",
+        "offset",
+        "is_delete",
+        F.struct(
+            F.col("after.event_id").alias("dim_event_id"),
+            F.round(F.col("after.value") * 10000)
+            .cast("long")
+            .alias("dim_value_scaled"),
+        ).alias("payload"),
+    )
+    facts = u.filter(F.col("table_name") == "ventas").select(
+        "key_id", "offset"
+    )
+    pit = point_in_time_lookup(dim, facts)
+    first_v = (
+        dim.filter(~F.col("is_delete"))
+        .groupBy("key_id")
+        .agg(
+            F.min("offset").alias("first_vf"),
+            F.min_by("payload", "offset").alias("first_payload"),
+        )
+    )
+    j = pit.join(F.broadcast(first_v), "key_id", "left")
+    inferred = (
+        F.col("payload").isNull()
+        & F.col("first_vf").isNotNull()
+        & (F.col("fact_offset") < F.col("first_vf"))
+    )
+    eff = F.when(inferred, F.col("first_payload")).otherwise(
+        F.col("payload")
+    )
+    return j.select(
+        "key_id",
+        "fact_offset",
+        eff["dim_event_id"].alias("dim_event_id"),
+        eff["dim_value_scaled"].alias("dim_value_scaled"),
+        F.coalesce(inferred, F.lit(False)).alias("inferred_member"),
+    )
+
+
+ORACLES["cdc_late_arriving_dim"] = _late_dim_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization audit
+# ---------------------------------------------------------------------------
+
+# Deterministic "dirty" suffixes: combining sequences NFC composes.
+# Spark builds them from Python literals; the oracle from chr() codepoints
+# — identical strings either way. U+0301/0300/0308 are combining acute/
+# grave/diaeresis; NFC composes each (letter, mark) pair to one codepoint.
+_DIRTY_SQL = """CASE CAST(doc_id % 4 AS INT)
+  WHEN 1 THEN base || 'e' || chr(769)
+  WHEN 2 THEN base || 'A' || chr(768)
+  WHEN 3 THEN base || 'o' || chr(776) || 'n'
+  ELSE base END"""
+
+
+@q(
+    "ext_nfc_normalize_audit",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, substr({_NORM}, 1, 40) AS base
+      FROM documents
+    ),
+    dirty AS (
+      SELECT doc_id, source, {_DIRTY_SQL} AS tx FROM d
+    ),
+    n AS (
+      SELECT source, tx, nfc_normalize(tx) AS nx FROM dirty
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN nx <> tx THEN 1 END) AS BIGINT)
+             AS n_denormalized,
+           CAST(sum(length(tx)) AS BIGINT) AS cp_before,
+           CAST(sum(length(nx)) AS BIGINT) AS cp_after,
+           CAST(sum(length(tx)) - sum(length(nx)) AS BIGINT) AS cp_saved
+    FROM n GROUP BY source
+    """,
+)
+def ext_nfc_normalize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization audit per source — the hygiene pass a
+    text-curation pipeline runs BEFORE exact-hash dedup, because 'é' and
+    'e'+U+0301 hash differently while reading identically: a crawl mixing
+    normalization forms silently defeats ext_dedup_exact. Reports docs
+    carrying decomposed sequences and the codepoints NFC composition
+    saves. The fixture corpus is pure ASCII (already NFC), so dirty
+    sequences are INJECTED deterministically by doc_id — both engines
+    build byte-identical inputs, making the composition behavior itself
+    the thing under test.
+
+    Spark has no NFC built-in, so normalization is the repo's canonical
+    justified-UDF: an Arrow-batched pandas_udf over Python's unicodedata
+    (one vectorized batch per task, never row-at-a-time), cross-checked
+    against DuckDB's independent utf8proc implementation — two unrelated
+    Unicode libraries must agree on every composed length for the hash to
+    match. Scale: pure map over the corpus into one partial-agged
+    group-by on source; the UDF sees only the 40-char audit prefix, not
+    the full document."""
+    import pandas as pd  # noqa: F401 (typing of the UDF below)
+
+    @F.pandas_udf("string")
+    def nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: None
+            if x is None
+            else unicodedata.normalize("NFC", x)
+        )
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.substring(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
+            1,
+            40,
+        ).alias("base"),
+    )
+    dirty = d.select(
+        "source",
+        F.when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(F.col("base"), F.lit("é")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.col("base"), F.lit("À")),
+        )
+        .when(
+            F.col("doc_id") % 4 == 3,
+            F.concat(F.col("base"), F.lit("ön")),
+        )
+        .otherwise(F.col("base"))
+        .alias("tx"),
+    )
+    n = dirty.select("source", "tx", nfc("tx").alias("nx"))
+    return n.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("nx") != F.col("tx"), 1))
+        .cast("bigint")
+        .alias("n_denormalized"),
+        F.sum(F.length("tx")).cast("bigint").alias("cp_before"),
+        F.sum(F.length("nx")).cast("bigint").alias("cp_after"),
+        (F.sum(F.length("tx")) - F.sum(F.length("nx")))
+        .cast("bigint")
+        .alias("cp_saved"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-2 evaluation
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ext_rouge_n_eval",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source,
+             string_split({_NORM}, ' ') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, u.bg, CAST(count(*) AS BIGINT) AS c
+      FROM d, unnest(list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1]))
+             AS u(bg)
+      GROUP BY doc_id, u.bg
+    ),
+    tot AS (
+      -- per-doc bigram total == token count - 1: computable map-side,
+      -- no re-aggregation of the bigram explode
+      SELECT doc_id,
+             CAST(greatest(len(toks) - 1, 0) AS BIGINT) AS n_bg
+      FROM d
+    ),
+    pairs AS (
+      SELECT source, doc_id AS cand_doc_id,
+             lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+               AS ref_doc_id
+      FROM d
+    ),
+    ov AS (
+      SELECT p.cand_doc_id, p.ref_doc_id,
+             CAST(sum(least(c1.c, c2.c)) AS BIGINT) AS overlap
+      FROM pairs p
+      JOIN bg c1 ON c1.doc_id = p.cand_doc_id
+      JOIN bg c2 ON c2.doc_id = p.ref_doc_id AND c2.bg = c1.bg
+      GROUP BY 1, 2
+    )
+    SELECT p.source, p.cand_doc_id, p.ref_doc_id,
+           coalesce(o.overlap, 0) AS overlap_bigrams,
+           tc.n_bg AS cand_bigrams,
+           tr.n_bg AS ref_bigrams,
+           CASE WHEN tc.n_bg > 0 THEN
+             round(CAST(coalesce(o.overlap, 0) AS DOUBLE) / tc.n_bg, 6)
+             ELSE 0.0 END AS rouge2_precision,
+           CASE WHEN tr.n_bg > 0 THEN
+             round(CAST(coalesce(o.overlap, 0) AS DOUBLE) / tr.n_bg, 6)
+             ELSE 0.0 END AS rouge2_recall,
+           CASE WHEN tc.n_bg + tr.n_bg > 0 THEN
+             round(2.0 * CAST(coalesce(o.overlap, 0) AS DOUBLE)
+                   / (tc.n_bg + tr.n_bg), 6)
+             ELSE 0.0 END AS rouge2_f1
+    FROM pairs p
+    JOIN tot tc ON tc.doc_id = p.cand_doc_id
+    JOIN tot tr ON tr.doc_id = p.ref_doc_id
+    LEFT JOIN ov o ON o.cand_doc_id = p.cand_doc_id
+    WHERE p.ref_doc_id IS NOT NULL
+    """,
+)
+def ext_rouge_n_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 (Lin, 2004) between adjacent same-source documents —
+    the n-gram overlap eval metric plumbing a generation-eval pipeline
+    needs: candidate-vs-reference bigram MULTISET overlap (clipped counts,
+    the official definition), precision / recall / F1. Adjacent doc_ids
+    stand in for (candidate, reference) pairs so the metric runs on the
+    fixture without a model; swapping in real pairs is a join-key change.
+
+    Exactness: overlap = sum(least(c_cand, c_ref)) on exact int64 counts;
+    the three ratios are single double divisions rounded to 6.
+
+    Scale: bigram counting is a map + one hash agg keyed (doc, bigram);
+    the overlap join is EQUI-keyed on (ref_doc, bigram) after the pair
+    map attaches each candidate's reference id — never all-pairs, and at
+    real pair fan-in the candidate side is the small relation. F1
+    computed from 2*ov/(nc+nr) — identical to the harmonic mean of P and
+    R but with ONE division, so both engines share the rounding point."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.split(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
+            " ",
+        ).alias("toks"),
+    )
+    # PERSISTED: both overlap-join sides consume this frame and their
+    # join keys differ (cand doc vs ref doc+bigram), so Catalyst cannot
+    # ReuseExchange — without the persist the bigram explode+agg (the
+    # expensive stage) runs twice (same pattern as
+    # ext_source_overlap_matrix; plan-guarded via InMemoryTableScan).
+    bg = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(toks, 1, size(toks) - 1)"),
+                    F.expr("slice(toks, 2, size(toks) - 1)"),
+                    lambda a, b: F.concat(a, F.lit(" "), b),
+                )
+            ).alias("bg"),
+        )
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .persist()
+    )
+    tot = d.select(
+        "doc_id",
+        F.greatest(F.size("toks") - 1, F.lit(0))
+        .cast("bigint")
+        .alias("n_bg"),
+    )
+    pairs = d.select(
+        "source",
+        F.col("doc_id").alias("cand_doc_id"),
+        F.lead("doc_id")
+        .over(Window.partitionBy("source").orderBy("doc_id"))
+        .alias("ref_doc_id"),
+    ).where(F.col("ref_doc_id").isNotNull())
+    ov = (
+        bg.alias("c1")
+        .join(
+            pairs.select("cand_doc_id", "ref_doc_id"),
+            F.col("c1.doc_id") == F.col("cand_doc_id"),
+        )
+        .join(
+            bg.alias("c2"),
+            (F.col("c2.doc_id") == F.col("ref_doc_id"))
+            & (F.col("c2.bg") == F.col("c1.bg")),
+        )
+        .groupBy("cand_doc_id", "ref_doc_id")
+        .agg(F.sum(F.least("c1.c", "c2.c")).cast("bigint").alias("overlap"))
+    )
+    out = (
+        pairs.join(
+            tot.select(
+                F.col("doc_id").alias("cand_doc_id"),
+                F.col("n_bg").alias("cand_bigrams"),
+            ),
+            "cand_doc_id",
+        )
+        .join(
+            tot.select(
+                F.col("doc_id").alias("ref_doc_id"),
+                F.col("n_bg").alias("ref_bigrams"),
+            ),
+            "ref_doc_id",
+        )
+        .join(ov, ["cand_doc_id", "ref_doc_id"], "left")
+        .withColumn("overlap_bigrams", F.coalesce("overlap", F.lit(0)))
+    )
+    ovd = F.col("overlap_bigrams").cast("double")
+    return out.select(
+        "source",
+        "cand_doc_id",
+        "ref_doc_id",
+        "overlap_bigrams",
+        "cand_bigrams",
+        "ref_bigrams",
+        F.when(
+            F.col("cand_bigrams") > 0,
+            F.round(ovd / F.col("cand_bigrams"), 6),
+        )
+        .otherwise(0.0)
+        .alias("rouge2_precision"),
+        F.when(
+            F.col("ref_bigrams") > 0,
+            F.round(ovd / F.col("ref_bigrams"), 6),
+        )
+        .otherwise(0.0)
+        .alias("rouge2_recall"),
+        F.when(
+            F.col("cand_bigrams") + F.col("ref_bigrams") > 0,
+            F.round(
+                2.0 * ovd / (F.col("cand_bigrams") + F.col("ref_bigrams")),
+                6,
+            ),
+        )
+        .otherwise(0.0)
+        .alias("rouge2_f1"),
+    )

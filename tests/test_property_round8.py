@@ -313,3 +313,207 @@ def test_bigram_pmi_count_consistency(spark, sf_dir):
         assert r.c_ab <= min(r.c_w1, r.c_w2)
         w1, w2 = r.bigram.split(" ")
         assert w1 and w2
+
+
+# ---------------------------------------------------------------------------
+# Wave-3 operators: brute-force equivalence on adversarial frames
+# ---------------------------------------------------------------------------
+
+
+def _brute_skyline(pairs):
+    """O(n^2) dominance reference: keep (p, s) iff no other pair has
+    p' <= p and s' >= s with at least one strict."""
+    out = []
+    for p, s in pairs:
+        dominated = any(
+            (p2 <= p and s2 >= s and (p2 < p or s2 > s))
+            for p2, s2 in pairs
+        )
+        if not dominated:
+            out.append((p, s))
+    return sorted(set(out))
+
+
+def test_skyline_two_phase_equals_brute_force(spark, tmp_path):
+    """The bucket-prefilter + exact-window pipeline must return EXACTLY
+    the brute-force frontier on frames built to stress the prefilter:
+    duplicate pairs, same-price different-size ties, same-size
+    different-price ties, bucket-boundary values (999/1000/1001), and a
+    monotone staircase where EVERY pair is on the frontier."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        agg_skyline_frontier,
+    )
+
+    adversarial = [
+        # bucket boundaries and intra-bucket ties
+        [(999, 5), (1000, 5), (1001, 6), (999, 7), (1000, 7)],
+        # full staircase: all on frontier
+        [(100 * i, i) for i in range(1, 12)],
+        # reverse staircase: only the first survives
+        [(100 * i, 100 - i) for i in range(1, 12)],
+        # duplicates + equal points
+        [(500, 3), (500, 3), (500, 4), (400, 4), (400, 4)],
+    ]
+
+    for pairs in adversarial:
+        df = spark.createDataFrame(
+            [(float(p) / 100.0, s) for p, s in pairs],
+            "p_retailprice double, p_size int",
+        )
+        d = str(tmp_path / f"part_{abs(hash(tuple(pairs)))}")
+        df.write.mode("overwrite").parquet(d + "/part.parquet")
+        out = agg_skyline_frontier(spark, d)
+        got = sorted(
+            (r.price_cents, r.size) for r in out.collect()
+        )
+        assert got == _brute_skyline(pairs), pairs
+
+
+def test_weighted_median_crossing_rule(spark, tmp_path):
+    """Exact lower weighted median on a frame with an even total weight
+    split (the 2*cumw == W tie case) and a singleton flag."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        agg_weighted_median,
+    )
+
+    rows = [
+        # flag A: weights 3 @ 100, 3 @ 200 -> W=6, crossing at cumw 3
+        # (2*3 >= 6): median = 100 (lower weighted median).
+        ("A", 1.00, 3),
+        ("A", 2.00, 3),
+        # flag B: single price
+        ("B", 5.00, 7),
+        # flag C: heavy tail, median must sit at the 50% mass point
+        ("C", 1.00, 1),
+        ("C", 2.00, 1),
+        ("C", 3.00, 10),
+    ]
+    df = spark.createDataFrame(
+        [(f, p, q) for f, p, q in rows],
+        "l_returnflag string, l_extendedprice double, l_quantity int",
+    )
+    d = str(tmp_path / "wm")
+    df.write.mode("overwrite").parquet(d + "/lineitem.parquet")
+    out = {
+        r.returnflag: r for r in agg_weighted_median(spark, d).collect()
+    }
+    assert out["A"].median_price_cents == 100
+    assert out["B"].median_price_cents == 500
+    assert out["C"].median_price_cents == 300
+    assert out["C"].total_weight == 12
+
+
+def test_rouge_identical_and_disjoint_pairs(spark, tmp_path):
+    """ROUGE-2 must be exactly 1.0 for an identical adjacent pair and
+    exactly 0.0 for a token-disjoint pair; clipped counts must cap
+    repeated bigrams at the reference multiplicity."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        ext_rouge_n_eval,
+    )
+
+    docs = [
+        (1, "the cat sat on the mat", "s1"),
+        (2, "the cat sat on the mat", "s1"),  # identical to 1
+        (3, "alpha beta gamma delta", "s2"),
+        (4, "epsilon zeta eta theta", "s2"),  # disjoint from 3
+        (5, "go go go go", "s3"),
+        (6, "go go stop", "s3"),  # clipping: 'go go' x1 in ref
+    ]
+    df = spark.createDataFrame(
+        [(i, tx, s, len(tx)) for i, tx, s in docs],
+        "doc_id bigint, text string, source string, n_chars int",
+    )
+    d = str(tmp_path / "rouge")
+    df.write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = {
+        (r.cand_doc_id, r.ref_doc_id): r
+        for r in ext_rouge_n_eval(spark, d).collect()
+    }
+    assert out[(1, 2)].rouge2_f1 == 1.0
+    assert out[(3, 4)].rouge2_f1 == 0.0
+    # doc5 has 'go go' x3; doc6 has 'go go' x1 -> clipped overlap 1
+    r = out[(5, 6)]
+    assert r.overlap_bigrams == 1
+    assert r.cand_bigrams == 3 and r.ref_bigrams == 2
+
+
+def test_nfc_audit_counts_composed_codepoints(spark, tmp_path):
+    """Every doc_id % 4 != 0 doc carries exactly one composable sequence
+    (2 codepoints -> 1), so per-source cp_saved == n_denormalized and the
+    clean quarter stays untouched."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        ext_nfc_normalize_audit,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "plain ascii text", "s", 16) for i in range(8)],
+        "doc_id bigint, text string, source string, n_chars int",
+    )
+    d = str(tmp_path / "nfc")
+    df.write.mode("overwrite").parquet(d + "/documents.parquet")
+    rows = ext_nfc_normalize_audit(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_docs == 8
+    assert r.n_denormalized == 6  # doc_id % 4 in {1,2,3} -> 6 of 8
+    assert r.cp_saved == r.n_denormalized
+    assert r.cp_before - r.cp_after == r.cp_saved
+
+
+def test_late_arriving_dim_policy(spark):
+    """Inferred-member policy directly on the operator contract: facts
+    before the first version get the EARLIEST payload flagged inferred;
+    facts in a deleted gap stay NULL unflagged; facts on a live interval
+    carry that interval's payload."""
+    from pyspark.sql import Row
+    import pyspark.sql.functions as F
+
+    from cdc_debezium_kafka_airflow_spark.operators.temporal import (
+        point_in_time_lookup,
+    )
+
+    # Reproduce the query's tail logic on a hand-built history:
+    # key 1: v1 at off 10 (value 100), delete at 20, v2 at 30 (value 300)
+    dim = spark.createDataFrame(
+        [
+            Row(key_id=1, offset=10, is_delete=False, payload=Row(v=100)),
+            Row(key_id=1, offset=20, is_delete=True, payload=Row(v=0)),
+            Row(key_id=1, offset=30, is_delete=False, payload=Row(v=300)),
+        ]
+    )
+    facts = spark.createDataFrame(
+        [Row(key_id=1, offset=5),   # before first version -> inferred 100
+         Row(key_id=1, offset=15),  # live v1 -> 100
+         Row(key_id=1, offset=25),  # deleted gap -> NULL, not inferred
+         Row(key_id=1, offset=35)]  # live v2 -> 300
+    )
+    pit = point_in_time_lookup(dim, facts)
+    first_v = (
+        dim.filter(~F.col("is_delete"))
+        .groupBy("key_id")
+        .agg(
+            F.min("offset").alias("first_vf"),
+            F.min_by("payload", "offset").alias("first_payload"),
+        )
+    )
+    j = pit.join(F.broadcast(first_v), "key_id", "left")
+    inferred = (
+        F.col("payload").isNull()
+        & F.col("first_vf").isNotNull()
+        & (F.col("fact_offset") < F.col("first_vf"))
+    )
+    eff = F.when(inferred, F.col("first_payload")).otherwise(
+        F.col("payload")
+    )
+    out = {
+        r.fact_offset: r
+        for r in j.select(
+            "fact_offset",
+            eff["v"].alias("v"),
+            F.coalesce(inferred, F.lit(False)).alias("inf"),
+        ).collect()
+    }
+    assert (out[5].v, out[5].inf) == (100, True)
+    assert (out[15].v, out[15].inf) == (100, False)
+    assert (out[25].v, out[25].inf) == (None, False)
+    assert (out[35].v, out[35].inf) == (300, False)

@@ -1049,3 +1049,100 @@ def test_referential_orphans_single_fact_pass(spark, sf_dir):
     plan = _plan(dq_referential_orphans(spark, sf_dir))
     assert plan.count("lineitem.parquet") == 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_skyline_prefilter_is_broadcast_and_prunes(spark, sf_dir):
+    """The distributed-skyline shape: the bucket prefix-max joins back as
+    a BROADCAST map-side filter, and the exact global-sort window runs on
+    the prefilter's survivors (a tiny frame), never on the full pair set.
+    Correctness of the pruning itself is pinned by the property test."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        agg_skyline_frontier,
+    )
+
+    plan = _plan(agg_skyline_frontier(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan  # the pair collapse is map-side combined
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_median_two_phase_no_corpus_sort(spark, sf_dir):
+    """Two-phase quantile shape: the band histogram is a partial-agged
+    hash agg, the crossing spec comes back as a BROADCAST map-side
+    filter, and no window ever sorts the raw corpus — the only sorts in
+    the plan feed windows over the band frame / one-band sliver (both
+    post-aggregation), never a per-row corpus window."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        agg_weighted_median,
+    )
+
+    plan = _plan(agg_weighted_median(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+    assert "row_number" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_market_concentration_pure_hash_aggs(spark, sf_dir):
+    """Two hash aggregations, zero windows, zero joins: the whole query
+    is the domain-bounded agg cascade the docstring claims."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        agg_market_concentration,
+    )
+
+    plan = _plan(agg_market_concentration(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Window" not in plan
+    assert "Join" not in plan
+
+
+def test_late_arriving_dim_no_interval_join(spark, sf_dir):
+    """The SCD2 semantics run as the carry-forward (no range-predicate
+    join anywhere); the earliest-version fallback is a BROADCAST join on
+    the enriched output."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        cdc_late_arriving_dim,
+    )
+
+    plan = _plan(cdc_late_arriving_dim(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rouge_join_is_equi_keyed(spark, sf_dir):
+    """The bigram overlap is a hash equi-join keyed (doc, bigram) —
+    never a nested-loop / cartesian pairing of documents — and the
+    persisted bigram table feeds BOTH join sides from memory (the
+    explode+agg, the expensive stage, runs once)."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        ext_rouge_n_eval,
+    )
+
+    df = ext_rouge_n_eval(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # populate the cache
+    plan = _plan(df)
+    try:
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+            "BroadcastHashJoin" in plan
+        )
+        assert plan.count("InMemoryTableScan") >= 2
+    finally:
+        spark.catalog.clearCache()
+
+
+def test_nfc_audit_is_arrow_batched_map(spark, sf_dir):
+    """The only Python in the plan is the Arrow-batched pandas_udf
+    (ArrowEvalPython), followed by one partial-agged group-by — no
+    row-at-a-time BatchEvalPython, no join, no window."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        ext_nfc_normalize_audit,
+    )
+
+    plan = _plan(ext_nfc_normalize_audit(spark, sf_dir))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert "partial_" in plan
