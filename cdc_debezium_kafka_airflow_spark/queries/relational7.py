@@ -773,3 +773,352 @@ def ext_rouge_n_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0.0)
         .alias("rouge2_f1"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Connected components (reuses the dedup family's hybrid CC operator)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "graph_connected_components",
+    """
+    WITH RECURSIVE edges_u AS (
+      SELECT DISTINCT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_partkey % 97 = 0
+    ),
+    edges AS (
+      SELECT src, dst FROM edges_u
+      UNION ALL
+      SELECT dst AS src, src AS dst FROM edges_u
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    r AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT r.node, e.dst AS lbl
+      FROM r JOIN edges e ON e.src = r.lbl
+    ),
+    comp AS (SELECT node, min(lbl) AS component_id FROM r GROUP BY node)
+    SELECT CAST(component_id AS BIGINT) AS component_id,
+           CAST(count(*) AS BIGINT) AS n_nodes,
+           CAST(count(CASE WHEN node % 2 = 0 THEN 1 END) AS BIGINT)
+             AS n_customers,
+           CAST(count(CASE WHEN node % 2 = 1 THEN 1 END) AS BIGINT)
+             AS n_suppliers
+    FROM comp GROUP BY component_id
+    """,
+)
+def graph_connected_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Connected components of the sparsified customer-supplier trade
+    graph (same edge set as graph_bfs_hops): the market-fragmentation
+    readout — how many disjoint trading cliques exist and how large the
+    giant component is. Component id = min node id reachable, summarized
+    per component (size, customers, suppliers).
+
+    Engine: operators/dedup.dup_clusters — the SAME hybrid CC the near-dup
+    family uses (driver union-find under 2M edges — this pair graph is a
+    sub-quadratic join output, ~|edges| rows, far under the cap — with the
+    distributed label-propagation fallback above it; both produce
+    identical min-label components, pytest-pinned in
+    tests/test_dedup_similarity.py). The oracle computes the SAME labels
+    via a recursive-CTE transitive closure, tractable because the %97
+    sparsifier bounds closure size.
+
+    Scale: the edge build is one equi-join + distinct (keyed shuffle);
+    CC cost is O(E) union-find or O(diameter) label-prop rounds — the
+    graph-side pattern every petabyte dedup pipeline ships."""
+    from cdc_debezium_kafka_airflow_spark.operators.dedup import (
+        dup_clusters,
+    )
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 97 == 0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    pairs = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("id_a"),
+            (F.col("l_suppkey") * 2 + 1).alias("id_b"),
+        )
+        .distinct()
+    )
+    comp = dup_clusters(pairs)
+    return comp.groupBy(
+        F.col("cluster_id").cast("bigint").alias("component_id")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_nodes"),
+        F.count(F.when(F.col("doc_id") % 2 == 0, 1))
+        .cast("bigint")
+        .alias("n_customers"),
+        F.count(F.when(F.col("doc_id") % 2 == 1, 1))
+        .cast("bigint")
+        .alias("n_suppliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MAD anomaly detection
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ts_anomaly_mad",
+    """
+    WITH day AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ),
+    med AS (
+      SELECT min(x) AS m FROM (
+        SELECT x,
+               2 * CAST(row_number() OVER (ORDER BY x) AS BIGINT) AS r2,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM day
+      ) WHERE r2 >= n
+    ),
+    dev AS (
+      SELECT d, x, abs(x - med.m) AS ad, med.m AS med_x
+      FROM day CROSS JOIN med
+    ),
+    mad AS (
+      SELECT min(ad) AS mad_x FROM (
+        SELECT ad,
+               2 * CAST(row_number() OVER (ORDER BY ad) AS BIGINT) AS r2,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM dev
+      ) WHERE r2 >= n
+    )
+    SELECT CAST(d AS TIMESTAMP) AS day_start, x AS revenue_cents,
+           med_x AS median_cents, ad AS abs_dev,
+           mad.mad_x AS mad_cents,
+           (ad > 3 * mad.mad_x) AS is_anomaly
+    FROM dev CROSS JOIN mad
+    """,
+)
+def ts_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation anomaly flags on daily revenue — the
+    robust companion to dq_anomaly_iqr: MAD's 50% breakdown point
+    tolerates up to half the days being corrupted before the fence moves,
+    where IQR breaks at 25%. Lower-median discipline on exact integer
+    cents (2*rank >= n crossing) keeps every value and the 3x fence
+    comparison pure int64 — no float enters the query at all.
+
+    Scale: the corpus collapses to |days| rows in ONE partial-agged pass;
+    medians, deviations, and flags are windows/joins over that tiny frame
+    (the deliberate single-partition window case, as ts_autocorr)."""
+    e = t(spark, sf_dir, "events")
+    day = e.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        r = df.select(
+            (2 * F.row_number().over(
+                Window.partitionBy(F.lit(1)).orderBy(col)
+            ).cast("long")).alias("r2"),
+            F.count("*").over(wall).alias("n"),
+            F.col(col),
+        )
+        return r.where(F.col("r2") >= F.col("n")).agg(
+            F.min(col).alias(out)
+        )
+
+    med = lower_median(day, "x", "med_x")
+    dev = day.join(F.broadcast(med)).select(
+        "d",
+        "x",
+        F.abs(F.col("x") - F.col("med_x")).alias("ad"),
+        "med_x",
+    )
+    mad = lower_median(dev, "ad", "mad_x")
+    return dev.join(F.broadcast(mad)).select(
+        F.col("d").cast("timestamp").alias("day_start"),
+        F.col("x").alias("revenue_cents"),
+        F.col("med_x").alias("median_cents"),
+        F.col("ad").alias("abs_dev"),
+        F.col("mad_x").alias("mad_cents"),
+        (F.col("ad") > 3 * F.col("mad_x")).alias("is_anomaly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup reweighting
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ext_dedup_reweight",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source, md5({_NORM}) AS hh FROM documents
+    ),
+    g AS (
+      SELECT min(doc_id) AS doc_id, min_by(source, doc_id) AS source,
+             CAST(count(*) AS BIGINT) AS n_copies
+      FROM h GROUP BY hh
+    )
+    SELECT doc_id, source, n_copies,
+           CAST(1000000 * n_copies AS BIGINT) AS weight_e6,
+           CAST(1000000 // n_copies AS BIGINT) AS inv_weight_e6
+    FROM g
+    """,
+)
+def ext_dedup_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-weighted sampling weights after exact dedup — the policy knob
+    the dedup literature actually tunes: keep ONE copy per normalized
+    content hash but remember the multiplicity, so training can either
+    up-weight naturally-repeated text (weight ~ n_copies: repetition as a
+    popularity prior) or flatten it (weight ~ 1/n_copies: each distinct
+    document counts once no matter how often it was crawled). Emits both
+    exact e6-scaled weights per kept doc; the keeper is min doc_id, its
+    source via min_by for determinism.
+
+    Scale: one map (hash) + one hash agg keyed by digest — the identical
+    shuffle ext_dedup_exact already pays; the weights are free columns on
+    top of it."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+        ).alias("hh"),
+    )
+    g = d.groupBy("hh").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.count("*").cast("bigint").alias("n_copies"),
+    )
+    return g.select(
+        "doc_id",
+        "source",
+        "n_copies",
+        (F.lit(1000000) * F.col("n_copies"))
+        .cast("bigint")
+        .alias("weight_e6"),
+        F.expr("1000000 div n_copies").cast("bigint").alias("inv_weight_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pass@k estimator
+# ---------------------------------------------------------------------------
+
+_PASS_KS = (1, 5, 10)
+
+
+def _passk_exprs(k: int, div_op: str) -> str:
+    """ppm expression for the unbiased pass@k estimator
+    1 - C(n-c,k)/C(n,k), as ONE exact integer rational: numerator and
+    denominator are falling factorials unrolled at build time (k is a
+    small compile-time constant), evaluated in DECIMAL(38,0)/HUGEINT.
+    ``div_op`` is the engine's integral division ('div' or '//')."""
+    wide = "DECIMAL(38,0)" if div_op == "div" else "HUGEINT"
+    # The FIRST factor of each chain is cast wide so the whole product
+    # promotes: 10 bigint factors of n~100 overflow int64 on both engines.
+    num = " * ".join(
+        (f"CAST((n - c - {i}) AS {wide})" if i == 0 else f"(n - c - {i})")
+        for i in range(k)
+    )
+    den = " * ".join(
+        (f"CAST((n - {i}) AS {wide})" if i == 0 else f"(n - {i})")
+        for i in range(k)
+    )
+    return (
+        f"CASE WHEN n - c < {k} THEN 1000000 "
+        f"ELSE 1000000 - CAST(CAST(1000000 AS {wide}) * ({num}) "
+        f"{div_op} ({den}) AS BIGINT) END"
+    )
+
+
+def _passk_oracle() -> str:
+    arms = ", ".join(
+        f"({k}, CAST({_passk_exprs(k, '//')} AS BIGINT))" for k in _PASS_KS
+    )
+    return f"""
+    WITH task AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    est AS (
+      SELECT t.user_id, u.k, u.ppm
+      FROM task t, (VALUES {', '.join(f'({k})' for k in _PASS_KS)}) ks(k),
+      LATERAL (SELECT ks.k AS k,
+                      CASE ks.k
+                        {' '.join(f"WHEN {k} THEN CAST({_passk_exprs(k, '//')} AS BIGINT)" for k in _PASS_KS)}
+                      END AS ppm) u
+      WHERE t.n >= ks.k
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS n_tasks,
+           CAST(sum(ppm) // count(*) AS BIGINT) AS mean_pass_ppm,
+           CAST(count(CASE WHEN ppm = 1000000 THEN 1 END) AS BIGINT)
+             AS n_certain
+    FROM est GROUP BY k
+    """
+
+
+@q("ext_eval_pass_at_k", None)  # oracle attached below (built string)
+def ext_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k (Chen et al., 2021, "Evaluating LLMs Trained on
+    Code" appendix): with n samples per task and c successes, the
+    unbiased estimator is 1 - C(n-c,k)/C(n,k) — NOT (c/n)^k leakage.
+    Tasks are users, samples their events, success = a purchase; the
+    estimator machinery (per-task moments -> exact rational per k ->
+    corpus mean) is exactly what an eval pipeline runs over model-sample
+    tables.
+
+    Exactness: C(n-c,k)/C(n,k) collapses to a falling-factorial ratio
+    Π(n-c-i)/Π(n-i); both products are unrolled at BUILD time (k is a
+    small constant) and evaluated in DECIMAL(38,0)/HUGEINT, so every ppm
+    is an exact integer on both engines (n is bounded by ~4,700 at k=10
+    before a 128-bit product could overflow — documented contract; the
+    per-task estimate count, not the corpus size, is what enters the
+    product). Tasks with n < k are excluded (the estimator is undefined),
+    matching the oracle's WHERE.
+
+    Scale: one partial-agged hash agg (user moments) + a 3-arm stack and
+    a 3-group aggregation — the corpus is read once, and the heavy
+    factorial arithmetic runs on |tasks| rows, not |events|."""
+    e = t(spark, sf_dir, "events")
+    task = e.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("c"),
+    )
+    arms = ", ".join(
+        f"CAST({k} AS BIGINT), CASE WHEN n >= {k} THEN "
+        f"CAST({_passk_exprs(k, 'div')} AS BIGINT) END"
+        for k in _PASS_KS
+    )
+    est = task.select(
+        F.expr(f"stack({len(_PASS_KS)}, {arms}) AS (k, ppm)")
+    ).where(F.col("ppm").isNotNull())
+    return est.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n_tasks"),
+        F.expr("sum(ppm) div count(*)")
+        .cast("bigint")
+        .alias("mean_pass_ppm"),
+        F.count(F.when(F.col("ppm") == 1000000, 1))
+        .cast("bigint")
+        .alias("n_certain"),
+    )
+
+
+ORACLES["ext_eval_pass_at_k"] = _passk_oracle()

@@ -517,3 +517,94 @@ def test_late_arriving_dim_policy(spark):
     assert (out[15].v, out[15].inf) == (100, False)
     assert (out[25].v, out[25].inf) == (None, False)
     assert (out[35].v, out[35].inf) == (300, False)
+
+
+def test_pass_at_k_matches_bigint_reference(spark, tmp_path):
+    """Every per-k corpus mean must equal a pure-Python big-int replay of
+    the unbiased estimator 1 - C(n-c,k)/C(n,k) over the same tasks."""
+    import math
+    from datetime import datetime, timezone
+
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        _PASS_KS,
+        ext_eval_pass_at_k,
+    )
+
+    # users with varied (n, c): id -> (events, purchases)
+    tasks = {1: (12, 0), 2: (12, 12), 3: (7, 3), 4: (3, 1), 5: (1, 1),
+             6: (40, 5)}
+    rows = []
+    eid = 0
+    for uid, (n, c) in tasks.items():
+        for i in range(n):
+            rows.append(
+                (
+                    eid,
+                    datetime(2026, 1, 1, tzinfo=timezone.utc),
+                    uid,
+                    "purchase" if i < c else "view",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    d = str(tmp_path / "passk")
+    df.write.mode("overwrite").parquet(d + "/events.parquet")
+    got = {r.k: r for r in ext_eval_pass_at_k(spark, d).collect()}
+    for k in _PASS_KS:
+        ppms = []
+        for n, c in tasks.values():
+            if n < k:
+                continue
+            if n - c < k:
+                ppms.append(10**6)
+            else:
+                num = math.comb(n - c, k)
+                den = math.comb(n, k)
+                ppms.append(10**6 - (10**6 * num) // den)
+        assert got[k].n_tasks == len(ppms)
+        assert got[k].mean_pass_ppm == sum(ppms) // len(ppms), k
+
+
+def test_mad_anomaly_lower_median_rule(spark, tmp_path):
+    """Even day-count frame: the lower median must be chosen on both the
+    value and deviation passes, and the 3x fence flags exactly the
+    planted outlier day."""
+    from datetime import datetime, timezone
+
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        ts_anomaly_mad,
+    )
+
+    # 4 days: revenues 100, 101, 103, 1000 (cents ignored: value*100)
+    day_vals = {1: 1.00, 2: 1.01, 3: 1.03, 4: 10.00}
+    rows = [
+        (
+            d,
+            datetime(2026, 1, d, 12, 0, tzinfo=timezone.utc),
+            d,
+            "view",
+            v,
+            "{}",
+        )
+        for d, v in day_vals.items()
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    d = str(tmp_path / "mad")
+    df.write.mode("overwrite").parquet(d + "/events.parquet")
+    out = {r.revenue_cents: r for r in ts_anomaly_mad(spark, d).collect()}
+    # values: 100,101,103,1000 -> lower median 101
+    assert out[100].median_cents == 101
+    # abs devs: 1,0,2,899 -> lower median 1
+    assert out[100].mad_cents == 1
+    flagged = {k for k, r in out.items() if r.is_anomaly}
+    assert flagged == {1000}

@@ -1146,3 +1146,30 @@ def test_nfc_audit_is_arrow_batched_map(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "Join" not in plan
     assert "partial_" in plan
+
+
+def test_pass_at_k_single_scan_stack(spark, sf_dir):
+    """The corpus is read once into a partial-agged task aggregation; the
+    factorial arithmetic and the 3-arm stack run on |tasks| rows."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        ext_eval_pass_at_k,
+    )
+
+    plan = _plan(ext_eval_pass_at_k(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_" in plan
+    assert "Join" not in plan
+
+
+def test_dedup_reweight_one_digest_shuffle(spark, sf_dir):
+    """Hash map + ONE digest-keyed aggregation — the same shuffle
+    ext_dedup_exact pays, no window, no join."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        ext_dedup_reweight,
+    )
+
+    plan = _plan(ext_dedup_reweight(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
