@@ -714,3 +714,96 @@ def duplicated_span_metrics(
         )
         .withColumn("keep", F.col("dup_span_fraction") <= 0.5)
     )
+
+
+def containment_pairs(
+    shingled: DataFrame,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: C(A,B) = |A∩B| / |A| >=
+    t_num/t_den, A != B, within a blocking key. Containment catches what
+    symmetric Jaccard cannot: truncated re-crawls, quoted excerpts, and
+    boilerplate-wrapped copies, where the smaller document sits INSIDE the
+    larger one but the union is dominated by the larger (Broder's
+    resemblance-vs-containment distinction).
+
+    Prefix filtering, containment flavor: if B misses fewer than
+    (1 - t)*|A| of A's shingles, B must contain at least one of A's
+    floor((1-t)*|A|) + 1 RAREST shingles — so only A's rare prefix is
+    indexed on the probe side, but the build side must carry B's FULL
+    postings (asymmetric thresholds admit no symmetric prune; this is the
+    standard containment-join trade). Prefix shingles are rare by
+    construction, so candidate fan-out is Σ_{s ∈ prefix(A)} df(s), not
+    |block|².
+
+    Threshold is an exact RATIONAL (t_num/t_den): candidate keep and the
+    final cut are pure integer comparisons (t_den*|A∩B| >= t_num*|A|), so
+    engine and oracle can never disagree by a rounding ulp. Input:
+    (doc_id, block, shingles) as ngram_jaccard_pairs."""
+    shingled = shingled.select("doc_id", "block", "shingles").persist()
+    exploded = shingled.select(
+        "doc_id",
+        "block",
+        F.size("shingles").alias("set_size"),
+        F.explode("shingles").alias("shingle"),
+    )
+    freq = exploded.groupBy("shingle").agg(F.count("*").alias("df_count"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("df_count").asc(), F.col("shingle").asc()
+    )
+    # floor((1 - t)|A|) + 1 == |A| - ceil(t|A|) + 1, all-integer
+    prefix_len = (
+        F.col("set_size")
+        - F.ceil(F.lit(t_num) * F.col("set_size") / F.lit(t_den)).cast("int")
+        + 1
+    )
+    prefix = (
+        exploded.join(F.broadcast(freq), "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= prefix_len)
+        .select("doc_id", "block", "shingle")
+    )
+    candidates = (
+        prefix.alias("x")
+        .join(
+            exploded.alias("y"),
+            on=[
+                F.col("x.block") == F.col("y.block"),
+                F.col("x.shingle") == F.col("y.shingle"),
+                F.col("x.doc_id") != F.col("y.doc_id"),
+            ],
+        )
+        .select(
+            F.col("x.doc_id").alias("id_contained"),
+            F.col("y.doc_id").alias("id_container"),
+        )
+        .distinct()
+    )
+    sa = shingled.select(
+        F.col("doc_id").alias("id_contained"),
+        F.col("shingles").alias("sh_a"),
+        F.size("shingles").alias("size_a"),
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("id_container"),
+        F.col("shingles").alias("sh_b"),
+    )
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        candidates.join(F.broadcast(sa), "id_contained")
+        .join(F.broadcast(sb), "id_container")
+        .select(
+            "id_contained",
+            "id_container",
+            n_inter.cast("bigint").alias("n_inter"),
+            F.col("size_a").cast("bigint").alias("size_a"),
+        )
+        .filter(
+            F.lit(t_den) * F.col("n_inter") >= F.lit(t_num) * F.col("size_a")
+        )
+        .withColumn(
+            "containment_e6",
+            F.expr("1000000 * n_inter div size_a").cast("bigint"),
+        )
+    )

@@ -1122,3 +1122,345 @@ def ext_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["ext_eval_pass_at_k"] = _passk_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Rolling distinct via bitmap rollup
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "win_rolling_distinct",
+    """
+    WITH d AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM d)
+    SELECT CAST(t.day AS TIMESTAMP) AS day,
+           CAST((SELECT count(DISTINCT s.user_id) FROM d s
+                 WHERE s.day <= t.day
+                   AND s.day >= t.day - INTERVAL 6 DAY) AS BIGINT)
+             AS users_7d,
+           CAST((SELECT count(DISTINCT s.user_id) FROM d s
+                 WHERE s.day = t.day) AS BIGINT) AS users_1d
+    FROM days t
+    """,
+)
+def win_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the rolling DAU/WAU
+    metric COUNT(DISTINCT) windows cannot express (distinct is not
+    decomposable over sliding frames). The warehouse answer is the exact
+    BITMAP ROLLUP (extending fn_bitmap_distinct): collapse events to one
+    roaring-style bitmap per (day, user-bucket) — pre-aggregable,
+    mergeable, exact — then fan each day's TINY bitmap row out to the <=7
+    target days it contributes to and OR-merge per target. The expensive
+    corpus pass happens once; the x7 fan-out multiplies |days x buckets|
+    bitmap rows, never event rows.
+
+    Oracle: textbook correlated COUNT(DISTINCT) per window. Scale: at
+    100 TB the bitmap frame is |days| x |users|/32768 rows regardless of
+    event count, and every aggregation in the plan carries map-side
+    partials (bitmap_construct_agg and bitmap_or_agg both merge)."""
+    e = t(spark, sf_dir, "events")
+    bm = e.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.col("user_id"),
+    ).groupBy(
+        "day", F.expr("bitmap_bucket_number(user_id)").alias("bkt")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))").alias(
+            "bm"
+        )
+    )
+    # fan each (day, bucket) bitmap out to the 7 target days it serves.
+    # Target days that were never OBSERVED (gaps trailing an active day)
+    # are dropped by the own-day flag computed inside the SAME
+    # aggregation — a membership join against a day list would re-derive
+    # the bitmap frame and cost a second corpus scan.
+    fan = bm.select(
+        F.explode(
+            F.expr(
+                "sequence(day, day + INTERVAL 6 DAY, INTERVAL 1 DAY)"
+            )
+        ).alias("tday"),
+        "day",
+        "bkt",
+        "bm",
+    )
+    rolled = fan.groupBy("tday", "bkt").agg(
+        F.expr("bitmap_count(bitmap_or_agg(bm))").alias("n7"),
+        # the 1-day bitmap is the fan row whose source day == target day
+        F.max(
+            F.when(F.col("day") == F.col("tday"), F.expr("bitmap_count(bm)"))
+        ).alias("n1"),
+        F.max(F.when(F.col("day") == F.col("tday"), 1)).alias("own"),
+    )
+    return (
+        rolled.groupBy(F.col("tday").cast("timestamp").alias("day"))
+        .agg(
+            F.sum("n7").cast("bigint").alias("users_7d"),
+            F.sum(F.coalesce(F.col("n1"), F.lit(0)))
+            .cast("bigint")
+            .alias("users_1d"),
+            F.max("own").alias("_own"),
+        )
+        .where(F.col("_own") == 1)
+        .drop("_own")
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join with staleness tolerance
+# ---------------------------------------------------------------------------
+
+_ASOF_TOL_US = 3_600_000_000  # 1 hour
+
+
+@q(
+    "join_asof_tolerance",
+    f"""
+    WITH q AS (
+      -- one quote per (user, microsecond): same-instant quotes reduce by
+      -- max so the as-of pick is deterministic on both engines
+      SELECT user_id, epoch_us(ts) AS q_us,
+             CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS err_cents
+      FROM events WHERE event_type = 'error'
+      GROUP BY user_id, epoch_us(ts)
+    ),
+    f AS (
+      SELECT event_id, user_id, ts, epoch_us(ts) AS f_us
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT f.event_id, f.user_id,
+           CASE WHEN f.f_us - q.q_us <= {_ASOF_TOL_US}
+                THEN q.err_cents END AS last_err_cents,
+           CASE WHEN f.f_us - q.q_us <= {_ASOF_TOL_US}
+                THEN f.f_us - q.q_us END AS age_us,
+           coalesce(f.f_us - q.q_us > {_ASOF_TOL_US}, FALSE) AS stale
+    FROM f ASOF LEFT JOIN q
+      ON f.user_id = q.user_id AND f.f_us >= q.q_us
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness TOLERANCE (pandas merge_asof's
+    `tolerance=` semantics): each purchase is enriched with the user's
+    most recent preceding error — but only if it happened within the last
+    hour; older matches are masked NULL and flagged stale rather than
+    silently attached. The sensor-fusion/market-data contract: a quote
+    older than the tolerance is not a quote.
+
+    Engine: the same ONE-shuffle union + carry-forward as join_range_asof
+    (never a per-key interval nested loop); the tolerance is a row-local
+    mask AFTER the carry, so it costs zero extra shuffles. The oracle runs
+    DuckDB's NATIVE ASOF JOIN — an independent implementation of the
+    match semantics — with the same mask on top; the hash match pins the
+    two engines' as-of pick AND the staleness cut against each other.
+
+    Scale: one hash-partitioned (user) window over the unioned stream —
+    the merge-join shape every tick-data system uses."""
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    quotes = (
+        e.where(F.col("event_type") == "error")
+        .groupBy("user_id", "us")
+        .agg(F.max("cents").alias("cents"))
+        .select(
+            "user_id",
+            "us",
+            F.struct(
+                F.col("us").alias("q_us"), F.col("cents").alias("err")
+            ).alias("qv"),
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(False).alias("is_fact"),
+        )
+    )
+    facts = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "us",
+        F.lit(None)
+        .cast("struct<q_us:bigint,err:bigint>")
+        .alias("qv"),
+        "event_id",
+        F.lit(True).alias("is_fact"),
+    )
+    # quotes sort before facts at the same timestamp (is_fact False < True)
+    w = Window.partitionBy("user_id").orderBy("us", "is_fact")
+    carried = quotes.unionByName(facts).select(
+        "user_id",
+        "us",
+        "event_id",
+        "is_fact",
+        F.last("qv", ignorenulls=True).over(w).alias("lq"),
+    )
+    out = carried.where("is_fact")
+    age = F.col("us") - F.col("lq.q_us")
+    fresh = age <= F.lit(_ASOF_TOL_US)
+    return out.select(
+        "event_id",
+        "user_id",
+        F.when(fresh, F.col("lq.err")).alias("last_err_cents"),
+        F.when(fresh, age).alias("age_us"),
+        F.coalesce(age > F.lit(_ASOF_TOL_US), F.lit(False)).alias("stale"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence (all-integer ppm discipline)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dq_chi2_independence",
+    """
+    WITH cell AS (
+      SELECT c_nationkey AS r, c_mktsegment AS cseg,
+             CAST(count(*) AS BIGINT) AS o
+      FROM customer GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT r, cseg, o,
+             sum(o) OVER (PARTITION BY r) AS rt,
+             sum(o) OVER (PARTITION BY cseg) AS ct,
+             sum(o) OVER () AS n
+      FROM cell
+    ),
+    terms AS (
+      SELECT r, cseg,
+             CAST(1000000 * (CAST(n AS HUGEINT) * o - CAST(rt AS HUGEINT) * ct)
+                          * (CAST(n AS HUGEINT) * o - CAST(rt AS HUGEINT) * ct)
+                  // (CAST(n AS HUGEINT) * rt * ct) AS BIGINT) AS term_ppm,
+             n
+      FROM m
+    )
+    SELECT CAST(sum(term_ppm) AS BIGINT) AS chi2_ppm,
+           CAST((count(DISTINCT r) - 1) * (count(DISTINCT cseg) - 1)
+                AS BIGINT) AS dof,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(min(n) AS BIGINT) AS n_total
+    FROM terms
+    """,
+)
+def dq_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between nation and market segment —
+    the contingency-table audit next to dq_ab_ztest (two-sample moments)
+    and dq_benford_check (digit law). Each cell's contribution is computed
+    as the EXACT integer rational 1e6*(N*o - rt*ct)^2 // (N*rt*ct) —
+    algebraically identical to 1e6*(o-e)^2/e with e = rt*ct/N but with no
+    intermediate double, so the cross-engine total is an order-free sum of
+    exact int64 terms (a float chi-square would hash-diverge on
+    accumulation order alone). 128-bit contract: (N*o - rt*ct)^2 <= N^4
+    must fit HUGEINT/DECIMAL(38,0), i.e. N <= ~10^9 rows — beyond that,
+    test on the cell HISTOGRAM of a fixed-rate sample (the counts are
+    already collapsed; only the magnitude needs capping).
+
+    Scale: one partial-agged hash agg to the |nations x segments| cell
+    frame; the marginals are windows over that tiny frame; one final
+    1-row aggregation. The corpus is scanned once."""
+    c = t(spark, sf_dir, "customer")
+    cell = c.groupBy(
+        F.col("c_nationkey").alias("r"),
+        F.col("c_mktsegment").alias("cseg"),
+    ).agg(F.count("*").cast("bigint").alias("o"))
+    wr = Window.partitionBy("r")
+    wc = Window.partitionBy("cseg")
+    wall = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = cell.select(
+        "r",
+        "cseg",
+        "o",
+        F.sum("o").over(wr).alias("rt"),
+        F.sum("o").over(wc).alias("ct"),
+        F.sum("o").over(wall).alias("n"),
+    )
+    terms = m.select(
+        "r",
+        "cseg",
+        "n",
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) "
+            "* (CAST(n AS DECIMAL(38,0)) * o - CAST(rt AS DECIMAL(38,0)) * ct) "
+            "* (CAST(n AS DECIMAL(38,0)) * o - CAST(rt AS DECIMAL(38,0)) * ct) "
+            "div (CAST(n AS DECIMAL(38,0)) * rt * ct) AS BIGINT)"
+        ).alias("term_ppm"),
+    )
+    return terms.agg(
+        F.sum("term_ppm").cast("bigint").alias("chi2_ppm"),
+        (
+            (F.count_distinct("r") - 1) * (F.count_distinct("cseg") - 1)
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.min("n").cast("bigint").alias("n_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (asymmetric near-dup)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ext_dedup_containment",
+    f"""
+    WITH d AS (SELECT doc_id, source,
+                      string_split({_NORM}, ' ') AS w FROM documents),
+    sh AS (SELECT doc_id, source,
+                  list_distinct(list_transform(
+                      range(1, greatest(len(w) - 2, 1) + 1),
+                      i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS s
+           FROM d),
+    sz AS (SELECT doc_id, len(s) AS set_size FROM sh),
+    ex AS (SELECT doc_id, source, unnest(s) AS shingle FROM sh),
+    inter AS (
+      SELECT x.doc_id AS id_contained, y.doc_id AS id_container,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM ex x JOIN ex y
+        ON x.source = y.source AND x.shingle = y.shingle
+       AND x.doc_id <> y.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_contained, id_container, n_inter,
+           CAST(sa.set_size AS BIGINT) AS size_a,
+           CAST(1000000 * n_inter // sa.set_size AS BIGINT)
+             AS containment_e6
+    FROM inter JOIN sz sa ON id_contained = sa.doc_id
+    WHERE 2 * n_inter >= sa.set_size
+    """,
+)
+def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (C(A,B) = |A∩B|/|A| >= 1/2)
+    over 3-word shingles — the dedup leg Jaccard misses: a truncated
+    re-crawl or a quoted excerpt is CONTAINED in its source even when the
+    symmetric union dwarfs the overlap (Broder's resemblance vs
+    containment). Emits ordered pairs (the small side first), exact
+    integer overlap, and e6 containment via integral division — the
+    threshold is the pure integer comparison 2*|A∩B| >= |A| on BOTH
+    engines, so no rounding ulp can flip a pair.
+
+    Engine: operators/dedup.containment_pairs — A's rarest-prefix postings
+    joined against FULL postings (the asymmetric-threshold trade; prefix
+    shingles are rare by construction so fan-out is Σ df(prefix), never
+    |block|²), exact array_intersect verify on candidates only. Starts
+    from the shared fingerprint-cached shingle table. Oracle: the naive
+    quadratic in-SQL twin, tractable at oracle scale."""
+    from cdc_debezium_kafka_airflow_spark.operators.dedup import (
+        containment_pairs,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.shingle_cache import (
+        shingled_documents,
+    )
+
+    sh = shingled_documents(spark, sf_dir, unit="word", k=3).select(
+        "doc_id", F.col("source").alias("block"), "shingles"
+    )
+    return containment_pairs(sh, t_num=1, t_den=2)

@@ -608,3 +608,143 @@ def test_mad_anomaly_lower_median_rule(spark, tmp_path):
     assert out[100].mad_cents == 1
     flagged = {k for k, r in out.items() if r.is_anomaly}
     assert flagged == {1000}
+
+
+# ---------------------------------------------------------------------------
+# Wave-5 operators
+# ---------------------------------------------------------------------------
+
+
+def test_containment_catches_truncation_not_reverse(spark):
+    """A truncated copy (first half of a doc) must be reported CONTAINED
+    in its source; the source must NOT be reported contained in the
+    truncation when the overlap is under half its shingles — the
+    asymmetry that distinguishes containment from Jaccard."""
+    import pyspark.sql.functions as F
+
+    from cdc_debezium_kafka_airflow_spark.operators.dedup import (
+        containment_pairs,
+        word_shingles,
+    )
+
+    words = [f"w{i:03d}" for i in range(60)]
+    full = " ".join(words)
+    third = " ".join(words[:20])
+    other = " ".join(f"z{i:03d}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, full), (2, third), (3, other)], "doc_id long, text string"
+    ).select(
+        "doc_id",
+        F.lit("b").alias("block"),
+        word_shingles(F.col("text"), 3).alias("shingles"),
+    )
+    pairs = {
+        (r.id_contained, r.id_container): r
+        for r in containment_pairs(df, t_num=1, t_den=2).collect()
+    }
+    assert (2, 1) in pairs
+    assert pairs[(2, 1)].containment_e6 == 1000000  # every shingle inside
+    assert (1, 2) not in pairs  # 18/58 shingles < 1/2
+    assert all(3 not in k for k in pairs)
+
+
+def test_chi2_matches_python_bigints(spark, sf_dir):
+    """chi2_ppm must equal the unbounded-int replay of
+    sum(1e6*(N*o-rt*ct)^2 // (N*rt*ct)) over the same cells."""
+    from collections import Counter
+
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        dq_chi2_independence,
+    )
+
+    rows = t(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    ).collect()
+    cells = Counter((r.c_nationkey, r.c_mktsegment) for r in rows)
+    rt = Counter()
+    ct = Counter()
+    for (r_, c_), o in cells.items():
+        rt[r_] += o
+        ct[c_] += o
+    n = sum(cells.values())
+    expect = sum(
+        (10**6 * (n * o - rt[r_] * ct[c_]) ** 2)
+        // (n * rt[r_] * ct[c_])
+        for (r_, c_), o in cells.items()
+    )
+    got = dq_chi2_independence(spark, sf_dir).collect()[0]
+    assert got.chi2_ppm == expect
+    assert got.n_total == n
+    assert got.dof == (len(rt) - 1) * (len(ct) - 1)
+
+
+def test_asof_tolerance_edge_is_inclusive(spark, tmp_path):
+    """A quote exactly at the tolerance boundary is FRESH; one microsecond
+    older is stale (masked NULL + flagged); a fact with no prior quote is
+    NULL but NOT stale."""
+    from datetime import datetime, timedelta, timezone
+
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        _ASOF_TOL_US,
+        join_asof_tolerance,
+    )
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    us = timedelta(microseconds=1)
+    tol = timedelta(microseconds=_ASOF_TOL_US)
+    rows = [
+        # user 1: quote, then facts at tol and tol+1us
+        (100, t0, 1, "error", 2.5, "{}"),
+        (101, t0 + tol, 1, "purchase", 0.0, "{}"),
+        (102, t0 + tol + us, 1, "purchase", 0.0, "{}"),
+        # user 2: fact with no quote at all
+        (200, t0, 2, "purchase", 0.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    d = str(tmp_path / "asof")
+    df.write.mode("overwrite").parquet(d + "/events.parquet")
+    out = {r.event_id: r for r in join_asof_tolerance(spark, d).collect()}
+    assert out[101].last_err_cents == 250 and not out[101].stale
+    assert out[101].age_us == _ASOF_TOL_US
+    assert out[102].last_err_cents is None and out[102].stale
+    assert out[200].last_err_cents is None and not out[200].stale
+
+
+def test_rolling_distinct_matches_brute_force(spark, tmp_path):
+    """Bitmap rollup == brute-force set union over the trailing window,
+    on a frame with re-appearing users and day gaps."""
+    from datetime import datetime, timedelta, timezone
+
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        win_rolling_distinct,
+    )
+
+    t0 = datetime(2026, 3, 1, tzinfo=timezone.utc)
+    # (day_offset, user): gaps at days 2-3; users recur across windows
+    obs = [(0, 1), (0, 2), (1, 2), (4, 1), (4, 3), (8, 2), (10, 1),
+           (10, 2), (10, 99991)]  # large id crosses bitmap buckets
+    rows = [
+        (i, t0 + timedelta(days=d, hours=3), u, "view", 1.0, "{}")
+        for i, (d, u) in enumerate(obs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    )
+    p = str(tmp_path / "rd")
+    df.write.mode("overwrite").parquet(p + "/events.parquet")
+    got = {
+        r.day.day - 1 + (r.day.month - 3) * 31: (r.users_7d, r.users_1d)
+        for r in win_rolling_distinct(spark, p).collect()
+    }
+    days = sorted({d for d, _ in obs})
+    for d in days:
+        win = {u for dd, u in obs if d - 6 <= dd <= d}
+        today = {u for dd, u in obs if dd == d}
+        assert got[d] == (len(win), len(today)), d

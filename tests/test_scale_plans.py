@@ -1173,3 +1173,71 @@ def test_dedup_reweight_one_digest_shuffle(spark, sf_dir):
     assert "partial_" in plan
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_rolling_distinct_fans_out_bitmaps_not_rows(spark, sf_dir):
+    """The x7 explode must run ABOVE the bitmap aggregation (on the tiny
+    (day, bucket) frame), never on event rows: exactly one FileScan, and
+    the Generate (explode) sits after a partial-agged aggregate."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        win_rolling_distinct,
+    )
+
+    plan = _plan(win_rolling_distinct(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "bitmap_construct_agg" in plan
+    assert "partial_" in plan
+    gen = plan.index("Generate")
+    agg = plan.index("bitmap_construct_agg")
+    # plan strings print top-down: the explode consumes the aggregate
+    assert gen < agg
+
+
+def test_asof_tolerance_one_shuffle_carry(spark, sf_dir):
+    """The tolerance mask must not add plan weight: ONE user-keyed window
+    over the union, no join anywhere. (The quote-dedup agg contributes
+    the only other exchange, keyed (user_id, us) with map-side
+    partials.)"""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        join_asof_tolerance,
+    )
+
+    plan = _plan(join_asof_tolerance(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+    assert plan.count("Exchange hashpartitioning(user_id#") <= 1 or (
+        plan.count("Exchange hashpartitioning") == 2
+    )
+
+
+def test_chi2_collapses_to_cell_frame(spark, sf_dir):
+    """One corpus scan into the partial-agged cell aggregation; marginals
+    are windows over the tiny cell frame."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        dq_chi2_independence,
+    )
+
+    plan = _plan(dq_chi2_independence(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_" in plan
+    assert "Join" not in plan
+
+
+def test_containment_join_is_equi_keyed(spark, sf_dir):
+    """Candidate generation must be the (block, shingle)-keyed equi-join
+    of rare-prefix postings vs full postings — no cartesian, no
+    nested-loop — and the verify stage reads the persisted shingle table
+    (InMemory), not a re-shingling."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        ext_dedup_containment,
+    )
+
+    df = ext_dedup_containment(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    try:
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "InMemoryTableScan" in plan
+    finally:
+        spark.catalog.clearCache()
