@@ -1464,3 +1464,258 @@ def ext_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("source").alias("block"), "shingles"
     )
     return containment_pairs(sh, t_num=1, t_den=2)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified retrieval
+# ---------------------------------------------------------------------------
+
+_MMR_CANDIDATES = 100
+_MMR_K = 10
+
+
+@q(
+    "ext_mmr_diversify",
+    f"""
+    WITH RECURSIVE
+    qv AS (SELECT list_transform(embedding, x -> CAST(round(x*127) AS BIGINT))
+             AS v
+           FROM embeddings WHERE vec_id = 1),
+    allq AS (SELECT vec_id,
+                    list_transform(embedding,
+                                   x -> CAST(round(x*127) AS BIGINT)) AS v
+             FROM embeddings WHERE vec_id <> 1),
+    rel AS (SELECT a.vec_id, a.v,
+                   CAST(list_dot_product(a.v, q.v) AS BIGINT) AS rel
+            FROM allq a CROSS JOIN qv q),
+    cand AS (SELECT * FROM rel
+             ORDER BY rel DESC, vec_id ASC LIMIT {_MMR_CANDIDATES}),
+    sims AS (SELECT a.vec_id AS ca, b.vec_id AS cb,
+                    CAST(list_dot_product(a.v, b.v) AS BIGINT) AS s
+             FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+    r AS (
+      SELECT 1 AS step,
+             [(SELECT vec_id FROM cand
+               ORDER BY rel DESC, vec_id ASC LIMIT 1)] AS sel
+      UNION ALL
+      SELECT r.step + 1,
+             list_append(r.sel, (
+               SELECT c.vec_id FROM cand c
+               WHERE NOT list_contains(r.sel, c.vec_id)
+               ORDER BY (c.rel - (SELECT max(s.s) FROM sims s
+                                  WHERE s.ca = c.vec_id
+                                    AND list_contains(r.sel, s.cb))) DESC,
+                        c.vec_id ASC
+               LIMIT 1))
+      FROM r WHERE r.step < {_MMR_K}
+    ),
+    final AS (SELECT sel FROM r ORDER BY step DESC LIMIT 1)
+    SELECT CAST(list_position(f.sel, c.vec_id) AS BIGINT) AS rank,
+           c.vec_id, c.rel AS rel_dot
+    FROM final f JOIN cand c ON list_contains(f.sel, c.vec_id)
+    """,
+)
+def ext_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    1998): diversify a retrieval top-k so near-duplicate hits don't crowd
+    the result — the selection loop every RAG/retrieval pipeline runs
+    after ANN recall. score(c) = λ·rel(c,q) − (1−λ)·max_{s∈S} sim(c,s)
+    with λ = 1/2, which cancels to the pure integer rel − maxsim.
+
+    Exactness: embeddings are quantized to int8 (round(x·127) — the
+    ext_embedding_quantize codebook path), so relevance and pairwise
+    sims are exact int64 dot products and every greedy argmax is an
+    integer comparison with a vec_id tie-break — the oracle's recursive
+    CTE replays the identical loop and must land on the identical set in
+    the identical order.
+
+    Scale: candidate generation is the distributed part (one scan, 64-D
+    integer dots via zip_with/aggregate, TakeOrderedAndProject top-100);
+    the greedy loop is inherently sequential in k and runs driver-side
+    over the 100-row candidate set — the same k-row-bounded driver step
+    as IVF's centroid pull (operators/similarity.py), with the pairwise
+    sim matrix computed lazily in Python (100x100 int dots)."""
+    emb = t(spark, sf_dir, "embeddings")
+    q8 = F.transform(
+        F.col("embedding"), lambda x: F.round(x * 127).cast("long")
+    )
+    qv = emb.where(F.col("vec_id") == 1).select(q8.alias("qv"))
+    cands = (
+        emb.where(F.col("vec_id") != 1)
+        .select("vec_id", q8.alias("v"))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "v",
+            F.aggregate(
+                F.zip_with("v", "qv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(_MMR_CANDIDATES)
+    )
+    rows = cands.collect()  # k-row bounded (100): the sequential stage
+    vecs = {r.vec_id: r.v for r in rows}
+    rel = {r.vec_id: r.rel for r in rows}
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    # greedy: first pick = argmax rel (vec_id tie-break), then rel-maxsim
+    order = sorted(rel, key=lambda i: (-rel[i], i))
+    sel = [order[0]]
+    maxsim = {i: None for i in rel}
+    while len(sel) < _MMR_K:
+        last = sel[-1]
+        best = None
+        for i in order:
+            if i in sel:
+                continue
+            s = dot(vecs[i], vecs[last])
+            if maxsim[i] is None or s > maxsim[i]:
+                maxsim[i] = s
+            key = (-(rel[i] - maxsim[i]), i)
+            if best is None or key < best[0]:
+                best = (key, i)
+        sel.append(best[1])
+    out = [(k + 1, v, rel[v]) for k, v in enumerate(sel)]
+    return spark.createDataFrame(
+        out, "rank bigint, vec_id bigint, rel_dot bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup keeper policy
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ext_dedup_keeper_policy",
+    f"""
+    WITH h AS (
+      SELECT doc_id, n_chars, md5(substr({_NORM}, 1, 24)) AS hh
+      FROM documents
+    ),
+    g AS (
+      SELECT hh,
+             CAST(count(*) AS BIGINT) AS n_members,
+             arg_max(doc_id, CAST(n_chars AS HUGEINT) * 10000000000
+                             - doc_id) AS keeper_longest,
+             min(doc_id) AS keeper_min_id,
+             CAST(max(n_chars) AS BIGINT) AS kept_chars,
+             CAST(sum(n_chars) AS BIGINT) AS cluster_chars
+      FROM h GROUP BY hh
+    )
+    SELECT CAST(keeper_longest AS BIGINT) AS keeper_longest,
+           CAST(keeper_min_id AS BIGINT) AS keeper_min_id,
+           n_members, kept_chars, cluster_chars,
+           (keeper_longest <> keeper_min_id) AS policy_differs
+    FROM g WHERE n_members > 1
+    """,
+)
+def ext_dedup_keeper_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keeper-selection policy for duplicate clusters: min-doc-id (the
+    ext_dedup_exact default — reproducible) vs LONGEST-document (what
+    content curation usually wants: the untruncated copy survives). The
+    24-char prefix hash clusters truncation-style dups; per multi-member
+    cluster both policies are emitted with a policy_differs flag — the
+    audit a pipeline runs before switching keeper rules, sized by how
+    many kept bytes change.
+
+    Exactness: arg_max keyed on the composite integer
+    n_chars*1e10 - doc_id (longest, then smallest id — exact while
+    doc_id < 1e10, a documented fixture contract; at larger id spaces
+    widen the multiplier in the same 128-bit types) — deterministic
+    under ties on both engines. Scale: one map + one digest-keyed hash
+    agg, identical shuffle to ext_dedup_exact."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.md5(
+            F.substring(
+                F.lower(
+                    F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+                ),
+                1,
+                24,
+            )
+        ).alias("hh"),
+    )
+    g = d.groupBy("hh").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.expr(
+            "max_by(doc_id, CAST(n_chars AS DECIMAL(38,0)) * 10000000000"
+            " - doc_id)"
+        ).alias("keeper_longest"),
+        F.min("doc_id").alias("keeper_min_id"),
+        F.max("n_chars").cast("bigint").alias("kept_chars"),
+        F.sum("n_chars").cast("bigint").alias("cluster_chars"),
+    )
+    return g.where(F.col("n_members") > 1).select(
+        F.col("keeper_longest").cast("bigint"),
+        F.col("keeper_min_id").cast("bigint"),
+        "n_members",
+        "kept_chars",
+        "cluster_chars",
+        (F.col("keeper_longest") != F.col("keeper_min_id")).alias(
+            "policy_differs"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Row-level security policy
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "sec_row_level_policy",
+    """
+    WITH policy AS (
+      SELECT r AS role_id, n.n_nationkey
+      FROM range(0, 5) AS roles(r)
+      JOIN nation n ON n.n_nationkey % 5 = r
+    )
+    SELECT CAST(p.role_id AS BIGINT) AS role_id,
+           CAST(count(*) AS BIGINT) AS visible_customers,
+           CAST(count(DISTINCT c.c_nationkey) AS BIGINT) AS visible_nations,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT)
+             AS visible_balance_cents
+    FROM customer c
+    JOIN policy p ON p.n_nationkey = c.c_nationkey
+    GROUP BY p.role_id
+    """,
+)
+def sec_row_level_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level security enforcement: a policy dimension (role ->
+    visible nations; here the deterministic nationkey % 5 assignment a
+    fixture can verify) broadcast-joined onto the fact scan BEFORE any
+    aggregate sees a row — the filter-at-scan discipline RLS requires
+    (contrast sec_masked_view, which redacts columns after access).
+    Per-role audit: visible rows, nations, and balance. Completes the
+    security family: column masking, k-anonymity, DP release,
+    crypto-shred, GDPR forget, and now row policies.
+
+    Scale: the policy table is |roles x nations| (broadcast); one
+    partial-agged aggregation keyed by role."""
+    n = t(spark, sf_dir, "nation").select("n_nationkey")
+    roles = spark.range(0, 5).select(F.col("id").alias("role_id"))
+    policy = roles.join(
+        n, n.n_nationkey % 5 == F.col("role_id")
+    ).select("role_id", "n_nationkey")
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(policy), policy.n_nationkey == c.c_nationkey)
+        .groupBy(F.col("role_id").cast("bigint").alias("role_id"))
+        .agg(
+            F.count("*").cast("bigint").alias("visible_customers"),
+            F.count_distinct("c_nationkey")
+            .cast("bigint")
+            .alias("visible_nations"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("visible_balance_cents"),
+        )
+    )

@@ -748,3 +748,123 @@ def test_rolling_distinct_matches_brute_force(spark, tmp_path):
         win = {u for dd, u in obs if d - 6 <= dd <= d}
         today = {u for dd, u in obs if dd == d}
         assert got[d] == (len(win), len(today)), d
+
+
+# ---------------------------------------------------------------------------
+# Wave-6 operators
+# ---------------------------------------------------------------------------
+
+
+def test_mmr_prefers_diverse_over_redundant(spark, tmp_path):
+    """Planted frame: the two most relevant candidates are clones; MMR
+    must take one clone then the diverse vector, never both clones first.
+    The full ranking must equal an independent pure-Python greedy
+    replay."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        _MMR_K,
+        ext_mmr_diversify,
+    )
+
+    dim = 8
+    qv = [1.0] * dim
+    # equally relevant (7 aligned dims) but with shifted support: the
+    # exact clone of the first pick scores rel - sim = 0, the shifted
+    # vector keeps a positive margin -> MMR must take it second
+    clone = [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.0]
+    diverse = [0.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0]
+    mid = [0.5] * dim
+    rows = [(1, qv, 0)]  # the query vector
+    rows += [(10, clone, 0), (11, clone, 0), (12, diverse, 0),
+             (13, mid, 0)]
+    # filler so the candidate pool has > k members
+    for i in range(20, 40):
+        rows.append((i, [0.01 * (i % 7)] * dim, 0))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "mmr")
+    df.write.mode("overwrite").parquet(d + "/embeddings.parquet")
+    got = [
+        (r.rank, r.vec_id)
+        for r in sorted(
+            ext_mmr_diversify(spark, d).collect(), key=lambda r: r.rank
+        )
+    ]
+    # independent greedy replay on int8-quantized vectors
+    q8 = {v: [round(x * 127) for x in emb] for v, emb, _ in rows}
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    rel = {v: dot(q8[v], q8[1]) for v in q8 if v != 1}
+    order = sorted(rel, key=lambda i: (-rel[i], i))
+    cand = order[:100]
+    sel = [cand[0]]
+    maxsim = {}
+    while len(sel) < min(_MMR_K, len(cand)):
+        last = sel[-1]
+        best = None
+        for i in cand:
+            if i in sel:
+                continue
+            s = dot(q8[i], q8[last])
+            if i not in maxsim or s > maxsim[i]:
+                maxsim[i] = s
+            key = (-(rel[i] - maxsim[i]), i)
+            if best is None or key < best[0]:
+                best = (key, i)
+        sel.append(best[1])
+    assert got == [(k + 1, v) for k, v in enumerate(sel)]
+    # the two clones must not occupy ranks 1 and 2: the shifted-support
+    # equal-relevance vector (12) must displace the exact clone (11)
+    assert {got[0][1], got[1][1]} == {10, 12}
+
+
+def test_keeper_policy_longest_then_min_id(spark, tmp_path):
+    """Longest doc wins; on a length tie the smaller doc_id wins; the
+    differs flag fires only when the two policies disagree."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        ext_dedup_keeper_policy,
+    )
+
+    prefix = "same twenty-four chars!!"  # 24 chars -> one cluster
+    docs = [
+        (1, prefix + " short", "s", 30),
+        (2, prefix + " a much longer body here", "s", 48),
+        (3, prefix + " xxxxxxxxxxxxxxxxxxxxxxx", "s", 48),  # ties with 2
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, source string, n_chars int"
+    )
+    d = str(tmp_path / "keep")
+    df.write.mode("overwrite").parquet(d + "/documents.parquet")
+    rows = ext_dedup_keeper_policy(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.n_members == 3
+    assert r.keeper_longest == 2  # longest, tie broken by smaller id
+    assert r.keeper_min_id == 1
+    assert r.policy_differs
+
+
+def test_row_level_policy_partitions_exactly(spark, sf_dir):
+    """Roles partition the customer table: per-role counts and balances
+    must sum to the unfiltered totals, and no nation is visible to two
+    roles."""
+    import pyspark.sql.functions as F
+
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        sec_row_level_policy,
+    )
+
+    out = sec_row_level_policy(spark, sf_dir).collect()
+    c = t(spark, sf_dir, "customer")
+    tot = c.agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("b"),
+        F.count_distinct("c_nationkey").alias("nn"),
+    ).collect()[0]
+    assert sum(r.visible_customers for r in out) == tot.n
+    assert sum(r.visible_balance_cents for r in out) == tot.b
+    assert sum(r.visible_nations for r in out) == tot.nn

@@ -1241,3 +1241,59 @@ def test_containment_join_is_equi_keyed(spark, sf_dir):
         assert "InMemoryTableScan" in plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_mmr_candidates_use_heap_topk(spark, sf_dir):
+    """The distributed stage of MMR (candidate generation) must be a
+    TakeOrderedAndProject top-100 over the integer-dot scan — never a
+    global sort of the embedding table."""
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+    import pyspark.sql.functions as F
+
+    emb = t(spark, sf_dir, "embeddings")
+    q8 = F.transform(
+        F.col("embedding"), lambda x: F.round(x * 127).cast("long")
+    )
+    qv = emb.where(F.col("vec_id") == 1).select(q8.alias("qv"))
+    cands = (
+        emb.where(F.col("vec_id") != 1)
+        .select("vec_id", q8.alias("v"))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("v", "qv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(100)
+    )
+    plan = _plan(cands)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_keeper_policy_single_digest_shuffle(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        ext_dedup_keeper_policy,
+    )
+
+    plan = _plan(ext_dedup_keeper_policy(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_" in plan
+    assert "Window" not in plan
+
+
+def test_row_level_policy_filters_at_scan_via_broadcast(spark, sf_dir):
+    """RLS must be a broadcast join of the tiny policy dimension onto the
+    fact scan, followed by one partial-agged role aggregation."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        sec_row_level_policy,
+    )
+
+    plan = _plan(sec_row_level_policy(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "partial_" in plan
+    assert "SortMergeJoin" not in plan
