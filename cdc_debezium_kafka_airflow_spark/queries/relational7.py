@@ -1719,3 +1719,326 @@ def sec_row_level_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("visible_balance_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal ALIGN of two SCD2 histories
+# ---------------------------------------------------------------------------
+
+
+def _temporal_align_oracle() -> str:
+    from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import CH_CTE
+
+    inf = "9223372036854775807"
+    return f"""
+    WITH {CH_CTE},
+    dim_a AS (
+      SELECT key_id, off AS vf,
+             lead(off) OVER (PARTITION BY key_id ORDER BY off) - 1 AS vt,
+             event_id, op
+      FROM ch WHERE table_name = 'entidades'
+    ),
+    dim_b AS (
+      SELECT key_id, off AS vf,
+             lead(off) OVER (PARTITION BY key_id ORDER BY off) - 1 AS vt,
+             event_id, op
+      FROM ch WHERE table_name = 'productos'
+    ),
+    va AS (SELECT * FROM dim_a WHERE op <> 'd'),
+    vb AS (SELECT * FROM dim_b WHERE op <> 'd')
+    SELECT a.key_id,
+           greatest(a.vf, b.vf) AS seg_vf,
+           CASE WHEN a.vt IS NULL AND b.vt IS NULL THEN NULL
+                ELSE least(coalesce(a.vt, {inf}), coalesce(b.vt, {inf}))
+           END AS seg_vt,
+           a.event_id AS a_event_id,
+           b.event_id AS b_event_id
+    FROM va a JOIN vb b
+      ON a.key_id = b.key_id
+     AND a.vf <= coalesce(b.vt, {inf})
+     AND b.vf <= coalesce(a.vt, {inf})
+    """
+
+
+@q("cdc_temporal_align", None)  # oracle attached below (needs CH_CTE)
+def cdc_temporal_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal ALIGN (SQL:2011 / Snodgrass): intersect two SCD2
+    dimension histories of the same key into the piecewise segments where
+    BOTH are live, carrying both versions — the join powering
+    "customer's segment AND product's price as they were at any instant".
+    Deleted gaps in either history suppress segments; open-ended tails
+    stay open (seg_vt NULL).
+
+    The oracle states the textbook interval-overlap join. The ENGINE
+    never runs it (a range predicate per key degenerates quadratic):
+    both histories' change markers UNION into ONE key-partitioned window
+    sweep carrying the latest live version of EACH side (deletes reset
+    through the in-struct validity flag, as operators/temporal.py); every
+    marker row where both carries are live IS one aligned segment, ended
+    by the key's next marker. Equivalence holds because version
+    boundaries are exactly the markers — proven by the cross-engine hash
+    at every sf. One shuffle, O(n log n) per key.
+
+    Reference parity: the reference materializes only current images
+    (dags/cdc_data_integrity_dynamic_dag.py); bi-history alignment is
+    the versioned-warehouse layer above cdc_scd2_lookup."""
+    from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import (
+        _unwrapped,
+    )
+
+    u = _unwrapped(spark, sf_dir)
+
+    def markers(table: str, side: str) -> DataFrame:
+        return u.filter(F.col("table_name") == table).select(
+            "key_id",
+            "offset",
+            F.lit(side).alias("side"),
+            F.when(
+                ~F.col("is_delete"),
+                F.struct(
+                    F.lit(True).alias("lv"),
+                    F.col("after.event_id").alias("eid"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.lit(False).alias("lv"),
+                    F.lit(None).cast("long").alias("eid"),
+                )
+            )
+            .alias("mk"),
+        )
+
+    m = markers("entidades", "a").unionByName(markers("productos", "b"))
+    w = Window.partitionBy("key_id").orderBy("offset")
+    carried = m.select(
+        "key_id",
+        "offset",
+        F.last(F.when(F.col("side") == "a", F.col("mk")), ignorenulls=True)
+        .over(w)
+        .alias("ca"),
+        F.last(F.when(F.col("side") == "b", F.col("mk")), ignorenulls=True)
+        .over(w)
+        .alias("cb"),
+        (F.lead("offset").over(w) - 1).alias("seg_vt"),
+    )
+    return carried.where(
+        F.col("ca.lv") & F.col("cb.lv")
+    ).select(
+        "key_id",
+        F.col("offset").alias("seg_vf"),
+        "seg_vt",
+        F.col("ca.eid").alias("a_event_id"),
+        F.col("cb.eid").alias("b_event_id"),
+    )
+
+
+ORACLES["cdc_temporal_align"] = _temporal_align_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Weak-supervision label model diagnostics
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ext_weak_label_model",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {_NORM} AS tx FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, length(tx) AS n,
+             len(string_split(tx, ' ')) AS words,
+             len(list_distinct(string_split(tx, ' '))) AS dwords
+      FROM d
+    ),
+    votes AS (
+      SELECT doc_id,
+             CASE WHEN n >= 300 THEN 1 WHEN n < 150 THEN 0
+                  ELSE -1 END AS lf_len,
+             CASE WHEN 10 * dwords >= 5 * words THEN 1
+                  WHEN 10 * dwords < 3 * words THEN 0
+                  ELSE -1 END AS lf_vocab,
+             CASE WHEN words >= 60 THEN 1 WHEN words < 25 THEN 0
+                  ELSE -1 END AS lf_words
+      FROM feats
+    ),
+    arms AS (
+      SELECT doc_id, u.lf, u.v
+      FROM votes, (VALUES ('lf_len'), ('lf_vocab'), ('lf_words')) names(nm),
+      LATERAL (SELECT names.nm AS lf,
+                      CASE names.nm WHEN 'lf_len' THEN lf_len
+                                    WHEN 'lf_vocab' THEN lf_vocab
+                                    ELSE lf_words END AS v) u
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(count(CASE WHEN v >= 0 THEN 1 END) AS BIGINT) AS n_votes,
+             CAST(count(CASE WHEN v = 1 THEN 1 END) AS BIGINT) AS n_pos,
+             CAST(count(CASE WHEN v = 0 THEN 1 END) AS BIGINT) AS n_neg
+      FROM arms GROUP BY doc_id
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d)
+    SELECT a.lf,
+           CAST(count(CASE WHEN a.v >= 0 THEN 1 END) AS BIGINT) AS n_votes,
+           CAST(1000000 * count(CASE WHEN a.v >= 0 THEN 1 END)
+                // min(t.n_docs) AS BIGINT) AS coverage_ppm,
+           CAST(count(CASE WHEN a.v >= 0 AND p.n_votes > 1 THEN 1 END)
+                AS BIGINT) AS n_overlap,
+           CAST(count(CASE WHEN a.v = 1 AND p.n_neg > 0
+                            OR a.v = 0 AND p.n_pos > 0 THEN 1 END)
+                AS BIGINT) AS n_conflict
+    FROM arms a JOIN per_doc p USING (doc_id) CROSS JOIN tot t
+    GROUP BY a.lf
+    """,
+)
+def ext_weak_label_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weak-supervision labeling-function diagnostics (the Snorkel
+    coverage/overlap/conflict panel): three deterministic LFs (length
+    band, vocabulary diversity, word count) vote {1, 0, abstain} per
+    document; per LF the panel reports how much of the corpus it labels,
+    how often it co-fires with another LF, and how often it disagrees —
+    the numbers that decide whether a label model is even fittable
+    before any training run. All thresholds are integer comparisons
+    (10*dwords >= 5*words, not ratios), so votes are bit-identical
+    across engines.
+
+    Scale: one map pass computes all LF votes; the panel is one
+    doc-keyed aggregation (bounded by |docs|) plus the 3-row LF rollup.
+    No text leaves the first projection."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.lower(
+            F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+        ).alias("tx"),
+    )
+    feats = d.select(
+        "doc_id",
+        F.length("tx").alias("n"),
+        F.size(F.split("tx", " ")).alias("words"),
+        F.size(F.array_distinct(F.split("tx", " "))).alias("dwords"),
+    )
+    votes = feats.select(
+        "doc_id",
+        F.when(F.col("n") >= 300, 1)
+        .when(F.col("n") < 150, 0)
+        .otherwise(-1)
+        .alias("lf_len"),
+        F.when(10 * F.col("dwords") >= 5 * F.col("words"), 1)
+        .when(10 * F.col("dwords") < 3 * F.col("words"), 0)
+        .otherwise(-1)
+        .alias("lf_vocab"),
+        F.when(F.col("words") >= 60, 1)
+        .when(F.col("words") < 25, 0)
+        .otherwise(-1)
+        .alias("lf_words"),
+    )
+    arms = votes.select(
+        "doc_id",
+        F.expr(
+            "stack(3, 'lf_len', lf_len, 'lf_vocab', lf_vocab,"
+            " 'lf_words', lf_words) AS (lf, v)"
+        ),
+    )
+    per_doc = arms.groupBy("doc_id").agg(
+        F.count(F.when(F.col("v") >= 0, 1)).cast("bigint").alias("n_votes"),
+        F.count(F.when(F.col("v") == 1, 1)).cast("bigint").alias("n_pos"),
+        F.count(F.when(F.col("v") == 0, 1)).cast("bigint").alias("n_neg"),
+    )
+    n_docs = d.agg(F.count("*").cast("bigint").alias("n_docs"))
+    j = arms.join(per_doc, "doc_id").crossJoin(F.broadcast(n_docs))
+    fires = F.count(F.when(F.col("v") >= 0, 1))
+    return j.groupBy("lf").agg(
+        fires.cast("bigint").alias("n_votes"),
+        F.expr(
+            "CAST(1000000 * count(CASE WHEN v >= 0 THEN 1 END)"
+            " div min(n_docs) AS BIGINT)"
+        ).alias("coverage_ppm"),
+        F.count(F.when((F.col("v") >= 0) & (F.col("n_votes") > 1), 1))
+        .cast("bigint")
+        .alias("n_overlap"),
+        F.count(
+            F.when(
+                ((F.col("v") == 1) & (F.col("n_neg") > 0))
+                | ((F.col("v") == 0) & (F.col("n_pos") > 0)),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("n_conflict"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Candidate-key discovery
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dq_candidate_keys",
+    """
+    WITH tot AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM events),
+    combos AS (
+      SELECT 'event_id' AS combo,
+             CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct
+      FROM events
+      UNION ALL
+      SELECT 'user_id', CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+      UNION ALL
+      SELECT 'ts', CAST(count(DISTINCT ts) AS BIGINT) FROM events
+      UNION ALL
+      SELECT 'user_id,ts',
+             CAST(count(DISTINCT (user_id, ts)) AS BIGINT) FROM events
+      UNION ALL
+      SELECT 'user_id,event_type,ts',
+             CAST(count(DISTINCT (user_id, event_type, ts)) AS BIGINT)
+      FROM events
+    )
+    SELECT c.combo, c.n_distinct, t.n_rows,
+           (c.n_distinct = t.n_rows) AS is_key,
+           CAST(1000000 * c.n_distinct // t.n_rows AS BIGINT)
+             AS uniqueness_ppm
+    FROM combos c CROSS JOIN tot t
+    """,
+)
+def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery: exact distinct counts for a lattice of
+    column combinations vs the row count — the profiling step that
+    validates a CDC pipeline's assumed primary key BEFORE
+    upsert_materialize trusts it (a non-unique "key" silently merges
+    rows on MERGE). event_id must profile as a key; the timestamp
+    combos report how far from unique they are (uniqueness ppm).
+
+    Scale: Spark plans the multi-distinct as ONE pass with an Expand
+    (xK rows map-side, partially aggregated before the shuffle) — the
+    standard multiple-count-distinct shape; no per-combo rescan of the
+    corpus on the engine side (plan-guarded one FileScan)."""
+    e = t(spark, sf_dir, "events")
+    combos = e.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count_distinct("event_id").cast("bigint").alias("k1"),
+        F.count_distinct("user_id").cast("bigint").alias("k2"),
+        F.count_distinct("ts").cast("bigint").alias("k3"),
+        F.count_distinct("user_id", "ts").cast("bigint").alias("k4"),
+        F.count_distinct("user_id", "event_type", "ts")
+        .cast("bigint")
+        .alias("k5"),
+    )
+    arms = combos.select(
+        "n_rows",
+        F.expr(
+            "stack(5, 'event_id', k1, 'user_id', k2, 'ts', k3,"
+            " 'user_id,ts', k4, 'user_id,event_type,ts', k5)"
+            " AS (combo, n_distinct)"
+        ),
+    )
+    return arms.select(
+        "combo",
+        "n_distinct",
+        "n_rows",
+        (F.col("n_distinct") == F.col("n_rows")).alias("is_key"),
+        F.expr("CAST(1000000 * n_distinct div n_rows AS BIGINT)").alias(
+            "uniqueness_ppm"
+        ),
+    )

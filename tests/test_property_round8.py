@@ -868,3 +868,108 @@ def test_row_level_policy_partitions_exactly(spark, sf_dir):
     assert sum(r.visible_customers for r in out) == tot.n
     assert sum(r.visible_balance_cents for r in out) == tot.b
     assert sum(r.visible_nations for r in out) == tot.nn
+
+
+# ---------------------------------------------------------------------------
+# Wave-7 operators
+# ---------------------------------------------------------------------------
+
+
+def test_temporal_align_sweep_semantics(spark):
+    """Hand-built two-history timeline: overlap segments, a delete gap in
+    one side, an open tail, and a key live in only one history (no
+    output). Exercises the sweep directly against enumerated truth."""
+    from pyspark.sql import Row
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    # key 1 timeline (offsets):
+    #  a: v@10(eid 100), delete@40, v@60(eid 106)
+    #  b: v@20(eid 200), v@50(eid 205)
+    # expected aligned segments:
+    #  [20,39] (100,200)  — ends at a's delete
+    #  [50,59] —— a deleted, none
+    #  [60,None] (106,205)
+    rows = [
+        Row(key_id=1, offset=10, side="a", live=True, eid=100),
+        Row(key_id=1, offset=40, side="a", live=False, eid=None),
+        Row(key_id=1, offset=60, side="a", live=True, eid=106),
+        Row(key_id=1, offset=20, side="b", live=True, eid=200),
+        Row(key_id=1, offset=50, side="b", live=True, eid=205),
+        # key 2: only history a -> never aligned
+        Row(key_id=2, offset=5, side="a", live=True, eid=900),
+    ]
+    m = spark.createDataFrame(rows).select(
+        "key_id",
+        "offset",
+        "side",
+        F.when(
+            F.col("live"),
+            F.struct(F.lit(True).alias("lv"), F.col("eid").alias("eid")),
+        )
+        .otherwise(
+            F.struct(
+                F.lit(False).alias("lv"),
+                F.lit(None).cast("long").alias("eid"),
+            )
+        )
+        .alias("mk"),
+    )
+    w = Window.partitionBy("key_id").orderBy("offset")
+    carried = m.select(
+        "key_id",
+        "offset",
+        F.last(F.when(F.col("side") == "a", F.col("mk")), ignorenulls=True)
+        .over(w)
+        .alias("ca"),
+        F.last(F.when(F.col("side") == "b", F.col("mk")), ignorenulls=True)
+        .over(w)
+        .alias("cb"),
+        (F.lead("offset").over(w) - 1).alias("seg_vt"),
+    )
+    out = sorted(
+        (
+            (r.key_id, r.offset, r.seg_vt, r["ca.eid"], r["cb.eid"])
+            for r in carried.where(
+                F.col("ca.lv") & F.col("cb.lv")
+            ).select(
+                "key_id", "offset", "seg_vt",
+                F.col("ca.eid").alias("ca.eid"),
+                F.col("cb.eid").alias("cb.eid"),
+            ).collect()
+        )
+    )
+    assert out == [
+        (1, 20, 39, 100, 200),
+        (1, 60, None, 106, 205),
+    ]
+
+
+def test_candidate_keys_event_id_is_key(spark, sf_dir):
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        dq_candidate_keys,
+    )
+
+    rows = {r.combo: r for r in dq_candidate_keys(spark, sf_dir).collect()}
+    assert rows["event_id"].is_key
+    assert rows["event_id"].uniqueness_ppm == 1000000
+    # supersets can only be more unique
+    assert rows["user_id,ts"].n_distinct >= rows["user_id"].n_distinct
+    assert (
+        rows["user_id,event_type,ts"].n_distinct
+        >= rows["user_id,ts"].n_distinct
+    )
+
+
+def test_weak_label_panel_invariants(spark, sf_dir):
+    """Coverage/overlap/conflict sanity: conflicts <= overlaps <= votes,
+    and coverage_ppm = 1e6*votes//n_docs exactly."""
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        ext_weak_label_model,
+    )
+
+    n_docs = t(spark, sf_dir, "documents").count()
+    for r in ext_weak_label_model(spark, sf_dir).collect():
+        assert r.n_conflict <= r.n_overlap <= r.n_votes
+        assert r.coverage_ppm == (10**6 * r.n_votes) // n_docs

@@ -1297,3 +1297,29 @@ def test_row_level_policy_filters_at_scan_via_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "partial_" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_temporal_align_is_one_window_no_interval_join(spark, sf_dir):
+    """The ALIGN must be the single key-partitioned sweep — no join of
+    any kind in the executed plan (the interval join exists only in the
+    oracle's statement of semantics)."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        cdc_temporal_align,
+    )
+
+    plan = _plan(cdc_temporal_align(spark, sf_dir))
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_candidate_keys_single_scan_expand(spark, sf_dir):
+    """Five exact distincts in ONE corpus pass: the plan uses Expand with
+    partial aggregation, never five scans."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        dq_candidate_keys,
+    )
+
+    plan = _plan(dq_candidate_keys(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "Expand" in plan
+    assert "partial_" in plan
