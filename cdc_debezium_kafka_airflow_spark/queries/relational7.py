@@ -2042,3 +2042,244 @@ def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             "uniqueness_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Accumulating-snapshot fact table
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "cdc_accumulating_snapshot",
+    """
+    WITH m AS (
+      SELECT l_orderkey,
+             CAST(min(l_shipdate) AS DATE) AS first_ship,
+             CAST(max(l_shipdate) AS DATE) AS last_ship,
+             CAST(count(*) AS BIGINT) AS n_lines,
+             CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+             CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                  AS BIGINT) AS gross_cents
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey AS orderkey,
+           CAST(CAST(o.o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
+           CAST(m.first_ship AS TIMESTAMP) AS first_ship,
+           CAST(m.last_ship AS TIMESTAMP) AS last_ship,
+           CAST(m.first_ship - CAST(o.o_orderdate AS DATE) AS BIGINT)
+             AS days_to_first_ship,
+           CAST(m.last_ship - m.first_ship AS BIGINT) AS ship_span_days,
+           coalesce(m.n_lines, 0) AS n_lines,
+           coalesce(m.n_suppliers, 0) AS n_suppliers,
+           coalesce(m.gross_cents, 0) AS gross_cents,
+           (m.l_orderkey IS NOT NULL AND o.o_orderstatus = 'F')
+             AS lifecycle_complete
+    FROM orders o LEFT JOIN m ON m.l_orderkey = o.o_orderkey
+    """,
+)
+def cdc_accumulating_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot fact table (Kimball's third fact type, next
+    to the transactional facts and the SCD2/periodic dimensions already
+    here): ONE row per order whose milestone columns fill in as the
+    lifecycle progresses — order date, first/last ship, line and supplier
+    counts, gross, and a completeness flag. In a live warehouse this row
+    is UPDATED in place per milestone (the MERGE machinery of
+    stream_foreachbatch_upsert); this query materializes the current
+    snapshot from the facts.
+
+    Scale: the milestone rollup is one partial-agged hash agg keyed
+    l_orderkey; the enrich join is orderkey-keyed equi (both sides
+    shuffle once on the same key — AQE picks SMJ/SHJ by size). Orders
+    with no lines keep a row (LEFT) with zeroed measures — the
+    placeholder the accumulating pattern requires."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    m = li.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").cast("date").alias("first_ship"),
+        F.max("l_shipdate").cast("date").alias("last_ship"),
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.count_distinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("gross_cents"),
+    )
+    j = o.join(m, o.o_orderkey == m.l_orderkey, "left")
+    return j.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderdate").cast("date").cast("timestamp")
+        .alias("order_date"),
+        F.col("first_ship").cast("timestamp").alias("first_ship"),
+        F.col("last_ship").cast("timestamp").alias("last_ship"),
+        F.datediff("first_ship", F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("days_to_first_ship"),
+        F.datediff("last_ship", "first_ship")
+        .cast("bigint")
+        .alias("ship_span_days"),
+        F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+        F.coalesce("n_suppliers", F.lit(0))
+        .cast("bigint")
+        .alias("n_suppliers"),
+        F.coalesce("gross_cents", F.lit(0))
+        .cast("bigint")
+        .alias("gross_cents"),
+        (
+            F.col("l_orderkey").isNotNull()
+            & (F.col("o_orderstatus") == "F")
+        ).alias("lifecycle_complete"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval NDCG@k (all-integer harmonic discount)
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 10
+_NDCG_QUERIES = 5
+
+
+@q(
+    "ext_retrieval_ndcg",
+    f"""
+    WITH qs AS (
+      SELECT vec_id AS qid, label AS qlabel,
+             list_transform(embedding, x -> CAST(round(x*127) AS BIGINT))
+               AS qv
+      FROM embeddings WHERE vec_id < {_NDCG_QUERIES}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             CAST(list_dot_product(
+               list_transform(e.embedding,
+                              x -> CAST(round(x*127) AS BIGINT)),
+               q.qv) AS BIGINT) AS dot,
+             CASE WHEN e.label = q.qlabel THEN 2 ELSE 0 END
+             + CASE WHEN e.vec_id % 3 = q.qid % 3 THEN 1 ELSE 0 END AS rel
+      FROM embeddings e JOIN qs q ON e.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id, dot, rel,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY dot DESC, vec_id ASC) AS rnk
+      FROM scored
+    ),
+    dcg AS (
+      SELECT qid,
+             CAST(sum(CAST(1000000000 AS BIGINT) * (CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3
+                                             WHEN 1 THEN 1 ELSE 0 END)
+                      // (rnk + 1)) AS BIGINT) AS dcg_e9
+      FROM ranked WHERE rnk <= {_NDCG_K} GROUP BY qid
+    ),
+    ideal AS (
+      SELECT qid, rel,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY rel DESC, vec_id ASC) AS irnk
+      FROM scored
+    ),
+    idcg AS (
+      SELECT qid,
+             CAST(sum(CAST(1000000000 AS BIGINT) * (CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3
+                                             WHEN 1 THEN 1 ELSE 0 END)
+                      // (irnk + 1)) AS BIGINT) AS idcg_e9
+      FROM ideal WHERE irnk <= {_NDCG_K} GROUP BY qid
+    )
+    SELECT d.qid, d.dcg_e9, i.idcg_e9,
+           CASE WHEN i.idcg_e9 > 0
+                THEN CAST(1000000 * d.dcg_e9 // i.idcg_e9 AS BIGINT)
+                ELSE 0 END AS ndcg_ppm
+    FROM dcg d JOIN idcg i USING (qid)
+    """,
+)
+def ext_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 for the dot-product retriever against a graded relevance
+    oracle (label match worth 2, a deterministic secondary signal worth
+    1) — the ranking-eval leg next to AUC (classification), calibration
+    (probability), pass@k (generation) and RRF (fusion). Gain is the
+    standard 2^rel - 1; the rank discount is the HARMONIC variant
+    1/(rank+1) instead of 1/log2(rank+1) — deliberately: log2 of small
+    integers is a libm call whose final ulp differs across runtimes,
+    while the harmonic discount keeps every DCG term an exact integer
+    (1e9-scaled integral division), so DCG, ideal DCG, and the final
+    ndcg_ppm are order-free integer sums that cannot hash-diverge.
+
+    Scale: scoring is a |queries|-way broadcast fan-out over one
+    embedding scan; per-query ranking is a k-bounded window (the ideal
+    ranking needs only rel's top-k — at scale, a TakeOrdered per query).
+    Integer dots via int8 quantization as the whole similarity family."""
+    emb = t(spark, sf_dir, "embeddings")
+    q8 = F.transform(
+        F.col("embedding"), lambda x: F.round(x * 127).cast("long")
+    )
+    qs = emb.where(F.col("vec_id") < _NDCG_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        q8.alias("qv"),
+    )
+    scored = (
+        emb.select("vec_id", "label", q8.alias("v"))
+        .join(F.broadcast(qs), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.aggregate(
+                F.zip_with("v", "qv", lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dot"),
+            (
+                F.when(F.col("label") == F.col("qlabel"), 2).otherwise(0)
+                + F.when(
+                    F.col("vec_id") % 3 == F.col("qid") % 3, 1
+                ).otherwise(0)
+            ).alias("rel"),
+        )
+    )
+    gain = "CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END"
+    # BOTH rankings ride one qid-keyed exchange: two row_numbers over the
+    # same partitioning (the second window re-sorts in place, no second
+    # shuffle), then ONE aggregation computes DCG and ideal DCG together
+    # — a dcg-frame x idcg-frame join would re-derive the scored corpus
+    # twice (measured: 4 FileScans vs 2).
+    wd = Window.partitionBy("qid").orderBy(
+        F.col("dot").desc(), F.col("vec_id").asc()
+    )
+    wi = Window.partitionBy("qid").orderBy(
+        F.col("rel").desc(), F.col("vec_id").asc()
+    )
+    ranked = scored.select(
+        "qid",
+        "rel",
+        F.row_number().over(wd).alias("rnk"),
+        F.row_number().over(wi).alias("irnk"),
+    )
+    both = ranked.groupBy("qid").agg(
+        F.sum(
+            F.expr(
+                f"CASE WHEN rnk <= {_NDCG_K} THEN "
+                f"CAST(1000000000 AS BIGINT) * ({gain}) div (rnk + 1) "
+                f"ELSE CAST(0 AS BIGINT) END"
+            )
+        )
+        .cast("bigint")
+        .alias("dcg_e9"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN irnk <= {_NDCG_K} THEN "
+                f"CAST(1000000000 AS BIGINT) * ({gain}) div (irnk + 1) "
+                f"ELSE CAST(0 AS BIGINT) END"
+            )
+        )
+        .cast("bigint")
+        .alias("idcg_e9"),
+    )
+    return both.select(
+        "qid",
+        "dcg_e9",
+        "idcg_e9",
+        F.when(
+            F.col("idcg_e9") > 0,
+            F.expr("CAST(1000000 * dcg_e9 div idcg_e9 AS BIGINT)"),
+        )
+        .otherwise(0)
+        .alias("ndcg_ppm"),
+    )

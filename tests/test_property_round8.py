@@ -973,3 +973,84 @@ def test_weak_label_panel_invariants(spark, sf_dir):
     for r in ext_weak_label_model(spark, sf_dir).collect():
         assert r.n_conflict <= r.n_overlap <= r.n_votes
         assert r.coverage_ppm == (10**6 * r.n_votes) // n_docs
+
+
+def test_ndcg_matches_python_bigint_replay(spark, tmp_path):
+    """Every qid's (dcg_e9, idcg_e9, ndcg_ppm) must equal an independent
+    pure-Python big-int replay of the harmonic-discount definition over
+    the same planted frame — proving the ranking, the gain map, the
+    integral divisions, and the tie-breaks all agree."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        _NDCG_K,
+        _NDCG_QUERIES,
+        ext_retrieval_ndcg,
+    )
+
+    dim = 4
+    rows = []
+    for qid in range(5):
+        rows.append((qid, [1.0, 0.5 * qid, 0.25, -0.5], qid))
+    rows += [
+        (9, [1.0, 1.0, 1.0, 0.9], 0),
+        (10, [1.0, 1.0, 1.0, 0.5], 0),
+        (11, [1.0, 1.0, 0.5, 0.5], 7),
+        (12, [-1.0, 0.2, 0.0, 0.3], 1),
+        (13, [0.1, -0.2, 0.9, 0.3], 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "ndcg")
+    df.write.mode("overwrite").parquet(d + "/embeddings.parquet")
+    out = {r.qid: r for r in ext_retrieval_ndcg(spark, d).collect()}
+
+    q8 = {v: [round(x * 127) for x in emb] for v, emb, _ in rows}
+    lbl = {v: l for v, emb, l in rows}
+    gain = {3: 7, 2: 3, 1: 1, 0: 0}
+    for qid in range(_NDCG_QUERIES):
+        scored = []
+        for v, emb, l in rows:
+            if v == qid:
+                continue
+            dot = sum(a * b for a, b in zip(q8[v], q8[qid]))
+            rel = (2 if l == lbl[qid] else 0) + (
+                1 if v % 3 == qid % 3 else 0
+            )
+            scored.append((v, dot, rel))
+        by_dot = sorted(scored, key=lambda s: (-s[1], s[0]))[:_NDCG_K]
+        dcg = sum(
+            (10**9 * gain[rel]) // (rnk + 2)
+            for rnk, (_, _, rel) in enumerate(by_dot)
+        )
+        by_rel = sorted(scored, key=lambda s: (-s[2], s[0]))[:_NDCG_K]
+        idcg = sum(
+            (10**9 * gain[rel]) // (rnk + 2)
+            for rnk, (_, _, rel) in enumerate(by_rel)
+        )
+        assert out[qid].dcg_e9 == dcg, qid
+        assert out[qid].idcg_e9 == idcg, qid
+        expect = (10**6 * dcg) // idcg if idcg > 0 else 0
+        assert out[qid].ndcg_ppm == expect, qid
+
+
+def test_accumulating_snapshot_preserves_order_grain(spark, sf_dir):
+    """One row per order (the accumulating grain), measures consistent
+    with the raw facts."""
+    import pyspark.sql.functions as F
+
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        cdc_accumulating_snapshot,
+    )
+
+    snap = cdc_accumulating_snapshot(spark, sf_dir)
+    n_orders = t(spark, sf_dir, "orders").count()
+    assert snap.count() == n_orders
+    assert snap.select("orderkey").distinct().count() == n_orders
+    tot = snap.agg(F.sum("n_lines")).collect()[0][0]
+    assert tot == t(spark, sf_dir, "lineitem").count()
+    bad = snap.where(
+        (F.col("ship_span_days") < 0)
+        | (F.col("n_lines") > 0) & F.col("first_ship").isNull()
+    ).count()
+    assert bad == 0

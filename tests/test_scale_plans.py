@@ -1323,3 +1323,33 @@ def test_candidate_keys_single_scan_expand(spark, sf_dir):
     assert plan.count("FileScan parquet") == 1
     assert "Expand" in plan
     assert "partial_" in plan
+
+
+def test_accumulating_snapshot_partial_agg_keyed_join(spark, sf_dir):
+    """Milestone rollup is partial-agged; the enrich join is an equi-join
+    (no nested loop); two scans, one per fact table."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        cdc_accumulating_snapshot,
+    )
+
+    plan = _plan(cdc_accumulating_snapshot(spark, sf_dir))
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FileScan parquet") == 2
+
+
+def test_ndcg_single_scored_pass(spark, sf_dir):
+    """Both rankings (observed and ideal) ride ONE qid-keyed exchange as
+    two row_numbers over the same frame, folded by one aggregation: no
+    dcg-vs-idcg join, no second corpus derivation — exactly one
+    embeddings FileScan plus the broadcast query frame's."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        ext_retrieval_ndcg,
+    )
+
+    plan = _plan(ext_retrieval_ndcg(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan parquet") == 2
+    assert plan.count("Exchange hashpartitioning(qid") == 1
