@@ -2283,3 +2283,211 @@ def ext_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("ndcg_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding drift (exact linear-kernel MMD)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ext_embedding_drift",
+    """
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(round(x*127) AS BIGINT))
+               AS v
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT label, u.i AS dim, q.v[u.i] AS comp
+      FROM q, unnest(range(1, len(v) + 1)) AS u(i)
+    ),
+    per_label AS (
+      SELECT label, dim, CAST(sum(comp) AS HUGEINT) AS s,
+             CAST(count(*) AS BIGINT) AS n
+      FROM ex GROUP BY label, dim
+    ),
+    tot AS (
+      SELECT dim, CAST(sum(s) AS HUGEINT) AS st, CAST(sum(n) AS BIGINT) AS nt
+      FROM per_label GROUP BY dim
+    ),
+    delta AS (
+      SELECT p.label, p.n AS n_rows,
+             (t.nt - p.n) AS r_rows,
+             (CAST(t.nt - p.n AS HUGEINT) * p.s
+              - CAST(p.n AS HUGEINT) * (t.st - p.s)) AS d
+      FROM per_label p JOIN tot t USING (dim)
+    )
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(min(n_rows) AS BIGINT) AS n_label,
+           CAST(min(r_rows) AS BIGINT) AS n_rest,
+           CAST(1000000 * sum(d * d)
+                // (CAST(min(n_rows) AS HUGEINT) * min(n_rows)
+                    * min(r_rows) * min(r_rows)) AS BIGINT)
+             AS mmd2_e6
+    FROM delta GROUP BY label
+    """,
+)
+def ext_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-kernel MMD drift score per label group vs the rest of the
+    corpus: MMD^2 with a linear kernel collapses to the squared distance
+    between group mean vectors — the one-pass drift statistic an
+    embedding pipeline monitors when a new crawl or a new encoder
+    checkpoint lands (cheap enough to run per ingest; a spike says the
+    population moved). Exactness: on int8-quantized components the
+    per-dimension deltas n_r*S_g - n_g*S_r are exact integers, so
+    sum(delta^2) and the final e6 ratio are pure 128-bit integer
+    arithmetic — no float mean ever computed.
+
+    Scale: components explode to (label, dim) partial sums — the corpus
+    collapses in the FIRST partial-agged aggregation to |labels|x|dims|
+    rows; everything after runs on that tiny frame. Per-dim sums bound:
+    127 * n per dim needs HUGEINT/DECIMAL38 beyond ~1e15 rows."""
+    emb = t(spark, sf_dir, "embeddings")
+    q8 = F.transform(
+        F.col("embedding"), lambda x: F.round(x * 127).cast("long")
+    )
+    ex = emb.select("label", F.posexplode(q8).alias("dim0", "comp"))
+    dec = "decimal(38,0)"
+    per_label = ex.groupBy("label", "dim0").agg(
+        F.sum("comp").cast(dec).alias("s"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    wall = Window.partitionBy("dim0")
+    delta = per_label.select(
+        "label",
+        F.col("n").alias("n_rows"),
+        (F.sum("n").over(wall) - F.col("n")).alias("r_rows"),
+        (
+            (F.sum("n").over(wall) - F.col("n")).cast(dec) * F.col("s")
+            - F.col("n").cast(dec)
+            * (F.sum("s").over(wall) - F.col("s"))
+        )
+        .cast(dec)
+        .alias("d"),
+    )
+    return delta.groupBy(F.col("label").cast("bigint").alias("label")).agg(
+        F.min("n_rows").cast("bigint").alias("n_label"),
+        F.min("r_rows").cast("bigint").alias("n_rest"),
+        F.expr(
+            "CAST(CAST(1000000 AS DECIMAL(38,0)) * sum(d * d) div "
+            "(CAST(min(n_rows) AS DECIMAL(38,0)) * min(n_rows) "
+            " * min(r_rows) * min(r_rows)) AS BIGINT)"
+        ).alias("mmd2_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Template mining (Drain-lite)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ext_template_mining",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split({_NORM}, ' ') AS w FROM documents
+    ),
+    n_docs AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM d),
+    ex AS (
+      SELECT doc_id, u.i AS pos, d.w[u.i] AS tok
+      FROM d, unnest(range(1, least(len(w), 12) + 1)) AS u(i)
+    ),
+    freq AS (
+      SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM ex GROUP BY tok
+    ),
+    rep AS (
+      SELECT e.doc_id, e.pos,
+             CASE WHEN 5 * f.df >= (SELECT nd FROM n_docs)
+                  THEN e.tok ELSE '<*>' END AS tok
+      FROM ex e JOIN freq f ON f.tok = e.tok
+    ),
+    tpl AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS template
+      FROM rep GROUP BY doc_id
+    )
+    SELECT template,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS example_doc,
+           CAST(len(list_filter(string_split(template, ' '),
+                                x -> x = '<*>')) AS BIGINT) AS n_wildcards
+    FROM tpl GROUP BY template
+    HAVING count(*) > 1
+    """,
+)
+def ext_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template mining over the first 12 tokens (Drain-lite): tokens
+    whose document frequency clears 20% of the corpus stay literal, rare
+    tokens become the <*> wildcard, and documents sharing a skeleton
+    collapse into one template row — the log/prompt templatization pass
+    that catches boilerplate families exact-hash dedup misses (every
+    instance differs by its rare tokens) without any pairwise similarity
+    join. Emitted: templates matching >1 doc, with support, an example,
+    and wildcard arity. The 20% gate is the integer comparison
+    5*df >= n_docs on both engines.
+
+    Scale: one explode bounded at 12 tokens/doc -> document-frequency
+    agg (|vocab| rows, broadcast back) -> per-doc ordered reassembly
+    (doc-keyed agg, no window) -> template agg. Never all-pairs; the
+    expensive object (the corpus text) is touched once."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.slice(
+            F.split(
+                F.lower(
+                    F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+                ),
+                " ",
+            ),
+            1,
+            12,
+        ).alias("w"),
+    )
+    n_docs = d.agg(F.count("*").cast("bigint").alias("nd"))
+    ex = d.select("doc_id", F.posexplode("w").alias("pos", "tok"))
+    freq = ex.groupBy("tok").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("df")
+    )
+    rep = (
+        ex.join(F.broadcast(freq), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "pos",
+            F.when(
+                5 * F.col("df") >= F.col("nd"), F.col("tok")
+            )
+            .otherwise("<*>")
+            .alias("tok2"),
+        )
+    )
+    tpl = rep.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "tok2"))
+                ),
+                lambda s: s["tok2"],
+            ),
+        ).alias("template")
+    )
+    return (
+        tpl.groupBy("template")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("example_doc"),
+        )
+        .where(F.col("n_docs") > 1)
+        .withColumn(
+            "n_wildcards",
+            F.size(
+                F.filter(
+                    F.split("template", " "), lambda x: x == F.lit("<*>")
+                )
+            ).cast("bigint"),
+        )
+        .select("template", "n_docs", "example_doc", "n_wildcards")
+    )

@@ -887,3 +887,31 @@ def stream_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t(spark, sf_dir, "events")
     return ab_ztest_readout(jobs.streaming_ab_moments(spark, sf_dir))
+
+
+@q(
+    "stream_rolling_distinct",
+    """
+    WITH d AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM d)
+    SELECT CAST(t.day AS TIMESTAMP) AS day,
+           CAST((SELECT count(DISTINCT s.user_id) FROM d s
+                 WHERE s.day <= t.day
+                   AND s.day >= t.day - INTERVAL 6 DAY) AS BIGINT)
+             AS users_7d,
+           CAST((SELECT count(DISTINCT s.user_id) FROM d s
+                 WHERE s.day = t.day) AS BIGINT) AS users_1d
+    FROM days t
+    """,
+)
+def stream_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users maintained incrementally across
+    micro-batches via mergeable bitmap state (the streaming twin of
+    win_rolling_distinct): every batch is an event_id slice touching ALL
+    days, so per-day bitmaps are partial in every batch and the final
+    OR-merge must reconstruct the exact batch answer — the oracle is the
+    same correlated COUNT(DISTINCT), blind to the batch split."""
+    t(spark, sf_dir, "events")
+    return jobs.stream_rolling_distinct(spark, sf_dir)

@@ -1054,3 +1054,88 @@ def test_accumulating_snapshot_preserves_order_grain(spark, sf_dir):
         | (F.col("n_lines") > 0) & F.col("first_ship").isNull()
     ).count()
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# Wave-9 operators
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_drift_matches_bigint_replay(spark, sf_dir):
+    """mmd2_e6 per label must equal the pure-Python big-int replay of
+    1e6 * |n_r*S_g - n_g*S_r|^2 // (n_g^2 * n_r^2) over the same
+    quantized components."""
+    from collections import defaultdict
+
+    from cdc_debezium_kafka_airflow_spark.queries.common import t
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        ext_embedding_drift,
+    )
+
+    rows = t(spark, sf_dir, "embeddings").collect()
+    dims = len(rows[0].embedding)
+    sums = defaultdict(lambda: [0] * dims)
+    counts = defaultdict(int)
+    for r in rows:
+        q = [round(x * 127) for x in r.embedding]
+        for i, c in enumerate(q):
+            sums[r.label][i] += c
+        counts[r.label] += 1
+    tot = [sum(sums[l][i] for l in sums) for i in range(dims)]
+    n_tot = sum(counts.values())
+    got = {r.label: r for r in ext_embedding_drift(spark, sf_dir).collect()}
+    for lbl in counts:
+        ng, nr = counts[lbl], n_tot - counts[lbl]
+        num = sum(
+            (nr * sums[lbl][i] - ng * (tot[i] - sums[lbl][i])) ** 2
+            for i in range(dims)
+        )
+        expect = (10**6 * num) // (ng * ng * nr * nr)
+        assert got[lbl].mmd2_e6 == expect, lbl
+        assert got[lbl].n_label == ng and got[lbl].n_rest == nr
+
+
+def test_template_mining_wildcards_rare_tokens(spark, tmp_path):
+    """Docs sharing a frequent skeleton with differing rare tokens must
+    collapse to one template with <*> at the rare positions; singleton
+    templates are dropped."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        ext_template_mining,
+    )
+
+    docs = [
+        (i, f"job start id{i:03d} done", "s", 20) for i in range(8)
+    ] + [(100, "completely unique text here", "s", 27)]
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, source string, n_chars int"
+    )
+    d = str(tmp_path / "tpl")
+    df.write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = ext_template_mining(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.template == "job start <*> done"
+    assert r.n_docs == 8
+    assert r.example_doc == 0
+    assert r.n_wildcards == 1
+
+
+def test_stream_rolling_distinct_equals_batch(spark, sf_dir):
+    """The incrementally merged bitmap state must reproduce the one-shot
+    batch rolling counts exactly — the mergeability claim."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        win_rolling_distinct,
+    )
+    from cdc_debezium_kafka_airflow_spark.queries.streaming_queries import (
+        stream_rolling_distinct,
+    )
+
+    batch = {
+        r.day: (r.users_7d, r.users_1d)
+        for r in win_rolling_distinct(spark, sf_dir).collect()
+    }
+    stream = {
+        r.day: (r.users_7d, r.users_1d)
+        for r in stream_rolling_distinct(spark, sf_dir).collect()
+    }
+    assert batch == stream

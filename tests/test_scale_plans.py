@@ -1353,3 +1353,29 @@ def test_ndcg_single_scored_pass(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert plan.count("FileScan parquet") == 2
     assert plan.count("Exchange hashpartitioning(qid") == 1
+
+
+def test_embedding_drift_collapses_in_first_agg(spark, sf_dir):
+    """The corpus reaches one partial-agged (label, dim) aggregation;
+    deltas and the final rollup run on that |labels|x|dims| frame."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        ext_embedding_drift,
+    )
+
+    plan = _plan(ext_embedding_drift(spark, sf_dir))
+    assert plan.count("FileScan parquet") == 1
+    assert "partial_" in plan
+    assert "Join" not in plan
+
+
+def test_template_mining_no_pairwise_join(spark, sf_dir):
+    """Templatization must never compare documents pairwise: the only
+    joins are the broadcast df-table and the 1-row corpus count."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        ext_template_mining,
+    )
+
+    plan = _plan(ext_template_mining(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
