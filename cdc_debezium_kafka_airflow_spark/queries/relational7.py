@@ -2491,3 +2491,217 @@ def ext_template_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("template", "n_docs", "example_doc", "n_wildcards")
     )
+
+
+# ---------------------------------------------------------------------------
+# Price-volume-mix revenue bridge
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "agg_price_volume_mix",
+    """
+    WITH li AS (
+      SELECT l_partkey,
+             CASE WHEN l_shipdate < TIMESTAMP '1998-01-01'
+                  THEN 0 ELSE 1 END AS period,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1999-01-01'
+    ),
+    per_part AS (
+      SELECT l_partkey,
+             CAST(sum(CASE WHEN period = 0 THEN q ELSE 0 END) AS BIGINT)
+               AS q0,
+             CAST(sum(CASE WHEN period = 0 THEN rev ELSE 0 END) AS BIGINT)
+               AS r0,
+             CAST(sum(CASE WHEN period = 1 THEN q ELSE 0 END) AS BIGINT)
+               AS q1,
+             CAST(sum(CASE WHEN period = 1 THEN rev ELSE 0 END) AS BIGINT)
+               AS r1
+      FROM li GROUP BY l_partkey
+    ),
+    fx AS (
+      SELECT p.p_brand,
+             -- carried parts decompose; one-sided parts are new/lost
+             CASE WHEN q0 > 0 AND q1 > 0
+                  THEN (q1 - q0) * (CAST(r0 AS HUGEINT) * 1000000 // q0)
+                  ELSE 0 END AS vol_e6,
+             CASE WHEN q0 > 0 AND q1 > 0
+                  THEN CAST(q1 AS HUGEINT)
+                       * ((CAST(r1 AS HUGEINT) * 1000000 // q1)
+                          - (CAST(r0 AS HUGEINT) * 1000000 // q0))
+                  ELSE 0 END AS price_e6,
+             CASE WHEN q0 = 0 THEN CAST(r1 AS HUGEINT) * 1000000
+                  ELSE 0 END AS new_e6,
+             CASE WHEN q1 = 0 THEN -CAST(r0 AS HUGEINT) * 1000000
+                  ELSE 0 END AS lost_e6,
+             CAST(r1 - r0 AS HUGEINT) * 1000000 AS delta_e6,
+             -- residual: integral-division remainders of the unit prices
+             CASE WHEN q0 > 0 AND q1 > 0 THEN
+               CAST(r1 - r0 AS HUGEINT) * 1000000
+               - ((q1 - q0) * (CAST(r0 AS HUGEINT) * 1000000 // q0)
+                  + CAST(q1 AS HUGEINT)
+                    * ((CAST(r1 AS HUGEINT) * 1000000 // q1)
+                       - (CAST(r0 AS HUGEINT) * 1000000 // q0)))
+               ELSE 0 END AS resid_e6
+      FROM per_part pp JOIN part p ON p.p_partkey = pp.l_partkey
+    )
+    SELECT p_brand AS brand,
+           CAST(sum(vol_e6) AS BIGINT) AS volume_effect_e6,
+           CAST(sum(price_e6) AS BIGINT) AS price_effect_e6,
+           CAST(sum(new_e6) AS BIGINT) AS new_parts_e6,
+           CAST(sum(lost_e6) AS BIGINT) AS lost_parts_e6,
+           CAST(sum(resid_e6) AS BIGINT) AS rounding_residual_e6,
+           CAST(sum(delta_e6) AS BIGINT) AS revenue_delta_e6,
+           (sum(vol_e6) + sum(price_e6) + sum(new_e6) + sum(lost_e6)
+            + sum(resid_e6) = sum(delta_e6)) AS reconciles
+    FROM fx GROUP BY p_brand
+    """,
+)
+def agg_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix revenue bridge between 1997 and 1998 per brand —
+    the FP&A waterfall decomposing a revenue delta into volume effect
+    ((q1-q0)·p0), price effect (q1·(p1-p0)), new-part and lost-part
+    contributions. The textbook identity holds exactly only with exact
+    unit prices; since unit price = revenue/quantity is rational, prices
+    are e6-scaled INTEGRAL divisions and the per-part remainder is
+    carried as an explicit rounding_residual term — so the bridge
+    RECONCILES TO THE CENT by construction, and the `reconciles` flag is
+    computed (and hash-compared) rather than asserted. Zero floats.
+
+    Scale: one filtered scan -> per-part period pivot (partial-agged
+    hash agg keyed partkey), broadcast part dimension for the brand
+    rollup. The decomposition arithmetic runs on |parts| rows."""
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1999-01-01")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("l_shipdate") < "1998-01-01") == (p == 0),
+                    expr,
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias(f"{nm}{p}")
+            for p in (0, 1)
+            for nm, expr in (
+                ("q", F.col("l_quantity").cast("bigint")),
+                (
+                    "r",
+                    F.round(F.col("l_extendedprice") * 100).cast("bigint"),
+                ),
+            )
+        ]
+    )
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    dec = "decimal(38,0)"
+    pp = per_part.join(
+        F.broadcast(part), part.p_partkey == per_part.l_partkey
+    )
+    u0 = f"(CAST(r0 AS {dec}) * 1000000 div q0)"
+    u1 = f"(CAST(r1 AS {dec}) * 1000000 div q1)"
+    carried = "q0 > 0 AND q1 > 0"
+    fx = pp.select(
+        "p_brand",
+        F.expr(
+            f"CASE WHEN {carried} THEN (q1 - q0) * {u0} ELSE 0 END"
+        ).alias("vol_e6"),
+        F.expr(
+            f"CASE WHEN {carried} THEN CAST(q1 AS {dec}) * ({u1} - {u0})"
+            " ELSE 0 END"
+        ).alias("price_e6"),
+        F.expr(
+            f"CASE WHEN q0 = 0 THEN CAST(r1 AS {dec}) * 1000000"
+            " ELSE 0 END"
+        ).alias("new_e6"),
+        F.expr(
+            f"CASE WHEN q1 = 0 THEN -CAST(r0 AS {dec}) * 1000000"
+            " ELSE 0 END"
+        ).alias("lost_e6"),
+        F.expr(f"CAST(r1 - r0 AS {dec}) * 1000000").alias("delta_e6"),
+        F.expr(
+            f"CASE WHEN {carried} THEN CAST(r1 - r0 AS {dec}) * 1000000"
+            f" - ((q1 - q0) * {u0} + CAST(q1 AS {dec}) * ({u1} - {u0}))"
+            " ELSE 0 END"
+        ).alias("resid_e6"),
+    )
+    return fx.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.sum("vol_e6").cast("bigint").alias("volume_effect_e6"),
+        F.sum("price_e6").cast("bigint").alias("price_effect_e6"),
+        F.sum("new_e6").cast("bigint").alias("new_parts_e6"),
+        F.sum("lost_e6").cast("bigint").alias("lost_parts_e6"),
+        F.sum("resid_e6").cast("bigint").alias("rounding_residual_e6"),
+        F.sum("delta_e6").cast("bigint").alias("revenue_delta_e6"),
+        (
+            F.sum("vol_e6")
+            + F.sum("price_e6")
+            + F.sum("new_e6")
+            + F.sum("lost_e6")
+            + F.sum("resid_e6")
+            == F.sum("delta_e6")
+        ).alias("reconciles"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Value-based RANGE window frame
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "win_range_value_frame",
+    """
+    WITH day AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+             epoch(date_trunc('day', ts)) // 86400 AS dnum,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    )
+    SELECT d AS day_start, x AS revenue_cents,
+           CAST(sum(x) OVER (ORDER BY dnum
+                             RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                AS BIGINT) AS centered_7d_cents,
+           CAST(count(*) OVER (ORDER BY dnum
+                               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                AS BIGINT) AS days_in_frame
+    FROM day
+    """,
+)
+def win_range_value_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE window frame: a centered ±3-day revenue sum
+    where the frame is defined by the ORDER-BY VALUE, not row offsets —
+    the semantics that stay correct when days are MISSING (a rows-based
+    frame silently widens across gaps; the RANGE frame shrinks, and
+    days_in_frame reports the actual support). Every other window in the
+    suite is ROWS-based; this pins Spark's value-frame surface against
+    DuckDB's.
+
+    Scale: the corpus collapses to |days| rows first; the RANGE window
+    runs on that tiny frame (the deliberate single-partition case). At
+    event-level grain the same frame would ride a time-bucketed
+    partitioning, as win_rolling_time does."""
+    e = t(spark, sf_dir, "events")
+    day = e.groupBy(
+        F.date_trunc("day", "ts").alias("d"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    ).select(
+        "d",
+        (F.unix_timestamp("d") / 86400).cast("long").alias("dnum"),
+        "x",
+    )
+    w = Window.orderBy("dnum").rangeBetween(-3, 3)
+    return day.select(
+        F.col("d").cast("timestamp").alias("day_start"),
+        F.col("x").alias("revenue_cents"),
+        F.sum("x").over(w).cast("bigint").alias("centered_7d_cents"),
+        F.count("*").over(w).cast("bigint").alias("days_in_frame"),
+    )

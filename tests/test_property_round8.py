@@ -1139,3 +1139,89 @@ def test_stream_rolling_distinct_equals_batch(spark, sf_dir):
         for r in stream_rolling_distinct(spark, sf_dir).collect()
     }
     assert batch == stream
+
+
+def test_pvm_bridge_reconciles_with_planted_effects(spark, tmp_path):
+    """Planted two-period frame with a pure price move, a pure volume
+    move, one new and one lost part: each effect lands in its column
+    and the bridge reconciles exactly."""
+    from datetime import datetime
+
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        agg_price_volume_mix,
+    )
+
+    t97 = datetime(1997, 6, 1)
+    t98 = datetime(1998, 6, 1)
+    # lineitem: (partkey, shipdate, qty, extendedprice)
+    li = [
+        # part 1: price 10 -> 12, qty 5 both periods (pure price)
+        (1, t97, 5, 50.0), (1, t98, 5, 60.0),
+        # part 2: price 10 flat, qty 5 -> 8 (pure volume)
+        (2, t97, 5, 50.0), (2, t98, 8, 80.0),
+        # part 3: only 1998 (new)
+        (3, t98, 2, 30.0),
+        # part 4: only 1997 (lost)
+        (4, t97, 3, 21.0),
+    ]
+    rows = [
+        (i, pk, 0, i, float(q), ep, 0.0, 0.0, "N", "O", d)
+        for i, (pk, d, q, ep) in enumerate(li)
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber bigint, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(
+        str(tmp_path / "pvm") + "/lineitem.parquet"
+    )
+    parts = [(pk, f"p{pk}", f"B{pk}", "T", 1, 1.0) for pk in (1, 2, 3, 4)]
+    spark.createDataFrame(
+        parts,
+        "p_partkey bigint, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(str(tmp_path / "pvm") + "/part.parquet")
+    out = {
+        r.brand: r
+        for r in agg_price_volume_mix(spark, str(tmp_path / "pvm")).collect()
+    }
+    # pure price: vol 0, price = 5 * (12-10)*100 e6 = 1000 cents e6
+    assert out["B1"].volume_effect_e6 == 0
+    assert out["B1"].price_effect_e6 == 1000 * 10**6
+    # pure volume: price 0, vol = (8-5) * 1000 e6 cents
+    assert out["B2"].price_effect_e6 == 0
+    assert out["B2"].volume_effect_e6 == 3000 * 10**6
+    assert out["B3"].new_parts_e6 == 3000 * 10**6
+    assert out["B4"].lost_parts_e6 == -2100 * 10**6
+    assert all(r.reconciles for r in out.values())
+
+
+def test_range_frame_shrinks_over_gaps(spark, tmp_path):
+    """Days 1, 2, 10: the value-based frame around day 10 must contain
+    only itself (neighbors are > 3 days away), where a rows-frame would
+    wrongly pull days 1-2 in."""
+    from datetime import datetime, timezone
+
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        win_range_value_frame,
+    )
+
+    rows = [
+        (i, datetime(2026, 4, d, 5, tzinfo=timezone.utc), i, "view",
+         float(d), "{}")
+        for i, d in enumerate([1, 2, 10])
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    p = str(tmp_path / "rf")
+    df.write.mode("overwrite").parquet(p + "/events.parquet")
+    out = {r.day_start.day: r for r in win_range_value_frame(spark, p).collect()}
+    assert out[10].days_in_frame == 1
+    assert out[10].centered_7d_cents == 1000
+    assert out[1].days_in_frame == 2  # days 1+2
+    assert out[1].centered_7d_cents == 100 + 200

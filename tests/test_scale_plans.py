@@ -1379,3 +1379,17 @@ def test_template_mining_no_pairwise_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pvm_bridge_partial_agg_broadcast_dim(spark, sf_dir):
+    """Per-part period pivot is one partial-agged hash agg; the part
+    dimension broadcasts for the brand rollup."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        agg_price_volume_mix,
+    )
+
+    plan = _plan(agg_price_volume_mix(spark, sf_dir))
+    assert "partial_" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "PushedFilters" in plan  # the shipdate range reaches the scan
