@@ -2705,3 +2705,216 @@ def win_range_value_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").over(w).cast("bigint").alias("centered_7d_cents"),
         F.count("*").over(w).cast("bigint").alias("days_in_frame"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair construction (DPO data prep)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ext_preference_pairs",
+    f"""
+    WITH d AS (
+      SELECT doc_id, source, {_NORM} AS tx FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             -- integer quality score: vocabulary diversity (e4-scaled)
+             -- + length band bonus; all-integer so winners are exact
+             CAST(10000 * len(list_distinct(string_split(tx, ' ')))
+                  // greatest(len(string_split(tx, ' ')), 1)
+                  + CASE WHEN length(tx) BETWEEN 150 AND 600
+                         THEN 2000 ELSE 0 END AS BIGINT) AS score
+      FROM d
+    ),
+    paired AS (
+      SELECT source, doc_id AS cand_a, score AS score_a,
+             lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+               AS cand_b,
+             lead(score) OVER (PARTITION BY source ORDER BY doc_id)
+               AS score_b
+      FROM scored
+    )
+    SELECT source,
+           CASE WHEN score_a >= score_b THEN cand_a ELSE cand_b END
+             AS chosen_doc,
+           CASE WHEN score_a >= score_b THEN cand_b ELSE cand_a END
+             AS rejected_doc,
+           CAST(abs(score_a - score_b) AS BIGINT) AS margin,
+           (score_a = score_b) AS tie_kept_lower_id
+    FROM paired WHERE cand_b IS NOT NULL
+    """,
+)
+def ext_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for DPO/RLHF-style training: adjacent
+    same-source documents become (chosen, rejected) pairs ranked by a
+    deterministic all-integer quality score (vocabulary-diversity ratio
+    in e4 units + a length-band bonus), with the margin kept for
+    curriculum/filtering (small-margin pairs are the noisy labels a
+    preference pipeline downweights). Ties keep the lower doc_id as
+    chosen and are flagged — the policy is in the output, not implicit.
+
+    Scale: score is one map pass; pairing is one source-keyed window —
+    swapping in real (prompt, response_a, response_b, reward) tables is a
+    join-key change, the shuffle shape is identical."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.lower(
+            F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+        ).alias("tx"),
+    )
+    scored = d.select(
+        "doc_id",
+        "source",
+        (
+            F.expr(
+                "10000 * size(array_distinct(split(tx, ' ')))"
+                " div greatest(size(split(tx, ' ')), 1)"
+            )
+            + F.when(F.length("tx").between(150, 600), 2000).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    paired = scored.select(
+        "source",
+        F.col("doc_id").alias("cand_a"),
+        F.col("score").alias("score_a"),
+        F.lead("doc_id").over(w).alias("cand_b"),
+        F.lead("score").over(w).alias("score_b"),
+    ).where(F.col("cand_b").isNotNull())
+    win_a = F.col("score_a") >= F.col("score_b")
+    return paired.select(
+        "source",
+        F.when(win_a, F.col("cand_a")).otherwise(F.col("cand_b")).alias(
+            "chosen_doc"
+        ),
+        F.when(win_a, F.col("cand_b")).otherwise(F.col("cand_a")).alias(
+            "rejected_doc"
+        ),
+        F.abs(F.col("score_a") - F.col("score_b"))
+        .cast("bigint")
+        .alias("margin"),
+        (F.col("score_a") == F.col("score_b")).alias("tie_kept_lower_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "graph_assortativity",
+    """
+    WITH edges_u AS (
+      SELECT DISTINCT 2 * o.o_custkey AS src, 2 * l.l_suppkey + 1 AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_partkey % 97 = 0
+    ),
+    edges AS (
+      SELECT src, dst FROM edges_u
+      UNION ALL
+      SELECT dst, src FROM edges_u
+    ),
+    deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    pairs AS (
+      SELECT da.d AS x, db.d AS y
+      FROM edges e JOIN deg da ON da.node = e.src
+                   JOIN deg db ON db.node = e.dst
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x*y) AS HUGEINT) AS sxy,
+             CAST(sum(x*x) AS HUGEINT) AS sxx,
+             CAST(sum(y*y) AS HUGEINT) AS syy
+      FROM pairs
+    )
+    SELECT n AS n_directed_edges,
+           CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS var_x_num,
+           CAST(n * syy - sy * sy AS BIGINT) AS var_y_num,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+             AS assortativity
+    FROM m WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman): the Pearson correlation of degrees
+    across edge endpoints — do high-degree customers trade with
+    high-degree suppliers (assortative, r>0) or with the periphery
+    (disassortative, r<0)? Bipartite trade graphs are typically
+    disassortative; the sign is the structural fact a partitioner cares
+    about (disassortative hubs are the skew-join hot keys). Same
+    sparsified edge set as the rest of the graph family.
+
+    Exactness: all five moments are exact 128-bit integers over the
+    directed edge list; the displayed r is the ts_burstiness discipline —
+    exact integer covariance/variance numerators (emitted and
+    hash-compared raw), then ONE double division over ONE sqrt of a
+    product of exact integers, rounded to 6; both engines execute the
+    identical IEEE op sequence.
+
+    Scale: degree table = one partial-agged agg; the endpoint join is
+    two node-keyed equi-joins; moments are one 1-row aggregation."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_partkey") % 97 == 0)
+        .select("l_orderkey", "l_suppkey")
+    )
+    half = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    pairs = (
+        edges.join(
+            deg.select(F.col("node").alias("src"), F.col("d").alias("x")),
+            "src",
+        )
+        .join(
+            deg.select(F.col("node").alias("dst"), F.col("d").alias("y")),
+            "dst",
+        )
+        .select("x", "y")
+    )
+    dec = "decimal(38,0)"
+    m = pairs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast(dec).alias("sx"),
+        F.sum("y").cast(dec).alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast(dec).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast(dec).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast(dec).alias("syy"),
+    )
+    return (
+        m.select(
+            F.col("n").alias("n_directed_edges"),
+            F.expr("CAST(n * sxy - sx * sy AS BIGINT)").alias("cov_num"),
+            F.expr("CAST(n * sxx - sx * sx AS BIGINT)").alias("var_x_num"),
+            F.expr("CAST(n * syy - sy * sy AS BIGINT)").alias("var_y_num"),
+            F.expr(
+                "round(CAST(n * sxy - sx * sy AS DOUBLE)"
+                " / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+                "        * CAST(n * syy - sy * sy AS DOUBLE)), 6)"
+            ).alias("assortativity"),
+        )
+        .where((F.col("var_x_num") > 0) & (F.col("var_y_num") > 0))
+    )

@@ -1225,3 +1225,67 @@ def test_range_frame_shrinks_over_gaps(spark, tmp_path):
     assert out[10].centered_7d_cents == 1000
     assert out[1].days_in_frame == 2  # days 1+2
     assert out[1].centered_7d_cents == 100 + 200
+
+
+def test_preference_pairs_policy(spark, tmp_path):
+    """Winner selection, tie policy (lower id chosen, flagged), and
+    margin on a planted frame."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        ext_preference_pairs,
+    )
+
+    # doc 1: 10 distinct of 10 words (score 10000), doc 2: 5 of 10
+    # (score 5000), docs 3/4: identical scores -> tie
+    docs = [
+        (1, " ".join(f"w{i}" for i in range(10)), "s", 40),
+        (2, " ".join(["dup"] * 5 + [f"u{i}" for i in range(5)]), "s", 40),
+        (3, "a b c d", "t", 7),
+        (4, "e f g h", "t", 7),
+    ]
+    df = spark.createDataFrame(
+        docs, "doc_id bigint, text string, source string, n_chars int"
+    )
+    d = str(tmp_path / "pref")
+    df.write.mode("overwrite").parquet(d + "/documents.parquet")
+    out = {r.source: r for r in ext_preference_pairs(spark, d).collect()}
+    s = out["s"]
+    assert (s.chosen_doc, s.rejected_doc) == (1, 2)
+    assert s.margin == 4000 and not s.tie_kept_lower_id
+    t_ = out["t"]
+    assert (t_.chosen_doc, t_.rejected_doc) == (3, 4)
+    assert t_.margin == 0 and t_.tie_kept_lower_id
+
+
+def test_assortativity_sign_on_planted_graphs(spark, tmp_path):
+    """A star graph (hub-leaf edges only) must be perfectly
+    DISassortative (r = -1): every edge pairs the max degree with
+    degree 1."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        graph_assortativity,
+    )
+
+    # orders o: custkey c buys from supplier s when (c,s) edge planted.
+    # star: customer 1 (hub) buys from suppliers 1..6; one order each.
+    orders = [(i, 1, "F", 1.0, "2024-01-01", "P") for i in range(6)]
+    lines = [
+        (i, 97 * (i + 1), i + 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O",
+         "2024-01-01")
+        for i in range(6)  # l_partkey % 97 == 0 keeps the edge
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "g") + "/orders.parquet")
+    spark.createDataFrame(
+        lines,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber bigint, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate string",
+    ).write.mode("overwrite").parquet(
+        str(tmp_path / "g") + "/lineitem.parquet"
+    )
+    out = graph_assortativity(spark, str(tmp_path / "g")).collect()
+    assert len(out) == 1
+    assert out[0].assortativity == -1.0
