@@ -2918,3 +2918,107 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where((F.col("var_x_num") > 0) & (F.col("var_y_num") > 0))
     )
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein drift on integer histograms
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ext_wasserstein_drift",
+    """
+    WITH b AS (
+      SELECT event_type,
+             least(CAST(floor(value / 25.0) AS BIGINT), 23) AS bucket,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT t.event_type, g.bucket, coalesce(b.n, 0) AS n_g
+      FROM (SELECT DISTINCT event_type FROM b) t
+      CROSS JOIN (SELECT unnest(range(0, 24)) AS bucket) g
+      LEFT JOIN b ON b.event_type = t.event_type AND b.bucket = g.bucket
+    ),
+    tot AS (SELECT bucket, CAST(sum(n_g) AS BIGINT) AS n_t
+            FROM grid GROUP BY bucket),
+    cums AS (
+      SELECT g.event_type, g.bucket,
+             sum(g.n_g) OVER (PARTITION BY g.event_type
+                              ORDER BY g.bucket) AS cg,
+             sum(t.n_t) OVER (PARTITION BY g.event_type
+                              ORDER BY g.bucket) AS ct,
+             sum(g.n_g) OVER (PARTITION BY g.event_type) AS ng_tot,
+             sum(t.n_t) OVER (PARTITION BY g.event_type) AS nt_tot
+      FROM grid g JOIN tot t USING (bucket)
+    )
+    SELECT event_type,
+           CAST(min(ng_tot) AS BIGINT) AS n_group,
+           CAST(min(nt_tot) AS BIGINT) AS n_corpus,
+           CAST(1000000 * sum(abs(CAST(nt_tot AS HUGEINT) * cg
+                                  - CAST(ng_tot AS HUGEINT) * ct))
+                // (CAST(min(ng_tot) AS HUGEINT) * min(nt_tot) * 24)
+                AS BIGINT) AS w1_e6
+    FROM cums GROUP BY event_type
+    """,
+)
+def ext_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between each event type's
+    value distribution and the corpus distribution, on the shared 24-bin
+    histogram — the SCALAR-distribution drift detector next to
+    ext_embedding_drift's vector MMD: W1 sees shape/location shifts a
+    mean-based monitor misses, and unlike KL it is finite on
+    disjoint-support bins. On a common grid W1 = mean over buckets of
+    |CDF_g - CDF_corpus|, computed as the exact integer rational
+    |n_t*cum_g - n_g*cum_t| / (n_g*n_t) per bucket — 128-bit integer
+    arithmetic end to end, the final e6 value one integral division
+    (units: fraction of the value range).
+
+    Scale: the corpus collapses to |types x 24| histogram cells in one
+    partial-agged pass; the grid completion, CDFs, and the W1 sum all
+    run on that tiny frame. Drift between INGESTS instead of types is
+    the same query with a batch-id group key."""
+    e = t(spark, sf_dir, "events")
+    b = e.groupBy(
+        "event_type",
+        F.least(F.floor(F.col("value") / 25.0).cast("long"), F.lit(23))
+        .alias("bucket"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    types = b.select("event_type").distinct()
+    grid = (
+        types.crossJoin(
+            F.broadcast(
+                b.sparkSession.range(0, 24).select(
+                    F.col("id").alias("bucket")
+                )
+            )
+        )
+        .join(b, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            F.coalesce("n", F.lit(0)).alias("n_g"),
+        )
+    )
+    tot = grid.groupBy("bucket").agg(F.sum("n_g").alias("n_t"))
+    wc = Window.partitionBy("event_type").orderBy("bucket")
+    wall = Window.partitionBy("event_type")
+    dec = "decimal(38,0)"
+    cums = grid.join(F.broadcast(tot), "bucket").select(
+        "event_type",
+        F.sum("n_g").over(wc).alias("cg"),
+        F.sum("n_t").over(wc).alias("ct"),
+        F.sum("n_g").over(wall).alias("ng_tot"),
+        F.sum("n_t").over(wall).alias("nt_tot"),
+    )
+    return cums.groupBy("event_type").agg(
+        F.min("ng_tot").cast("bigint").alias("n_group"),
+        F.min("nt_tot").cast("bigint").alias("n_corpus"),
+        F.expr(
+            f"CAST(CAST(1000000 AS {dec}) * "
+            f"sum(abs(CAST(nt_tot AS {dec}) * cg"
+            f"         - CAST(ng_tot AS {dec}) * ct))"
+            f" div (CAST(min(ng_tot) AS {dec}) * min(nt_tot) * 24)"
+            " AS BIGINT)"
+        ).alias("w1_e6"),
+    )

@@ -1289,3 +1289,35 @@ def test_assortativity_sign_on_planted_graphs(spark, tmp_path):
     out = graph_assortativity(spark, str(tmp_path / "g")).collect()
     assert len(out) == 1
     assert out[0].assortativity == -1.0
+
+
+def test_wasserstein_identical_and_shifted(spark, tmp_path):
+    """W1 must be 0 for a group identical to the corpus... impossible
+    (the group is part of the corpus) — so instead: a group concentrated
+    in bucket 0 vs one in bucket 23 must have near-maximal and EQUAL
+    distances to the combined corpus, and the all-in-one-bucket case
+    matches the hand-computed rational exactly."""
+    from datetime import datetime, timezone
+
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        ext_wasserstein_drift,
+    )
+
+    t0 = datetime(2026, 5, 1, tzinfo=timezone.utc)
+    rows = [(i, t0, i, "lo", 0.0, "{}") for i in range(10)] + [
+        (100 + i, t0, i, "hi", 599.0, "{}") for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double, props string",
+    )
+    d = str(tmp_path / "w1")
+    df.write.mode("overwrite").parquet(d + "/events.parquet")
+    out = {r.event_type: r for r in ext_wasserstein_drift(spark, d).collect()}
+    # group lo: CDF_g = 1 from bucket 0; corpus CDF = 1/2 until bucket 23.
+    # per bucket |n_t*cg - n_g*ct| = |20*10 - 10*10| = 100 for buckets
+    # 0..22, 0 at 23 -> W1_e6 = 1e6 * 23*100 // (10*20*24)
+    expect = (10**6 * 23 * 100) // (10 * 20 * 24)
+    assert out["lo"].w1_e6 == expect
+    assert out["hi"].w1_e6 == expect  # symmetric by construction
