@@ -3022,3 +3022,97 @@ def ext_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("w1_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ColBERT-style MaxSim late interaction
+# ---------------------------------------------------------------------------
+
+_MAXSIM_SUBS = 8  # 64-dim vectors sliced into 8 subvectors of 8 dims
+_MAXSIM_K = 20
+
+
+@q(
+    "ext_colbert_maxsim",
+    f"""
+    WITH q8 AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(round(x*127) AS BIGINT))
+               AS v
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id,
+             list_transform(range(0, {_MAXSIM_SUBS}),
+                            i -> v[i*8+1 : i*8+8]) AS sv
+      FROM q8
+    ),
+    qv AS (SELECT sv AS qsv FROM subs WHERE vec_id = 1),
+    scored AS (
+      SELECT s.vec_id,
+             CAST(list_sum(list_transform(q.qsv,
+               qs -> list_max(list_transform(s.sv,
+                 cs -> CAST(list_dot_product(qs, cs) AS BIGINT)))))
+               AS BIGINT) AS maxsim
+      FROM subs s CROSS JOIN qv q
+      WHERE s.vec_id <> 1
+    )
+    SELECT vec_id, maxsim
+    FROM scored
+    ORDER BY maxsim DESC, vec_id ASC
+    LIMIT {_MAXSIM_K}
+    """,
+)
+def ext_colbert_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    2020): instead of one dot product per document, the query decomposes
+    into sub-vectors ("token embeddings") and each query sub-vector
+    claims its BEST-matching document sub-vector — MaxSim =
+    sum_i max_j <q_i, d_j> — the scoring rule that lets one strong local
+    match win where the pooled single-vector dot averages it away. The
+    fixture's 64-dim vectors slice deterministically into 8x8 sub-vectors
+    (the plumbing is identical when real per-token matrices replace the
+    slices). All-integer on int8 quantization: every dot, max, and sum is
+    exact int64, so the top-20 ordering cannot ulp-flip.
+
+    Scale: scoring is a pure map against the broadcast query sub-vectors
+    (nested JVM higher-order functions — transform/aggregate/array_max —
+    zero Python); top-k is TakeOrderedAndProject. At real corpus scale
+    the candidate set first narrows via ext_sim_ann_bucketed/IVF and
+    MaxSim re-ranks the survivors — exactly ColBERT's two-stage serving
+    layout."""
+    emb = t(spark, sf_dir, "embeddings")
+    q8 = F.transform(
+        F.col("embedding"), lambda x: F.round(x * 127).cast("long")
+    )
+    subs = emb.select(
+        "vec_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_MAXSIM_SUBS - 1)),
+            lambda i: F.slice(q8, i * 8 + 1, 8),
+        ).alias("sv"),
+    )
+    qv = subs.where(F.col("vec_id") == 1).select(F.col("sv").alias("qsv"))
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    maxsim = F.aggregate(
+        F.col("qsv"),
+        F.lit(0).cast("long"),
+        lambda acc, qs: acc
+        + F.array_max(
+            F.transform(F.col("sv"), lambda cs: dot(qs, cs))
+        ),
+    )
+    return (
+        subs.where(F.col("vec_id") != 1)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", maxsim.cast("bigint").alias("maxsim"))
+        .orderBy(F.col("maxsim").desc(), F.col("vec_id").asc())
+        .limit(_MAXSIM_K)
+    )

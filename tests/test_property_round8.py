@@ -1321,3 +1321,51 @@ def test_wasserstein_identical_and_shifted(spark, tmp_path):
     expect = (10**6 * 23 * 100) // (10 * 20 * 24)
     assert out["lo"].w1_e6 == expect
     assert out["hi"].w1_e6 == expect  # symmetric by construction
+
+
+def test_maxsim_beats_pooled_dot_on_local_match(spark, tmp_path):
+    """A candidate matching ONE query sub-vector perfectly but orthogonal
+    elsewhere must outrank (under MaxSim) a candidate that is uniformly
+    lukewarm, when their pooled dots would order them the other way —
+    the late-interaction property itself. Scores also replayed in pure
+    Python big-ints."""
+    from cdc_debezium_kafka_airflow_spark.queries.relational7 import (
+        _MAXSIM_SUBS,
+        ext_colbert_maxsim,
+    )
+
+    dim = 64
+    qv = [1.0] * dim
+    # local hero: slice 0 == query slice, everything else negative-ish
+    local = [1.0] * 8 + [-0.2] * 56
+    # lukewarm: 0.3 everywhere -> bigger POOLED dot than local
+    luke = [0.3] * dim
+    rows = [(1, qv, 0), (10, local, 1), (11, luke, 2)]
+    for i in range(20, 30):  # filler
+        rows.append((i, [0.01] * dim, 3))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    d = str(tmp_path / "ms")
+    df.write.mode("overwrite").parquet(d + "/embeddings.parquet")
+    out = {r.vec_id: r.maxsim for r in ext_colbert_maxsim(spark, d).collect()}
+
+    # python replay
+    def q8(v):
+        return [round(x * 127) for x in v]
+
+    def maxsim(q, c):
+        qs = [q[i * 8:(i + 1) * 8] for i in range(_MAXSIM_SUBS)]
+        cs = [c[i * 8:(i + 1) * 8] for i in range(_MAXSIM_SUBS)]
+        return sum(
+            max(sum(a * b for a, b in zip(s, t)) for t in cs) for s in qs
+        )
+
+    for v, emb, _ in rows:
+        if v == 1:
+            continue
+        assert out[v] == maxsim(q8(qv), q8(emb)), v
+    # pooled dot prefers lukewarm; MaxSim must prefer the local hero
+    pooled = lambda c: sum(a * b for a, b in zip(q8(qv), q8(c)))
+    assert pooled(luke) > pooled(local)
+    assert out[10] > out[11]
