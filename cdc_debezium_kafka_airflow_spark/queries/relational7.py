@@ -1,8 +1,27 @@
-"""Seventh wave (round 8): skyline/Pareto frontier, weighted median,
-market concentration, late-arriving-dimension policy, Unicode NFC audit,
-and ROUGE-N evaluation.
+"""Round-8 continuation waves (3-13): the operator families the first
+299 queries did not yet cover, each with an exact DuckDB oracle twin.
 
-Families added this wave:
+Contents by family:
+- Multi-criteria / robust analytics: 2-D skyline (two-phase distributed
+  frontier), exact weighted median (two-phase band crossing), HHI market
+  concentration, MAD anomaly flags, chi-square independence (all-integer
+  ppm terms), price-volume-mix revenue bridge (reconciles to the cent),
+  value-based RANGE window frame, degree assortativity, candidate-key
+  discovery, row-level security, accumulating-snapshot fact table.
+- Temporal/CDC: Kimball late-arriving-dimension policy and the SQL:2011
+  temporal ALIGN of two SCD2 histories — both executed as ONE-shuffle
+  carry-forward sweeps; the interval joins exist only in the oracles.
+- LLM-data pipeline: Unicode NFC audit (the justified Arrow-UDF
+  boundary), ROUGE-2 and all-integer NDCG@10 and unbiased pass@k (the
+  eval trio), dedup reweighting + keeper policy + asymmetric containment
+  (the dedup policy legs), MMR diversification and ColBERT MaxSim (the
+  retrieval re-rankers), weak-supervision LF panel, Drain-lite template
+  mining, DPO preference pairs, MMD embedding drift + 1-D Wasserstein
+  drift (the two drift monitors), bitmap rolling distinct (and its
+  cross-batch streaming twin in streaming_queries), connected components
+  (reusing the dedup family's hybrid CC).
+
+Original wave-3 notes:
 - 2-D skyline (Pareto frontier) — the classic multi-criteria OLAP operator
   (Börzsönyi et al., ICDE 2001) Spark has no built-in for: parts no other
   part beats on BOTH price (lower better) and size (higher better). The
