@@ -34,17 +34,33 @@ SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: CDC materialization + per-table warehouse rollup at sf0.001."""
-    from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import (
-        upsert_materialize_q,
+    """Flagship: the full advertised CDC path — serialize -> parse -> DLQ
+    split -> unwrap -> last-write-wins materialize -> per-table warehouse
+    rollup — at sf0.001. BOTH split branches are consumed (VERDICT r08
+    task #5): the clean branch becomes the warehouse rollup rows, the
+    poison branch surfaces as a '_dlq' audit row, so a defect anywhere in
+    the split is visible in the returned frame, not silently discarded."""
+    from cdc_debezium_kafka_airflow_spark.operators.cdc import (
+        split_dlq,
+        unwrap,
+        upsert_materialize,
     )
+    from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import _parsed
 
-    state = upsert_materialize_q(spark, SF0001)
-    return state.groupBy("table_name").agg(
+    main, dlq = split_dlq(_parsed(spark, SF0001))
+    state = upsert_materialize(unwrap(main))
+    rollup = state.groupBy("table_name").agg(
         F.count("*").alias("n_live_rows"),
         F.max("last_offset").alias("max_offset"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+    dlq_row = dlq.agg(
+        F.lit("_dlq").alias("table_name"),
+        F.count("*").alias("n_live_rows"),
+        F.coalesce(F.max("offset"), F.lit(-1)).alias("max_offset"),
+        F.lit(0.0).alias("sum_value"),
+    )
+    return rollup.unionByName(dlq_row)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

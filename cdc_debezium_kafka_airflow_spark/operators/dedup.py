@@ -790,9 +790,15 @@ def containment_pairs(
         F.col("shingles").alias("sh_b"),
     )
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    # Verify stage joins are SHUFFLED equi-joins on the id keys: sa/sb
+    # carry every document's FULL shingle array, so broadcasting them is
+    # a driver/executor OOM at the 100 TB target even though candidate
+    # generation above is properly prefix-pruned (ADVICE r08 #2). The
+    # candidate set is the small side here; Spark/AQE may still choose to
+    # broadcast THAT, which is the safe direction.
     return (
-        candidates.join(F.broadcast(sa), "id_contained")
-        .join(F.broadcast(sb), "id_container")
+        candidates.join(sa, "id_contained")
+        .join(sb, "id_container")
         .select(
             "id_contained",
             "id_container",

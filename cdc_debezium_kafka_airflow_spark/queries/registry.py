@@ -147,14 +147,13 @@ def _already_verified() -> tuple[set[str], set[str]]:
 # Window slots not pinned to a sentinel ROTATE round-by-round through
 # every remaining ORACLE-BACKED query, so external driver confirmation
 # accumulates across rounds instead of re-checking the same head forever.
-# Never-yet-verified names fill the slots first (a name-sorted ring over
-# the unseen set, offset advanced by the round key); only when every pool
-# entry has a past driver row does the ring span the whole pool. The pool
-# is filtered to names in ORACLES — a query without an oracle can only
-# produce an `err=no_oracle` driver row (the one red row of r05), so it
-# never earns a rotation slot. Within one round the selection is a pure
-# function of (registry contents, committed CORRECTNESS files) — the
-# driver and any re-run see the same window.
+# Never-yet-verified names fill the slots first; only when every pool
+# entry has a past driver row does an offset ring span the whole pool.
+# The pool is filtered to names in ORACLES — a query without an oracle
+# can only produce an `err=no_oracle` driver row (the one red row of
+# r05), so it never earns a rotation slot. Within one round the selection
+# is a pure function of (registry contents, committed CORRECTNESS files)
+# — the driver and any re-run see the same window.
 _rotation_pool = sorted(
     k for k in _ALL_QUERIES if k not in set(_PRIORITY) and k in ORACLES
 )
@@ -163,18 +162,46 @@ _green, _red = _already_verified()
 # failed driver row means the fix needs a fresh row NOW, not after the
 # unseen pool drains (and the ring offset must not be able to skip them).
 _red_first = sorted(k for k in _rotation_pool if k in _red)
-_unseen = [k for k in _rotation_pool if k not in _green and k not in _red]
-_ring = _unseen if _unseen else _rotation_pool
+# Round-9 change (VERDICT r08 "Next round" #1): the unseen pool is no
+# longer a flat name-sorted ring — alphabetical order let heavily-covered
+# families (ext_*) crowd out the least-driver-checked surfaces. Unseen
+# names are now drained in ascending order of their MODULE's historical
+# driver coverage (fraction of the module's oracle-backed names with a
+# past green row), so the families with the thinnest external evidence
+# (streaming_queries 15%, relational6 7%, relational7 17% as of r08) fill
+# the window first. No offset is needed on this branch: names that turn
+# green leave the unseen set, so the head advances by itself each round.
+_module_cov: dict[str, float] = {}
+_name_module: dict[str, str] = {}
+for _m in _MODULES:
+    _mnames = [n for n in _m.QUERIES if n in ORACLES]
+    _module_cov[_m.__name__] = (
+        sum(1 for n in _mnames if n in _green) / len(_mnames) if _mnames else 1.0
+    )
+    for _n in _mnames:
+        _name_module[_n] = _m.__name__
+_unseen = sorted(
+    (k for k in _rotation_pool if k not in _green and k not in _red),
+    key=lambda k: (_module_cov[_name_module[k]], _name_module[k], k),
+)
 _slots = max(0, VERIFIED_WINDOW - len(_PRIORITY))
 ROTATION: list[str] = _red_first[:_slots]
 _slots_left = _slots - len(ROTATION)
-if _ring and _slots_left:
+if _unseen and _slots_left:
+    for _cand in _unseen:
+        if _slots_left <= 0:
+            break
+        if _cand not in ROTATION:
+            ROTATION.append(_cand)
+            _slots_left -= 1
+elif _slots_left:
+    # Drained-pool fallback: every name has a past driver row, so rotate
+    # an offset ring over the WHOLE pool keyed by the round counter.
+    # Skip-and-continue: a slot colliding with the red-first head must be
+    # BACKFILLED by the next ring entry, not dropped — otherwise the
+    # verified window underfills by up to len(_red_first) names.
+    _ring = _rotation_pool
     _off = ((_round_key() - 1) * _slots) % len(_ring)
-    # Walk the ring skip-and-continue until the window is full or the ring
-    # is exhausted: in the drained-pool fallback (ring == whole pool) a
-    # slot colliding with the red-first head must be BACKFILLED by the
-    # next ring entry, not dropped — otherwise the verified window
-    # underfills by up to len(_red_first) names.
     _i = 0
     while _slots_left > 0 and _i < len(_ring):
         _cand = _ring[(_off + _i) % len(_ring)]

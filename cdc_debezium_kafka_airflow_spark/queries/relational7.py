@@ -2039,8 +2039,14 @@ def dq_candidate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("event_id").cast("bigint").alias("k1"),
         F.count_distinct("user_id").cast("bigint").alias("k2"),
         F.count_distinct("ts").cast("bigint").alias("k3"),
-        F.count_distinct("user_id", "ts").cast("bigint").alias("k4"),
-        F.count_distinct("user_id", "event_type", "ts")
+        # Composite distincts go through struct(): bare
+        # count_distinct(a, b) DROPS rows where any column is NULL while
+        # DuckDB's count(DISTINCT (a, b)) counts NULL-bearing tuples (a
+        # ROW value is itself non-NULL) — struct() matches that tuple
+        # semantics on both engines (ADVICE r08 #1; nulls-free fixture
+        # masked the divergence, NULL user_id/ts would not).
+        F.count_distinct(F.struct("user_id", "ts")).cast("bigint").alias("k4"),
+        F.count_distinct(F.struct("user_id", "event_type", "ts"))
         .cast("bigint")
         .alias("k5"),
     )
@@ -2714,7 +2720,12 @@ def win_range_value_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("x")
     ).select(
         "d",
-        (F.unix_timestamp("d") / 86400).cast("long").alias("dnum"),
+        # `div` is integer floor-consistent with the oracle's `// 86400`
+        # on the whole non-negative epoch domain; the old double
+        # division truncated TOWARD ZERO, which disagrees with floor for
+        # any pre-1970 day and would silently shift RANGE frame
+        # membership (ADVICE r08 #3).
+        F.expr("unix_timestamp(d) div 86400").alias("dnum"),
         "x",
     )
     w = Window.orderBy("dnum").rangeBetween(-3, 3)

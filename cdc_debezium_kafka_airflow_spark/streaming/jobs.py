@@ -473,15 +473,25 @@ def stream_stream_interval_join(
     # A stream-stream join keeps FOUR state stores per shuffle partition
     # (keyed rows + numValues, each side); per-store open/commit overhead
     # dominates a single-trigger replay, so cap the join's shuffle width —
-    # measured 2x at sf0.1 (8s -> 4s warm). On a real cluster this knob is
-    # sized to executor cores × per-partition state, not left at the SQL
-    # default (restored after; single-threaded harness assumption).
+    # parts=4 measured best at sf0.1 (r09 sweep: 8->4 is another ~18%).
+    # An INNER join emits only on match, never on eviction, so the
+    # trailing no-data micro-batch buys nothing but a second full state
+    # commit — skipping it is semantics-free here (identical 29,071 rows
+    # at sf0.1; r08->r09 trim, 5.9s -> 3.0s warm) and MUST NOT be copied
+    # to the outer variants, whose null-extended rows only emit in that
+    # batch. On a real cluster these knobs are sized to executor cores ×
+    # per-partition state, not left at the SQL default (restored after).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         out = _run_to_memory(joined, "append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nd
+        )
     return out.groupBy("o_orderpriority").agg(
         F.count("*").alias("n_lineitems"),
         F.round(
@@ -2441,6 +2451,68 @@ def stream_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _outer_join_priority_rollup(
+    spark: SparkSession, joined: DataFrame
+) -> DataFrame:
+    """Shared sink for the outer stream-stream joins: per-micro-batch
+    PARTIAL aggregation inside foreachBatch (count/sum/null-count per
+    priority — a distributed agg whose output is <=6 rows/batch), combined
+    by one final Spark aggregation over the collected partials.
+
+    This replaces the old memory-sink + batch-agg tail, which pulled every
+    emitted JOIN ROW (686k at sf0.1 for the full outer) through the driver
+    before aggregating — the classic collect-then-reduce anti-pattern, and
+    measured 6.4s -> 3.9s at sf0.1 (r09). Partials are collected as Rows,
+    not pandas, so an all-NULL revenue group stays NULL through the final
+    sum exactly as the oracle's SUM does (NaN round-trips would turn it
+    into 0.0). Count/sum are decomposable across batches by construction;
+    rounding happens once, on the final total, same as the oracle."""
+    partial_schema = (
+        "o_orderpriority string, n_lineitems long, rev double,"
+        " n_unmatched_orders long"
+    )
+    partials: list = []
+
+    def absorb(batch_df: DataFrame, _batch_id: int) -> None:
+        partials.extend(
+            batch_df.groupBy("o_orderpriority")
+            .agg(
+                F.count("l_orderkey").alias("n_lineitems"),
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                ).alias("rev"),
+                F.sum(F.col("l_orderkey").isNull().cast("long")).alias(
+                    "n_unmatched_orders"
+                ),
+            )
+            .collect()
+        )
+
+    ck = temp_checkpoint_dir()
+    try:
+        q = (
+            joined.writeStream.foreachBatch(absorb)
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        import shutil
+
+        shutil.rmtree(ck, ignore_errors=True)
+    return (
+        spark.createDataFrame(partials, partial_schema)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_lineitems").alias("n_lineitems"),
+            F.round(F.sum("rev"), 2).alias("revenue"),
+            F.sum("n_unmatched_orders").alias("n_unmatched_orders"),
+        )
+    )
+
+
 def stream_stream_left_outer_join(
     spark: SparkSession, sf_dir: str, delay: str = "30 days"
 ) -> DataFrame:
@@ -2493,20 +2565,11 @@ def stream_stream_left_outer_join(
         "o_orderpriority", "l_orderkey", "l_extendedprice", "l_discount"
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        out = _run_to_memory(joined, "append")
+        return _outer_join_priority_rollup(spark, joined)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return out.groupBy("o_orderpriority").agg(
-        F.count("l_orderkey").alias("n_lineitems"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
-        F.sum(F.col("l_orderkey").isNull().cast("long")).alias(
-            "n_unmatched_orders"
-        ),
-    )
 
 
 def stream_stream_full_outer_join(
@@ -2563,20 +2626,11 @@ def stream_stream_full_outer_join(
         "o_orderpriority", "l_orderkey", "l_extendedprice", "l_discount"
     )
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        out = _run_to_memory(joined, "append")
+        return _outer_join_priority_rollup(spark, joined)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return out.groupBy("o_orderpriority").agg(
-        F.count("l_orderkey").alias("n_lineitems"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
-        F.sum(F.col("l_orderkey").isNull().cast("long")).alias(
-            "n_unmatched_orders"
-        ),
-    )
 
 
 def stream_stream_semi_anti_join(
@@ -2621,12 +2675,21 @@ def stream_stream_semi_anti_join(
         ),
         how,
     ).select("o_orderkey", "o_orderpriority")
+    # Semi emits each order once, on its FIRST in-window match — never on
+    # eviction — so like the inner variant the trailing no-data batch is
+    # pure state-commit overhead and is skipped (the outer variants need
+    # it; see stream_stream_interval_join's note).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     try:
         out = _run_to_memory(joined, "append")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled", prev_nd
+        )
     return out.groupBy("o_orderpriority").agg(
         F.count_distinct("o_orderkey").alias("n_orders")
     )
@@ -2979,13 +3042,24 @@ def events_idrange_replay_dir(
     from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    replay_dir = os.path.join("/root/repo/.cache", f"events_idrange_{tag}")
+    # Cache tag carries n_files: two callers with different split counts
+    # must not share a directory, or the second silently replays the
+    # first's split (ADVICE r08 #4).
+    replay_dir = os.path.join(
+        "/root/repo/.cache", f"events_idrange_{tag}_{n_files}"
+    )
     fp = source_fingerprint(sf_dir, "events")
     if not cache_is_fresh(replay_dir, fp):
         ev = load_table(spark, sf_dir, "events").select(
             "event_id", "ts", "user_id"
         )
-        hi = ev.agg(F.max("event_id")).first()[0] + 1
+        hi_row = ev.agg(F.max("event_id")).first()[0]
+        if hi_row is None:
+            raise ValueError(
+                f"events table at {sf_dir} is empty: cannot build an "
+                "event_id-range replay split"
+            )
+        hi = hi_row + 1
         step = max(hi // n_files, 1)
         for i in range(n_files):
             lo, up = i * step, (i + 1) * step if i < n_files - 1 else hi

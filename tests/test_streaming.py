@@ -464,3 +464,62 @@ def test_txn_gate_straddles_batch_boundary(spark, sf_dir):
     assert got.keys() == want.keys()
     for k in want:
         assert got[k] == want[k], (k, got[k], want[k])
+
+
+def test_stream_stream_sinks_restore_session_confs(spark, sf_dir):
+    """The r09 trims (parts=4, noDataMicroBatches off for inner/semi,
+    foreachBatch partial-agg for the outers) are PER-QUERY overrides; a
+    leaked conf would silently change every later streaming query in the
+    session. Run all four and assert both knobs come back."""
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    jobs.stream_stream_interval_join(spark, sf_dir).collect()
+    jobs.stream_stream_semi_anti_join(spark, sf_dir, "left_semi").collect()
+    jobs.stream_stream_left_outer_join(spark, sf_dir).collect()
+    jobs.stream_stream_full_outer_join(spark, sf_dir).collect()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+    assert (
+        spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+        == prev_nd
+    )
+
+
+def test_outer_join_eviction_rows_still_emit_after_nodata_trim(spark, sf_dir):
+    """Directional guard for the noDataMicroBatches trim: the skip is safe
+    ONLY for match-emitting joins (inner/semi). The outer variants' proven
+    -unmatched rows emit exclusively in the trailing no-data batch — if a
+    refactor ever extends the skip to them, unmatched counts silently drop
+    to zero. Pin that they stay populated, and that inner/semi (which run
+    WITH the skip) still agree with their batch equivalents."""
+    lo = jobs.stream_stream_left_outer_join(spark, sf_dir)
+    assert (
+        lo.agg(F.sum("n_unmatched_orders")).first()[0] > 0
+    ), "left-outer eviction rows vanished - no-data batch wrongly skipped?"
+    fo = jobs.stream_stream_full_outer_join(spark, sf_dir)
+    assert fo.filter(F.col("o_orderpriority").isNull()).count() == 1, (
+        "full-outer unmatched-lineitem group missing"
+    )
+    # inner runs with the skip: must equal the batch interval join
+    import os
+
+    inner = jobs.stream_stream_interval_join(spark, sf_dir)
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    batch = (
+        li.join(
+            od,
+            F.expr(
+                "l_orderkey = o_orderkey AND l_shipdate >= o_orderdate"
+                " AND l_shipdate <= o_orderdate + INTERVAL 120 DAYS"
+            ),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+    assert inner.exceptAll(batch).count() == 0
+    assert batch.exceptAll(inner).count() == 0
