@@ -111,7 +111,12 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count("*").alias("n_unique_events"))
     )
-    out = jobs._run_to_memory(deduped, "complete")
+    # TWO chained stateful operators (dedup store + agg store) open/commit
+    # one state store pair per shuffle partition per trigger — at the
+    # session default of 32 that lifecycle dominated this query's
+    # wall-clock (r08 watch-trio member; 5.3s -> 1.8s at sf0.1 with the
+    # cap). Same sizing arithmetic as the stream-stream joins' parts=4.
+    out = jobs._run_to_memory(deduped, "complete", parts="8")
     return out
 
 

@@ -510,7 +510,12 @@ def streaming_upsert_state(
     Equivalent to batch ``upsert_materialize`` — the state store holds one
     struct per live (table, key)."""
     unwrapped = unwrap(split_dlq(parse_envelope(changelog_stream(spark, sf_dir, max_files_per_trigger)))[0])
-    out = _run_to_memory(_state_upsert_agg(unwrapped), "complete")
+    # Keyed state is small (live keys, ~6.7k at sf0.1) — per-partition
+    # state-store lifecycle at the session default of 32 cost more than
+    # the agg itself (r08 watch-trio member; 2.4s -> 1.3s with the cap).
+    # This is the JVM max_by agg path: the Arrow-volume inversion note on
+    # stateful_upsert_apply_in_pandas does NOT apply here.
+    out = _run_to_memory(_state_upsert_agg(unwrapped), "complete", parts="8")
     return _drop_deleted(out)
 
 
