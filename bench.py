@@ -37,6 +37,21 @@ def main() -> None:
     # warmup: JVM, codegen, parquet footer caches
     qs["q1_pricing_summary"](spark, sf_dir).collect()
 
+    # Host per-job scheduler floor, measured INSIDE this run (PLANS.md
+    # "Host per-job floor": it varies 5 ms -> 220 ms BY BOOT on this host
+    # and uniformly taxes job-count-heavy queries ~0.2 s x n_jobs on bad
+    # boots). Recording it in the artifact lets a reader normalize this
+    # run against floors committed under a faster boot instead of
+    # re-deriving the probe by hand.
+    _rdd = spark.sparkContext.parallelize(range(4), 4)
+    _rdd.count()
+    _floor_t0 = time.perf_counter()
+    for _ in range(20):
+        _rdd.count()
+    host_job_floor_ms = round(
+        (time.perf_counter() - _floor_t0) / 20 * 1000, 1
+    )
+
     # Named warmup for SHARED materialized intermediates: the shingle
     # tables (sources/shingle_cache.py) are built once per fixture version
     # and consumed by ~8 dedup/decontamination queries. Cold, the build
@@ -177,6 +192,7 @@ def main() -> None:
         "sf": sf,
         "load_state": load_state,
         "loadavg_at_start": round(_LOADAVG_AT_START, 2),
+        "host_job_floor_ms": host_job_floor_ms,
         # per-query adjudication re-run counts (see the pass above);
         # {} on a clean run — any entry here means the first sample was
         # >1.4x the committed best-known time and was re-measured
@@ -203,6 +219,7 @@ def main() -> None:
         "n_errors": sum(1 for v in timings.values() if v < 0),
         "load_state": load_state,
         "n_reruns": sum(reruns.values()),
+        "host_job_floor_ms": host_job_floor_ms,
         "queries_file": "BENCH_local.json",
     }
     print(json.dumps(headline))
