@@ -730,43 +730,61 @@ def e2e_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     un = unwrap(main)
     mat = upsert_materialize(un).persist()
 
-    # serialize: the changelog is row-for-row over events, so its count and
-    # checksum come from one scan of the source table
-    s = ev.agg(
-        F.count("*").alias("n"),
-        F.sum("event_id").cast("long").alias("s"),
-    ).collect()[0]
-    n_dlq = dlq.count()
-    u = un.agg(
+    # All six audit rows are built as single-row AGGREGATE FRAMES and
+    # UNIONed into one lazy plan — zero collect()s, ONE Spark job when
+    # the caller materializes the result (r09; the old shape paid 8
+    # driver round-trips, each a full scheduling barrier — pure per-job
+    # floor tax on this host and pure latency on a 1000-executor
+    # cluster). `mat` is persisted, so the four branches that read it
+    # share one materialization; cross-joins below are 1-row x 1-row.
+    def stage_row(name: str, n_col, checksum_col) -> DataFrame:
+        return F.lit(name).alias("stage"), n_col.cast("long").alias(
+            "n_rows"
+        ), checksum_col.cast("long").alias("checksum")
+
+    serialize_row = ev.agg(
+        *stage_row("serialize", F.count("*"), F.sum("event_id"))
+    )
+    un_agg = un.agg(
         F.count("*").alias("n"),
         F.sum(F.col("is_delete").cast("long")).alias("d"),
-    ).collect()[0]
-    m = mat.agg(
+    )
+    dlq_agg = dlq.agg(F.count("*").alias("n_dlq"))
+    parse_dlq_row = un_agg.crossJoin(dlq_agg).select(
+        *stage_row("parse_dlq", F.col("n"), F.col("n_dlq"))
+    )
+    unwrap_row = un_agg.select(*stage_row("unwrap", F.col("n"), F.col("d")))
+    mat_agg = mat.agg(
         F.count("*").alias("n"),
         F.sum(F.round(F.col("value") * 10000).cast("long")).alias("s"),
         F.max("user_id").alias("mx"),
-    ).collect()[0]
+    )
+    materialize_row = mat_agg.select(
+        *stage_row("materialize", F.col("n"), F.col("s"))
+    )
 
     # independent sink-side recomputation feeds the integrity probe — but
     # deletes must drop keys, so the source side is the LIVE key set too
     live_src = mat.select("table_name", F.col("user_id").alias("key"))
     sink_keyed = mat.select("table_name", F.col("user_id").alias("key"))
-    integ = integrity_compare(live_src, sink_keyed, "key").persist()
-    n_tables = integ.count()
-    n_match = integ.filter(
-        F.col("max_match") & F.col("count_match")
-    ).count()
-
-    rows = [
-        ("serialize", int(s.n), int(s.s)),
-        ("parse_dlq", int(u.n), int(n_dlq)),
-        ("unwrap", int(u.n), int(u.d)),
-        ("materialize", int(m.n), int(m.s)),
-        ("integrity", n_tables, n_match),
-        ("bi_query", n_tables, int(m.mx)),
-    ]
-    return spark.createDataFrame(
-        rows, "stage string, n_rows long, checksum long"
+    integ_agg = integrity_compare(live_src, sink_keyed, "key").agg(
+        F.count("*").alias("n_tables"),
+        F.sum(
+            (F.col("max_match") & F.col("count_match")).cast("long")
+        ).alias("n_match"),
+    )
+    integrity_row = integ_agg.select(
+        *stage_row("integrity", F.col("n_tables"), F.col("n_match"))
+    )
+    bi_row = integ_agg.crossJoin(mat_agg.select("mx")).select(
+        *stage_row("bi_query", F.col("n_tables"), F.col("mx"))
+    )
+    return (
+        serialize_row.unionByName(parse_dlq_row)
+        .unionByName(unwrap_row)
+        .unionByName(materialize_row)
+        .unionByName(integrity_row)
+        .unionByName(bi_row)
     )
 
 
