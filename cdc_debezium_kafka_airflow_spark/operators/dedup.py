@@ -26,6 +26,30 @@ from pyspark.sql.window import Window
 from cdc_debezium_kafka_airflow_spark.operators.text import normalize_text, ws_tokens
 
 
+#: verify-stage broadcast gate: a side carrying FULL shingle arrays may be
+#: broadcast only while its optimizer size estimate stays executor-safe;
+#: beyond this the join must shuffle (ADVICE r08 #2 — at the 100 TB target
+#: an unconditional broadcast of per-document arrays is a driver/executor
+#: OOM, while at test scale the broadcast is 2x faster than SMJ).
+_BROADCAST_CAP_BYTES = 256 << 20
+
+
+def _broadcast_if_small(df: DataFrame, cap_bytes: int = _BROADCAST_CAP_BYTES):
+    """Broadcast hint gated on the optimizer's size ESTIMATE (a driver-side
+    plan-stats read, no job): small frames keep the map-side join, large
+    frames fall back to a shuffled equi-join where the candidate set — the
+    genuinely small side — is what AQE may choose to broadcast instead."""
+    try:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if size <= cap_bytes:
+            return F.broadcast(df)
+    except Exception:
+        pass  # unknown stats: choose the scale-safe shuffled join
+    return df
+
+
 def exact_dedup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -186,9 +210,14 @@ def ngram_jaccard_pairs(
         F.col("doc_id").alias("id_b"), F.col("shingles").alias("shingles_b")
     )
     n_inter = F.size(F.array_intersect("shingles_a", "shingles_b"))
+    # size-GATED broadcast (ADVICE r08 #2): sa/sb carry every document's
+    # full shingle array, an executor OOM if broadcast unconditionally at
+    # the 100 TB target; under the cap the map-side join is ~2x faster
+    # than SMJ (measured sf0.1), over it the join shuffles and the
+    # candidate set — the genuinely small side — is what AQE broadcasts.
     return (
-        candidates.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        candidates.join(_broadcast_if_small(sa), "id_a")
+        .join(_broadcast_if_small(sb), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -790,15 +819,15 @@ def containment_pairs(
         F.col("shingles").alias("sh_b"),
     )
     n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    # Verify stage joins are SHUFFLED equi-joins on the id keys: sa/sb
-    # carry every document's FULL shingle array, so broadcasting them is
-    # a driver/executor OOM at the 100 TB target even though candidate
-    # generation above is properly prefix-pruned (ADVICE r08 #2). The
-    # candidate set is the small side here; Spark/AQE may still choose to
-    # broadcast THAT, which is the safe direction.
+    # size-GATED broadcast (ADVICE r08 #2): sa/sb carry every document's
+    # FULL shingle array — an unconditional broadcast is a driver/executor
+    # OOM at the 100 TB target even though candidate generation above is
+    # properly prefix-pruned. Under the cap the map-side join wins; over
+    # it the join shuffles and the candidate set — the genuinely small
+    # side — is what Spark/AQE may broadcast instead.
     return (
-        candidates.join(sa, "id_contained")
-        .join(sb, "id_container")
+        candidates.join(_broadcast_if_small(sa), "id_contained")
+        .join(_broadcast_if_small(sb), "id_container")
         .select(
             "id_contained",
             "id_container",

@@ -2133,13 +2133,23 @@ def documents_range_replay_dir(
     from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
 
     tag = os.path.basename(os.path.normpath(sf_dir))
-    replay_dir = os.path.join("/root/repo/.cache", f"docs_range_{tag}")
+    # n_files in the cache tag + empty-table guard: same hardening as
+    # events_idrange_replay_dir (ADVICE r08 #4 applied to its sibling).
+    replay_dir = os.path.join(
+        "/root/repo/.cache", f"docs_range_{tag}_{n_files}"
+    )
     fp = source_fingerprint(sf_dir, "documents")
     if not cache_is_fresh(replay_dir, fp):
         docs = load_table(spark, sf_dir, "documents").select(
             "doc_id", "source"
         )
-        hi = docs.agg(F.max("doc_id")).first()[0] + 1
+        hi_row = docs.agg(F.max("doc_id")).first()[0]
+        if hi_row is None:
+            raise ValueError(
+                f"documents table at {sf_dir} is empty: cannot build a "
+                "doc_id-range replay split"
+            )
+        hi = hi_row + 1
         step = max(hi // n_files, 1)
         for i in range(n_files):
             lo, up = i * step, (i + 1) * step if i < n_files - 1 else hi
