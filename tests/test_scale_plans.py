@@ -1393,3 +1393,52 @@ def test_pvm_bridge_partial_agg_broadcast_dim(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "PushedFilters" in plan  # the shipdate range reaches the scan
+
+
+def test_e2e_reference_pipeline_is_one_lazy_union(spark, sf_dir):
+    """Round-9 fusion: the flagship audit's six stage rows are aggregate
+    frames UNIONed into one lazy plan — zero collect()s at construction,
+    one job at materialization. Pin the fused shape (a Union over
+    single-row aggregates) so a refactor can't quietly reintroduce the
+    collect-per-stage driver round-trips the old version paid."""
+    from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import (
+        e2e_reference_pipeline,
+    )
+
+    df = e2e_reference_pipeline(spark, sf_dir)
+    plan = df._jdf.queryExecution().analyzed().toString()
+    assert "Union" in plan
+    rows = {r.stage: r for r in df.collect()}
+    assert set(rows) == {
+        "serialize", "parse_dlq", "unwrap", "materialize",
+        "integrity", "bi_query",
+    }
+    assert rows["integrity"].n_rows == rows["integrity"].checksum  # all match
+
+
+def test_dedup_verify_broadcast_gate(spark, sf_dir):
+    """The near-dup verify joins broadcast the full-shingle side ONLY
+    while the optimizer's size estimate is executor-safe; over the cap
+    the join must shuffle (the 100 TB posture). Pin both directions of
+    the gate and that it fires at fixture scale."""
+    from cdc_debezium_kafka_airflow_spark.operators.dedup import (
+        _broadcast_if_small,
+        ngram_jaccard_pairs,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.shingle_cache import (
+        shingled_documents,
+    )
+    from pyspark.sql import functions as F
+
+    sh = shingled_documents(spark, sf_dir, unit="word", k=3).select(
+        "doc_id", F.col("source").alias("block"), "shingles"
+    )
+    # cap 0: gate must refuse to broadcast regardless of size
+    df = spark.range(3)
+    assert _broadcast_if_small(df, cap_bytes=0) is df
+    # generous cap: gate must return a hinted (different) frame
+    assert _broadcast_if_small(df) is not df
+    # at fixture scale the estimate is far under the cap, so the verify
+    # stage plans as a broadcast join, not a sort-merge over the arrays
+    plan = _plan(ngram_jaccard_pairs(k=3, threshold=0.5, unit="word", shingled=sh))
+    assert "BroadcastHashJoin" in plan
