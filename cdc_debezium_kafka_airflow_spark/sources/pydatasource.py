@@ -188,8 +188,14 @@ class ChangelogStreamReader(DataSourceStreamReader):
         self.path = options["path"]
         self._sizes = _row_group_sizes(self.path)
         self._total = sum(self._sizes)
+        # Default admission quantum = half the log -> TWO micro-batches:
+        # the minimal replay that still falsifies cross-batch state
+        # merging (the same minimal-batch-count standard the file replays
+        # use; was //4 — two extra Python-source round-trips per run that
+        # proved nothing more). Callers wanting a longer replay pass
+        # maxRecordsPerBatch explicitly (the multibatch pytest forces 7+).
         self._batch = int(
-            options.get("maxRecordsPerBatch", max(1, -(-self._total // 4)))
+            options.get("maxRecordsPerBatch", max(1, -(-self._total // 2)))
         )
         self._pos = 0
 
