@@ -2119,12 +2119,17 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def documents_range_replay_dir(
-    spark: SparkSession, sf_dir: str, n_files: int = 4
+    spark: SparkSession, sf_dir: str, n_files: int = 2
 ) -> str:
     """Fingerprint-cached documents replay split into ``n_files`` doc_id
     RANGES written in ascending order (later ranges get later mtimes), so
     the file-stream source delivers micro-batches in global doc_id order —
-    the deterministic arrival order the quota job's oracle needs."""
+    the deterministic arrival order the quota job's oracle needs.
+
+    Default is TWO ranges: the minimal replay that still falsifies
+    cross-batch quota state (every domain spans both ranges, so batch 2's
+    admissions depend on batch 1's carried counters; was 4 — two extra
+    applyInPandasWithState triggers per run that proved nothing more)."""
     from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
         cache_is_fresh,
         source_fingerprint,
