@@ -1044,7 +1044,10 @@ def snk_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec",
         "nvec",
     ).select("vid", F.col("nvec").alias("vec"))
-    assigned = assigner(v).select("vid", "vec", "cell")
+    # persisted: the four fragmentation rounds below each filter this
+    # frame — without the boundary the normalize+assign lineage recomputes
+    # once per append round (4x the embeddings scan for the same rows)
+    assigned = assigner(v).select("vid", "vec", "cell").persist()
 
     frag_dir = _cache_dir(sf_dir, "index_frag")
     compact_dir = _cache_dir(sf_dir, "index_compact")
