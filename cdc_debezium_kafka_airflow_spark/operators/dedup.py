@@ -38,12 +38,26 @@ def _broadcast_if_small(df: DataFrame, cap_bytes: int = _BROADCAST_CAP_BYTES):
     """Broadcast hint gated on the optimizer's size ESTIMATE (a driver-side
     plan-stats read, no job): small frames keep the map-side join, large
     frames fall back to a shuffled equi-join where the candidate set — the
-    genuinely small side — is what AQE may choose to broadcast instead."""
+    genuinely small side — is what AQE may choose to broadcast instead.
+
+    ADVICE r09 caveats, both deliberate: (1) ``_jdf.queryExecution()`` is
+    a private PySpark/JVM surface that can drift across Spark versions —
+    the ``except`` arm makes any drift fail CLOSED to the scale-safe
+    shuffled join (pinned by tests/test_scale_plans.py
+    ``test_minhash_verify_survives_no_broadcast``); (2) Catalyst can
+    underestimate derived ARRAY columns (shingle arrays built by
+    ``transform``/``split`` inherit the source column's stats), so on
+    top of the byte cap, when the optimizer knows a row count (CBO
+    stats) the row count is ALSO bounded at cap_bytes / 64 — even a
+    64x per-row underestimate then stays executor-safe. Without a known
+    row count the byte cap stands alone, which is why the cap is set an
+    order of magnitude under executor memory rather than near it."""
     try:
-        size = int(
-            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
-        )
-        if size <= cap_bytes:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        size = int(stats.sizeInBytes())
+        rc = stats.rowCount()
+        rows_ok = rc.isEmpty() or int(rc.get().longValue()) <= cap_bytes // 64
+        if 0 <= size <= cap_bytes and rows_ok:
             return F.broadcast(df)
     except Exception:
         pass  # unknown stats: choose the scale-safe shuffled join

@@ -750,17 +750,10 @@ def e2e_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_delete").cast("long")).alias("d"),
     )
     dlq_agg = dlq.agg(F.count("*").alias("n_dlq"))
-    parse_dlq_row = un_agg.crossJoin(dlq_agg).select(
-        *stage_row("parse_dlq", F.col("n"), F.col("n_dlq"))
-    )
-    unwrap_row = un_agg.select(*stage_row("unwrap", F.col("n"), F.col("d")))
     mat_agg = mat.agg(
-        F.count("*").alias("n"),
+        F.count("*").alias("n_mat"),
         F.sum(F.round(F.col("value") * 10000).cast("long")).alias("s"),
         F.max("user_id").alias("mx"),
-    )
-    materialize_row = mat_agg.select(
-        *stage_row("materialize", F.col("n"), F.col("s"))
     )
 
     # independent sink-side recomputation feeds the integrity probe — but
@@ -773,19 +766,37 @@ def e2e_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_match") & F.col("count_match")).cast("long")
         ).alias("n_match"),
     )
-    integrity_row = integ_agg.select(
-        *stage_row("integrity", F.col("n_tables"), F.col("n_match"))
+
+    # ADVICE r09: each 1-row agg frame used to feed TWO union branches,
+    # evaluating its subtree twice inside the "one job". Cross-joining
+    # the four 1-row frames (1x1 joins) and EXPLODING the five audit
+    # rows out of the single combined row makes every agg subtree appear
+    # exactly once in the plan.
+    def srow(name: str, n_col, checksum_col):
+        return F.struct(
+            F.lit(name).alias("stage"),
+            n_col.cast("long").alias("n_rows"),
+            checksum_col.cast("long").alias("checksum"),
+        )
+
+    fused = (
+        un_agg.crossJoin(dlq_agg)
+        .crossJoin(mat_agg)
+        .crossJoin(integ_agg)
+        .select(
+            F.explode(
+                F.array(
+                    srow("parse_dlq", F.col("n"), F.col("n_dlq")),
+                    srow("unwrap", F.col("n"), F.col("d")),
+                    srow("materialize", F.col("n_mat"), F.col("s")),
+                    srow("integrity", F.col("n_tables"), F.col("n_match")),
+                    srow("bi_query", F.col("n_tables"), F.col("mx")),
+                )
+            ).alias("r")
+        )
+        .select("r.*")
     )
-    bi_row = integ_agg.crossJoin(mat_agg.select("mx")).select(
-        *stage_row("bi_query", F.col("n_tables"), F.col("mx"))
-    )
-    return (
-        serialize_row.unionByName(parse_dlq_row)
-        .unionByName(unwrap_row)
-        .unionByName(materialize_row)
-        .unionByName(integrity_row)
-        .unionByName(bi_row)
-    )
+    return serialize_row.unionByName(fused)
 
 
 @q(

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from cdc_debezium_kafka_airflow_spark.queries.common import t
+from cdc_debezium_kafka_airflow_spark.operators.ranking import histogram_rank
 from cdc_debezium_kafka_airflow_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
@@ -3775,15 +3776,32 @@ def ext_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.coalesce(F.col("nt"), F.lit(0)) + 1.0) / (F.col("ct") + 1024.0))
         / ((F.col("nr") + 1.0) / (F.col("cr") + 1024.0))
     )
-    sc = scored.groupBy("doc_id").agg(
+    per_doc = scored.groupBy("doc_id").agg(
         F.count("*").cast("int").alias("n_feats"),
         F.round(F.avg(ratio), 6).alias("log_importance"),
     )
-    n_docs = sc.count()
-    w = Window.orderBy(F.desc("log_importance"), F.asc("doc_id"))
-    return sc.withColumn(
-        "selected",
-        F.row_number().over(w) <= int(0.2 * n_docs),
+    # Round-10: the top-20% selection no longer global-sorts the doc
+    # frame in one task. The 6dp-rounded weight maps losslessly onto a
+    # bigint micro-weight axis (negated: oracle orders DESC); the exact
+    # rank comes from the bounded value histogram
+    # (operators/ranking.py — every window partitioned), and the doc
+    # count rides the same histogram instead of a separate .count()
+    # driver job. rk <= floor(0.2 * n) <=> 5 * rk <= n for integers.
+    ranked = histogram_rank(
+        per_doc.withColumn(
+            "_neg_e6",
+            (-F.round(F.col("log_importance") * 1e6)).cast("bigint"),
+        ),
+        "_neg_e6",
+        "doc_id",
+        rank_col="_rk",
+        n_col="_n",
+    )
+    return ranked.select(
+        "doc_id",
+        "n_feats",
+        "log_importance",
+        (F.col("_rk") * 5 <= F.col("_n")).alias("selected"),
     )
 
 
@@ -4063,6 +4081,12 @@ def e2e_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(summ(clean, "s3", F.col("doc_id")))
         .crossJoin(
             packed.agg(
+                # multi-arg COUNT(DISTINCT a, b) drops rows where ANY
+                # column is NULL (the dq_candidate_keys class, ADVICE
+                # r08 #1) — safe HERE by construction, audited r10:
+                # shard = b % 8 of a non-null md5 bucket and pack_id is
+                # a windowed running sum over non-null n_tokens, so no
+                # row can be dropped; struct()-wrapping is unnecessary
                 F.countDistinct("shard", "pack_id")
                 .cast("long")
                 .alias("s4_n"),

@@ -1055,11 +1055,16 @@ def snk_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(frag_dir, ignore_errors=True)
     shutil.rmtree(compact_dir, ignore_errors=True)
-    # four append rounds -> ~4 files per cell (the day's fragmentation)
-    for quarter in range(4):
-        assigned.filter(F.col("vid") % 4 == quarter).repartition(
-            "cell"
-        ).write.mode("append").partitionBy("cell").parquet(frag_dir)
+    # four append rounds -> ~4 files per cell (the day's fragmentation);
+    # the persist is fully consumed by these writes (everything below
+    # reads back from parquet), so release it here (ADVICE r09)
+    try:
+        for quarter in range(4):
+            assigned.filter(F.col("vid") % 4 == quarter).repartition(
+                "cell"
+            ).write.mode("append").partitionBy("cell").parquet(frag_dir)
+    finally:
+        assigned.unpersist()
 
     def n_files(d: str) -> int:
         return sum(

@@ -194,12 +194,14 @@ if _unseen and _slots_left:
         if _cand not in ROTATION:
             ROTATION.append(_cand)
             _slots_left -= 1
-elif _slots_left:
-    # Drained-pool fallback: every name has a past driver row, so rotate
-    # an offset ring over the WHOLE pool keyed by the round counter.
-    # Skip-and-continue: a slot colliding with the red-first head must be
-    # BACKFILLED by the next ring entry, not dropped — otherwise the
-    # verified window underfills by up to len(_red_first) names.
+if _slots_left:
+    # Ring top-up (ADVICE r09): runs when the pool is fully drained AND
+    # when the unseen pool was non-empty but smaller than the open slots
+    # — the old `elif` left the verified window underfilled in that case.
+    # Rotate an offset ring over the WHOLE pool keyed by the round counter.
+    # Skip-and-continue: a slot colliding with an already-placed name must
+    # be BACKFILLED by the next ring entry, not dropped — otherwise the
+    # verified window underfills by up to len(ROTATION) names.
     _ring = _rotation_pool
     _off = ((_round_key() - 1) * _slots) % len(_ring)
     _i = 0

@@ -27,6 +27,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from cdc_debezium_kafka_airflow_spark.operators.ranking import (
+    histogram_rank,
+    ntile_from_rank,
+)
 from cdc_debezium_kafka_airflow_spark.queries.common import t
 from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import (
     SQL_TABLE_CASE,
@@ -651,10 +655,19 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Monetary is exact int64 cents end to end — the per-segment average is
     integer cents via truncating division (a double average rounded to 2
     lands on half-cent ties the engines round apart).
-    Scale note: ntile needs a GLOBAL order — fine at |customers| rows
-    (the frame after the first aggregation), which is the cardinality
-    that fits a single sort even at 100 TB of raw orders; the raw-order
-    scan itself is one partial-agged hash aggregation."""
+
+    Scale (round 10): the oracle's three ntile(5) windows are GLOBAL
+    sorts over all customers — a single-task straggler once |customers|
+    is large. The Spark plan instead stacks the three dimensions with
+    one explode (r negated so every order is ASC), derives each row's
+    EXACT rank per dimension from the value histogram
+    (operators/ranking.py histogram_rank, group_cols=dim — every window
+    partitioned, no ``WindowExec: No Partition Defined``), converts rank
+    to the identical ntile bucket arithmetically (ntile_from_rank), and
+    pivots the three scores back with one customer-keyed aggregation.
+    Value domains are bounded data properties, not row counts: recency
+    spans the date range in days, frequency the per-customer order
+    count, monetary the per-customer cents range."""
     o = t(spark, sf_dir, "orders")
     mx = o.agg(F.max("o_orderdate").alias("gmax"))
     cust = (
@@ -676,16 +689,41 @@ def agg_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "money",
         )
     )
-    scored = cust.select(
+    stacked = cust.select(
         "c",
-        "rec_days",
-        "freq",
         "money",
-        F.ntile(5)
-        .over(Window.orderBy(F.col("rec_days").desc(), "c"))
-        .alias("r_score"),
-        F.ntile(5).over(Window.orderBy("freq", "c")).alias("f_score"),
-        F.ntile(5).over(Window.orderBy("money", "c")).alias("m_score"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("r").alias("dim"),
+                    (-F.col("rec_days")).alias("val"),
+                ),
+                F.struct(F.lit("f").alias("dim"), F.col("freq").alias("val")),
+                F.struct(
+                    F.lit("m").alias("dim"), F.col("money").alias("val")
+                ),
+            )
+        ).alias("dv"),
+    ).select("c", "money", F.col("dv.dim").alias("dim"), F.col("dv.val").alias("val"))
+    ranked = histogram_rank(
+        stacked,
+        "val",
+        "c",
+        group_cols=("dim",),
+        rank_col="_rk",
+        n_col="_n",
+    )
+    quint = ranked.select(
+        "c",
+        "money",
+        "dim",
+        ntile_from_rank("_rk", "_n", 5).alias("s"),
+    )
+    scored = quint.groupBy("c").agg(
+        F.max(F.when(F.col("dim") == "r", F.col("s"))).alias("r_score"),
+        F.max(F.when(F.col("dim") == "f", F.col("s"))).alias("f_score"),
+        F.max(F.when(F.col("dim") == "m", F.col("s"))).alias("m_score"),
+        F.max("money").alias("money"),
     )
     return scored.groupBy(
         (

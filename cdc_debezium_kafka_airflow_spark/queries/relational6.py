@@ -36,6 +36,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from cdc_debezium_kafka_airflow_spark.operators.ranking import (
+    histogram_rank,
+    ntile_from_rank,
+)
 from cdc_debezium_kafka_airflow_spark.queries.common import t
 from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import (
     SQL_TABLE_CASE,
@@ -740,11 +744,16 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid of ext_calibration_curve (zero doubles); deciles are ntile(10)
     over the TOTAL order (conf_e6 desc, doc_id) — both engines assign
     identical bucket sizes (floor+remainder-to-head rule); rate/lift/gain
-    are exact int64 ppm via floor division. Scale: one map stage, a
-    10-bucket ntile over a sort (ntile at corpus scale would use
-    range-partitioned percent_rank; at audit scale the global sort is the
-    right plan — same argument as agg_rfm_segmentation), then 10-row
-    arithmetic."""
+    are exact int64 ppm via floor division.
+
+    Scale (round 10): the oracle's ntile is a GLOBAL sort; the Spark
+    plan instead derives the identical bucket assignment from the exact
+    histogram rank (operators/ranking.py) — the only windows are
+    partitioned (per coarse bucket / per score value), so no stage ever
+    sorts all scored docs in one task and no ``WindowExec: No Partition
+    Defined`` fires on the doc-level frame. The trailing cumulative-gain
+    window runs over the 10-row post-aggregate decile domain (bounded by
+    construction — partitioned on a constant to make that explicit)."""
     feat = t(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(
@@ -777,16 +786,21 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         16,
         10,
     ).cast("bigint")
-    labeled = scored.select(
+    ranked = histogram_rank(
+        scored.withColumn("_negconf", -F.col("conf_e6")),
+        "_negconf",
+        "doc_id",
+        rank_col="_rk",
+        n_col="_n",
+    )
+    labeled = ranked.select(
         "conf_e6",
         (
             u32 * F.lit(10000000)
             < (F.lit(8) * F.col("conf_e6") + F.lit(1000000))
             * F.lit(4294967296)
         ).alias("label"),
-        F.ntile(10)
-        .over(Window.orderBy(F.col("conf_e6").desc(), F.col("doc_id")))
-        .alias("decile"),
+        ntile_from_rank("_rk", "_n", 10).alias("decile"),
     )
     per = labeled.groupBy(F.col("decile").cast("bigint").alias("decile")).agg(
         F.count("*").cast("bigint").alias("n"),
@@ -794,33 +808,36 @@ def agg_decile_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pos"),
     )
-    tot = per.agg(
-        F.sum("n").cast("bigint").alias("big_n"),
-        F.sum("pos").cast("bigint").alias("big_pos"),
+    # 10-row decile domain: the running gain AND the grand totals fold
+    # into one broadcast inequality self-join — no window at all, so the
+    # plan is warning-free end to end (a lit-partitioned window is NOT
+    # an option: Catalyst folds the constant out of the spec)
+    b = per.select(
+        F.col("decile").alias("_b_decile"),
+        F.col("n").alias("_b_n"),
+        F.col("pos").alias("_b_pos"),
     )
-    wg = Window.orderBy("decile")
     return (
-        per.crossJoin(F.broadcast(tot))
-        .select(
-            "decile",
-            "n",
-            "pos",
-            F.expr("1000000 * pos div n").alias("rate_e6"),
-            F.expr("1000000 * pos * big_n div (n * big_pos)").alias(
-                "lift_e6"
-            ),
-            F.expr("1000000 * sum(pos) OVER (ORDER BY decile)").alias(
-                "_cum_pos_e6"
-            ),
-            "big_pos",
+        per.crossJoin(F.broadcast(b))
+        .groupBy("decile", "n", "pos")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("_b_decile") <= F.col("decile"), F.col("_b_pos")
+                )
+            ).alias("_cum_pos"),
+            F.sum("_b_pos").alias("_big_pos"),
+            F.sum("_b_n").alias("_big_n"),
         )
         .select(
             "decile",
             "n",
             "pos",
-            "rate_e6",
-            "lift_e6",
-            F.expr("_cum_pos_e6 div big_pos").alias("cum_gain_e6"),
+            F.expr("1000000 * pos div n").alias("rate_e6"),
+            F.expr("1000000 * pos * _big_n div (n * _big_pos)").alias(
+                "lift_e6"
+            ),
+            F.expr("1000000 * _cum_pos div _big_pos").alias("cum_gain_e6"),
         )
     )
 

@@ -2491,10 +2491,13 @@ def _outer_join_priority_rollup(
         "o_orderpriority string, n_lineitems long, rev double,"
         " n_unmatched_orders long"
     )
-    partials: list = []
+    # keyed by batch_id: foreachBatch is at-least-once, so a re-delivered
+    # micro-batch OVERWRITES its own slot instead of double-counting
+    # (ADVICE r09) — the final flatten sums each batch exactly once
+    partials: dict[int, list] = {}
 
-    def absorb(batch_df: DataFrame, _batch_id: int) -> None:
-        partials.extend(
+    def absorb(batch_df: DataFrame, batch_id: int) -> None:
+        partials[batch_id] = (
             batch_df.groupBy("o_orderpriority")
             .agg(
                 F.count("l_orderkey").alias("n_lineitems"),
@@ -2522,8 +2525,9 @@ def _outer_join_priority_rollup(
         import shutil
 
         shutil.rmtree(ck, ignore_errors=True)
+    flat = [row for _, rows in sorted(partials.items()) for row in rows]
     return (
-        spark.createDataFrame(partials, partial_schema)
+        spark.createDataFrame(flat, partial_schema)
         .groupBy("o_orderpriority")
         .agg(
             F.sum("n_lineitems").alias("n_lineitems"),
@@ -3119,7 +3123,9 @@ def stream_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(os.path.join(replay, "part-*"))
     )
-    partials: list[pd.DataFrame] = []
+    # keyed by batch_id: at-least-once foreachBatch re-delivery
+    # overwrites its own slot, never double-ORs a batch (ADVICE r09)
+    partials: dict[int, pd.DataFrame] = {}
     ck = temp_checkpoint_dir()
 
     def absorb(batch_df: DataFrame, batch_id: int) -> None:
@@ -3136,7 +3142,7 @@ def stream_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("bm")
             )
         )
-        partials.append(bm.toPandas())
+        partials[batch_id] = bm.toPandas()
 
     import shutil
 
@@ -3151,7 +3157,9 @@ def stream_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(ck, ignore_errors=True)
 
-    merged_pdf = pd.concat(partials, ignore_index=True)
+    merged_pdf = pd.concat(
+        [partials[k] for k in sorted(partials)], ignore_index=True
+    )
     state = spark.createDataFrame(merged_pdf)
     bm = state.groupBy("day", "bkt").agg(
         F.expr("bitmap_or_agg(bm)").alias("bm")
