@@ -1442,3 +1442,113 @@ def test_dedup_verify_broadcast_gate(spark, sf_dir):
     # stage plans as a broadcast join, not a sort-merge over the arrays
     plan = _plan(ngram_jaccard_pairs(k=3, threshold=0.5, unit="word", shingled=sh))
     assert "BroadcastHashJoin" in plan
+
+
+# ---------------------------------------------------------------------------
+# Repo-wide unpartitioned-window plan guard (VERDICT r09 task #3)
+# ---------------------------------------------------------------------------
+
+#: Queries whose OPTIMIZED plan may legitimately contain a Window with an
+#: empty partition spec, each with the reason the input is bounded. Keep
+#: this list SHORT — a new entry needs the same justification discipline.
+_UNPARTITIONED_WINDOW_ALLOWLIST = {
+    # value-domain histograms (bounded by distinct values, not rows)
+    "ext_auc_score": "running sum over the score-value histogram",
+    "ext_perplexity_buckets": "running sum over the 6dp NLL-value histogram",
+    # post-aggregate bounded domains (days / frequency buckets)
+    "ts_cusum_changepoint": "per-day aggregate domain (date-range bounded)",
+    "win_range_value_frame": "per-day aggregate domain (date-range bounded)",
+    "ext_heaps_law": "token-count bucket domain (fixed bucket width)",
+    "ext_zipf_fit": "frequency-vocabulary domain (distinct tokens)",
+    "agg_skyline_frontier": "price-bucket domain (fixed bucket grid)",
+    # k-bounded shortlists (an upstream LIMIT/top-k caps the frame)
+    "ext_vocab_topk": "windows over a .limit(100) shortlist",
+    "ext_hybrid_rrf": "windows over bm25_topk(k=15) shortlists",
+    # per-entity aggregate domain — bounded by |customers|, not rows;
+    # candidate for the histogram_rank treatment if customers outgrow it
+    "agg_pareto_abc": "cumulative share over per-customer aggregates",
+}
+
+#: Curated high-cardinality batch queries: construction is side-effect
+#: free (no training artifacts, no streaming replays, no driver jobs), so
+#: inspecting the optimized plan is cheap. The rewritten round-10 trio
+#: (agg_decile_lift / agg_rfm_segmentation / ext_dsir_resample) MUST stay
+#: clean; the allowlisted names document why theirs are safe.
+_WINDOW_GUARD_QUERIES = [
+    # round-10 rewrites — regression here reopens VERDICT r09 "What's wrong"
+    "agg_decile_lift",
+    "agg_rfm_segmentation",
+    "ext_dsir_resample",
+    # allowlisted sites (assert they stay the ONLY offenders)
+    "ext_auc_score",
+    "ext_perplexity_buckets",
+    "ts_cusum_changepoint",
+    "win_range_value_frame",
+    "ext_heaps_law",
+    "ext_zipf_fit",
+    "agg_skyline_frontier",
+    "ext_vocab_topk",
+    "ext_hybrid_rrf",
+    "agg_pareto_abc",
+    # broad unbounded-cardinality sweep: row-level + windowed + ranked
+    "q1_pricing_summary",
+    "proj_filter",
+    "join_inner_hash",
+    "join_broadcast",
+    "win_rank",
+    "win_analytic",
+    "sort_limit_topk",
+    "agg_rollup_cube",
+    "agg_gini_coefficient",
+    "agg_cohort_ltv",
+    "agg_weighted_median",
+    "agg_market_concentration",
+    "win_rolling_distinct",
+    "win_period_compare",
+    "ext_dedup_exact",
+    "ext_text_quality",
+    "ext_domain_caps",
+    "ext_temperature_mix",
+]
+
+
+def _unpartitioned_window_nodes(df) -> list[str]:
+    """Walk the OPTIMIZED logical plan (post constant-folding, so a
+    Window.partitionBy(lit(1)) dodge is still caught) and return every
+    Window node whose partition spec is empty."""
+    hits: list[str] = []
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "Window":
+            if node.partitionSpec().isEmpty():
+                hits.append(node.simpleString(120))
+        kids = node.children()
+        for i in range(kids.size()):
+            stack.append(kids.apply(i))
+    return hits
+
+
+def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
+    """No registered query may global-sort an unbounded frame in one
+    task: a Window with an empty partition spec is allowed only for the
+    justified bounded-domain sites above. New offenders fail red; a
+    fixed allowlist entry that goes clean also fails (prune the list)."""
+    from cdc_debezium_kafka_airflow_spark.queries.registry import QUERIES
+
+    offenders: dict[str, list[str]] = {}
+    for name in _WINDOW_GUARD_QUERIES:
+        nodes = _unpartitioned_window_nodes(QUERIES[name](spark, sf_dir))
+        if nodes:
+            offenders[name] = nodes
+    unexpected = {n: v for n, v in offenders.items()
+                  if n not in _UNPARTITIONED_WINDOW_ALLOWLIST}
+    assert not unexpected, (
+        "unpartitioned Window over a potentially unbounded frame in: "
+        f"{unexpected} — partition it, use operators/ranking.py's "
+        "histogram_rank, or justify an allowlist entry"
+    )
+    gone = set(_UNPARTITIONED_WINDOW_ALLOWLIST) - set(offenders)
+    assert not gone, (
+        f"allowlist entries no longer needed (stale): {sorted(gone)}"
+    )
