@@ -42,29 +42,28 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["histogram_rank", "ntile_from_rank"]
+__all__ = ["histogram_rank", "histogram_running_sum", "ntile_from_rank"]
 
 
-def histogram_rank(
+def _histogram_prefix(
     df: DataFrame,
     value_col: str,
     tie_col: str,
-    *,
-    group_cols: Sequence[str] = (),
-    rank_col: str = "rk",
-    n_col: str = "n",
-    coarse_bits: int = 16,
+    weight,
+    group_cols: Sequence[str],
+    out_col: str,
+    total_col: str,
+    coarse_bits: int,
 ) -> DataFrame:
-    """Return ``df`` + ``rank_col`` (exact 1-based rank over
-    ``(value_col ASC, tie_col ASC)`` within each ``group_cols`` group)
-    + ``n_col`` (the group's total row count, from the histogram — no
-    extra scan). ``value_col`` must be an integral column; negate it
-    for descending order. ``tie_col`` must make the order total (a
-    unique id within the group)."""
+    """Shared core: ``df`` + ``out_col`` (INCLUSIVE prefix sum of
+    ``weight`` over the ``(value ASC, tie ASC)`` total order, per
+    ``group_cols`` group) + ``total_col`` (the group's weight total,
+    folded out of the histogram — no extra scan). Integral weights keep
+    the prefix exact under the re-associated addition order."""
     g = list(group_cols)
     hist = (
         df.groupBy(*g, value_col)
-        .agg(F.count("*").alias("_cnt"))
+        .agg(F.sum(weight).alias("_cnt"))
         .withColumn("_coarse", F.shiftright(F.col(value_col), coarse_bits))
     )
     ctot = hist.groupBy(*g, "_coarse").agg(F.sum("_cnt").alias("_ccnt"))
@@ -99,25 +98,87 @@ def histogram_rank(
             ).alias("_vstart"),
         )
     )
-    # group sizes fold out of the coarse table — no second scan of df
+    # group totals fold out of the coarse table — no second scan of df
     nrows = (
-        ctot.groupBy(*g).agg(F.sum("_ccnt").alias(n_col))
+        ctot.groupBy(*g).agg(F.sum("_ccnt").alias(total_col))
         if g
-        else ctot.agg(F.sum("_ccnt").alias(n_col))
+        else ctot.agg(F.sum("_ccnt").alias(total_col))
     )
-    # join start ranks back (unhinted: AQE broadcasts the histogram side
-    # when it is small, falls back to a value-keyed shuffle when not),
-    # then sub-rank ties with a per-value PARTITIONED window
-    wt = Window.partitionBy(*(g + [value_col])).orderBy(tie_col)
+    # join start totals back (unhinted: AQE broadcasts the histogram
+    # side when it is small, falls back to a value-keyed shuffle when
+    # not), then finish the prefix with a per-value PARTITIONED window
+    wt = (
+        Window.partitionBy(*(g + [value_col]))
+        .orderBy(tie_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     ranked = (
         df.join(vstart, g + [value_col])
-        .withColumn(rank_col, F.col("_vstart") + F.row_number().over(wt))
+        .withColumn(out_col, F.col("_vstart") + F.sum(weight).over(wt))
         .drop("_vstart")
     )
     return (
         ranked.join(F.broadcast(nrows), g)
         if g
         else ranked.crossJoin(F.broadcast(nrows))
+    )
+
+
+def histogram_rank(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    *,
+    group_cols: Sequence[str] = (),
+    rank_col: str = "rk",
+    n_col: str = "n",
+    coarse_bits: int = 16,
+) -> DataFrame:
+    """Return ``df`` + ``rank_col`` (exact 1-based rank over
+    ``(value_col ASC, tie_col ASC)`` within each ``group_cols`` group)
+    + ``n_col`` (the group's total row count). ``value_col`` must be an
+    integral column; negate it for descending order. ``tie_col`` must
+    make the order total (a unique id within the group). Rank is the
+    prefix sum of weight 1."""
+    return _histogram_prefix(
+        df,
+        value_col,
+        tie_col,
+        F.lit(1),
+        group_cols,
+        rank_col,
+        n_col,
+        coarse_bits,
+    )
+
+
+def histogram_running_sum(
+    df: DataFrame,
+    value_col: str,
+    tie_col: str,
+    weight_col: str,
+    *,
+    group_cols: Sequence[str] = (),
+    out_col: str = "running",
+    total_col: str = "total",
+    coarse_bits: int = 16,
+) -> DataFrame:
+    """Return ``df`` + ``out_col`` — the INCLUSIVE running total of
+    ``weight_col`` over the ``(value ASC, tie ASC)`` order (the exact
+    result of ``sum(w) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)``)
+    — + ``total_col`` (the group's grand total), without an
+    unpartitioned window. Use integral weights for bit-exact parity
+    with the sequential window (integer addition re-associates
+    freely)."""
+    return _histogram_prefix(
+        df,
+        value_col,
+        tie_col,
+        F.col(weight_col),
+        group_cols,
+        out_col,
+        total_col,
+        coarse_bits,
     )
 
 

@@ -16,6 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
+from cdc_debezium_kafka_airflow_spark.operators.ranking import (
+    histogram_running_sum,
+)
 from cdc_debezium_kafka_airflow_spark.queries.common import t
 
 QUERIES = {}
@@ -2172,25 +2175,27 @@ def agg_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue, cumulative share classified by INTEGER cross-multiplication
     (running*10 <= total*8, running*100 <= total*95) so no float
     threshold can flip a boundary customer between engines. One fact
-    aggregation, then the cumulative window over the |customers| frame
-    (the audit-stratum note applies at catalog scale: the ranked cumsum
-    is per-segment or sampled, like the other global-rank audits); the
-    class rollup is three rows."""
+    aggregation; then (round 10) the cumulative revenue is an exact
+    histogram prefix sum (operators/ranking.py histogram_running_sum —
+    the cents-value histogram carries per-value weight totals, so the
+    running total needs only PARTITIONED windows and the grand total
+    folds out of the same histogram instead of a separate agg +
+    cross-join); the class rollup is three rows. No single task ever
+    sorts all customers."""
     o = t(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("cents")
     )
-    tot = rev.agg(F.sum("cents").cast("bigint").alias("total"))
-    w = Window.orderBy(
-        F.desc("cents"), F.asc("o_custkey")
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = rev.select(
+    cum = histogram_running_sum(
+        rev.withColumn("_negcents", -F.col("cents")),
+        "_negcents",
         "o_custkey",
         "cents",
-        F.sum("cents").over(w).cast("bigint").alias("running"),
-    ).crossJoin(F.broadcast(tot))
+        out_col="running",
+        total_col="total",
+    )
     cls = cum.select(
         "cents",
         "total",

@@ -1464,9 +1464,6 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     # k-bounded shortlists (an upstream LIMIT/top-k caps the frame)
     "ext_vocab_topk": "windows over a .limit(100) shortlist",
     "ext_hybrid_rrf": "windows over bm25_topk(k=15) shortlists",
-    # per-entity aggregate domain — bounded by |customers|, not rows;
-    # candidate for the histogram_rank treatment if customers outgrow it
-    "agg_pareto_abc": "cumulative share over per-customer aggregates",
 }
 
 #: Curated high-cardinality batch queries: construction is side-effect
@@ -1479,6 +1476,7 @@ _WINDOW_GUARD_QUERIES = [
     "agg_decile_lift",
     "agg_rfm_segmentation",
     "ext_dsir_resample",
+    "agg_pareto_abc",
     # allowlisted sites (assert they stay the ONLY offenders)
     "ext_auc_score",
     "ext_perplexity_buckets",
@@ -1489,7 +1487,6 @@ _WINDOW_GUARD_QUERIES = [
     "agg_skyline_frontier",
     "ext_vocab_topk",
     "ext_hybrid_rrf",
-    "agg_pareto_abc",
     # broad unbounded-cardinality sweep: row-level + windowed + ranked
     "q1_pricing_summary",
     "proj_filter",
