@@ -55,8 +55,8 @@ def _broadcast_if_small(df: DataFrame, cap_bytes: int = _BROADCAST_CAP_BYTES):
     try:
         stats = df._jdf.queryExecution().optimizedPlan().stats()
         size = int(stats.sizeInBytes())
-        rc = stats.rowCount()
-        rows_ok = rc.isEmpty() or int(rc.get().longValue()) <= cap_bytes // 64
+        rc = stats.rowCount()  # py4j converts the Scala BigInt to int
+        rows_ok = rc.isEmpty() or int(rc.get()) <= cap_bytes // 64
         if 0 <= size <= cap_bytes and rows_ok:
             return F.broadcast(df)
     except Exception:
