@@ -1457,6 +1457,8 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     "ext_perplexity_buckets": "running sum over the 6dp NLL-value histogram",
     # post-aggregate bounded domains (days / frequency buckets)
     "ts_cusum_changepoint": "per-day aggregate domain (date-range bounded)",
+    "ts_anomaly_mad": "lower-median windows over the per-day frame",
+    "ts_autocorr": "whole-frame + lag windows over the per-day frame",
     "win_range_value_frame": "per-day aggregate domain (date-range bounded)",
     "ext_heaps_law": "token-count bucket domain (fixed bucket width)",
     "ext_zipf_fit": "frequency-vocabulary domain (distinct tokens)",
@@ -1506,6 +1508,14 @@ _WINDOW_GUARD_QUERIES = [
     "ext_text_quality",
     "ext_domain_caps",
     "ext_temperature_mix",
+    "ts_anomaly_mad",
+    "ts_autocorr",
+    "ext_calibration_curve",
+    "ext_ngram_novelty",
+    "dq_referential_orphans",
+    "agg_fulfillment_latency",
+    "ext_preference_pairs",
+    "ext_retrieval_ndcg",
 ]
 
 
