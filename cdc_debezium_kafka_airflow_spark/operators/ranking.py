@@ -67,23 +67,36 @@ def _histogram_prefix(
         .withColumn("_coarse", F.shiftright(F.col(value_col), coarse_bits))
     )
     ctot = hist.groupBy(*g, "_coarse").agg(F.sum("_cnt").alias("_ccnt"))
-    # coarse start ranks: broadcast inequality self-join over the coarse
-    # table (<= value_range >> coarse_bits rows) — no window, no driver
-    a = ctot.alias("_a")
+    # coarse start offsets AND the group grand total in ONE pass over
+    # the tiny coarse table (<= value_range >> coarse_bits rows per
+    # group): group-equi broadcast join, conditional sum for the start,
+    # unconditional sum for the total — no window, no driver action,
+    # and no separate totals aggregation/join later (each saved stage
+    # is a whole scheduled job on a high-floor host)
+    a = ctot
     b = ctot.select(
         *[F.col(c).alias(f"_b_{c}") for c in g],
         F.col("_coarse").alias("_b_coarse"),
         F.col("_ccnt").alias("_b_ccnt"),
     )
-    cond = F.col("_b_coarse") < F.col("_a._coarse")
-    for c in g:
-        cond = cond & (F.col(f"_b_{c}") == F.col(f"_a.{c}"))
-    cstart = (
-        a.join(F.broadcast(b), cond, "left")
-        .groupBy(*[F.col(f"_a.{c}").alias(c) for c in g], F.col("_a._coarse").alias("_coarse"))
-        .agg(F.coalesce(F.sum("_b_ccnt"), F.lit(0)).alias("_cstart"))
+    if g:
+        jcond = None
+        for c in g:
+            eq = F.col(f"_b_{c}") == F.col(c)
+            jcond = eq if jcond is None else (jcond & eq)
+        joined = a.join(F.broadcast(b), jcond)
+    else:
+        joined = a.crossJoin(F.broadcast(b))
+    cstart = joined.groupBy(*g, "_coarse").agg(
+        F.coalesce(
+            F.sum(
+                F.when(F.col("_b_coarse") < F.col("_coarse"), F.col("_b_ccnt"))
+            ),
+            F.lit(0),
+        ).alias("_cstart"),
+        F.sum("_b_ccnt").alias(total_col),
     )
-    # per-value start rank: coarse start + running total WITHIN the
+    # per-value start offset: coarse start + running total WITHIN the
     # coarse bucket (partitioned window over histogram rows)
     wv = Window.partitionBy(*(g + ["_coarse"])).orderBy(value_col).rowsBetween(
         Window.unboundedPreceding, -1
@@ -96,31 +109,22 @@ def _histogram_prefix(
             (
                 F.col("_cstart") + F.coalesce(F.sum("_cnt").over(wv), F.lit(0))
             ).alias("_vstart"),
+            total_col,
         )
     )
-    # group totals fold out of the coarse table — no second scan of df
-    nrows = (
-        ctot.groupBy(*g).agg(F.sum("_ccnt").alias(total_col))
-        if g
-        else ctot.agg(F.sum("_ccnt").alias(total_col))
-    )
-    # join start totals back (unhinted: AQE broadcasts the histogram
-    # side when it is small, falls back to a value-keyed shuffle when
-    # not), then finish the prefix with a per-value PARTITIONED window
+    # join start offsets + totals back (unhinted: AQE broadcasts the
+    # histogram side when it is small, falls back to a value-keyed
+    # shuffle when not), then finish the prefix with a per-value
+    # PARTITIONED window
     wt = (
         Window.partitionBy(*(g + [value_col]))
         .orderBy(tie_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    ranked = (
+    return (
         df.join(vstart, g + [value_col])
         .withColumn(out_col, F.col("_vstart") + F.sum(weight).over(wt))
         .drop("_vstart")
-    )
-    return (
-        ranked.join(F.broadcast(nrows), g)
-        if g
-        else ranked.crossJoin(F.broadcast(nrows))
     )
 
 
