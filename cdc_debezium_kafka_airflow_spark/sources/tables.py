@@ -45,9 +45,28 @@ def normalize_ts(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
 _nanos_to_timestamp = normalize_ts
 
 
+#: (sf_dir, table) -> StructType. Schema inference reads parquet footers
+#: through 1-2 tiny scheduled jobs PER spark.read.parquet call; across a
+#: 344-query session that is hundreds of pure-scheduler-floor round
+#: trips (round-10 audit: plain 2-table joins showed 4 construction
+#: jobs each). The first load of each table infers and caches; every
+#: later load passes the explicit schema and constructs job-free —
+#: which is also the idiomatic production posture (schemas pinned, not
+#: re-inferred per query). Process-local, so a driver-side fixture
+#: re-encode between sessions can never serve a stale schema.
+_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table: ``{sf_dir}/{name}.parquet``."""
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (sf_dir, name)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     if name == "events":
         df = normalize_ts(df)
     return df
