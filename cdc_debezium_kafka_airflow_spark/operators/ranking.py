@@ -21,8 +21,9 @@ window, no driver action, and no persisted state:
    inequality self-join over the tiny coarse table (no window at all);
 3. running-total WITHIN each coarse bucket (a PARTITIONED window over
    histogram rows) gives each value's start rank;
-4. a per-value partitioned ``row_number`` over the tie-break column
-   sub-ranks rows that share a value.
+4. a per-value PARTITIONED window over the tie-break column finishes
+   the prefix among rows that share a value (weight 1 → row_number;
+   an integral weight column → exact inclusive running sum).
 
 Every window is partitioned; every forced broadcast is provably tiny
 (the coarse table is at most ``value_range >> coarse_bits`` rows). The
