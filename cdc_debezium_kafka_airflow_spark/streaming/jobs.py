@@ -26,7 +26,7 @@ from itertools import count
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from cdc_debezium_kafka_airflow_spark.sources.tables import normalize_ts
+from cdc_debezium_kafka_airflow_spark.sources.tables import load_table, normalize_ts
 from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import build_changelog
 from cdc_debezium_kafka_airflow_spark.operators.cdc import (
     parse_envelope,
@@ -440,10 +440,8 @@ def stream_stream_interval_join(
     aggregation runs as a batch query over the sink — one stateful operator
     per streaming query keeps the append-mode semantics exact).
     """
-    o_schema = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
-    l_schema = spark.read.parquet(
-        os.path.join(sf_dir, "lineitem.parquet")
-    ).schema
+    o_schema = load_table(spark, sf_dir, "orders").schema
+    l_schema = load_table(spark, sf_dir, "lineitem").schema
     reader_o = spark.readStream.schema(o_schema)
     reader_l = spark.readStream.schema(l_schema)
     if max_files_per_trigger is not None:
@@ -2552,10 +2550,8 @@ def stream_stream_left_outer_join(
 
     Returns per-priority totals: matched lineitem count + revenue, plus the
     count of proven-unmatched orders."""
-    o_schema = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
-    l_schema = spark.read.parquet(
-        os.path.join(sf_dir, "lineitem.parquet")
-    ).schema
+    o_schema = load_table(spark, sf_dir, "orders").schema
+    l_schema = load_table(spark, sf_dir, "lineitem").schema
     orders = (
         spark.readStream.schema(o_schema)
         .parquet(os.path.join(sf_dir, "orders.parqu*"))
@@ -2613,10 +2609,8 @@ def stream_stream_full_outer_join(
     Output: per o_orderpriority (NULL = unmatched lineitems): matched
     lineitem count + revenue (for the NULL group: the unmatched lineitems
     themselves), and the count of proven-unmatched orders."""
-    o_schema = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
-    l_schema = spark.read.parquet(
-        os.path.join(sf_dir, "lineitem.parquet")
-    ).schema
+    o_schema = load_table(spark, sf_dir, "orders").schema
+    l_schema = load_table(spark, sf_dir, "lineitem").schema
     orders = (
         spark.readStream.schema(o_schema)
         .parquet(os.path.join(sf_dir, "orders.parqu*"))
@@ -2667,10 +2661,8 @@ def stream_stream_semi_anti_join(
     LEFT ANTI right side — anti semantics come from the OUTER join's
     null-extended rows, see stream_stream_left_outer's
     n_unmatched_orders.) Returns per-priority order counts."""
-    o_schema = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).schema
-    l_schema = spark.read.parquet(
-        os.path.join(sf_dir, "lineitem.parquet")
-    ).schema
+    o_schema = load_table(spark, sf_dir, "orders").schema
+    l_schema = load_table(spark, sf_dir, "lineitem").schema
     orders = (
         spark.readStream.schema(o_schema)
         .parquet(os.path.join(sf_dir, "orders.parqu*"))
