@@ -109,6 +109,91 @@ def test_running_sum_matches_window_cumsum(spark):
     assert got.select("tot").distinct().collect()[0][0] == total
 
 
+def test_null_values_kept_and_rank_first(spark):
+    # ADVICE r10 (medium): NULL value rows used to be silently dropped
+    # by the internal equi-joins while still counted in n/total. They
+    # must now be KEPT and rank FIRST (Spark's ASC = NULLS FIRST), with
+    # n equal to the emitted row count.
+    rows = [(i, v, chr(65 + i % 2)) for i, v in enumerate(
+        [5, None, 3, None, 3, 8, None, 1, 5, 2], start=1
+    )]
+    df = spark.createDataFrame(rows, "id bigint, v bigint, g string")
+    for bits in (4, None):
+        got = histogram_rank(df, "v", "id", rank_col="rk", n_col="n",
+                             coarse_bits=bits)
+        assert got.count() == 10, f"bits={bits}: rows lost"
+        w = Window.orderBy("v", "id")  # Spark ASC default: nulls first
+        exp = df.select("id", F.row_number().over(w).alias("rk"))
+        assert (
+            got.alias("a").join(exp.alias("b"), "id")
+            .filter("a.rk <> b.rk").count() == 0
+        ), f"bits={bits}"
+        assert got.select("n").distinct().collect()[0][0] == 10
+    # grouped + weighted running sum over nullable values
+    dfw = df.withColumn("wgt", (F.col("id") % 7) + 1)
+    got = histogram_running_sum(
+        dfw, "v", "id", "wgt", group_cols=("g",),
+        out_col="run", total_col="tot", coarse_bits=None,
+    )
+    assert got.count() == 10
+    wg = Window.partitionBy("g").orderBy("v", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exp = dfw.select("id", F.sum("wgt").over(wg).alias("run"))
+    assert (
+        got.alias("a").join(exp.alias("b"), "id")
+        .filter("a.run <> b.run").count() == 0
+    )
+
+
+def test_adaptive_coarse_wide_domain_matches_window(spark):
+    # ADVICE r10 (low): static shift-16 over a 2^40+ span would build a
+    # multi-million-row coarse broadcast. coarse_bits=None range-scales
+    # the observed domain into <= _ADAPTIVE_BUCKETS buckets and must
+    # still reproduce the exact window answers.
+    rows = [
+        (i, (((i * 2654435761) % 97) - 48) * (1 << 41) + i * 131, chr(65 + i % 3))
+        for i in range(1, 401)
+    ]
+    df = spark.createDataFrame(rows, "id bigint, v bigint, g string")
+    got = histogram_rank(df, "v", "id", group_cols=("g",), rank_col="rk",
+                         n_col="n", coarse_bits=None)
+    w = Window.partitionBy("g").orderBy("v", "id")
+    exp = df.select("id", F.row_number().over(w).alias("rk"))
+    assert (
+        got.alias("a").join(exp.alias("b"), "id")
+        .filter("a.rk <> b.rk").count() == 0
+    )
+    # ungrouped running sum on the same wide domain
+    dfw = df.withColumn("wgt", (F.col("id") % 5) + 1)
+    run = histogram_running_sum(
+        dfw, "v", "id", "wgt", out_col="run", total_col="tot",
+        coarse_bits=None,
+    )
+    w2 = Window.orderBy("v", "id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exp2 = dfw.select("id", F.sum("wgt").over(w2).alias("run"))
+    assert (
+        run.alias("a").join(exp2.alias("b"), "id")
+        .filter("a.run <> b.run").count() == 0
+    )
+
+
+def test_adaptive_plans_have_no_unpartitioned_window(spark):
+    from tests.test_scale_plans import _unpartitioned_window_nodes
+
+    df = _df(spark)
+    assert not _unpartitioned_window_nodes(
+        histogram_rank(df, "v", "id", group_cols=("g",), coarse_bits=None)
+    )
+    assert not _unpartitioned_window_nodes(
+        histogram_running_sum(
+            df.withColumn("wgt", F.lit(2)), "v", "id", "wgt", coarse_bits=None
+        )
+    )
+
+
 def test_helper_plans_have_no_unpartitioned_window(spark):
     from tests.test_scale_plans import _unpartitioned_window_nodes
 
