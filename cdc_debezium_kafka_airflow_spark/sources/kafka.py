@@ -20,6 +20,15 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 DEFAULT_TOPIC_PATTERN = "mysql-server\\.pos_bi_db\\..*"
 
+#: Format token for the readers below. Production value is "kafka"; the
+#: broker-less CI (tests/test_kafka_wire_format.py) points this at a
+#: directory-served Python DataSource twin (Spark reserves the name
+#: "kafka" even when the connector jar is absent, so the twin cannot
+#: simply register under it) — every option below (subscribePattern,
+#: offset bounds, maxOffsetsPerTrigger) still flows through this module's
+#: real code path and is validated by the mock.
+KAFKA_FORMAT = "kafka"
+
 #: The column contract Spark's Kafka source emits (Structured Streaming
 #: Kafka integration guide — "Each row in the source has the following
 #: schema"). ``_project`` consumes exactly this shape; the changelog
@@ -51,7 +60,7 @@ def read_changelog_batch(
 ) -> DataFrame:
     """Bounded replay of the CDC topics (offset-ranged batch read)."""
     return _project(
-        spark.read.format("kafka")
+        spark.read.format(KAFKA_FORMAT)
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribePattern", topic_pattern)
         .option("startingOffsets", "earliest")
@@ -68,7 +77,7 @@ def read_changelog_stream(
 ) -> DataFrame:
     """Unbounded CDC topic stream with the reference's micro-batch cap."""
     return _project(
-        spark.readStream.format("kafka")
+        spark.readStream.format(KAFKA_FORMAT)
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("subscribePattern", topic_pattern)
         .option("startingOffsets", "earliest")

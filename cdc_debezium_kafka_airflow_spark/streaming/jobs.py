@@ -1613,10 +1613,16 @@ def streaming_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         # co-locate by the storage partition key before writing: one file
         # per cell per micro-batch instead of (tasks x cells) fragments —
         # at scale this is what keeps a continuously-appended index from
-        # dissolving into the small-files problem
-        assign(batch).repartition("cell").write.mode("append").partitionBy(
+        # dissolving into the small-files problem. Replay idempotence
+        # (r11 audit): each micro-batch OVERWRITES its own
+        # batch-id-versioned subtree instead of appending at the root —
+        # an at-least-once re-delivery replaces its prior output rather
+        # than duplicating index rows (same idiom as stream_dual_sink);
+        # readers partition-discover batch=*/cell=* and prune on cell
+        # exactly as before.
+        assign(batch).repartition("cell").write.mode("overwrite").partitionBy(
             "cell"
-        ).parquet(index_dir)
+        ).parquet(os.path.join(index_dir, f"batch={batch_id}"))
 
     # per-micro-batch assign() shuffles ~corpus/4 rows; 8 partitions keeps
     # the per-batch shuffle overhead proportional to the batch (restored
@@ -1727,10 +1733,14 @@ def streaming_index_append_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_fingerprint(replay_dir, fp)
 
     # SEED: file-level clone of the kept-set artifact — the index starts
-    # as the deduped corpus with zero Spark jobs run
+    # as the deduped corpus with zero Spark jobs run. The clone lands
+    # under src=seed so the streamed batches' src=batch{N} subtrees (the
+    # r11 replay-idempotent layout) sit beside it at ONE partition depth
+    # — mixed depths would break Spark's partition discovery.
     index_dir = os.path.join("/root/repo/.cache", f"ann_index_dedup_{tag}")
     shutil.rmtree(index_dir, ignore_errors=True)
-    shutil.copytree(kept_dir, index_dir)
+    os.makedirs(index_dir)
+    shutil.copytree(kept_dir, os.path.join(index_dir, "src=seed"))
 
     cents = train_ivf_centroids(corpus, k=8, cache_key=ck)
     cent_rows = [(r["centroid_id"], r["centroid"]) for r in cents.collect()]
@@ -1766,9 +1776,11 @@ def streaming_index_append_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def append_batch(batch: DataFrame, batch_id: int) -> None:
-        assign(batch).repartition("cell").write.mode("append").partitionBy(
+        # replay idempotence (r11 audit): overwrite the batch's own
+        # src=batch{N} subtree — re-delivery replaces, never duplicates
+        assign(batch).repartition("cell").write.mode("overwrite").partitionBy(
             "cell"
-        ).parquet(index_dir)
+        ).parquet(os.path.join(index_dir, f"src=batch{batch_id}"))
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -1912,8 +1924,19 @@ def stream_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def ingest_batch(mb: DataFrame, batch_id: int) -> None:
-        if os.path.isdir(acc_dir):
-            accepted = spark.read.schema(acc_schema).parquet(acc_dir)
+        # replay idempotence (r11 audit): the frontier read EXCLUDES this
+        # batch's own batch=N partition — a re-delivered micro-batch must
+        # see exactly the frontier its first delivery saw, or its own
+        # previously-accepted vectors would re-classify it as duplicates
+        if os.path.isdir(acc_dir) and any(
+            e.startswith("batch=") for e in os.listdir(acc_dir)
+        ):
+            accepted = (
+                spark.read.schema(acc_schema + ", batch long")
+                .parquet(acc_dir)
+                .filter(F.col("batch") < batch_id)
+                .drop("batch")
+            )
             frontier = kept_art.unionByName(accepted)
         else:
             frontier = kept_art
@@ -1921,7 +1944,11 @@ def stream_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus, mb, n_clusters=8, threshold=th, cache_key=ck,
             corpus_kept=frontier,
         ).persist()
-        out.write.mode("append").parquet(ver_dir)
+        # batch-id-versioned overwrite: re-delivery replaces, never
+        # duplicates (verdicts and accepted vectors alike)
+        out.write.mode("overwrite").parquet(
+            os.path.join(ver_dir, f"batch={batch_id}")
+        )
         # THIS batch's accepted vectors APPEND to the frontier store for
         # the next micro-batch (the store accumulates across batches)
         batch_new = out.filter(F.col("verdict") == "new").select(
@@ -1946,8 +1973,8 @@ def stream_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(None).cast("double").alias("centroid_sim"),
                 "vec",
             )
-            .write.mode("append")
-            .parquet(acc_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(acc_dir, f"batch={batch_id}"))
         )
         out.unpersist()
 
@@ -1976,7 +2003,7 @@ def stream_semdedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vec_id % 10 == 9 by construction) so the audit's verdict classes
     # stay pure: corpus witnesses from the artifact, batch witnesses from
     # accepted 'new' rows
-    out = spark.read.parquet(ver_dir).withColumn(
+    out = spark.read.parquet(ver_dir).drop("batch").withColumn(
         "verdict",
         F.when(
             (F.col("verdict") == "dup_of_corpus")
@@ -2091,7 +2118,12 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter(F.col("n_shared_shingles") >= 2)
         )
-        flagged.write.mode("append").parquet(out_dir)
+        # replay idempotence (r11 audit): batch-id-versioned overwrite —
+        # an at-least-once re-delivery replaces its own verdicts instead
+        # of duplicating them in the result store
+        flagged.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={batch_id}")
+        )
 
     file_schema = spark.read.parquet(replay_dir).schema
     stream = (
@@ -2432,16 +2464,21 @@ def stream_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.path.join(src_dir, "*.parquet")
         )
 
-        def join_fresh_dim(batch_df: DataFrame, _batch_id: int) -> None:
+        def join_fresh_dim(batch_df: DataFrame, batch_id: int) -> None:
             dim = batch_df.sparkSession.read.parquet(dim_dir)  # FRESH read
+            # batch-id-versioned overwrite (r11 audit): re-delivery
+            # replaces this batch's output (re-joined against the
+            # CURRENT dim — inherent to the fresh-dim contract) instead
+            # of appending a duplicate set; ids stay unique across both
+            # run_once() calls because they share one checkpoint
             (
                 batch_df.join(
                     F.broadcast(dim),
                     batch_df.o_orderstatus == dim.status,
                 )
                 .select("o_orderkey", "o_orderstatus", "label")
-                .write.mode("append")
-                .parquet(out_dir)
+                .write.mode("overwrite")
+                .parquet(os.path.join(out_dir, f"batch={batch_id}"))
             )
 
         q = (
@@ -2937,12 +2974,30 @@ def txn_consistent_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base = tempfile.mkdtemp(prefix="txn_gate_")
     applied_dir = os.path.join(base, "applied")
-    pend: dict = {"path": None}
+
+    def pending_before(batch_id: int) -> str | None:
+        """Newest pending_{N} spill with N < batch_id. Disk-derived (not
+        a driver-memory dict — r11 audit): a re-delivered or
+        restart-replayed batch unions the SAME pending slice its first
+        delivery saw, never its own pending_{batch_id} output."""
+        best: tuple[int, str] | None = None
+        if os.path.isdir(base):
+            for entry in os.listdir(base):
+                if not entry.startswith("pending_"):
+                    continue
+                try:
+                    n = int(entry.rsplit("_", 1)[1])
+                except ValueError:
+                    continue
+                if n < batch_id and (best is None or n > best[0]):
+                    best = (n, os.path.join(base, entry))
+        return best[1] if best else None
 
     def gate(batch: DataFrame, batch_id: int) -> None:
         b = batch
-        if pend["path"] is not None:
-            b = b.unionByName(spark.read.parquet(pend["path"]))
+        prev_pend = pending_before(batch_id)
+        if prev_pend is not None:
+            b = b.unionByName(spark.read.parquet(prev_pend))
         b = b.persist()
         try:
             mx = b.agg(F.max("txn_id").alias("m")).collect()[0].m
@@ -2971,14 +3026,16 @@ def txn_consistent_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("last.is_delete").alias("is_delete"),
                     F.col("last.after").alias("after"),
                 )
-                .write.mode("append")
-                .parquet(applied_dir)
+                # batch-id-versioned overwrite (r11 audit): a replayed
+                # batch — which, via pending_before, re-reads exactly the
+                # pending slice its first delivery consumed — REPLACES
+                # its own applied slice instead of appending a duplicate
+                .write.mode("overwrite")
+                .parquet(os.path.join(applied_dir, f"batch={batch_id}"))
             )
-            new_pend = os.path.join(base, f"pending_{batch_id}")
             b.filter(F.col("txn_id") == mx).write.mode("overwrite").parquet(
-                new_pend
+                os.path.join(base, f"pending_{batch_id}")
             )
-            pend["path"] = new_pend
         finally:
             b.unpersist()
 
@@ -3002,8 +3059,10 @@ def txn_consistent_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_live_keys"),
             F.max("last_offset").alias("last_applied_offset"),
         )
+        # the newest pending spill = the still-open transaction the gate
+        # is holding back at stream end
         held = (
-            spark.read.parquet(pend["path"])
+            spark.read.parquet(pending_before(1 << 62))
             .groupBy("table_name")
             .agg(F.count("*").alias("n_inflight_held"))
         )

@@ -1,0 +1,74 @@
+"""foreachBatch replay-idempotency (round 11, VERDICT r10 task 4).
+
+Structured Streaming's ``foreachBatch`` contract is AT-LEAST-ONCE: after
+a crash between the user callback and the checkpoint commit, the SAME
+(batch_df, batch_id) is delivered again. Every foreachBatch sink in
+streaming/jobs.py must therefore be replay-idempotent — batch-id-
+versioned overwrite for file stores, set-based MERGE / ON CONFLICT for
+JDBC targets, batch_id-keyed maps for driver-side partials.
+
+The harness here injects the fault UNIVERSALLY instead of poking nested
+closures: ``DataStreamWriter.foreachBatch`` is monkeypatched so every
+registered callback runs TWICE per micro-batch (first delivery +
+immediate re-delivery, same batch_id). The query's final result must be
+row-identical to a clean run — any raw ``mode("append")``, non-keyed
+accumulator, or frontier that sees its own output fails loudly.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql.streaming.readwriter import DataStreamWriter
+
+from tests.conftest import SF_SMOKE
+
+_ORIG_FOREACH_BATCH = DataStreamWriter.foreachBatch
+
+# Every registry query whose sink path goes through foreachBatch, with
+# the idempotency mechanism each relies on:
+#   batch-versioned overwrite: dual_sink, index_append(+dedup),
+#     semdedup_ingest, decontaminate, dim_refresh, txn_consistent (r11)
+#   set-based upsert: foreachbatch_upsert (Derby MERGE),
+#     scd2_upsert (DuckDB ON CONFLICT DO NOTHING + deterministic repair)
+#   batch_id-keyed driver partials: stream_stream outers (r09),
+#     rolling_distinct bitmaps (r09)
+#   state replacement: schema_evolution (max_by over offset)
+FOREACHBATCH_QUERIES = [
+    "stream_dual_sink",
+    "stream_index_append",
+    "stream_index_append_dedup",
+    "stream_semdedup_ingest",
+    "stream_decontaminate",
+    "stream_dim_refresh",
+    "stream_txn_consistent",
+    "stream_foreachbatch_upsert",
+    "stream_scd2_upsert",
+    "stream_schema_evolution",
+    "stream_stream_left_outer",
+    "stream_rolling_distinct",
+]
+
+
+def _rows(df) -> list[tuple]:
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", FOREACHBATCH_QUERIES)
+def test_duplicate_batch_delivery_is_idempotent(spark, name, monkeypatch):
+    from cdc_debezium_kafka_airflow_spark.queries.registry import QUERIES
+
+    baseline = _rows(QUERIES[name](spark, SF_SMOKE))
+
+    def patched(self, func):
+        def deliver_twice(batch_df, batch_id):
+            func(batch_df, batch_id)
+            func(batch_df, batch_id)  # at-least-once re-delivery
+
+        return _ORIG_FOREACH_BATCH(self, deliver_twice)
+
+    monkeypatch.setattr(DataStreamWriter, "foreachBatch", patched)
+    duplicated = _rows(QUERIES[name](spark, SF_SMOKE))
+    assert duplicated == baseline, (
+        f"{name}: result changed under duplicate micro-batch delivery — "
+        "the foreachBatch sink is not replay-idempotent"
+    )

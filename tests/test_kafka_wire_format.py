@@ -138,3 +138,124 @@ def test_fixture_value_is_debezium_envelope_json(spark):
         assert ("after" in payload) == (op != "d")
         assert ("before" in payload) == (op in ("u", "d"))
         assert payload["source"]["db"] == "pos_bi_db"
+
+
+def _register_mock(spark) -> None:
+    """Session-idempotent registration (two tests share one session)."""
+    from tests.kafka_broker_mock import MockKafkaDataSource
+
+    try:
+        spark.dataSource.register(MockKafkaDataSource)
+    except Exception as exc:  # already registered by the sibling test
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+            raise
+
+
+def test_read_changelog_batch_executes_via_directory_served_mock(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r10 task 5: drive sources/kafka.py's BATCH LOAD PATH itself
+    — reader construction, subscribePattern, offset bounds, _project —
+    without a broker, by pointing kafka.KAFKA_FORMAT at a directory-served
+    Python DataSource twin (Spark reserves the literal name "kafka" even
+    with no connector jar, so the twin registers beside it). The exact
+    envelope bytes round-trip: serve the fixture's UTF-8 value bytes,
+    read them back through read_changelog_batch, compare row-for-row."""
+    from tests.kafka_broker_mock import MockKafkaDataSource, serve_changelog
+
+    fixture = build_changelog(load_table(spark, SF, "events")).limit(400)
+    fix_rows = fixture.collect()
+    served = str(tmp_path / "broker")
+    serve_changelog(fix_rows, served)
+    # a topic OUTSIDE the reference's subscribe pattern must be filtered
+    # by the subscription, not the serving layer
+    import json as _json
+
+    with open(tmp_path / "broker" / "other-server.foreign_db.x.jsonl", "w") as fh:
+        fh.write(
+            _json.dumps(
+                {
+                    "key": None,
+                    "value": None,
+                    "partition": 0,
+                    "offset": 0,
+                    "timestamp_us": 0,
+                }
+            )
+            + "\n"
+        )
+
+    _register_mock(spark)
+    monkeypatch.setattr(kafka, "KAFKA_FORMAT", MockKafkaDataSource.name())
+    got = kafka.read_changelog_batch(spark, f"dir://{served}")
+    assert _fields(got) == _fields(fixture)
+    got_rows = {r["offset"]: r for r in got.collect()}
+    assert len(got_rows) == len(fix_rows)
+    tombstones = 0
+    for o in fix_rows:
+        r = got_rows[o["offset"]]
+        assert (
+            r["key"],
+            r["value"],
+            r["topic"],
+            r["partition"],
+            r["timestamp"],
+        ) == (o["key"], o["value"], o["topic"], o["partition"], o["timestamp"])
+        if r["value"] is None:
+            tombstones += 1
+    assert tombstones > 0, "slice must exercise NULL tombstones"
+    assert not any(
+        r["topic"].startswith("other-server") for r in got_rows.values()
+    ), "subscribePattern failed to filter the foreign topic"
+
+
+def test_read_changelog_stream_caps_offsets_per_trigger(
+    spark, tmp_path, monkeypatch
+):
+    """The STREAM load path (subscribePattern + maxOffsetsPerTrigger)
+    executes end-to-end against the directory-served mock: micro-batches
+    respect the reference's admission cap (batch.size=3000 ->
+    maxOffsetsPerTrigger, register-postgres-sink.json:6) and the replay
+    delivers every record exactly once."""
+    import shutil
+    import tempfile
+
+    from tests.kafka_broker_mock import MockKafkaDataSource, serve_changelog
+
+    fixture = build_changelog(load_table(spark, SF, "events")).limit(300)
+    fix_rows = fixture.collect()
+    served = str(tmp_path / "broker")
+    serve_changelog(fix_rows, served)
+
+    _register_mock(spark)
+    monkeypatch.setattr(kafka, "KAFKA_FORMAT", MockKafkaDataSource.name())
+    stream = kafka.read_changelog_stream(
+        spark, f"dir://{served}", max_offsets_per_trigger=120
+    )
+    batches: list[tuple[int, int]] = []
+
+    def absorb(df, bid):
+        batches.append((bid, df.count()))
+
+    # processingTime + processAllAvailable, not availableNow: a Python
+    # DataSourceStreamReader under availableNow stops at the FIRST
+    # latestOffset call (same note as jobs.state_store_upsert_stream)
+    ck = tempfile.mkdtemp(prefix="kafka_mock_ck_")
+    q = None
+    try:
+        q = (
+            stream.writeStream.foreachBatch(absorb)
+            .option("checkpointLocation", ck)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        q.processAllAvailable()
+    finally:
+        if q is not None:
+            q.stop()
+        shutil.rmtree(ck, ignore_errors=True)
+
+    counts = [n for _bid, n in batches if n > 0]
+    assert sum(counts) == len(fix_rows)
+    assert max(counts) <= 120, "maxOffsetsPerTrigger violated"
+    assert len(counts) >= 3, "cap should force a multi-batch replay"
