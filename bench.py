@@ -71,13 +71,42 @@ def main() -> None:
         print(f"BENCH-WARMUP-ERROR shingles: {exc}", file=sys.stderr)
     warmup_shared_caches = round(time.perf_counter() - warmup_t0, 3)
 
+    # --- per-query scheduled-job counts (round-11, judge task #3).
+    # Spark job ids are allocated sequentially per SparkContext, so the
+    # count of jobs a query scheduled is the advance of the max-known
+    # job id across its run. Probing upward through statusTracker()
+    # (getJobInfo -> None above the frontier) needs no listener and —
+    # unlike job-group tagging — also counts jobs launched from
+    # STREAMING query threads, which do not inherit the caller's local
+    # properties. With n_jobs in the artifact, floor tax is arithmetic:
+    # floor_tax_sec(query) ~= n_jobs * host_job_floor_ms / 1000, which
+    # is what tools/compare_bench.py subtracts before calling a mover a
+    # regression (the whole r10 adjudication hand-counted these).
+    _tracker = spark.sparkContext.statusTracker()
+    _job_frontier = [0]
+
+    def _advance_job_frontier() -> int:
+        i = _job_frontier[0]
+        while _tracker.getJobInfo(i) is not None:
+            i += 1
+        _job_frontier[0] = i
+        return i
+
+    _advance_job_frontier()  # absorb warmup jobs
+    n_jobs: dict[str, int] = {}
+
     def run_once(name: str) -> float:
+        before = _advance_job_frontier()
         start = time.perf_counter()
         df = qs[name](spark, sf_dir)
         # noop sink: full materialization of every row/column, no
         # driver-side collect bottleneck in the measurement
         df.write.format("noop").mode("overwrite").save()
         elapsed = time.perf_counter() - start
+        nj = _advance_job_frontier() - before
+        # min-fold mirrors the kept-min timing semantics: re-runs that
+        # skip work via warm artifact caches represent steady state
+        n_jobs[name] = min(n_jobs.get(name, nj), nj)
         # isolate queries: drop persisted intermediates so long-tail GC from
         # one query's caches doesn't pollute the next query's timing
         spark.catalog.clearCache()
@@ -201,6 +230,9 @@ def main() -> None:
         # NOT part of `value` — it is the named line item for what a
         # production pipeline amortizes across every downstream job
         "warmup_shared_caches_sec": warmup_shared_caches,
+        # scheduled Spark jobs per query (min across runs): multiply by
+        # host_job_floor_ms to get this boot's scheduler floor tax
+        "n_jobs": n_jobs,
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"
@@ -220,6 +252,13 @@ def main() -> None:
         "load_state": load_state,
         "n_reruns": sum(reruns.values()),
         "host_job_floor_ms": host_job_floor_ms,
+        # total scheduler-floor tax this boot paid across all queries:
+        # sum(n_jobs) * host_job_floor_ms — the part of `value` that is
+        # the HOST's per-job floor, not plan work
+        "total_jobs": sum(n_jobs.values()),
+        "floor_tax_sec": round(
+            sum(n_jobs.values()) * host_job_floor_ms / 1000.0, 1
+        ),
         "queries_file": "BENCH_local.json",
     }
     print(json.dumps(headline))
