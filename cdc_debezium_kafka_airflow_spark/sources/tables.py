@@ -45,22 +45,45 @@ def normalize_ts(df: DataFrame, cols: tuple[str, ...] = ("ts",)) -> DataFrame:
 _nanos_to_timestamp = normalize_ts
 
 
-#: (sf_dir, table) -> StructType. Schema inference reads parquet footers
-#: through 1-2 tiny scheduled jobs PER spark.read.parquet call; across a
-#: 344-query session that is hundreds of pure-scheduler-floor round
-#: trips (round-10 audit: plain 2-table joins showed 4 construction
-#: jobs each). The first load of each table infers and caches; every
-#: later load passes the explicit schema and constructs job-free —
-#: which is also the idiomatic production posture (schemas pinned, not
-#: re-inferred per query). Process-local, so a driver-side fixture
-#: re-encode between sessions can never serve a stale schema.
-_SCHEMA_CACHE: dict[tuple[str, str], T.StructType] = {}
+#: (sf_dir, table, file fingerprint) -> StructType. Schema inference
+#: reads parquet footers through 1-2 tiny scheduled jobs PER
+#: spark.read.parquet call; across a 344-query session that is hundreds
+#: of pure-scheduler-floor round trips (round-10 audit: plain 2-table
+#: joins showed 4 construction jobs each). The first load of each table
+#: infers and caches; every later load passes the explicit schema and
+#: constructs job-free — which is also the idiomatic production posture
+#: (schemas pinned, not re-inferred per query). The key carries the
+#: on-disk (size, mtime_ns) fingerprint (ADVICE r10), so a fixture
+#: re-encoded IN-SESSION at the same path re-infers instead of silently
+#: reading renamed/added columns back as nulls through a stale schema;
+#: cross-session staleness was already impossible (process-local dict).
+_SCHEMA_CACHE: dict[tuple[str, str, tuple], T.StructType] = {}
+
+
+def _file_fingerprint(path: str) -> tuple:
+    """Cheap identity of the parquet file/dir at ``path``: (size,
+    mtime_ns) for a file; for a directory, the sorted (name, size,
+    mtime_ns) of its entries — a local os.scandir, no Spark job. A
+    vanished path fingerprints as () and lets Spark raise its own
+    error on read."""
+    try:
+        st = os.stat(path)
+        if not os.path.isdir(path):
+            return (st.st_size, st.st_mtime_ns)
+        return tuple(
+            sorted(
+                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                for e in os.scandir(path)
+            )
+        )
+    except OSError:
+        return ()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table: ``{sf_dir}/{name}.parquet``."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    key = (sf_dir, name)
+    key = (sf_dir, name, _file_fingerprint(path))
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)

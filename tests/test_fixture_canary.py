@@ -189,3 +189,30 @@ def test_documents_charset_safe_for_delimiter_oracles(spark, sf_dir):
         f"{n_bad} documents contain delimiter chars ('|', '<', '>') — "
         "the BPE symbol-string oracle encoding must be changed"
     )
+
+
+def test_schema_cache_invalidates_on_in_session_re_encode(spark, tmp_path):
+    """ADVICE r10: the explicit-schema cache keys on the file's on-disk
+    (size, mtime_ns) fingerprint, so a fixture re-encoded at the SAME
+    path mid-session re-infers instead of serving the stale schema
+    (which would read renamed/added columns back as nulls)."""
+    from cdc_debezium_kafka_airflow_spark.sources import tables
+
+    sf = str(tmp_path)
+    p = str(tmp_path / "widget.parquet")
+    spark.createDataFrame([(1, "a")], "id bigint, name string").write.parquet(p)
+    first = tables.load_table(spark, sf, "widget")
+    assert [f.name for f in first.schema.fields] == ["id", "name"]
+    # cached path: second load must serve the explicit schema
+    assert [f.name for f in tables.load_table(spark, sf, "widget").schema.fields] == [
+        "id",
+        "name",
+    ]
+    # re-encode in place with a renamed + added column
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id bigint, label string, score double"
+    ).write.mode("overwrite").parquet(p)
+    again = tables.load_table(spark, sf, "widget")
+    assert [f.name for f in again.schema.fields] == ["id", "label", "score"]
+    row = again.collect()[0]
+    assert (row.id, row.label, row.score) == (2, "b", 9.5)
