@@ -42,6 +42,7 @@ FOREACHBATCH_QUERIES = [
     "stream_dim_refresh",
     "stream_txn_consistent",
     "stream_foreachbatch_upsert",
+    "stream_foreachbatch_upsert_pg",
     "stream_scd2_upsert",
     "stream_schema_evolution",
     "stream_stream_left_outer",
