@@ -144,11 +144,62 @@ def _already_verified() -> tuple[set[str], set[str]]:
     return green, checked - green
 
 
+def _compute_rotation(
+    pool: list[str],
+    green: set[str],
+    red: set[str],
+    module_cov: dict[str, float],
+    name_module: dict[str, str],
+    slots: int,
+    round_key: int,
+) -> list[str]:
+    """Pure rotation-window selection — the entire policy in one testable
+    function of (pool, past driver results, module coverage, slot count,
+    round counter). Three branches, all pinned by tests/test_registry_order:
+
+    1. Ever-red-never-green names take GUARANTEED leading slots: a failed
+       driver row means the fix needs a fresh row NOW, not after the
+       unseen pool drains (and the ring offset must not skip them).
+    2. Never-checked names drain next, in ascending order of their
+       MODULE's historical driver coverage (VERDICT r08 task #1) — a flat
+       alphabetical ring let heavily-covered ext_* crowd out streaming.
+       No offset needed: names that turn green leave the unseen set, so
+       the head advances by itself each round.
+    3. Ring top-up (ADVICE r09): when slots remain — the pool is fully
+       drained OR the unseen pool was non-empty but SMALLER than the open
+       slots (the 0 < unseen < slots state r11 entered) — an offset ring
+       over the WHOLE pool, keyed by the round counter, backfills.
+       Skip-and-continue: a ring entry colliding with an already-placed
+       name is skipped and the next entry backfills, else the window
+       underfills by up to len(rotation) names.
+    """
+    rotation: list[str] = sorted(k for k in pool if k in red)[:slots]
+    slots_left = slots - len(rotation)
+    unseen = sorted(
+        (k for k in pool if k not in green and k not in red),
+        key=lambda k: (module_cov[name_module[k]], name_module[k], k),
+    )
+    for cand in unseen:
+        if slots_left <= 0:
+            break
+        if cand not in rotation:
+            rotation.append(cand)
+            slots_left -= 1
+    if slots_left and pool:
+        off = ((round_key - 1) * slots) % len(pool)
+        i = 0
+        while slots_left > 0 and i < len(pool):
+            cand = pool[(off + i) % len(pool)]
+            i += 1
+            if cand not in rotation:
+                rotation.append(cand)
+                slots_left -= 1
+    return rotation
+
+
 # Window slots not pinned to a sentinel ROTATE round-by-round through
 # every remaining ORACLE-BACKED query, so external driver confirmation
 # accumulates across rounds instead of re-checking the same head forever.
-# Never-yet-verified names fill the slots first; only when every pool
-# entry has a past driver row does an offset ring span the whole pool.
 # The pool is filtered to names in ORACLES — a query without an oracle
 # can only produce an `err=no_oracle` driver row (the one red row of
 # r05), so it never earns a rotation slot. Within one round the selection
@@ -158,19 +209,6 @@ _rotation_pool = sorted(
     k for k in _ALL_QUERIES if k not in set(_PRIORITY) and k in ORACLES
 )
 _green, _red = _already_verified()
-# Ever-red-never-green names take GUARANTEED slots ahead of the ring: a
-# failed driver row means the fix needs a fresh row NOW, not after the
-# unseen pool drains (and the ring offset must not be able to skip them).
-_red_first = sorted(k for k in _rotation_pool if k in _red)
-# Round-9 change (VERDICT r08 "Next round" #1): the unseen pool is no
-# longer a flat name-sorted ring — alphabetical order let heavily-covered
-# families (ext_*) crowd out the least-driver-checked surfaces. Unseen
-# names are now drained in ascending order of their MODULE's historical
-# driver coverage (fraction of the module's oracle-backed names with a
-# past green row), so the families with the thinnest external evidence
-# (streaming_queries 15%, relational6 7%, relational7 17% as of r08) fill
-# the window first. No offset is needed on this branch: names that turn
-# green leave the unseen set, so the head advances by itself each round.
 _module_cov: dict[str, float] = {}
 _name_module: dict[str, str] = {}
 for _m in _MODULES:
@@ -180,37 +218,15 @@ for _m in _MODULES:
     )
     for _n in _mnames:
         _name_module[_n] = _m.__name__
-_unseen = sorted(
-    (k for k in _rotation_pool if k not in _green and k not in _red),
-    key=lambda k: (_module_cov[_name_module[k]], _name_module[k], k),
+ROTATION: list[str] = _compute_rotation(
+    _rotation_pool,
+    _green,
+    _red,
+    _module_cov,
+    _name_module,
+    max(0, VERIFIED_WINDOW - len(_PRIORITY)),
+    _round_key(),
 )
-_slots = max(0, VERIFIED_WINDOW - len(_PRIORITY))
-ROTATION: list[str] = _red_first[:_slots]
-_slots_left = _slots - len(ROTATION)
-if _unseen and _slots_left:
-    for _cand in _unseen:
-        if _slots_left <= 0:
-            break
-        if _cand not in ROTATION:
-            ROTATION.append(_cand)
-            _slots_left -= 1
-if _slots_left:
-    # Ring top-up (ADVICE r09): runs when the pool is fully drained AND
-    # when the unseen pool was non-empty but smaller than the open slots
-    # — the old `elif` left the verified window underfilled in that case.
-    # Rotate an offset ring over the WHOLE pool keyed by the round counter.
-    # Skip-and-continue: a slot colliding with an already-placed name must
-    # be BACKFILLED by the next ring entry, not dropped — otherwise the
-    # verified window underfills by up to len(ROTATION) names.
-    _ring = _rotation_pool
-    _off = ((_round_key() - 1) * _slots) % len(_ring)
-    _i = 0
-    while _slots_left > 0 and _i < len(_ring):
-        _cand = _ring[(_off + _i) % len(_ring)]
-        _i += 1
-        if _cand not in ROTATION:
-            ROTATION.append(_cand)
-            _slots_left -= 1
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     name: _ALL_QUERIES[name] for name in _PRIORITY

@@ -68,8 +68,9 @@ def test_rotation_fills_window_and_is_deterministic():
     NOW), the rest drain the NEVER-GREEN oracle-backed pool in ascending
     order of each name's MODULE driver coverage — so the families with
     the thinnest external evidence fill the window first (VERDICT r08
-    task #1) — falling back to a round-keyed offset ring over the whole
-    pool only once everything has a green CORRECTNESS row. A re-import
+    task #1) — with a round-keyed offset ring over the whole pool topping
+    up any slots the unseen pool can't fill (pool drained, OR
+    0 < unseen < slots — the state r11 left the repo in). A re-import
     selects the same set (pure function of repo state)."""
     head = list(registry.QUERIES)[: len(registry._PRIORITY)]
     rotation = list(registry.QUERIES)[
@@ -85,33 +86,106 @@ def test_rotation_fills_window_and_is_deterministic():
     )
     green, red = registry._already_verified()
     slots = registry.VERIFIED_WINDOW - len(registry._PRIORITY)
-    red_first = sorted(k for k in pool if k in red)[:slots]
-    assert rotation[: len(red_first)] == red_first
-    unseen = sorted(
-        (k for k in pool if k not in green and k not in red),
-        key=lambda k: (
-            registry._module_cov[registry._name_module[k]],
-            registry._name_module[k],
-            k,
-        ),
+    # the selection must be exactly the pure policy function applied to
+    # the committed repo state — import-time wiring adds nothing
+    assert rotation == registry._compute_rotation(
+        pool,
+        green,
+        red,
+        registry._module_cov,
+        registry._name_module,
+        slots,
+        registry._round_key(),
     )
-    slots_left = slots - len(red_first)
-    if unseen:
-        expect_tail = [k for k in unseen if k not in red_first][:slots_left]
-    else:
-        ring = pool
-        off = ((registry._round_key() - 1) * slots) % len(ring)
-        expect_tail, i = [], 0
-        while len(expect_tail) < slots_left and i < len(ring):
-            cand = ring[(off + i) % len(ring)]
-            i += 1
-            if cand not in red_first and cand not in expect_tail:
-                expect_tail.append(cand)
-    assert rotation[len(red_first):] == expect_tail
-    # the whole point: while never-green names exist, every rotated slot
-    # must be one of them
+    # window always fills as long as the pool is at least slot-sized
+    if len(pool) >= slots:
+        assert len(rotation) == slots
+    unseen = {k for k in pool if k not in green and k not in red}
+    # while never-green names exist, every one of them (up to capacity)
+    # must occupy a slot before any ring top-up re-checks a green name
+    assert len(unseen & set(rotation)) == min(
+        len(unseen), slots - len(sorted(k for k in pool if k in red)[:slots])
+    )
     if len(unseen) >= slots:
         assert not set(rotation) & green
+
+
+def _cov(pool, name_module, green):
+    """Synthetic module-coverage map for _compute_rotation tests."""
+    mods = {}
+    for n in pool:
+        mods.setdefault(name_module[n], []).append(n)
+    return {
+        m: sum(1 for n in ns if n in green) / len(ns) for m, ns in mods.items()
+    }
+
+
+def test_compute_rotation_unseen_exceeds_slots():
+    """Branch 1+2: red names lead, then lowest-covered-module unseen;
+    no ring entry may appear while unseen names overflow the window."""
+    pool = [f"q{i:02d}" for i in range(12)]
+    name_module = {n: ("m_a" if i < 6 else "m_b") for i, n in enumerate(pool)}
+    green = {"q00", "q01", "q02"}  # m_a coverage 0.5, m_b coverage 0
+    red = {"q03"}
+    cov = _cov(pool, name_module, green)
+    got = registry._compute_rotation(pool, green, red, cov, name_module, 4, 7)
+    # red first, then m_b (cov 0) unseen before m_a (cov .5) unseen
+    assert got == ["q03", "q06", "q07", "q08"]
+    assert not set(got) & green
+
+
+def test_compute_rotation_partial_unseen_tops_up_from_ring():
+    """Branch 3, the r11 state (0 < unseen < slots): all unseen names get
+    slots, and the REMAINING slots backfill from the round-keyed ring,
+    skipping collisions — the window must still fill completely."""
+    pool = [f"q{i:02d}" for i in range(10)]
+    name_module = {n: "m" for n in pool}
+    green = set(pool) - {"q04", "q09"}
+    red = set()
+    cov = _cov(pool, name_module, green)
+    for rk in range(1, 8):
+        got = registry._compute_rotation(pool, green, red, cov, name_module, 6, rk)
+        assert len(got) == 6, f"window underfilled at round_key={rk}"
+        assert len(set(got)) == 6
+        assert got[:2] == ["q04", "q09"], "unseen names must lead the top-up"
+        # ring order from the round-keyed offset, collisions backfilled
+        off = ((rk - 1) * 6) % len(pool)
+        expect, i = [], 0
+        while len(expect) < 4 and i < len(pool):
+            cand = pool[(off + i) % len(pool)]
+            i += 1
+            if cand not in ("q04", "q09") and cand not in expect:
+                expect.append(cand)
+        assert got[2:] == expect
+
+
+def test_compute_rotation_drained_pool_rings_whole_pool():
+    """Branch 3, fully drained: the ring walks the pool by round offset so
+    successive rounds re-confirm different names; dedup + backfill keep
+    the window exactly slot-sized."""
+    pool = [f"q{i:02d}" for i in range(9)]
+    name_module = {n: "m" for n in pool}
+    green = set(pool)
+    cov = _cov(pool, name_module, green)
+    seen_windows = set()
+    for rk in range(1, 5):
+        got = registry._compute_rotation(pool, green, set(), cov, name_module, 4, rk)
+        assert len(got) == len(set(got)) == 4
+        assert set(got) <= set(pool)
+        seen_windows.add(tuple(got))
+    assert len(seen_windows) > 1, "ring must rotate across rounds"
+
+
+def test_compute_rotation_small_pool_never_overfills():
+    """Pool smaller than the window: every pool name appears exactly once
+    and the loop terminates (no infinite ring walk)."""
+    pool = ["a", "b", "c"]
+    name_module = {n: "m" for n in pool}
+    got = registry._compute_rotation(
+        pool, {"a"}, {"b"}, _cov(pool, name_module, {"a"}), name_module, 10, 3
+    )
+    assert sorted(got) == pool
+    assert got[0] == "b"  # red jumps the queue even in a tiny pool
 
 
 def test_rotation_prefers_least_covered_modules():
