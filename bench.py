@@ -86,9 +86,24 @@ def main() -> None:
     _job_frontier = [0]
 
     def _advance_job_frontier() -> int:
+        # Eviction guard (ADVICE r11): ids are probed upward and the walk
+        # stops at the first None — but the status store only retains
+        # spark.ui.retainedJobs entries (raised to 200k in session.py),
+        # so if more jobs than that ran since the last probe, the
+        # frontier's own id is evicted (None) while HIGHER live ids
+        # exist, and a naive walk would stick at zero advance forever.
+        # After the linear walk stops, gallop upward in doubling steps to
+        # detect such a gap and resume from the first live id past it.
         i = _job_frontier[0]
-        while _tracker.getJobInfo(i) is not None:
-            i += 1
+        while True:
+            while _tracker.getJobInfo(i) is not None:
+                i += 1
+            for shift in range(18):  # covers gaps up to 131072 > retainedJobs
+                if _tracker.getJobInfo(i + (1 << shift)) is not None:
+                    i += 1 << shift
+                    break
+            else:
+                break
         _job_frontier[0] = i
         return i
 

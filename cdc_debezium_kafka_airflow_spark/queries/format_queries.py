@@ -160,7 +160,13 @@ def src_jdbc_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
     share the driver JVM).
     """
     tag = os.path.basename(os.path.normpath(sf_dir))
-    url = f"jdbc:derby:/root/repo/.cache/derby_fed_{tag};create=true"
+    # process-scoped: Derby's per-directory boot lock is exclusive, and
+    # this db is scratch (NATION_DIM overwritten per run) — see cache_util
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        process_scoped_db_path,
+    )
+
+    url = f"jdbc:derby:{process_scoped_db_path(f'derby_fed_{tag}')};create=true"
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     nation = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     nation.write.jdbc(url, "NATION_DIM", mode="overwrite", properties=props)

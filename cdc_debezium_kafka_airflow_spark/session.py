@@ -57,13 +57,17 @@ def _ship_package(spark: SparkSession) -> None:
         if f.endswith(".py")
     )
     if not os.path.exists(zip_path) or os.path.getmtime(zip_path) < src_mtime:
-        with zipfile.ZipFile(zip_path + ".tmp", "w") as zf:
+        # PID-suffixed tmp: two harness processes rebuilding concurrently
+        # must not interleave writes into one tmp file; os.replace keeps
+        # the publish atomic either way
+        tmp = f"{zip_path}.tmp.{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as zf:
             for dp, _, fs in os.walk(pkg_dir):
                 for f in fs:
                     if f.endswith(".py"):
                         full = os.path.join(dp, f)
                         zf.write(full, os.path.relpath(full, pkg_root))
-        os.replace(zip_path + ".tmp", zip_path)
+        os.replace(tmp, zip_path)
     try:
         spark.sparkContext.addPyFile(zip_path)
     except Exception:
@@ -111,6 +115,13 @@ def get_spark(app_name: str = "cdc-spark-engine") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # bench.py's job-frontier probe (n_jobs accounting) walks
+        # statusTracker job ids; at the default retainedJobs=1000 a single
+        # job-heavy query could evict the probe's anchor and stick the
+        # frontier (ADVICE r11). UI is off, so the retained metadata is
+        # just the status store; a full 344-query bench schedules ~2.2k
+        # jobs per sweep — 200k leaves two orders of magnitude headroom.
+        .config("spark.ui.retainedJobs", "200000")
         .config("spark.sql.shuffle.partitions", "32")
     )
     spark = builder.getOrCreate()

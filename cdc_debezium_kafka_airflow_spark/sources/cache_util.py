@@ -13,6 +13,7 @@ no longer matches.
 from __future__ import annotations
 
 import os
+import threading
 
 _FP_NAME = "_FINGERPRINT"
 
@@ -30,7 +31,27 @@ def source_fingerprint(sf_dir: str, table: str = "events") -> str:
     return f"{CACHE_CODE_VERSION}:{path}:{st.st_mtime_ns}:{st.st_size}"
 
 
-def cache_is_fresh(cache_dir: str, fingerprint: str) -> bool:
+# Inter-process build locks (VERDICT r11 task #7): the shared-tree caches
+# assume check -> build -> publish is exclusive, but a second harness
+# process on the same repo (the judge's oracle gate beside a pytest run)
+# can interleave — two builders writing one dir, or a reader consuming a
+# half-built cache. cache_is_fresh() therefore takes an exclusive
+# flock on ``<cache_dir>.lock`` and, on a MISS, holds it until the same
+# process publishes via write_fingerprint() — so a concurrent process
+# blocks in its own freshness check until the build lands, re-checks, and
+# reads the finished cache instead of rebuilding over it. flock releases
+# on process death, so an aborted build can never wedge the tree.
+_HELD_LOCKS: dict[str, object] = {}
+_HELD_MU = threading.Lock()
+
+
+def _lock_path(cache_dir: str) -> str:
+    d = os.path.dirname(os.path.abspath(cache_dir))
+    os.makedirs(d, exist_ok=True)
+    return os.path.abspath(cache_dir) + ".lock"
+
+
+def _check_fresh(cache_dir: str, fingerprint: str) -> bool:
     fp_file = os.path.join(cache_dir, _FP_NAME)
     if not os.path.exists(os.path.join(cache_dir, "_SUCCESS")):
         return False
@@ -40,9 +61,39 @@ def cache_is_fresh(cache_dir: str, fingerprint: str) -> bool:
         return fh.read() == fingerprint
 
 
+def cache_is_fresh(cache_dir: str, fingerprint: str) -> bool:
+    key = os.path.abspath(cache_dir)
+    with _HELD_MU:
+        already_held = key in _HELD_LOCKS
+    if already_held:
+        # this process is mid-build (a retry or a nested re-check):
+        # flock on a second fd of the same file would self-deadlock
+        return _check_fresh(cache_dir, fingerprint)
+    try:
+        import fcntl
+
+        fh = open(_lock_path(cache_dir), "w")
+        fcntl.flock(fh, fcntl.LOCK_EX)  # blocks while another process builds
+    except (ImportError, OSError):
+        return _check_fresh(cache_dir, fingerprint)  # degraded: no locking
+    fresh = _check_fresh(cache_dir, fingerprint)
+    if fresh:
+        fh.close()  # closing the fd drops the flock
+    else:
+        with _HELD_MU:
+            _HELD_LOCKS[key] = fh  # held until write_fingerprint publishes
+    return fresh
+
+
 def write_fingerprint(cache_dir: str, fingerprint: str) -> None:
-    with open(os.path.join(cache_dir, _FP_NAME), "w") as fh:
+    tmp = os.path.join(cache_dir, f"{_FP_NAME}.tmp.{os.getpid()}")
+    with open(tmp, "w") as fh:
         fh.write(fingerprint)
+    os.replace(tmp, os.path.join(cache_dir, _FP_NAME))
+    with _HELD_MU:
+        lock_fh = _HELD_LOCKS.pop(os.path.abspath(cache_dir), None)
+    if lock_fh is not None:
+        lock_fh.close()
 
 
 # ---------------------------------------------------------------------------
@@ -97,3 +148,46 @@ def artifact_store(kind: str, memo_key: object, rows) -> None:
     with open(tmp, "w") as fh:
         json.dump({"memo_key": repr(memo_key), "rows": rows}, fh)
     os.replace(tmp, path)
+
+
+# ---------------------------------------------------------------------------
+# Process-scoped scratch databases (VERDICT r11 task #7): embedded Derby
+# takes an exclusive boot lock per database DIRECTORY, so two harness
+# processes on one tree (pytest beside the judge's oracle gate) that share
+# a db path fail with "another instance of Derby may have already booted".
+# Unlike the fingerprinted caches above, the Derby dbs are SCRATCH state —
+# sink tables are truncate-/overwrite-initialized per query run and every
+# consumer is replay-idempotent — so per-process isolation changes no
+# result; it only removes the cross-process boot-lock collision.
+# ---------------------------------------------------------------------------
+
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+_SCRATCH_SWEPT = False
+
+
+def process_scoped_db_path(name: str) -> str:
+    """``.cache/derby_scratch/pid_{pid}/{name}`` — unique per live process.
+    Dirs of dead PIDs are swept best-effort on first use (Derby clears its
+    own stale db.lck at boot, so a reused PID number is harmless too)."""
+    global _SCRATCH_SWEPT
+    base = os.path.join(_REPO_ROOT, ".cache", "derby_scratch")
+    os.makedirs(base, exist_ok=True)
+    if not _SCRATCH_SWEPT:
+        _SCRATCH_SWEPT = True
+        import shutil
+
+        for entry in os.listdir(base):
+            if not entry.startswith("pid_"):
+                continue
+            try:
+                pid = int(entry.split("_", 1)[1])
+                os.kill(pid, 0)  # raises if no such process
+            except ValueError:
+                continue
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+            except PermissionError:
+                pass  # alive under another uid: leave it
+    return os.path.join(base, f"pid_{os.getpid()}", name)

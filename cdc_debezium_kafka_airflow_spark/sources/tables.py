@@ -60,19 +60,28 @@ _nanos_to_timestamp = normalize_ts
 _SCHEMA_CACHE: dict[tuple[str, str, tuple], T.StructType] = {}
 
 
-def _file_fingerprint(path: str) -> tuple:
+def _file_fingerprint(path: str, _depth: int = 2) -> tuple:
     """Cheap identity of the parquet file/dir at ``path``: (size,
-    mtime_ns) for a file; for a directory, the sorted (name, size,
-    mtime_ns) of its entries — a local os.scandir, no Spark job. A
-    vanished path fingerprints as () and lets Spark raise its own
-    error on read."""
+    mtime_ns) for a file; for a directory, the sorted (name, fingerprint)
+    of its entries, recursing up to two levels so one partition layer
+    (``key=value/part-*.parquet``) is content-fingerprinted too — an
+    in-place rewrite deep inside a partition dir that reuses file names
+    still changes (size, mtime_ns) at the leaf (ADVICE r11). A local
+    os.scandir walk, no Spark job; deeper nesting degrades to the
+    subdirectory's own (size, mtime_ns), which mtime-bumps on any entry
+    add/remove but not on a same-name in-place rewrite — the fixture
+    layout is at most one partition layer, so the leaf stat applies. A
+    vanished path fingerprints as () and lets Spark raise its own error
+    on read."""
     try:
         st = os.stat(path)
         if not os.path.isdir(path):
             return (st.st_size, st.st_mtime_ns)
+        if _depth <= 0:
+            return (st.st_size, st.st_mtime_ns)
         return tuple(
             sorted(
-                (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                (e.name,) + _file_fingerprint(e.path, _depth - 1)
                 for e in os.scandir(path)
             )
         )

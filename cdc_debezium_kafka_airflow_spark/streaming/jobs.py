@@ -939,7 +939,18 @@ def foreach_batch_upsert(
     # _v2: sink table schema version (join_hash surrogate key). The stage
     # and target tables are TRUNCATE-reused across runs, so a schema change
     # must move to a fresh database — truncate preserves the old columns.
-    url = f"jdbc:derby:/root/repo/.cache/derby_sink_v2_{tag};create=true"
+    # Process-scoped path (VERDICT r11 #7): Derby's db boot lock is
+    # exclusive per directory; a shared path made concurrent harness
+    # processes on one tree fail each other's boots. Restart-survival is
+    # unaffected — the db outlives any SparkSession in this process.
+    from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
+        process_scoped_db_path,
+    )
+
+    url = (
+        f"jdbc:derby:{process_scoped_db_path(f'derby_sink_v2_{tag}')}"
+        ";create=true"
+    )
     props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
     cols = [
         "table_name", "key_id", "last_offset", "is_delete",
@@ -3060,12 +3071,20 @@ def txn_consistent_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("last_offset").alias("last_applied_offset"),
         )
         # the newest pending spill = the still-open transaction the gate
-        # is holding back at stream end
-        held = (
-            spark.read.parquet(pending_before(1 << 62))
-            .groupBy("table_name")
-            .agg(F.count("*").alias("n_inflight_held"))
-        )
+        # is holding back at stream end; a zero-batch stream leaves no
+        # spill at all (ADVICE r11) — that means nothing is held, not an
+        # opaque read-of-None TypeError
+        held_path = pending_before(1 << 62)
+        if held_path is None:
+            held = spark.createDataFrame(
+                [], "table_name string, n_inflight_held long"
+            )
+        else:
+            held = (
+                spark.read.parquet(held_path)
+                .groupBy("table_name")
+                .agg(F.count("*").alias("n_inflight_held"))
+            )
         out = agg.join(F.broadcast(held), "table_name", "left").select(
             "table_name",
             "n_live_keys",

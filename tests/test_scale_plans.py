@@ -86,27 +86,36 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     joins; bucket layout replaces per-query shuffles)."""
     from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
 
+    import os
+
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    # PID-suffixed table names: the warehouse dir is shared repo state, so
+    # two concurrent harness processes must not write/drop one location
+    o_tbl, l_tbl = f"orders_bkt_{os.getpid()}", f"lineitem_bkt_{os.getpid()}"
     try:
         load_table(spark, sf_dir, "orders").write.mode("overwrite").bucketBy(
             8, "o_orderkey"
-        ).sortBy("o_orderkey").saveAsTable("orders_bkt")
+        ).sortBy("o_orderkey").saveAsTable(o_tbl)
         load_table(spark, sf_dir, "lineitem").write.mode("overwrite").bucketBy(
             8, "l_orderkey"
-        ).sortBy("l_orderkey").saveAsTable("lineitem_bkt")
-        joined = spark.table("lineitem_bkt").join(
-            spark.table("orders_bkt"),
-            spark.table("lineitem_bkt").l_orderkey
-            == spark.table("orders_bkt").o_orderkey,
+        ).sortBy("l_orderkey").saveAsTable(l_tbl)
+        joined = spark.table(l_tbl).join(
+            spark.table(o_tbl),
+            spark.table(l_tbl).l_orderkey == spark.table(o_tbl).o_orderkey,
         )
         joined.collect()
         plan = _plan(joined)
         assert "Exchange" not in plan, plan
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
-        spark.sql("DROP TABLE IF EXISTS orders_bkt")
-        spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+        import shutil
+
+        for tbl in (o_tbl, l_tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            shutil.rmtree(
+                os.path.join("spark-warehouse", tbl), ignore_errors=True
+            )
 
 
 def test_partitioned_warehouse_prunes_partitions(spark, sf_dir):

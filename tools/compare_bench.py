@@ -63,14 +63,22 @@ def main() -> None:
     # (n_jobs * floor) before comparing — what remains is plan work.
     def adjust(qs, jobs, floor):
         if not jobs or not floor:
-            return qs, False
-        return {
-            n: max(0.0, t - jobs.get(n, 0) * floor / 1000.0)
-            for n, t in qs.items()
-        }, True
+            return qs, False, []
+        adj, clamped = {}, []
+        for n, t in qs.items():
+            tax = jobs.get(n, 0) * floor / 1000.0
+            if tax >= t > 0:
+                # ADVICE r11: when the floor estimate overshoots a
+                # query's whole wall time the subtraction saturates at 0
+                # on THIS side only — which can mask a real regression or
+                # fabricate an improvement. Surface it instead of
+                # silently zeroing.
+                clamped.append(n)
+            adj[n] = max(0.0, t - tax)
+        return adj, True, clamped
 
-    old_adj, old_ok = adjust(old, old_jobs, old_floor)
-    new_adj, new_ok = adjust(new, new_jobs, new_floor)
+    old_adj, old_ok, old_clamped = adjust(old, old_jobs, old_floor)
+    new_adj, new_ok, new_clamped = adjust(new, new_jobs, new_floor)
     floor_normalized = old_ok and new_ok
     if floor_normalized:
         print(
@@ -78,6 +86,15 @@ def main() -> None:
             f"{sum(old_jobs.values())} jobs, new {new_floor}ms/job x "
             f"{sum(new_jobs.values())} jobs"
         )
+        for side, names in (("old", old_clamped), ("new", new_clamped)):
+            if names:
+                print(
+                    f"  floor tax >= wall time on {side} side for "
+                    f"{len(names)} queries (adjusted value clamped to 0 — "
+                    f"treat their deltas as floor-bound, not plan-bound): "
+                    f"{', '.join(sorted(names)[:12])}"
+                    f"{' ...' if len(names) > 12 else ''}"
+                )
     elif old_ok != new_ok:
         print(
             "(n_jobs on one side only — raw wall-clock comparison; "
