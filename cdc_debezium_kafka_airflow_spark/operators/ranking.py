@@ -1,8 +1,10 @@
 """Exact global ranking without a single-partition sort.
 
-The reference delegates its ordering/quantile work to SQL engines
-(Postgres `ntile`/`row_number` via Debezium-fed marts — see
-/root/reference dags/cdc_postgres_sync_dag.py's downstream contract);
+The reference delegates its ordering/quantile work to the warehouse SQL
+engine: the Debezium-fed Postgres mart is the query surface
+(/root/reference readme.md:14,23 — "Sincronización automática con JDBC
+Sink Connector hacia Postgres"), and its DAGs reach the data only
+through hook-issued SQL (dags/cdc_data_integrity_dynamic_dag.py:50);
 re-expressed here the naive translation is an unpartitioned Spark window
 (`Window.orderBy(...)` with no partition spec), which Spark executes by
 shuffling EVERY row into one task — the canonical 100-TB straggler

@@ -979,8 +979,10 @@ def cdc_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse tables and a delta job the size of the hour's changes.
 
     Reference parity: the reference materializes Debezium topics into
-    per-table warehouse tables and re-runs BI joins on schedule
-    (consultas_bi.sql); this maintains the joined view continuously.
+    per-table Postgres warehouse tables (register-postgres-sink.json:9
+    lists the nine pos_bi_db topics, ventas/pagos_clientes among them)
+    for scheduled BI joins downstream (readme.md:14 — "Data Warehouse");
+    this maintains the joined view continuously instead.
     """
     ta, tb = "ventas", "pagos_clientes"
     un = _unwrapped(spark, sf_dir).filter(
@@ -1050,8 +1052,11 @@ def cdc_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     every CDC materialization in this engine uses (one shuffle serves the
     SCD2 close and this aggregate); the aggregate is map-side partial on
     the same keys, and the 1-row max-offset broadcast bounds open
-    intervals. Reference parity: consultas_bi.sql averages live state
-    only; this answers the temporal version of those BI questions."""
+    intervals. Reference parity: the reference's warehouse keeps only
+    live upserted state (register-postgres-sink.json:15-16 —
+    insert.mode=upsert, delete.enabled=true), so its BI queries can
+    average current values only; this answers the temporal version of
+    those questions."""
     from cdc_debezium_kafka_airflow_spark.operators.cdc import scd2_history
 
     un = _unwrapped(spark, sf_dir)

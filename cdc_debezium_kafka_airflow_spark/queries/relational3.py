@@ -1,11 +1,14 @@
 """Third wave of warehouse/curation surface: multi-region volume join
 (TPC-H Q5 shape), cohort retention, curriculum staging.
 
-Reference parity: the reference's warehouse DAGs
-(dags/postgres_warehouse*.py) run multi-table joins + grouped rollups over
-the CDC-materialized tables; these queries exercise the same relational
-surface at star-join width (6 tables) and event-analytics depth (cohort
-retention), re-expressed as Catalyst plans.
+Reference parity: the reference materializes its CDC stream into a
+Postgres warehouse whose tables are the analytical query surface
+(/root/reference readme.md:14 — JDBC Sink Connector into Postgres;
+dags/cdc_data_integrity_dynamic_dag.py:50 shows the hook-SQL access
+idiom, fanned out per table via Dynamic Task Mapping); these queries
+exercise that same relational surface at star-join width (6 tables) and
+event-analytics depth (cohort retention), re-expressed as Catalyst
+plans.
 """
 
 from __future__ import annotations
