@@ -25,6 +25,45 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _LOADAVG_AT_START = os.getloadavg()[0] if hasattr(os, "getloadavg") else 0.0
 
 
+def make_job_frontier(tracker, start: int = 0):
+    """Returns advance() -> int: the smallest job id NOT yet known to the
+    status tracker, monotone across calls. Spark allocates job ids
+    sequentially per SparkContext, so the advance of this frontier
+    across a query's run is the number of jobs it scheduled.
+
+    Eviction guard (ADVICE r11): ids are probed upward and the walk
+    stops at the first None — but the status store only retains
+    spark.ui.retainedJobs entries (raised to 200k in session.py), so if
+    more jobs than that ran since the last probe, the frontier's own id
+    is evicted (None) while HIGHER live ids exist, and a naive walk
+    would stick at zero advance forever. After the linear walk stops,
+    gallop upward in doubling steps to detect such a gap and resume
+    from the first live id past it. The retained ids form one
+    contiguous window [F-R, F) (F = next id, R = retention); any window
+    wider than its own start offset contains a power of two, so the
+    gallop is GUARANTEED to find it whenever the gap <= R — i.e. unless
+    a single query schedules more than 2R = 400k jobs between probes,
+    two orders of magnitude above a full 344-query sweep. Factored out
+    of main() so the gallop is unit-testable against a stub tracker."""
+    frontier = [start]
+
+    def advance() -> int:
+        i = frontier[0]
+        while True:
+            while tracker.getJobInfo(i) is not None:
+                i += 1
+            for shift in range(25):  # bridges gaps up to 2^24 (~16M ids)
+                if tracker.getJobInfo(i + (1 << shift)) is not None:
+                    i += 1 << shift
+                    break
+            else:
+                break
+        frontier[0] = i
+        return i
+
+    return advance
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
@@ -82,30 +121,9 @@ def main() -> None:
     # floor_tax_sec(query) ~= n_jobs * host_job_floor_ms / 1000, which
     # is what tools/compare_bench.py subtracts before calling a mover a
     # regression (the whole r10 adjudication hand-counted these).
-    _tracker = spark.sparkContext.statusTracker()
-    _job_frontier = [0]
-
-    def _advance_job_frontier() -> int:
-        # Eviction guard (ADVICE r11): ids are probed upward and the walk
-        # stops at the first None — but the status store only retains
-        # spark.ui.retainedJobs entries (raised to 200k in session.py),
-        # so if more jobs than that ran since the last probe, the
-        # frontier's own id is evicted (None) while HIGHER live ids
-        # exist, and a naive walk would stick at zero advance forever.
-        # After the linear walk stops, gallop upward in doubling steps to
-        # detect such a gap and resume from the first live id past it.
-        i = _job_frontier[0]
-        while True:
-            while _tracker.getJobInfo(i) is not None:
-                i += 1
-            for shift in range(18):  # covers gaps up to 131072 > retainedJobs
-                if _tracker.getJobInfo(i + (1 << shift)) is not None:
-                    i += 1 << shift
-                    break
-            else:
-                break
-        _job_frontier[0] = i
-        return i
+    _advance_job_frontier = make_job_frontier(
+        spark.sparkContext.statusTracker()
+    )
 
     _advance_job_frontier()  # absorb warmup jobs
     n_jobs: dict[str, int] = {}
