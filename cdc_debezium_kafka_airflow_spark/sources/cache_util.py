@@ -40,7 +40,10 @@ def source_fingerprint(sf_dir: str, table: str = "events") -> str:
 # process publishes via write_fingerprint() — so a concurrent process
 # blocks in its own freshness check until the build lands, re-checks, and
 # reads the finished cache instead of rebuilding over it. flock releases
-# on process death, so an aborted build can never wedge the tree.
+# on process death; an abandoned build in a SURVIVING process (the build
+# raised, the caller caught it and moved on without publishing) keeps its
+# lock, so waiters use a bounded wait and then degrade to lock-free
+# behavior rather than hang (_LOCK_WAIT_SEC).
 _HELD_LOCKS: dict[str, object] = {}
 _HELD_MU = threading.Lock()
 
@@ -61,6 +64,31 @@ def _check_fresh(cache_dir: str, fingerprint: str) -> bool:
         return fh.read() == fingerprint
 
 
+#: Bounded wait for a peer's in-flight build. A peer that ABANDONS a build
+#: (its build raised, it caught the error and moved on without publishing)
+#: keeps its flock until process exit — an unbounded LOCK_EX here would
+#: turn that into an indefinite cross-process hang. After the deadline the
+#: waiter proceeds WITHOUT the lock (pre-lock behavior: worst case a
+#: redundant concurrent rebuild), which is strictly better than hanging.
+_LOCK_WAIT_SEC = float(os.environ.get("SPARK_GRAFT_CACHE_LOCK_WAIT", "300"))
+
+
+def _flock_bounded(fh, deadline_sec: float) -> bool:
+    """True if the exclusive flock was acquired within deadline_sec."""
+    import fcntl
+    import time
+
+    end = time.monotonic() + deadline_sec
+    while True:
+        try:
+            fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            return True
+        except OSError:
+            if time.monotonic() >= end:
+                return False
+            time.sleep(0.1)
+
+
 def cache_is_fresh(cache_dir: str, fingerprint: str) -> bool:
     key = os.path.abspath(cache_dir)
     with _HELD_MU:
@@ -69,13 +97,17 @@ def cache_is_fresh(cache_dir: str, fingerprint: str) -> bool:
         # this process is mid-build (a retry or a nested re-check):
         # flock on a second fd of the same file would self-deadlock
         return _check_fresh(cache_dir, fingerprint)
+    fh = None
     try:
-        import fcntl
-
         fh = open(_lock_path(cache_dir), "w")
-        fcntl.flock(fh, fcntl.LOCK_EX)  # blocks while another process builds
+        got = _flock_bounded(fh, _LOCK_WAIT_SEC)
     except (ImportError, OSError):
+        if fh is not None:
+            fh.close()  # don't leak the fd when flock itself is unsupported
         return _check_fresh(cache_dir, fingerprint)  # degraded: no locking
+    if not got:
+        fh.close()
+        return _check_fresh(cache_dir, fingerprint)  # degraded: peer wedged
     fresh = _check_fresh(cache_dir, fingerprint)
     if fresh:
         fh.close()  # closing the fd drops the flock
@@ -169,25 +201,34 @@ _SCRATCH_SWEPT = False
 
 def process_scoped_db_path(name: str) -> str:
     """``.cache/derby_scratch/pid_{pid}/{name}`` — unique per live process.
-    Dirs of dead PIDs are swept best-effort on first use (Derby clears its
-    own stale db.lck at boot, so a reused PID number is harmless too)."""
+    Dirs of dead PIDs are swept best-effort on first use. Only dirs older
+    than an hour are eligible: a dir younger than that could belong to a
+    NEW process that recycled the dead PID between the liveness check and
+    the delete — an age gate removes that race entirely, since a live
+    owner's dir is by construction younger than the owner process."""
     global _SCRATCH_SWEPT
     base = os.path.join(_REPO_ROOT, ".cache", "derby_scratch")
     os.makedirs(base, exist_ok=True)
     if not _SCRATCH_SWEPT:
         _SCRATCH_SWEPT = True
         import shutil
+        import time
 
+        cutoff = time.time() - 3600
         for entry in os.listdir(base):
             if not entry.startswith("pid_"):
                 continue
+            path = os.path.join(base, entry)
             try:
+                if os.stat(path).st_mtime > cutoff:
+                    continue  # too young: possible PID-recycle race
                 pid = int(entry.split("_", 1)[1])
-                os.kill(pid, 0)  # raises if no such process
-            except ValueError:
-                continue
+            except (ValueError, OSError):
+                continue  # unparseable name or vanished dir: leave it
+            try:
+                os.kill(pid, 0)  # raises ProcessLookupError if dead
             except ProcessLookupError:
-                shutil.rmtree(os.path.join(base, entry), ignore_errors=True)
+                shutil.rmtree(path, ignore_errors=True)
             except PermissionError:
                 pass  # alive under another uid: leave it
     return os.path.join(base, f"pid_{os.getpid()}", name)

@@ -2956,13 +2956,16 @@ def txn_consistent_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(replay_dir, ignore_errors=True)
         batch = build_changelog(load_table(spark, sf_dir, "events"))
         mx = batch.agg(F.max("offset").alias("m")).collect()[0].m
-        bounds = [0, mx // 3, (2 * mx) // 3, mx + 1]
-        for i in range(3):
-            mode = "overwrite" if i == 0 else "append"
-            batch.filter(
-                (F.col("offset") >= bounds[i])
-                & (F.col("offset") < bounds[i + 1])
-            ).repartition(8).write.mode(mode).parquet(replay_dir)
+        if mx is None:  # empty source: one empty slice, not a None // 3
+            batch.limit(0).write.mode("overwrite").parquet(replay_dir)
+        else:
+            bounds = [0, mx // 3, (2 * mx) // 3, mx + 1]
+            for i in range(3):
+                mode = "overwrite" if i == 0 else "append"
+                batch.filter(
+                    (F.col("offset") >= bounds[i])
+                    & (F.col("offset") < bounds[i + 1])
+                ).repartition(8).write.mode(mode).parquet(replay_dir)
         write_fingerprint(replay_dir, fp)
 
     schema = (
@@ -3060,6 +3063,16 @@ def txn_consistent_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        out_schema = (
+            "table_name string, n_live_keys bigint, "
+            "last_applied_offset bigint, n_inflight_held bigint"
+        )
+        if not os.path.isdir(applied_dir):
+            # zero delivered batches (ADVICE r11): the gate never wrote an
+            # applied slice (nor a pending spill — they are written
+            # together per batch), so the meaningful answer is the empty
+            # rollup, not a PATH_NOT_FOUND on the applied read below
+            return spark.createDataFrame([], out_schema)
         applied = spark.read.parquet(applied_dir)
         mat = upsert_materialize(
             applied.select(

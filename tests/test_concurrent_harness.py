@@ -121,19 +121,28 @@ def process_scoped_db_path_local() -> str:
 
 
 def test_dead_pid_scratch_dirs_are_swept(tmp_path, monkeypatch):
-    """A scratch dir left by a dead PID is removed on first use; the live
-    process's own dir and unparseable entries survive."""
+    """An OLD scratch dir left by a dead PID is removed on first use; a
+    YOUNG dead-PID dir (possible PID-recycle race window), the live
+    process's own dir, and unparseable entries all survive."""
+    import time
+
     base = tmp_path / ".cache" / "derby_scratch"
     base.mkdir(parents=True)
-    # a PID that cannot exist (max_pid is < 2**22 + 1 on Linux)
-    dead = base / "pid_4194305"
-    dead.mkdir()
-    (dead / "junk").write_text("x")
+    # PIDs that cannot exist (max_pid is < 2**22 + 1 on Linux)
+    dead_old = base / "pid_4194305"
+    dead_old.mkdir()
+    (dead_old / "junk").write_text("x")
+    old = time.time() - 7200
+    os.utime(dead_old, (old, old))
+    dead_young = base / "pid_4194304"
+    dead_young.mkdir()  # mtime = now: inside the age gate
     keep = base / "pid_notanumber"
     keep.mkdir()
+    os.utime(keep, (old, old))
     monkeypatch.setattr(cache_util, "_REPO_ROOT", str(tmp_path))
     monkeypatch.setattr(cache_util, "_SCRATCH_SWEPT", False)
     p = cache_util.process_scoped_db_path("db")
     assert str(tmp_path) in p
-    assert not dead.exists()
+    assert not dead_old.exists()
+    assert dead_young.exists()
     assert keep.exists()

@@ -523,3 +523,22 @@ def test_outer_join_eviction_rows_still_emit_after_nodata_trim(spark, sf_dir):
     )
     assert inner.exceptAll(batch).count() == 0
     assert batch.exceptAll(inner).count() == 0
+
+
+def test_txn_consistent_stream_zero_batch_source(spark, sf_dir, tmp_path):
+    """ADVICE r11: a stream that delivers ZERO batches (empty events
+    fixture) must yield the empty txn rollup with the real schema — not a
+    None-path read error in the replay builder or the post-stream
+    materialization."""
+    import os
+
+    src = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    src.limit(0).write.parquet(str(tmp_path / "events.parquet"))
+    out = jobs.txn_consistent_stream(spark, str(tmp_path))
+    assert [f.name for f in out.schema.fields] == [
+        "table_name",
+        "n_live_keys",
+        "last_applied_offset",
+        "n_inflight_held",
+    ]
+    assert out.collect() == []
