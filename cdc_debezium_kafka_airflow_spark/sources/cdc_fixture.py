@@ -149,11 +149,30 @@ def build_changelog(events: DataFrame) -> DataFrame:
         F.struct(F.struct(F.col("user_id").alias("id")).alias("payload"))
     )
 
+    # Pushdown guard (round-12 measurement): a consumer filter that
+    # references `value` (split_dlq's parse-failure predicate) is otherwise
+    # pushed BELOW the repartition above, inlining the whole
+    # to_json+from_json roundtrip into the pre-shuffle stage — which for
+    # this one-file fixture is a SINGLE task (one parquet row group = one
+    # split), and the optimizer additionally evaluates the inlined
+    # serialize twice inside the pushed predicate. Measured at sf0.1:
+    # upsert_materialize 1.47 s -> 0.62 s, snk_pydatasource_dlq's write
+    # branch 2.28 s -> parallel, ser_json_schema 0.78 s -> 0.56 s. The
+    # CASE WHEN spark_partition_id() wrapper is value-identical (partition
+    # ids are never negative, so the branch is always taken) but marks the
+    # column non-deterministic, the one mechanism the optimizer respects
+    # for "do not re-evaluate this below here" (the same fix the
+    # optimization guide §4.4 applies to duplicated UDFs; a rand()-based
+    # guard does NOT survive — Spark 4.1 constant-folds rand() compared
+    # against out-of-range literals).
+    # Filters on the cheap columns (topic, offset, timestamp) still push
+    # through to the scan. A real Kafka source is already partitioned and
+    # does not take this path.
     return events.select(
         F.col("event_id").alias("offset"),
         F.concat(F.lit(TOPIC_PREFIX), table).alias("topic"),
         F.lit(0).alias("partition"),
         key.alias("key"),
-        value.alias("value"),
+        F.when(F.spark_partition_id() >= F.lit(-1), value).alias("value"),
         F.col("ts").alias("timestamp"),
     )
