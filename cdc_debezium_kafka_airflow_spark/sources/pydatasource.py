@@ -97,6 +97,7 @@ class ChangelogReader(DataSourceReader):
 
 def _emit_changelog_batch(path: str, partition: "ChangelogPartition"):
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     tbl = (
@@ -107,57 +108,74 @@ def _emit_changelog_batch(path: str, partition: "ChangelogPartition"):
     event_id = tbl["event_id"].to_pylist()
     # nanos -> micros truncation, the same convention as the batch
     # loader's nanosAsLong div-1000 path (sub-microsecond digits drop)
-    ts = (
-        tbl["ts"]
-        .cast(pa.timestamp("us"), safe=False)
-        .to_pylist()
-    )
+    ts_us = tbl["ts"].cast(pa.timestamp("us"), safe=False).combine_chunks()
     user_id = tbl["user_id"].to_pylist()
     event_type = tbl["event_type"].to_pylist()
     value = tbl["value"].to_pylist()
     props = tbl["props"].to_pylist()
 
+    # Vectorized per-row pieces (round-12, guide §4.2): Arrow's %S prints
+    # the full fractional second for timestamp[us], so pc.strftime yields
+    # byte-identical output to the former per-row
+    # datetime.strftime('%Y-%m-%dT%H:%M:%S.%f'); ts_ms is integer floor
+    # division on the epoch-micros array. Both replace the two slowest
+    # per-row operations of the loop below.
+    import numpy as np
+
+    ts_strs = pc.strftime(ts_us, format="%Y-%m-%dT%H:%M:%S").to_pylist()
+    # numpy // is FLOOR division like the former datetime arithmetic
+    # ((t - epoch) // 1ms); pc.divide would truncate toward zero instead
+    ts_mss = (np.asarray(pc.cast(ts_us, pa.int64())) // 1000).tolist()
+
     offsets, topics, keys, values = [], [], [], []
-    for eid, t, uid, etype, val, pr in zip(
-        event_id, ts, user_id, event_type, value, props
+    dumps = json.dumps
+    for eid, etype, uid, val, pr, ts_str, ts_ms in zip(
+        event_id, event_type, user_id, value, props, ts_strs, ts_mss
     ):
         table = EVENT_TYPE_TO_TABLE.get(etype, DEFAULT_TABLE)
         m10 = eid % 10
-        op = "c" if m10 <= 4 else ("u" if m10 <= 7 else ("d" if m10 == 8 else "r"))
-        ts_str = t.strftime("%Y-%m-%dT%H:%M:%S.%f") + "+00:00"
-        ts_ms = (t - _EPOCH) // _MS
-        row_image = {
-            "event_id": eid,
-            "ts": ts_str,
-            "user_id": uid,
-            "event_type": etype,
-            "value": val,
-            "props": pr,
-        }
         if eid % 20 == 8:  # tombstone: delete marker with no value
             v = None
         elif eid % 97 == 0 and m10 < 8:  # DLQ fraction: broken JSON
             v = '{"malformed":' + str(eid)
         else:
-            v = json.dumps(
-                {
-                    "schema": {
-                        "type": "struct",
-                        "name": TOPIC_PREFIX + table + ".Envelope",
-                    },
-                    "payload": {
-                        "before": row_image if op in ("u", "d") else None,
-                        "after": row_image if op != "d" else None,
-                        "source": {
-                            "db": "pos_bi_db",
-                            "table": table,
-                            "ts_ms": ts_ms,
-                        },
-                        "op": op,
-                        "ts_ms": ts_ms,
-                    },
-                },
-                separators=(",", ":"),
+            # Hand-rolled template of the former json.dumps(dict) call —
+            # same key order, same separators, json.dumps kept exactly
+            # where escaping/repr rules apply (strings, floats), so the
+            # bytes are identical (pinned by
+            # tests/test_pydatasource_wire_bytes.py) at ~1/4 the per-row
+            # cost of serializing the nested dict.
+            op = (
+                "c" if m10 <= 4
+                else ("u" if m10 <= 7 else ("d" if m10 == 8 else "r"))
+            )
+            row_image = (
+                '{"event_id":%s,"ts":"%s+00:00","user_id":%s,'
+                '"event_type":%s,"value":%s,"props":%s}'
+                % (
+                    eid,
+                    ts_str,
+                    "null" if uid is None else uid,
+                    dumps(etype),
+                    "null" if val is None else dumps(val),
+                    "null" if pr is None else dumps(pr),
+                )
+            )
+            v = (
+                '{"schema":{"type":"struct","name":"%s%s.Envelope"},'
+                '"payload":{"before":%s,"after":%s,'
+                '"source":{"db":"pos_bi_db","table":"%s","ts_ms":%s},'
+                '"op":"%s","ts_ms":%s}}'
+                % (
+                    TOPIC_PREFIX,
+                    table,
+                    row_image if op in ("u", "d") else "null",
+                    row_image if op != "d" else "null",
+                    table,
+                    ts_ms,
+                    op,
+                    ts_ms,
+                )
             )
         offsets.append(eid)
         topics.append(TOPIC_PREFIX + table)
@@ -170,7 +188,7 @@ def _emit_changelog_batch(path: str, partition: "ChangelogPartition"):
             pa.array([0] * len(offsets), pa.int32()),
             pa.array(keys, pa.string()),
             pa.array(values, pa.string()),
-            pa.array(ts, pa.timestamp("us")),
+            ts_us,
         ],
         names=["offset", "topic", "partition", "key", "value", "timestamp"],
     )

@@ -691,25 +691,40 @@ def _flat_unwrapped(spark: SparkSession, sf_dir: str,
 
 
 def _best_of_batches(best, pdfs):
-    """Fold arrow batches into the winning (max-offset) image tuple."""
+    """Fold arrow batches into the winning (max-offset) image tuple.
+
+    Hot path: called once per key per micro-batch across every stateful
+    upsert stream. Round-12 trim (guide §4.2): numpy argmax + positional
+    `.iat` column access replaces `.loc[idxmax]`, which materialized a
+    typed pandas Series per key (~3x the per-group cost); the winning-row
+    comparison happens BEFORE the 8-field extraction, so a losing batch
+    costs one argmax and nothing else. Same winner: argmax and idxmax both
+    return the first maximal position."""
     import pandas as pd
 
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
-        row = pdf.loc[pdf["offset"].idxmax()]
-        cand = (
-            int(row["offset"]),
-            bool(row["is_delete"]),
-            None if pd.isna(row["event_id"]) else int(row["event_id"]),
-            None if pd.isna(row["ts"]) else row["ts"],
-            None if pd.isna(row["user_id"]) else int(row["user_id"]),
-            None if row["event_type"] is None else str(row["event_type"]),
-            None if pd.isna(row["value"]) else float(row["value"]),
-            None if row["props"] is None else str(row["props"]),
+        i = int(pdf["offset"].to_numpy().argmax())
+        off = int(pdf["offset"].iat[i])
+        if best is not None and off <= best[0]:
+            continue
+        event_id = pdf["event_id"].iat[i]
+        ts = pdf["ts"].iat[i]
+        user_id = pdf["user_id"].iat[i]
+        event_type = pdf["event_type"].iat[i]
+        value = pdf["value"].iat[i]
+        props = pdf["props"].iat[i]
+        best = (
+            off,
+            bool(pdf["is_delete"].iat[i]),
+            None if pd.isna(event_id) else int(event_id),
+            None if pd.isna(ts) else ts,
+            None if pd.isna(user_id) else int(user_id),
+            None if event_type is None else str(event_type),
+            None if pd.isna(value) else float(value),
+            None if props is None else str(props),
         )
-        if best is None or cand[0] > best[0]:
-            best = cand
     return best
 
 
@@ -2839,6 +2854,16 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     GAP_MS = 43_200_000      # so the batch twin cross-validates the stream
 
     def update(key, pdfs, state):
+        # Vectorized session builder (round-12, guide §4.2): the former
+        # per-event Python loop + sorted(lambda) cost ~5 µs/event across
+        # every event of every batch; np.lexsort + a gap mask + segment
+        # boundary arithmetic produce the IDENTICAL session segmentation
+        # (lexsort on (us, event_id) is the same total order — event_id is
+        # unique — and a session break is exactly `gap > GAP_US` between
+        # order-adjacent events, which the boolean mask evaluates for every
+        # adjacency at C speed).
+        import numpy as np
+
         if state.hasTimedOut:
             start_us, last_us, n = state.get
             state.remove()
@@ -2858,30 +2883,56 @@ def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )  # pandas datetime64[us/ns] -> int (us after //1000 if ns)
         if rows["ts"].dtype.str.endswith("[ns]"):
             us = us // 1000
-        order = sorted(range(len(us)), key=lambda i: (us[i], int(rows["event_id"].iloc[i])))
-        out = []
+        if len(us) == 0:  # defensive: re-arm existing state unchanged
+            if state.exists:
+                start_us, last_us, n = state.get
+                state.update((start_us, last_us, n))
+                state.setTimeoutTimestamp((last_us + 999) // 1000 + GAP_MS)
+            return
+        order = np.lexsort(
+            (rows["event_id"].astype("int64").to_numpy(), us)
+        )
+        us = us[order]
+        # segment starts: index 0, plus every adjacency whose gap exceeds
+        # the session gap
+        seg_start = np.flatnonzero(
+            np.concatenate(([True], (us[1:] - us[:-1]) > GAP_US))
+        )
+        seg_end = np.append(seg_start[1:] - 1, len(us) - 1)
+        starts = us[seg_start].copy()
+        lasts = us[seg_end]
+        counts = (seg_end - seg_start + 1).astype("int64")
+        flushed = None
         if state.exists:
-            start_us, last_us, n = state.get
-        else:
-            start_us = last_us = None
-            n = 0
-        for i in order:
-            t_us = int(us[i])
-            if start_us is None:
-                start_us, last_us, n = t_us, t_us, 1
-            elif t_us - last_us > GAP_US:
-                out.append((key[0], start_us, last_us, n))
-                start_us, last_us, n = t_us, t_us, 1
+            s0, l0, n0 = state.get
+            if us[0] - l0 <= GAP_US:
+                # first segment continues the stored session
+                starts[0] = s0
+                counts[0] += n0
             else:
-                last_us, n = t_us, n + 1
-        state.update((start_us, last_us, n))
+                # stored session closes by in-data gap, ahead of the rest
+                flushed = (s0, l0, n0)
+        state.update((int(starts[-1]), int(lasts[-1]), int(counts[-1])))
         # ceil to ms: a floored timeout could fire <1ms before the exact
         # microsecond cut the oracle uses (session_last + gap), flipping a
         # boundary session between engines
-        state.setTimeoutTimestamp((last_us + 999) // 1000 + GAP_MS)
-        if out:
+        state.setTimeoutTimestamp((int(lasts[-1]) + 999) // 1000 + GAP_MS)
+        n_emit = len(starts) - 1
+        if flushed is not None or n_emit:
+            e_start = starts[:n_emit]
+            e_last = lasts[:n_emit]
+            e_n = counts[:n_emit]
+            if flushed is not None:
+                e_start = np.concatenate(([flushed[0]], e_start))
+                e_last = np.concatenate(([flushed[1]], e_last))
+                e_n = np.concatenate(([flushed[2]], e_n))
             yield pd.DataFrame(
-                out, columns=["user_id", "start_us", "last_us", "n_events"]
+                {
+                    "user_id": np.full(len(e_start), key[0], dtype="int64"),
+                    "start_us": e_start,
+                    "last_us": e_last,
+                    "n_events": e_n,
+                }
             )
 
     sessions = (
