@@ -31,7 +31,10 @@ from cdc_debezium_kafka_airflow_spark.operators.ranking import (
     histogram_rank,
     ntile_from_rank,
 )
-from cdc_debezium_kafka_airflow_spark.queries.common import t
+from cdc_debezium_kafka_airflow_spark.queries.common import (
+    t,
+    widen_narrow_scan,
+)
 from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import (
     SQL_TABLE_CASE,
     TOPIC_PREFIX,
@@ -1450,7 +1453,12 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_text,
     )
 
-    d = t(spark, sf_dir, "documents").select(
+    # widen ahead of the normalize+shingle projection: the expensive HOF
+    # work otherwise runs on the fixture's single scan split (measured
+    # round 12: the 2.5 s scan stage parallelizes; no-op at real scale)
+    d = widen_narrow_scan(
+        t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    ).select(
         "doc_id",
         "source",
         normalize_text(F.col("text")).alias("tx"),

@@ -9,7 +9,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
-from cdc_debezium_kafka_airflow_spark.queries.common import t
+from cdc_debezium_kafka_airflow_spark.queries.common import (
+    t,
+    widen_narrow_scan,
+)
 from cdc_debezium_kafka_airflow_spark.queries.cdc_queries import CH_CTE, _unwrapped
 
 QUERIES = {}
@@ -88,7 +91,11 @@ def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
                 return
 
     spark.udtf.register("parse_props", ParseProps)
-    t(spark, sf_dir, "events").createOrReplaceTempView("events_udtf_v")
+    # per-row Python eval must not run on the fixture's single scan split
+    # (scale-adaptive: no-op when the scan already carries >= core splits)
+    widen_narrow_scan(
+        t(spark, sf_dir, "events")
+    ).createOrReplaceTempView("events_udtf_v")
     return spark.sql(
         "SELECT e.event_id, p.prop_key, p.prop_val "
         "FROM events_udtf_v e, LATERAL parse_props(e.props) p"
@@ -1040,7 +1047,11 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     spark.udtf.register("one_hot_poly", udtf_deco(OneHot))
-    t(spark, sf_dir, "events").createOrReplaceTempView("poly_events")
+    # per-row Python eval must not run on the fixture's single scan split
+    # (scale-adaptive: no-op when the scan already carries >= core splits)
+    widen_narrow_scan(
+        t(spark, sf_dir, "events")
+    ).createOrReplaceTempView("poly_events")
     onehot = spark.sql(
         "SELECT * FROM one_hot_poly(TABLE(poly_events), 'click,view,purchase')"
     )

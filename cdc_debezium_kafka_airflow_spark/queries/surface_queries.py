@@ -253,12 +253,26 @@ def udf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort; at 100 TB the unpruned form is a non-starter). The oracle is
     the equivalent relational LEFT JOIN + aggregate (cogroup must also
     emit customers with zero orders — the empty-right-frame case)."""
+    # Hold the cogroup's key-parallel width explicitly (round-12): the
+    # cohort is a few MB, so AQE's size-based coalescing collapses the
+    # ENSURE_REQUIREMENTS shuffle feeding the Python stage to ONE
+    # partition — but the stage's cost is per-GROUP Python machinery
+    # (~2 ms/group of Arrow framing), which byte-size-driven AQE cannot
+    # see. A user-numbered repartition is exempt from coalescing and
+    # keeps all cores on the group calls (measured at sf0.1: 5.3 s ->
+    # 0.9 s warm). Same discipline a 100 TB run needs: width for an
+    # expensive per-group stage is set by group count, not bytes.
+    width = spark.sparkContext.defaultParallelism
     cust = t(spark, sf_dir, "customer").filter(
         F.col("c_custkey") % 10 == 0
-    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+    ).select("c_custkey", "c_mktsegment", "c_acctbal").repartition(
+        width, "c_custkey"
+    )
     orders = t(spark, sf_dir, "orders").filter(
         F.col("o_custkey") % 10 == 0
-    ).select("o_custkey", "o_orderkey", "o_totalprice")
+    ).select("o_custkey", "o_orderkey", "o_totalprice").repartition(
+        width, "o_custkey"
+    )
 
     def reconcile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if left.empty:  # orders for a customer outside the filter
