@@ -1050,10 +1050,7 @@ def snk_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec",
         "nvec",
     ).select("vid", F.col("nvec").alias("vec"))
-    # persisted: the four fragmentation rounds below each filter this
-    # frame — without the boundary the normalize+assign lineage recomputes
-    # once per append round (4x the embeddings scan for the same rows)
-    assigned = assigner(v).select("vid", "vec", "cell").persist()
+    assigned = assigner(v).select("vid", "vec", "cell")
 
     frag_dir = _cache_dir(sf_dir, "index_frag")
     compact_dir = _cache_dir(sf_dir, "index_compact")
@@ -1061,16 +1058,28 @@ def snk_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shutil.rmtree(frag_dir, ignore_errors=True)
     shutil.rmtree(compact_dir, ignore_errors=True)
-    # four append rounds -> ~4 files per cell (the day's fragmentation);
-    # the persist is fully consumed by these writes (everything below
-    # reads back from parquet), so release it here (ADVICE r09)
-    try:
-        for quarter in range(4):
-            assigned.filter(F.col("vid") % 4 == quarter).repartition(
-                "cell"
-            ).write.mode("append").partitionBy("cell").parquet(frag_dir)
-    finally:
-        assigned.unpersist()
+    # Fragmentation setup in ONE pass (round 12): the former four
+    # append rounds each re-scanned and re-shuffled the assigned frame
+    # (4 jobs + a persist to stop lineage recompute). Shuffling once on
+    # (cell, vid%4) gives the same fragmented layout — each task holds
+    # one (cell, quarter) group, so partitionBy("cell") emits multiple
+    # small files per cell (hash collisions can co-locate two quarters
+    # of a cell in one task and merge them into one file; the store
+    # stays multi-file per cell, which is all the compaction audit
+    # needs). Byte content is identical; the persist is obsolete.
+    (
+        assigned.withColumn("q", F.col("vid") % 4)
+        # user-NUMBERED repartition: an unnumbered one is AQE-coalescible
+        # and collapsed to one task (one file per cell = nothing left to
+        # compact, breaking the audit at sf0.01)
+        .repartition(
+            spark.sparkContext.defaultParallelism, F.col("cell"), F.col("q")
+        )
+        .drop("q")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(frag_dir)
+    )
 
     def n_files(d: str) -> int:
         return sum(
