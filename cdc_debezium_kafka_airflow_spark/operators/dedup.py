@@ -150,11 +150,27 @@ def ngram_jaccard_pairs(
     else:
         # pre-shingled input (e.g. the fingerprint-cached shingle table):
         # must carry (doc_id, block, shingles); k/unit are then descriptive
+        src_cached = (
+            shingled.storageLevel.useMemory or shingled.storageLevel.useDisk
+        )
         shingled = shingled.select("doc_id", "block", "shingles")
+        if src_cached:
+            # caller already persisted the source (e.g. ext_dedup_minhash
+            # shares ONE cache between this and the minhash pipeline) —
+            # a second persist of the projected twin would double-cache
+            return _ngram_jaccard_over(shingled, threshold)
     # consumed by four subtrees (frequency, prefix, verification a+b) —
     # persist one materialization instead of recomputing the shingling per
     # consumer (at cluster scale this would be a checkpoint/cached table)
     shingled = shingled.persist()
+    return _ngram_jaccard_over(shingled, threshold)
+
+
+def _ngram_jaccard_over(shingled: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filtered exact set-similarity join over a (doc_id, block,
+    shingles) frame the caller has already made cheap to re-scan (persisted
+    here or by the caller). Body of ``ngram_jaccard_pairs`` — see its
+    docstring for the algorithm."""
     exploded = shingled.select(
         "doc_id", "block", F.size("shingles").alias("set_size"),
         F.explode("shingles").alias("shingle"),
@@ -309,11 +325,17 @@ def minhash_lsh_pairs(
         shingled = tokenized.select(
             "doc_id",
             word_shingles_from_tokens(F.col("toks"), 3).alias("shingles"),
-        )
+        ).persist()
     else:
         # pre-shingled word-3 input (the fingerprint-cached shingle table)
+        src_cached = (
+            shingled.storageLevel.useMemory or shingled.storageLevel.useDisk
+        )
         shingled = shingled.select("doc_id", "shingles")
-    shingled = shingled.persist()
+        if not src_cached:
+            shingled = shingled.persist()
+        # else: caller persisted the source (ext_dedup_minhash shares one
+        # cache across this and the exact pipeline) — don't double-cache
 
     def band_sig(b: int) -> Column:
         return F.array_min(

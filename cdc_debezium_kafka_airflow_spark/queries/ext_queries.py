@@ -348,15 +348,17 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingled_documents,
     )
 
-    sh = shingled_documents(spark, sf_dir, unit="word", k=3)
+    # ONE persisted shingle frame serves BOTH pipelines (round 12): the
+    # minhash and exact legs each persisted their own projection of the
+    # same cache-table scan, materializing it twice per run. Both
+    # operators skip their internal persist when the input is already
+    # cached (src_cached seam).
+    sh = shingled_documents(spark, sf_dir, unit="word", k=3).select(
+        "doc_id", F.lit("g").alias("block"), "shingles"
+    ).persist()
     mh = minhash_lsh_pairs(shingled=sh)  # id_a/id_b/jaccard_distance (exact)
     # threshold 0.59 < 0.6: containment immune to round-6 boundary flips
-    exact = ngram_jaccard_pairs(
-        k=3,
-        threshold=0.59,
-        unit="word",
-        shingled=sh.select("doc_id", F.lit("g").alias("block"), "shingles"),
-    )
+    exact = ngram_jaccard_pairs(k=3, threshold=0.59, unit="word", shingled=sh)
     exact = exact.persist()  # feeds both the left join and the recall check
     joined = mh.alias("m").join(
         exact.alias("e"), on=["id_a", "id_b"], how="left"
