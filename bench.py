@@ -273,8 +273,27 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(full, fh, indent=1, sort_keys=True)
     print(json.dumps(full), file=sys.stderr)
-    # keep the machine-read line tiny: a tail-buffered log capture must never
-    # truncate it mid-JSON (the per-query map alone is ~2 KB for 83 queries)
+    # Per-query map on STDOUT (round-12 verdict task #2): the driver's
+    # round-over-round adjudication and scaling block need per-query
+    # timings, and its capture reads the process output tail — a file
+    # (BENCH_local.json) is not enough. Emitted as its OWN compact line
+    # IMMEDIATELY BEFORE the headline rather than folded into it: the
+    # recorded tail in BENCH_r12.json is 2000 chars, so a headline
+    # carrying a ~9 KB map could be truncated mid-JSON and lose even the
+    # total if the capture buffer is that small. This layout degrades
+    # gracefully — a small buffer still sees the intact tiny headline as
+    # the last line; a normal buffer sees both lines.
+    per_query_line = {
+        "metric": "per_query_wall_seconds",
+        "unit": "sec",
+        "sf": sf,
+        "queries": timings,
+        "n_jobs": n_jobs,
+    }
+    print(json.dumps(per_query_line, sort_keys=True,
+                     separators=(",", ":")))
+    # keep the LAST machine-read line tiny: a tail-buffered log capture
+    # must never truncate it mid-JSON
     headline = {
         "metric": "total_query_wall_seconds",
         "value": total,
@@ -293,6 +312,9 @@ def main() -> None:
             sum(n_jobs.values()) * host_job_floor_ms / 1000.0, 1
         ),
         "queries_file": "BENCH_local.json",
+        # the full per-query map is the immediately preceding stdout line
+        # (metric: per_query_wall_seconds) and BENCH_local.json
+        "per_query_stdout_metric": "per_query_wall_seconds",
     }
     print(json.dumps(headline))
 
