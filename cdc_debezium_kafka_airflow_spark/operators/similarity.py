@@ -199,13 +199,26 @@ def _greedy_seeds(
     return seeds
 
 
-# Trained centroids memoized per (corpus identity, hyperparams): an IVF
-# index is TRAINED ONCE and served many times — retraining k-means on every
-# query invocation is not the production lifecycle. The cached artifact is
-# tiny (k x dim doubles, driver-side Python lists), so this is an index
-# catalog in miniature, not a data cache; training itself is deterministic
-# (quantized centroids), so a rebuild on miss yields bit-identical cells.
+# Trained centroids memoized per (corpus identity, hyperparams) WITHIN one
+# query run: a single ANN/semdedup query trains once and then encodes,
+# probes and audits against the same frozen model — the memo is what keeps
+# that "train once, serve the rest of the plan" structure from retraining
+# per consumer subtree. It is driver-side, in-process, and tiny (k x dim
+# doubles). It deliberately does NOT persist across processes or timed
+# bench runs (round-13: the former on-disk artifact tier excluded training
+# from the timed region — bench.py now calls clear_model_memos() between
+# queries so every timed run pays its own training cold). Training is
+# deterministic (quantized centroids), so a rebuild yields identical cells.
 _CENTROID_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
+
+
+def clear_model_memos() -> None:
+    """Drop all in-process trained-model memos (IVF centroids, PQ
+    codebooks). Called by measurement harnesses between queries so each
+    timed run trains from the parquet inputs instead of inheriting a
+    previous query's model."""
+    _CENTROID_CACHE.clear()
+    _PQ_CACHE.clear()
 
 
 def train_ivf_centroids(
@@ -240,25 +253,24 @@ def train_ivf_centroids(
     DataFrame without re-running Lloyd.
     """
     memo_key = (cache_key, k, iters) if cache_key is not None else None
-    if memo_key is not None:
-        if memo_key not in _CENTROID_CACHE:
-            # disk tier of the index catalog: a fresh process (driver bench,
-            # new job) reloads the once-trained centroids instead of paying
-            # the Lloyd iterations again; floats round-trip bit-exactly
-            from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
-                artifact_load,
-            )
+    if memo_key is not None and memo_key in _CENTROID_CACHE:
+        return corpus.sparkSession.createDataFrame(
+            _CENTROID_CACHE[memo_key],
+            "centroid_id int, centroid array<double>",
+        )
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
 
-            stored = artifact_load("ivf_centroids", memo_key)
-            if stored is not None:
-                _CENTROID_CACHE[memo_key] = [
-                    (int(cid), [float(x) for x in vec]) for cid, vec in stored
-                ]
-        if memo_key in _CENTROID_CACHE:
-            return corpus.sparkSession.createDataFrame(
-                _CENTROID_CACHE[memo_key],
-                "centroid_id int, centroid array<double>",
+    def _round6(x: float) -> float:
+        # Spark's round(double, 6): BigDecimal.valueOf (shortest decimal
+        # repr, same as Python's repr for doubles) + HALF_UP — NOT
+        # Python's banker-rounding round()
+        return float(
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
             )
+        )
+
     v = normalized(
         corpus.select(
             F.col(id_col).alias("vid"), as_double(F.col(vec_col)).alias("vec")
@@ -266,75 +278,62 @@ def train_ivf_centroids(
         "vec",
         "nvec",
     ).select("vid", "nvec")
+    # one materialization serves the seed probe and every Lloyd pass
+    # (in-run persist; dropped before returning)
+    v = v.persist()
     seeds = _greedy_seeds(v, k)
-    centroids = v.sparkSession.createDataFrame(
-        [(i, s) for i, s in enumerate(seeds)], "cid int, cvec_c array<double>"
-    )
+    dim = len(seeds[0])
+    # Round-13 Lloyd shape (guide §2.4): centroids live driver-side
+    # (k x dim doubles — the model, not data), so each iteration is ONE
+    # map-only nearest-cell assignment (centroid literals inlined, no
+    # broadcast exchange, no min_by shuffle — nearest_cell_assigner) and
+    # ONE partial aggregation collecting k x (dim+1) cells: per-dimension
+    # sums via element_at instead of the old posexplode -> avg ->
+    # collect_list -> array_sort cascade (which shuffled |corpus| x dim
+    # rows twice per iteration and re-planned through an eager
+    # localCheckpoint). The mean/re-normalize/6dp-quantize step is k x dim
+    # driver arithmetic, matching the old plan's float behavior: sums are
+    # unordered partial aggregates in BOTH shapes (the 6dp quantization is
+    # what makes assignment stable against summation order — unchanged),
+    # the norm is the same sequential fold, the rounding is Spark's exact
+    # HALF_UP. Cells that lose all members drop out, as before.
+    cent_rows: list[tuple[int, list[float]]] = [
+        (i, s) for i, s in enumerate(seeds)
+    ]
     vv = v.select("vid", F.col("nvec").alias("vec"))
     for _ in range(iters):
-        assigned = _assign_to_centroids(vv, centroids)
-        # per-dimension mean: explode positions once, average, re-collect,
-        # then re-normalize onto the unit sphere (spherical k-means step)
-        assigned_pos = assigned.select(
-            "cid", F.posexplode("vec").alias("pos", "x")
+        assign = nearest_cell_assigner(
+            cent_rows, vec_col="vec", id_col="vid", cid_col="cid",
+            d2_col="_d2",
         )
-        centroids = (
-            assigned_pos.groupBy("cid", "pos")
-            .agg(F.avg("x").alias("m"))
+        stats = (
+            assign(vv)
             .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-            .select(
-                "cid",
-                F.transform(F.col("pm"), lambda s: s["m"]).alias("mvec"),
+            .agg(
+                F.count("*").alias("n"),
+                *[
+                    F.sum(F.element_at("vec", d + 1)).alias(f"s{d}")
+                    for d in range(dim)
+                ],
             )
+            .collect()
         )
-        centroids = (
-            normalized(centroids, "mvec", "nm")
-            .select(
-                "cid",
-                F.transform(F.col("nm"), lambda x: F.round(x, 6)).alias(
-                    "cvec_c"
-                ),
+        cent_rows = []
+        for r in sorted(stats, key=lambda r: r["cid"]):
+            m = [r[f"s{d}"] / r["n"] for d in range(dim)]
+            nrm = 0.0
+            for x in m:  # sequential fold, same order as l2_norm's
+                nrm += x * x
+            nrm = max(math.sqrt(nrm), 1e-12)
+            cent_rows.append(
+                (int(r["cid"]), [_round6(x / nrm) for x in m])
             )
-        )
-        centroids = centroids.localCheckpoint(eager=True)
-    out = centroids.select(
-        F.col("cid").alias("centroid_id"), F.col("cvec_c").alias("centroid")
-    )
+    v.unpersist()
+    rows = [(cid, [float(x) for x in vec]) for cid, vec in cent_rows]
     if memo_key is not None:
-        rows = [
-            (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
-            for r in out.collect()
-        ]
         _CENTROID_CACHE[memo_key] = rows
-        from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
-            artifact_store,
-        )
-
-        artifact_store(
-            "ivf_centroids", memo_key, [[c, v] for c, v in rows]
-        )
-        return corpus.sparkSession.createDataFrame(
-            rows, "centroid_id int, centroid array<double>"
-        )
-    return out
-
-
-def _assign_to_centroids(v: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment (broadcast centroids; ties -> lowest id)."""
-    joined = v.join(F.broadcast(centroids))
-    d2 = F.aggregate(
-        F.zip_with("vec", "cvec_c", lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = joined.select("vid", "vec", "cid", d2.alias("d2"))
-    return (
-        scored.groupBy("vid")
-        .agg(
-            F.min_by(F.struct("cid", "vec"), F.struct("d2", "cid")).alias("b")
-        )
-        .select("vid", F.col("b.cid").alias("cid"), F.col("b.vec").alias("vec"))
+    return corpus.sparkSession.createDataFrame(
+        rows, "centroid_id int, centroid array<double>"
     )
 
 
@@ -345,11 +344,11 @@ def nearest_cell_expr(
     set is inlined as array literals and the argmin runs as one row-local
     expression — no broadcast exchange, no groupBy shuffle. For the k <=
     a-few-hundred regime (a streaming micro-batch assigning against a
-    once-trained index) this collapses the join+min_by two-stage shape of
-    ``_assign_to_centroids`` into zero extra stages: the cell id is just
+    once-trained index) this collapses the broadcast-join+min_by two-stage
+    shape into zero extra stages: the cell id is just
     another projected column, so a foreachBatch append's ONLY shuffle is
     the storage-partition co-location. Ties break toward the lowest
-    centroid id (same contract as ``_assign_to_centroids``).
+    centroid id (same contract as the broadcast-join+min_by path).
 
     ``vec_col`` must already be unit-normalized (assignment in normalized
     space — see train_ivf_centroids).
@@ -358,24 +357,40 @@ def nearest_cell_expr(
     bare cell id, or derive the centroid similarity as ``1 - d2/2`` (exact
     for unit vectors up to summation rounding).
     """
-    candidates = [
-        F.struct(
+    # ONE nested-array literal + ONE indexed transform lambda (r13): the
+    # old shape unrolled a struct(zip_with-fold, lit) subtree PER centroid,
+    # so driver-side construction + Catalyst analysis grew linearly in
+    # k x dim — ~1-2 s per plan at k=8, dim=64, paid per Lloyd iteration
+    # and per micro-batch plan. The transform form ships the same doubles
+    # as one literal and keeps the expression tree constant-size; the
+    # per-element arithmetic (zip_with fold of squared diffs, array_min of
+    # struct(d2, cid)) is unchanged, so results are bit-identical.
+    import numpy as np
+
+    ids = [int(cid) for cid, _ in centroid_rows]
+    # np-backed 1-D literals convert ~3x faster than Python lists (py4j
+    # walks list elements one call each); the nested array is assembled
+    # from k of them
+    vecs = F.array(
+        *[
+            F.lit(np.asarray([float(x) for x in cvec], dtype=np.float64))
+            for _, cvec in centroid_rows
+        ]
+    )
+    cand = F.transform(
+        vecs,
+        lambda c, i: F.struct(
             F.aggregate(
                 F.zip_with(
-                    F.col(vec_col),
-                    # ONE literal call per centroid (a py4j round-trip per
-                    # element would dominate the whole per-batch cost)
-                    F.lit([float(x) for x in cvec]),
-                    lambda x, c: (x - c) * (x - c),
+                    F.col(vec_col), c, lambda x, cc: (x - cc) * (x - cc)
                 ),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
             ).alias("d2"),
-            F.lit(int(cid)).alias("cid"),
-        )
-        for cid, cvec in centroid_rows
-    ]
-    return F.array_min(F.array(*candidates))
+            F.element_at(F.lit(ids), i + F.lit(1)).alias("cid"),
+        ),
+    )
+    return F.array_min(cand)
 
 
 #: dispatch threshold for nearest-cell assignment: below this the trained
@@ -575,7 +590,8 @@ def embedding_near_dups(
     )
 
 
-# PQ codebooks memoized like IVF centroids: train once, serve many times.
+# PQ codebooks memoized like IVF centroids: train once per query run,
+# serve every consumer subtree of that run (cleared via clear_model_memos).
 _PQ_CACHE: dict[tuple, list[tuple[int, int, list[float]]]] = {}
 
 
@@ -639,23 +655,11 @@ def train_pq_codebooks(
         if cache_key is not None
         else None
     )
-    if memo_key is not None:
-        if memo_key not in _PQ_CACHE:
-            from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
-                artifact_load,
-            )
-
-            stored = artifact_load("pq_codebooks", memo_key)
-            if stored is not None:
-                _PQ_CACHE[memo_key] = [
-                    (int(s), int(c), [float(x) for x in v])
-                    for s, c, v in stored
-                ]
-        if memo_key in _PQ_CACHE:
-            return vectors.sparkSession.createDataFrame(
-                _PQ_CACHE[memo_key],
-                "sub int, code int, centroid array<double>",
-            )
+    if memo_key is not None and memo_key in _PQ_CACHE:
+        return vectors.sparkSession.createDataFrame(
+            _PQ_CACHE[memo_key],
+            "sub int, code int, centroid array<double>",
+        )
     rows = (
         vectors.select(F.col(id_col).alias("vid"),
                        as_double(F.col(vec_col)).alias("vec"))
@@ -669,13 +673,6 @@ def train_pq_codebooks(
     out = _train_pq_from_matrix(x, m, ksub, iters)
     if memo_key is not None:
         _PQ_CACHE[memo_key] = out
-        from cdc_debezium_kafka_airflow_spark.sources.cache_util import (
-            artifact_store,
-        )
-
-        artifact_store(
-            "pq_codebooks", memo_key, [[s, c, v] for s, c, v in out]
-        )
     return vectors.sparkSession.createDataFrame(
         out, "sub int, code int, centroid array<double>"
     )

@@ -350,9 +350,9 @@ def ext_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # ONE persisted shingle frame serves BOTH pipelines (round 12): the
     # minhash and exact legs each persisted their own projection of the
-    # same cache-table scan, materializing it twice per run. Both
-    # operators skip their internal persist when the input is already
-    # cached (src_cached seam).
+    # same shingle frame, materializing it twice per run. Both operators
+    # skip their internal persist when the input is already cached
+    # (src_cached seam). r13: the frame is computed in-run from parquet.
     sh = shingled_documents(spark, sf_dir, unit="word", k=3).select(
         "doc_id", F.lit("g").alias("block"), "shingles"
     ).persist()
@@ -1353,8 +1353,11 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingled_documents,
     )
 
-    # split labels derive from the cached content-hash bucket — same md5
-    # expression as train_val_test_split, no second pass over raw text
+    # split labels derive from the shingle frame's content-hash bucket —
+    # same md5 expression as train_val_test_split, no second pass over raw
+    # text. Persisted: the operator's train and eval legs both explode it
+    # (round 13 — shingles are computed in-run, so an unpersisted frame
+    # would pay the HOF shingling once per leg).
     sh = shingled_documents(spark, sf_dir, unit="word", k=3).select(
         "doc_id",
         F.when(F.col("bucket") < 90, "train")
@@ -1362,7 +1365,7 @@ def ext_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
         "shingles",
-    )
+    ).persist()
     return decontaminate(shingled=sh)
 
 
@@ -1831,6 +1834,7 @@ def ext_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingled_documents,
     )
 
+    # persisted for the same two-leg reason as ext_decontaminate (r13)
     sh = shingled_documents(spark, sf_dir, unit="word", k=3).select(
         "doc_id",
         F.when(F.col("bucket") < 90, "train")
@@ -1838,7 +1842,7 @@ def ext_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
         "shingles",
-    )
+    ).persist()
     return decontaminate_bloom(shingled=sh)
 
 
@@ -3993,10 +3997,9 @@ def e2e_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = t(spark, sf_dir, "documents")
-    # the shingle table is the corpus's materialized intermediate (same
-    # fingerprint-cached parquet the dedup/decontamination family starts
-    # from): doc_id, bucket, distinct word-3-gram shingles — the expensive
-    # HOF work is read back, not recomputed
+    # the shared shingle derivation (same frame the dedup/decontamination
+    # family starts from): doc_id, bucket, distinct word-3-gram shingles —
+    # computed in-run (r13) and folded into the persisted feats frame below
     sc_ = shingled_documents(spark, sf_dir).select(
         "doc_id", F.col("bucket").cast("long").alias("b"), "shingles"
     )
@@ -4171,9 +4174,11 @@ def ext_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     th = 0.35
     e = t(spark, sf_dir, "embeddings")
-    # the decision log is a fingerprint-cached materialized intermediate
-    # (sources/semdedup_cache.py), shared with ext_corpus_prune_d4
-    dec = semdedup_decision_log(spark, sf_dir, n_clusters=8, threshold=th)
+    # the decision log is computed in-run (round 13: no cross-run cache);
+    # persist ONE materialization — four audit subtrees below reuse it
+    dec = semdedup_decision_log(
+        spark, sf_dir, n_clusters=8, threshold=th
+    ).persist()
     v = normalized(
         e.select(
             F.col("vec_id").alias("vid"),
@@ -4299,7 +4304,11 @@ def ext_corpus_prune_d4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     frac = 0.10
     e = t(spark, sf_dir, "embeddings")
-    dec = semdedup_decision_log(spark, sf_dir, n_clusters=8, threshold=0.35)
+    # computed in-run (round 13); persisted — the kept frame and the
+    # dropped-count subtree both read it
+    dec = semdedup_decision_log(
+        spark, sf_dir, n_clusters=8, threshold=0.35
+    ).persist()
     kept = dec.filter(F.col("kept")).select("vid", "cid", "centroid_sim")
     w = Window.partitionBy("cid").orderBy(
         F.col("centroid_sim").desc(), F.col("vid").asc()

@@ -1036,7 +1036,12 @@ def snk_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings")
     fp = source_fingerprint(sf_dir, "embeddings")
-    cents = train_ivf_centroids(e, k=8, cache_key=fp)
+    # explicit id/vec columns (r13): this call used to resolve only via a
+    # memo/artifact hit populated by an earlier ANN query — cold training
+    # on the raw embeddings table needs the real column names
+    cents = train_ivf_centroids(
+        e, id_col="vec_id", vec_col="embedding", k=8, cache_key=fp
+    )
     cent_rows = [(r["centroid_id"], r["centroid"]) for r in cents.collect()]
     assigner = nearest_cell_assigner(
         cent_rows, vec_col="vec", id_col="vid", cid_col="cell",

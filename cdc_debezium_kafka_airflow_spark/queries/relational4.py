@@ -1360,7 +1360,11 @@ def ext_dedup_minhash_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingled_documents,
     )
 
-    sc_ = shingled_documents(spark, sf_dir).select("doc_id", "shingles")
+    # persisted: the size probe, the mllib leg and the exact-dup reference
+    # all read it (r13 — shingles are computed in-run, not read from disk)
+    sc_ = shingled_documents(spark, sf_dir).select(
+        "doc_id", "shingles"
+    ).persist()
     if sc_.count() > 2000:
         # deterministic stratum above the degeneration point — see below
         sc_ = sc_.filter(F.col("doc_id") % 5 == 0)

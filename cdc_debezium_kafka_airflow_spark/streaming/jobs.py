@@ -1768,7 +1768,12 @@ def streaming_index_append_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(index_dir)
     shutil.copytree(kept_dir, os.path.join(index_dir, "src=seed"))
 
-    cents = train_ivf_centroids(corpus, k=8, cache_key=ck)
+    # explicit id/vec columns (r13): same memo key as corpus_kept_set's
+    # training above, so this is a memo hit in-run — but it must also
+    # train correctly cold (the raw embeddings frame has vec_id/embedding)
+    cents = train_ivf_centroids(
+        corpus, id_col="vec_id", vec_col="embedding", k=8, cache_key=ck
+    )
     cent_rows = [(r["centroid_id"], r["centroid"]) for r in cents.collect()]
     assigner = nearest_cell_assigner(
         cent_rows, vec_col="vec", id_col="vid", cid_col="cell",
@@ -2092,14 +2097,17 @@ def stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tag = os.path.basename(os.path.normpath(sf_dir))
 
-    # static side, built once: eval shingle counts + the Bloom bitset
+    # static side, built once per run: eval shingle counts + the Bloom
+    # bitset. eval_sh is persisted — the bloom build collects it and the
+    # per-batch joins broadcast it (r13: shingles compute in-run, so an
+    # unpersisted frame would re-shingle the corpus per consumer).
     sh_all = shingled_documents(spark, sf_dir, unit="word", k=3)
     eval_sh = (
         sh_all.filter(F.col("bucket") >= 90)
         .select("doc_id", F.explode("shingles").alias("sg"))
         .groupBy("sg")
         .agg(F.countDistinct("doc_id").alias("n_eval_docs"))
-    )
+    ).persist()
     maybe_contaminated, h1c, h2c = build_shingle_bloom_udf(eval_sh)
     eval_b = F.broadcast(eval_sh)
 

@@ -719,14 +719,16 @@ def test_nearest_cell_assigner_dispatch_both_regimes(spark, sf_dir):
 
 def test_nearest_cell_expr_matches_join_assignment(spark, sf_dir):
     """The map-only literal-argmin assignment (nearest_cell_expr) and the
-    join+min_by shape (_assign_to_centroids) implement one contract —
-    nearest centroid, ties to the lowest id — and must agree cell-for-cell
-    on the fixture corpus."""
+    broadcast-join+min_by shape (nearest_cell_assigner's literal_max=0
+    path — the private _assign_to_centroids helper was folded into it in
+    r13) implement one contract — nearest centroid, ties to the lowest id
+    — and must agree cell-for-cell on the fixture corpus, on REAL trained
+    centroids (the cap-forced synthetic test above covers the dispatch)."""
     from pyspark.sql import functions as F
 
     from cdc_debezium_kafka_airflow_spark.operators.similarity import (
-        _assign_to_centroids,
         as_double,
+        nearest_cell_assigner,
         nearest_cell_expr,
         normalized,
         train_ivf_centroids,
@@ -752,16 +754,12 @@ def test_nearest_cell_expr_matches_join_assignment(spark, sf_dir):
             "vid", nearest_cell_expr(cent_rows, "vec")["cid"].alias("cid")
         ).collect()
     }
-    via_join = {
-        r["vid"]: r["cid"]
-        for r in _assign_to_centroids(
-            v,
-            cents.select(
-                F.col("centroid_id").alias("cid"),
-                F.col("centroid").alias("cvec_c"),
-            ),
-        ).collect()
-    }
+    join_df = nearest_cell_assigner(
+        cent_rows, vec_col="vec", id_col="vid", cid_col="cid",
+        d2_col="d2", literal_max=0,
+    )(v)
+    assert "Join" in join_df._jdf.queryExecution().executedPlan().toString()
+    via_join = {r["vid"]: r["cid"] for r in join_df.collect()}
     assert via_expr == via_join
 
 

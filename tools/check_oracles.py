@@ -100,6 +100,15 @@ def main():
     for name in names:
         fn = qs[name]
         try:
+            # per-query isolation (r13): queries persist in-run frames and
+            # memoize trained models in-process; drop both between queries
+            # so a 344-name sweep doesn't accumulate cached blocks
+            spark.catalog.clearCache()
+            from cdc_debezium_kafka_airflow_spark.operators.similarity import (
+                clear_model_memos,
+            )
+
+            clear_model_memos()
             sdf = fn(spark, args.sf)
             spdf = sdf.toPandas()
             scols = list(spdf.columns)
