@@ -1065,23 +1065,28 @@ def snk_index_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(compact_dir, ignore_errors=True)
     # Fragmentation setup in ONE pass (round 12): the former four
     # append rounds each re-scanned and re-shuffled the assigned frame
-    # (4 jobs + a persist to stop lineage recompute). Shuffling once on
-    # (cell, vid%4) gives the same fragmented layout — each task holds
-    # one (cell, quarter) group, so partitionBy("cell") emits multiple
-    # small files per cell (hash collisions can co-locate two quarters
-    # of a cell in one task and merge them into one file; the store
-    # stays multi-file per cell, which is all the compaction audit
-    # needs). Byte content is identical; the persist is obsolete.
+    # (4 jobs + a persist to stop lineage recompute). Round-13 (ADVICE):
+    # the multi-file-per-cell guarantee must be CORE-COUNT-INDEPENDENT —
+    # on a 1-core runner the numbered repartition collapses to one task
+    # and hash spread alone would leave exactly one file per cell
+    # (nothing to compact, audit fails deterministically). The guarantee
+    # now comes from maxRecordsPerFile = ceil(n / (cells * 4)): every
+    # task splits its per-cell output at that bound, so the largest cell
+    # (>= n/cells rows) always lands in >= ~4 files no matter how many
+    # tasks write. The (cell, vid%4) repartition remains purely for write
+    # parallelism (user-numbered: an unnumbered one is AQE-coalescible).
+    assigned = assigned.persist()
+    n_assigned = assigned.count()
     (
         assigned.withColumn("q", F.col("vid") % 4)
-        # user-NUMBERED repartition: an unnumbered one is AQE-coalescible
-        # and collapsed to one task (one file per cell = nothing left to
-        # compact, breaking the audit at sf0.01)
         .repartition(
             spark.sparkContext.defaultParallelism, F.col("cell"), F.col("q")
         )
         .drop("q")
         .write.mode("overwrite")
+        .option(
+            "maxRecordsPerFile", max(1, -(-n_assigned // (8 * 4)))
+        )
         .partitionBy("cell")
         .parquet(frag_dir)
     )

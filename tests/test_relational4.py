@@ -735,3 +735,57 @@ def test_seasonal_decompose_recovers_planted_peak(spark, sf_dir):
     peaks = out.filter(F.col("peak")).select("event_type", "dow").collect()
     assert len(peaks) == 5
     assert all(r.dow == 4 for r in peaks)
+
+
+def test_gopher_gate_pandas_output_is_canonicalizable(spark, sf_dir):
+    """Driver-harness regression pin (r12 verdict item 1): ext_gopher_gate
+    is the ONLY registered query with an array-typed output column
+    (verified by a full 344-query schema sweep, r13), and the round-12
+    driver comparator crashed canonicalizing it — pandas' lexsort
+    factorizes every sort key and ndarray/list cells are unhashable
+    (TypeError: unhashable type), so a sort_values over all columns
+    cannot canonicalize the frame as-is. This test pins BOTH halves of
+    that diagnosis on the real query output: (a) the raw toPandas frame
+    reproduces the crash (if a pandas/Spark upgrade ever makes it
+    sortable, the driver bug is moot and this assert flags it for
+    cleanup), and (b) one standard transformation — array cells to
+    tuples, exactly what tools/check_oracles.norm_cell does — makes the
+    frame canonicalizable with a total, deterministic order. The query's
+    declared output schema is part of its oracle contract and must NOT
+    change to dodge the comparator."""
+    import pandas as pd
+    import pytest
+
+    from cdc_debezium_kafka_airflow_spark.queries.relational4 import (
+        ext_gopher_gate,
+    )
+
+    pdf = ext_gopher_gate(spark, sf_dir).toPandas()
+    assert list(pdf.columns) == [
+        "doc_id", "n_words", "mean_word_len", "max_word_len",
+        "n_distinct_stop", "keep", "reasons",
+    ]
+    # every cell of the array column arrives as ndarray or list of str
+    assert all(
+        isinstance(v, (list, tuple)) or hasattr(v, "tolist")
+        for v in pdf["reasons"]
+    )
+    # (a) the driver comparator's shape crashes on the raw frame
+    with pytest.raises(TypeError, match="unhashable"):
+        pdf.sort_values(by=list(pdf.columns))
+    # (b) tuple-canonicalized cells sort fine and deterministically
+    canon = pdf.copy()
+    canon["reasons"] = [tuple(v) for v in canon["reasons"]]
+    s1 = canon.sort_values(by=list(canon.columns)).reset_index(drop=True)
+    s2 = (
+        canon.sample(frac=1.0, random_state=7)
+        .sort_values(by=list(canon.columns))
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(s1, s2)
+    # failed docs carry sorted reason arrays; kept docs carry empty ones
+    assert all(
+        (len(r) == 0) == bool(k)
+        for r, k in zip(canon["reasons"], canon["keep"])
+    )
+    assert all(list(r) == sorted(r) for r in canon["reasons"])
