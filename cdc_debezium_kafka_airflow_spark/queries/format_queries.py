@@ -899,10 +899,16 @@ def src_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.dataSource.register(AvroDataSource)
     path = _cache_dir(sf_dir, "events_avro")
-    fp = source_fingerprint(sf_dir, "events")
+    # ":8f": 8 writer tasks -> 8 container files -> 8 parallel decode
+    # tasks on the read side (r13, guide §6 — the connector partitions
+    # per file, so a single-file store serialized the whole decode on
+    # one task)
+    fp = source_fingerprint(sf_dir, "events") + ":8f"
     if not cache_is_fresh(path, fp):
         shutil.rmtree(path, ignore_errors=True)
-        t(spark, sf_dir, "events").write.format("avro_py").option(
+        t(spark, sf_dir, "events").repartition(8).write.format(
+            "avro_py"
+        ).option(
             "path", path
         ).option(
             "avro_schema", _json.dumps(EVENTS_AVRO_SCHEMA)

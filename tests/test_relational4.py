@@ -789,3 +789,65 @@ def test_gopher_gate_pandas_output_is_canonicalizable(spark, sf_dir):
         for r, k in zip(canon["reasons"], canon["keep"])
     )
     assert all(list(r) == sorted(r) for r in canon["reasons"])
+
+
+def test_avro_columnar_decoder_matches_reference(tmp_path, sf_dir):
+    """read_container_columns (the connector's r13 columnar fast path) is
+    value-pinned against the row-wise reference decoder on every codec
+    feature the subset supports: null unions, multi-block files, unicode,
+    signed/subnormal doubles, and the timestamp-micros logical type
+    (columns carry raw epoch-micros; the reference carries datetimes —
+    the conversion is the documented contract difference)."""
+    import datetime
+
+    import cdc_debezium_kafka_airflow_spark.sources.avro_py as av
+
+    rows = [
+        (1, datetime.datetime(2024, 1, 1, 12, 30, 0, 123456), 7, "click",
+         3.141592653589793, '{"a":1}'),
+        (2, datetime.datetime(2024, 1, 2), 8, "view", -0.0, None),
+        (3, datetime.datetime(2024, 1, 3), 9, "ünïcode", 1e-308, "x" * 999),
+        (4, datetime.datetime(1999, 12, 31, 23, 59, 59, 999999), -5, "",
+         float("inf"), ""),
+    ]
+    p = str(tmp_path / "t.avro")
+    av.write_container(p, av.EVENTS_AVRO_SCHEMA, iter(rows), b"S" * 16,
+                       records_per_block=3)
+    ref = [tup for _, tup in av.read_container(p)]
+    schema, cols = av.read_container_columns(p)
+    assert schema["name"] == "event"
+    assert len(cols) == 6 and all(len(c) == len(ref) for c in cols)
+    for ri, tup in enumerate(ref):
+        for fi, v in enumerate(tup):
+            got = cols[fi][ri]
+            if isinstance(v, datetime.datetime):
+                got = av._micros_to_ts(got)
+            assert got == v and type(got) is type(v), (ri, fi, got, v)
+    # and on the real fixture store (100k rows at sf0.1 scale dirs)
+    files = av.committed_avro_files
+    import os
+    from cdc_debezium_kafka_airflow_spark.queries.format_queries import (
+        src_avro,
+    )
+    # building via the query guarantees the store exists for this sf
+    from cdc_debezium_kafka_airflow_spark.session import get_spark
+
+    spark = get_spark("tests")
+    src_avro(spark, sf_dir)
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    store = f"/root/repo/.cache/events_avro_{tag}"
+    for fpath in files(store)[:2]:
+        ref = [tup for _, tup in av.read_container(fpath)]
+        _, cols = av.read_container_columns(fpath)
+        assert len(cols[0]) == len(ref)
+        for ri in (0, len(ref) // 2, len(ref) - 1):
+            tup = ref[ri]
+            for fi, v in enumerate(tup):
+                got = cols[fi][ri]
+                if isinstance(v, datetime.datetime):
+                    got = av._micros_to_ts(got)
+                assert got == v
+        # full-column equality for the hot fields
+        assert cols[0] == [r[0] for r in ref]
+        assert [av._micros_to_ts(x) for x in cols[1]] == [r[1] for r in ref]
+        assert cols[5] == [r[5] for r in ref]
