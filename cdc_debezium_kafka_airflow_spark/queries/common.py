@@ -15,7 +15,7 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
-def widen_narrow_scan(df: DataFrame) -> DataFrame:
+def widen_narrow_scan(df: DataFrame, key: tuple | None = None) -> DataFrame:
     """Give an upcoming expensive per-row stage (Python UDTF,
     applyInPandas, or a heavy higher-order-function projection) its full
     core width — scale-adaptively.
@@ -28,8 +28,29 @@ def widen_narrow_scan(df: DataFrame) -> DataFrame:
     scale the scan already carries more splits than cores and this helper
     is a NO-OP — the condition is derived from the plan's own partition
     count, not a local constant (optimization-guide §2: partitioning must
-    be scale-adaptive, not tuned to one harness)."""
+    be scale-adaptive, not tuned to one harness).
+
+    ``key``: optional (sf_dir, table)-style identity for the underlying
+    scan. The probe forces a physical planning pass (~60-100 ms per
+    fresh plan — ADVICE r12); the answer depends only on the scan's file
+    layout and the session width, both stable per fixture directory, so
+    keyed callers pay the planning once per process. Keyless calls probe
+    every time (correct, just slower)."""
     width = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < width:
+    if key is not None:
+        memo_key = (key, width)
+        if memo_key not in _NARROW_SCAN_MEMO:
+            _NARROW_SCAN_MEMO[memo_key] = (
+                df.rdd.getNumPartitions() < width
+            )
+        narrow = _NARROW_SCAN_MEMO[memo_key]
+    else:
+        narrow = df.rdd.getNumPartitions() < width
+    if narrow:
         return df.repartition(width)
     return df
+
+
+#: see widen_narrow_scan — decision memo for the narrow-scan probe; an
+#: input-layout property (scan split count vs session width), never data
+_NARROW_SCAN_MEMO: dict[tuple, bool] = {}

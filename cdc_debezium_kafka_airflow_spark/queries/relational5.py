@@ -1457,7 +1457,8 @@ def ext_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # work otherwise runs on the fixture's single scan split (measured
     # round 12: the 2.5 s scan stage parallelizes; no-op at real scale)
     d = widen_narrow_scan(
-        t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+        t(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+        key=(sf_dir, "documents"),
     ).select(
         "doc_id",
         "source",

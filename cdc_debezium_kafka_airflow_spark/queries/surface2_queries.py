@@ -94,7 +94,7 @@ def udtf_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row Python eval must not run on the fixture's single scan split
     # (scale-adaptive: no-op when the scan already carries >= core splits)
     widen_narrow_scan(
-        t(spark, sf_dir, "events")
+        t(spark, sf_dir, "events"), key=(sf_dir, "events")
     ).createOrReplaceTempView("events_udtf_v")
     return spark.sql(
         "SELECT e.event_id, p.prop_key, p.prop_val "
@@ -1050,7 +1050,7 @@ def udtf_polymorphic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row Python eval must not run on the fixture's single scan split
     # (scale-adaptive: no-op when the scan already carries >= core splits)
     widen_narrow_scan(
-        t(spark, sf_dir, "events")
+        t(spark, sf_dir, "events"), key=(sf_dir, "events")
     ).createOrReplaceTempView("poly_events")
     onehot = spark.sql(
         "SELECT * FROM one_hot_poly(TABLE(poly_events), 'click,view,purchase')"

@@ -17,7 +17,11 @@ import json
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+import pytest
+
+# repo root derived from this file's location (ADVICE r12: no hardcoded
+# machine layout)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from cdc_debezium_kafka_airflow_spark.sources.pydatasource import (
     DEFAULT_TABLE,
@@ -29,6 +33,9 @@ from cdc_debezium_kafka_airflow_spark.sources.pydatasource import (
 )
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF_DIR), reason=f"fixture dir {SF_DIR} absent"
+)
 _EPOCH = dt.datetime(1970, 1, 1)
 _MS = dt.timedelta(milliseconds=1)
 

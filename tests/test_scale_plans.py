@@ -1578,3 +1578,43 @@ def test_no_unpartitioned_window_over_unbounded_input(spark, sf_dir):
     assert not gone, (
         f"allowlist entries no longer needed (stale): {sorted(gone)}"
     )
+
+
+def test_changelog_pushdown_barrier_holds(spark, sf_dir):
+    """ADVICE r12: the CASE WHEN spark_partition_id() wrapper on the
+    changelog's `value` column is what stops Catalyst pushing split_dlq's
+    parse-failure predicate (with the whole to_json+from_json envelope
+    construction inlined, evaluated twice) below the spread exchange into
+    the single-split scan (commit 0efb550: snk_pydatasource_dlq
+    5.08 -> 1.18 s). The wrapper is value-identical and therefore
+    version-fragile — a future optimizer that constant-folds always-true
+    partition-id comparisons would silently restore the regression (Spark
+    4.1 already folds the equivalent rand() guard). Pin the barrier by
+    its observable effect on the UNPERSISTED write-branch path (the same
+    frame plans/r12/snk_pydatasource_dlq_write_branch_* captured): the
+    value envelope's serializer (StructsToJsonEvaluator) is constructed
+    exactly ONCE in the optimized plan of the hoisted DLQ branch (the
+    branch prunes `key`, so the sole construction is the value envelope);
+    a broken barrier re-inlines that construction into the pushed
+    predicate as a SECOND (historically THIRD) copy."""
+    from cdc_debezium_kafka_airflow_spark.operators.cdc import (
+        hoist_field,
+        parse_envelope,
+        split_dlq,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.cdc_fixture import (
+        build_changelog,
+    )
+    from cdc_debezium_kafka_airflow_spark.sources.tables import load_table
+
+    dlq = hoist_field(
+        split_dlq(
+            parse_envelope(build_changelog(load_table(spark, sf_dir, "events")))
+        )[1]
+    )
+    plan = _optimized(dlq)
+    n_ser = plan.count("StructsToJsonEvaluator")
+    assert n_ser == 1, f"serializer constructed {n_ser}x (want 1):\n{plan[:3000]}"
+    # the barrier column survives: the always-true partition-id CASE has
+    # not been constant-folded away
+    assert "spark_partition_id" in plan.lower(), plan[:3000]

@@ -9,7 +9,7 @@ read-back), so that query captures the write-branch plan instead.
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 outdir, suffix = sys.argv[1], sys.argv[2]
 names = sys.argv[3:]

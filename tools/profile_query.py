@@ -10,7 +10,7 @@ Usage: python tools/profile_query.py [--sf DIR] name [name...]
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
 
 args = sys.argv[1:]
 sf = "/root/testdata/sf0.1"
