@@ -301,23 +301,18 @@ def train_ivf_centroids(
         (i, s) for i, s in enumerate(seeds)
     ]
     vv = v.select("vid", F.col("nvec").alias("vec"))
+    # the agg Column objects are iteration-invariant — build the 65 py4j
+    # expression handles once, not once per Lloyd pass
+    agg_cols = [F.count("*").alias("n")] + [
+        F.sum(F.element_at("vec", d + 1)).alias(f"s{d}")
+        for d in range(dim)
+    ]
     for _ in range(iters):
         assign = nearest_cell_assigner(
             cent_rows, vec_col="vec", id_col="vid", cid_col="cid",
             d2_col="_d2",
         )
-        stats = (
-            assign(vv)
-            .groupBy("cid")
-            .agg(
-                F.count("*").alias("n"),
-                *[
-                    F.sum(F.element_at("vec", d + 1)).alias(f"s{d}")
-                    for d in range(dim)
-                ],
-            )
-            .collect()
-        )
+        stats = assign(vv).groupBy("cid").agg(*agg_cols).collect()
         cent_rows = []
         for r in sorted(stats, key=lambda r: r["cid"]):
             m = [r[f"s{d}"] / r["n"] for d in range(dim)]

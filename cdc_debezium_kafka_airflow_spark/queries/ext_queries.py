@@ -4434,9 +4434,13 @@ def ext_dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     # read it — no per-run corpus re-prune, no decision-log join, and the
     # same store the streaming index job seeds from
     # (stream_index_append_dedup)
+    # materialize=False (r13): this query reads the kept-set ONLY as a
+    # DataFrame (every audit frame below), so the per-run partitioned
+    # write + read-back the file-level consumers need is skipped; the
+    # persisted frame serves all subtrees
     _, kept_art = corpus_kept_set(
         spark, sf_dir, corpus=corpus, corpus_tag="inc90",
-        n_clusters=8, threshold=th, cache_key=ck,
+        n_clusters=8, threshold=th, cache_key=ck, materialize=False,
     )
     out = semdedup_incremental(
         corpus, batch, n_clusters=8, threshold=th, cache_key=ck,

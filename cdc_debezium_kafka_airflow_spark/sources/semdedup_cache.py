@@ -56,7 +56,8 @@ def corpus_kept_set(
     n_clusters: int = 8,
     threshold: float = 0.35,
     cache_key: str | None = None,
-) -> tuple[str, DataFrame]:
+    materialize: bool = True,
+) -> tuple[str | None, DataFrame]:
     """The SemDeDup corpus KEPT-SET materialized PARTITIONED BY the
     assignment cell id: ONE per-cell survivor store that the incremental
     verdict (``ext_dedup_semantic_incremental``), the streaming ANN index
@@ -68,6 +69,11 @@ def corpus_kept_set(
 
     Returns ``(store_dir, DataFrame)``. REBUILT on every invocation into
     per-process scratch — the build is part of the calling query's run.
+
+    ``materialize=False`` skips the disk store and returns
+    ``(None, persisted_frame)`` — for consumers that only read the
+    kept-set as a DataFrame (no directory clone, no per-cell partition
+    reads), the partitioned write + read-back is pure overhead.
     """
     from cdc_debezium_kafka_airflow_spark.operators.similarity import (
         as_double,
@@ -116,5 +122,7 @@ def corpus_kept_set(
         )
         .join(v, on="vid")
     )
+    if not materialize:
+        return None, kept.persist()
     kept.write.partitionBy("cell").mode("overwrite").parquet(store_dir)
     return store_dir, spark.read.parquet(store_dir)
